@@ -1,0 +1,242 @@
+"""The north-star pipeline: Parquet transcripts -> canonical (subj, pred, obj)
+triples, as a streaming Ray Data pipeline.
+
+Stage layout (SURVEY.md §3.1 "engine shape" / §7 M1-M4):
+
+  read/generate transcripts                (streamed blocks, Arrow)
+    -> MentionLinker actor pool            (stateful: broadcast gazetteer,
+                                            regex compiled once per actor)
+    -> expand_turns map_batches            (stateless per-turn: build JSON-LD
+                                            doc, expand against the cached
+                                            context; embarrassingly parallel —
+                                            this is the salted/per-row path, so
+                                            long conversations cause NO skew
+                                            here)
+    -> groupby(conv_id).map_groups         (the ONE conv_id shuffle: sort by
+                                            turn_idx, node map with a fresh
+                                            per-conversation bnode counter,
+                                            toRDF, per-conversation c14n)
+    -> partitioned Parquet sink            (hash(conv_id) buckets + per-bucket
+                                            manifests -> checkpoint/resume)
+
+Only the compact expanded-JSON rows cross the shuffle, never raw state. Group
+size is bounded by the transcript generator's max_turns cap; at 100 TB the
+shuffle key stays conv_id with per-bucket output so a failed run resumes by
+skipping completed buckets (manifest anti-join at the read).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import zlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ..kernel import JsonLdOptions
+from ..stages.docs import (
+    RAYLD_CONTEXT,
+    build_conv_node,
+    build_turn_doc,
+    expand_turn_doc,
+    expanded_to_canonical_triples,
+)
+from ..stages.linker import MentionLinker
+from ..state.gazetteer import build_gazetteer
+
+TRIPLES_SCHEMA = pa.schema(
+    [
+        ("conv_id", pa.string()),
+        ("graph", pa.string()),
+        ("subj", pa.string()),
+        ("pred", pa.string()),
+        ("obj_kind", pa.string()),
+        ("obj_value", pa.string()),
+        ("obj_datatype", pa.string()),
+        ("obj_lang", pa.string()),
+    ]
+)
+
+
+def conv_bucket(conv_id: str, num_buckets: int) -> int:
+    return zlib.crc32(conv_id.encode("utf-8")) % num_buckets
+
+
+# ---------------------------------------------------------------------------
+# Stage: per-turn doc build + expansion (stateless map_batches)
+# ---------------------------------------------------------------------------
+
+def expand_turns(batch: pa.Table) -> pa.Table:
+    """Arrow in / Arrow out. Emits (conv_id, turn_idx, expanded) where
+    ``expanded`` is the JSON of the expanded turn node array."""
+    conv_ids = batch["conv_id"].to_pylist()
+    turn_idxs = batch["turn_idx"].to_pylist()
+    roles = batch["role"].to_pylist()
+    texts = batch["text"].to_pylist()
+    tools = batch["tool"].to_pylist()
+    ts = batch["ts"].cast(pa.int64()).to_pylist()
+    entities = (
+        batch["entities"].to_pylist()
+        if "entities" in batch.column_names
+        else [None] * len(conv_ids)
+    )
+    expanded_out = []
+    for i in range(len(conv_ids)):
+        entity_iris = json.loads(entities[i]) if entities[i] else []
+        doc = build_turn_doc(
+            conv_ids[i], turn_idxs[i], roles[i], texts[i], tools[i], ts[i],
+            entity_iris,
+        )
+        expanded_out.append(json.dumps(expand_turn_doc(doc), ensure_ascii=False))
+    return pa.table(
+        {
+            "conv_id": pa.array(conv_ids, pa.string()),
+            "turn_idx": pa.array(turn_idxs, pa.int32()),
+            "expanded": pa.array(expanded_out, pa.string()),
+        }
+    )
+
+
+# ---------------------------------------------------------------------------
+# Stage: conversation group -> canonical triples (groupby(conv_id).map_groups)
+# ---------------------------------------------------------------------------
+
+def conv_group_to_triples(group: pd.DataFrame) -> pd.DataFrame:
+    group = group.sort_values("turn_idx", kind="mergesort")
+    conv_id = group["conv_id"].iloc[0]
+    turn_idxs = [int(i) for i in group["turn_idx"]]
+    nodes: list = []
+    # conversation head node expanded against the cached context
+    conv_node = build_conv_node(conv_id, turn_idxs)
+    nodes.extend(expand_turn_doc(conv_node))
+    for expanded_json in group["expanded"]:
+        nodes.extend(json.loads(expanded_json))
+    cols = expanded_to_canonical_triples(conv_id, nodes, JsonLdOptions(""))
+    return pd.DataFrame(cols)
+
+
+# ---------------------------------------------------------------------------
+# Pipeline assembly
+# ---------------------------------------------------------------------------
+
+def build_triples(transcripts_ds, gazetteer=None, link_concurrency: int = 4):
+    """transcripts Dataset -> triples Dataset (lazy; nothing materializes)."""
+    import ray
+
+    if gazetteer is None:
+        gazetteer = build_gazetteer()
+    gazetteer_ref = ray.put(gazetteer)
+    ds = transcripts_ds.map_batches(
+        MentionLinker,
+        batch_format="pyarrow",
+        batch_size=4096,
+        concurrency=link_concurrency,
+        num_cpus=1,
+        fn_constructor_kwargs={"gazetteer_ref": gazetteer_ref},
+    )
+    ds = ds.map_batches(expand_turns, batch_format="pyarrow", batch_size=2048)
+    return ds.groupby("conv_id").map_groups(
+        conv_group_to_triples, batch_format="pandas"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Materialize + checkpoint/resume (SURVEY.md §4 checkpoint row)
+# ---------------------------------------------------------------------------
+
+def _manifest_path(out_dir: str, bucket: int) -> str:
+    return os.path.join(out_dir, f"bucket={bucket}", "_manifest.json")
+
+
+def completed_buckets(out_dir: str, num_buckets: int) -> set:
+    done = set()
+    for b in range(num_buckets):
+        if os.path.exists(_manifest_path(out_dir, b)):
+            done.add(b)
+    return done
+
+
+def run_kg_pipeline(transcripts_ds, out_dir: str, num_buckets: int = 16,
+                    gazetteer=None, link_concurrency: int = 4,
+                    resume: bool = True) -> dict:
+    """Run the full pipeline with bucketed output + per-bucket lineage
+    manifests. A re-run skips buckets whose manifest already exists (pruned at
+    the read by a vectorized hash filter), and re-writes partial buckets.
+
+    Returns {"triples": total_rows_written, "buckets_skipped": n}.
+    """
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    os.makedirs(out_dir, exist_ok=True)
+    done = completed_buckets(out_dir, num_buckets) if resume else set()
+
+    def add_bucket_and_filter(batch: pa.Table) -> pa.Table:
+        conv_ids = batch["conv_id"].to_pylist()
+        buckets = np.array(
+            [conv_bucket(c, num_buckets) for c in conv_ids], dtype=np.int32
+        )
+        batch = batch.append_column("bucket", pa.array(buckets, pa.int32()))
+        if done:
+            mask = np.isin(buckets, np.fromiter(done, dtype=np.int32), invert=True)
+            batch = batch.filter(pa.array(mask))
+        return batch
+
+    filtered = transcripts_ds.map_batches(
+        add_bucket_and_filter, batch_format="pyarrow"
+    )
+    # drop partial (manifest-less) bucket dirs from a previous crashed run
+    import shutil
+
+    for b in range(num_buckets):
+        bdir = os.path.join(out_dir, f"bucket={b}")
+        if b not in done and os.path.isdir(bdir):
+            shutil.rmtree(bdir)
+
+    triples = build_triples(
+        filtered.drop_columns(["bucket"]), gazetteer=gazetteer,
+        link_concurrency=link_concurrency,
+    )
+
+    def re_bucket(batch: pa.Table) -> pa.Table:
+        buckets = [conv_bucket(c, num_buckets) for c in batch["conv_id"].to_pylist()]
+        return batch.append_column("bucket", pa.array(buckets, pa.int32()))
+
+    triples = triples.map_batches(re_bucket, batch_format="pyarrow")
+    triples.write_parquet(out_dir, partition_cols=["bucket"])
+
+    # per-bucket lineage manifests (input shard ids, row counts, content hash)
+    total = 0
+    for b in range(num_buckets):
+        bdir = os.path.join(out_dir, f"bucket={b}")
+        if b in done:
+            mp = _manifest_path(out_dir, b)
+            with open(mp) as f:
+                total += json.load(f)["rows"]
+            continue
+        rows = 0
+        files = []
+        content_hash = 0
+        if os.path.isdir(bdir):
+            for fn in sorted(os.listdir(bdir)):
+                if not fn.endswith(".parquet"):
+                    continue
+                fp = os.path.join(bdir, fn)
+                md = pq.ParquetFile(fp).metadata
+                rows += md.num_rows
+                content_hash = zlib.crc32(
+                    f"{fn}:{md.num_rows}".encode(), content_hash
+                )
+                files.append(fn)
+        else:
+            os.makedirs(bdir, exist_ok=True)
+        with open(_manifest_path(out_dir, b), "w") as f:
+            json.dump(
+                {"bucket": b, "rows": rows, "files": files,
+                 "content_hash": content_hash, "num_buckets": num_buckets},
+                f,
+            )
+        total += rows
+    return {"triples": total, "buckets_skipped": len(done)}

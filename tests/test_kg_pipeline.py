@@ -1,0 +1,122 @@
+"""End-to-end KG pipeline tests: Ray Data pipeline vs single-process kernel
+oracle, determinism, and checkpoint/resume."""
+
+from __future__ import annotations
+
+import json
+import shutil
+
+import pytest
+
+from rayld.kernel import JsonLdOptions
+from rayld.sources.transcripts import transcripts_table, transcripts_dataset
+from rayld.stages.docs import conversation_expanded, expanded_to_canonical_triples
+from rayld.stages.linker import MentionLinker
+from rayld.state.gazetteer import build_gazetteer
+
+N_CONV = 30
+
+
+def _oracle_triples() -> set:
+    """Single-process kernel run over the same synthetic conversations."""
+    tbl = transcripts_table(N_CONV)
+    linker = MentionLinker(gazetteer=build_gazetteer())
+    convs: dict = {}
+    for r in tbl.to_pylist():
+        convs.setdefault(r["conv_id"], []).append(r)
+    triples = set()
+    for conv_id, turns in convs.items():
+        turns.sort(key=lambda r: r["turn_idx"])
+        tdicts = [
+            dict(
+                turn_idx=r["turn_idx"], role=r["role"], text=r["text"],
+                tool=r["tool"],
+                ts_us=int(r["ts"].timestamp() * 1e6)
+                if hasattr(r["ts"], "timestamp") else r["ts"],
+                entity_iris=linker.link_text(r["text"]),
+            )
+            for r in turns
+        ]
+        expanded = conversation_expanded(conv_id, tdicts, JsonLdOptions(""))
+        cols = expanded_to_canonical_triples(conv_id, expanded)
+        for i in range(len(cols["subj"])):
+            triples.add(tuple(cols[k][i] for k in (
+                "conv_id", "graph", "subj", "pred", "obj_kind", "obj_value",
+                "obj_datatype", "obj_lang")))
+    return triples
+
+
+def _pipeline_triples(ray_session) -> set:
+    from rayld.pipelines.kg import build_triples
+
+    ds = transcripts_dataset(N_CONV)
+    out = build_triples(ds, link_concurrency=2)
+    triples = set()
+    for batch in out.iter_batches(batch_size=10_000, batch_format="pyarrow"):
+        d = batch.to_pydict()
+        for i in range(batch.num_rows):
+            triples.add(tuple(d[k][i] for k in (
+                "conv_id", "graph", "subj", "pred", "obj_kind", "obj_value",
+                "obj_datatype", "obj_lang")))
+    return triples
+
+
+def test_per_turn_text_equality_invariant():
+    """Per-row invariant (BASELINE.json input_hint): the pipeline's per-turn
+    expansion equals the kernel's expansion of the same turn under stable
+    ordering."""
+    from rayld.pipelines.kg import expand_turns
+    import pyarrow as pa
+
+    tbl = transcripts_table(5)
+    linker = MentionLinker(gazetteer=build_gazetteer())
+    linked = linker(tbl)
+    out = expand_turns(linked)
+    assert out.num_rows == tbl.num_rows
+    from rayld.stages.docs import build_turn_doc, expand_turn_doc
+
+    d = linked.to_pylist()
+    o = out.to_pylist()
+    for row, orow in zip(d, o):
+        ents = json.loads(row["entities"])
+        ts_us = (
+            int(row["ts"].timestamp() * 1e6)
+            if hasattr(row["ts"], "timestamp") else row["ts"]
+        )
+        doc = build_turn_doc(
+            row["conv_id"], row["turn_idx"], row["role"], row["text"],
+            row["tool"], ts_us, ents,
+        )
+        assert json.loads(orow["expanded"]) == expand_turn_doc(doc)
+
+
+def test_pipeline_matches_kernel_oracle(ray_session):
+    """Distributed triples == single-process reference-kernel triples
+    (P/R = 1.0 on canonicalized quads)."""
+    oracle = _oracle_triples()
+    got = _pipeline_triples(ray_session)
+    missing = oracle - got
+    extra = got - oracle
+    assert not missing and not extra, (
+        f"P/R mismatch: {len(missing)} missing, {len(extra)} extra; "
+        f"sample missing={list(missing)[:3]} extra={list(extra)[:3]}"
+    )
+    assert len(got) > 100
+
+
+def test_pipeline_resume(ray_session, tmp_path):
+    from rayld.pipelines.kg import run_kg_pipeline, completed_buckets
+
+    out_dir = str(tmp_path / "triples")
+    ds = transcripts_dataset(N_CONV)
+    stats = run_kg_pipeline(ds, out_dir, num_buckets=4, link_concurrency=2)
+    assert stats["buckets_skipped"] == 0
+    assert stats["triples"] > 0
+    first_total = stats["triples"]
+    assert completed_buckets(out_dir, 4) == {0, 1, 2, 3}
+    # simulate a crashed bucket: drop its manifest + files
+    shutil.rmtree(str(tmp_path / "triples" / "bucket=2"))
+    ds2 = transcripts_dataset(N_CONV)
+    stats2 = run_kg_pipeline(ds2, out_dir, num_buckets=4, link_concurrency=2)
+    assert stats2["buckets_skipped"] == 3
+    assert stats2["triples"] == first_total
