@@ -1,16 +1,14 @@
-"""Driver contract for the graft builder (Ray Data target).
+"""Driver contract for the rayld engine (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+The driver initialises Ray BEFORE importing this module; nothing here (or in
+the library) calls ray.init()/ray.shutdown().
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+- entry(): flagship transcripts -> canonical-triples pipeline at sf0.001 scale.
+- queries(): one entry per implemented operator/pipeline (SURVEY.md §2 +
+  the training-data ops); each callable takes sf_dir.
+- oracle_sql(): DuckDB-equivalent SQL for the SQL-expressible subset; the
+  JSON-LD / sketch-based ops are non-SQL-expressible and get the driver's
+  rows-only check.
 """
 
 from __future__ import annotations
@@ -18,27 +16,146 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+_TOKEN_RE_SQL = "[A-Za-z0-9]+"
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    from rayld.pipelines.kg import build_triples
+    from rayld.sources.transcripts import transcripts_dataset
+
+    ds = transcripts_dataset(100)
+    return build_triples(ds, link_concurrency=2)
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from rayld.pipelines import ann, dedup, jsonld_ops, multimodal, relational, text
+    from rayld.pipelines.kg import build_triples
+    from rayld.sources.transcripts import transcripts_dataset
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    def kg_triples(sf_dir: str):
+        n = jsonld_ops.n_conversations_for(sf_dir)
+        return build_triples(transcripts_dataset(n), link_concurrency=4)
+
+    def kg_triple_counts(sf_dir: str):
+        """Aggregated view of the flagship output: triples per predicate."""
+        from ray.data.aggregate import Count
+
+        ds = kg_triples(sf_dir)
+        return ds.groupby("pred").aggregate(Count(alias_name="n_triples"))
+
+    return {
+        # flagship KG construction (A5/A7 end-to-end; non-SQL)
+        "kg_triples": kg_triples,
+        "kg_triple_counts": kg_triple_counts,
+        # JSON-LD API surface A1-A7 + S1/S2 (non-SQL)
+        "jsonld_expand": jsonld_ops.op_expand,
+        "jsonld_compact_roundtrip": jsonld_ops.op_compact_roundtrip,
+        "jsonld_flatten": jsonld_ops.op_flatten,
+        "jsonld_frame": jsonld_ops.op_frame,
+        "jsonld_tordf": jsonld_ops.op_tordf,
+        "jsonld_fromrdf_roundtrip": jsonld_ops.op_fromrdf_roundtrip,
+        "jsonld_normalize": jsonld_ops.op_normalize,
+        # text analysis
+        "token_count": text.token_count,
+        "doc_stats": text.doc_stats,
+        "doc_fingerprint": text.doc_fingerprint,
+        "rolling_fingerprint": text.rolling_fingerprint,
+        "lang_distribution": text.lang_distribution,
+        "lang_id": text.lang_id,
+        "quality_score": text.quality_score,
+        # dedup family
+        "dedup_exact": dedup.dedup_exact,
+        "dedup_minhash": dedup.minhash_dedup,
+        "simhash": dedup.simhash,
+        "embedding_neardup": dedup.embedding_neardup,
+        # similarity search
+        "ann_topk": ann.brute_force_topk,
+        "ann_ivf_topk": ann.ivf_topk,
+        # relational / windowed
+        "q1_pricing": relational.q1_pricing,
+        "customer_nation_count": relational.customer_nation_count,
+        "events_hourly": relational.events_hourly,
+        "user_sessions": relational.user_sessions,
+        "supplier_account_rank": relational.supplier_account_rank,
+        # multimodal plumbing
+        "media_byte_stats": multimodal.media_byte_stats,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "token_count": (
+            "SELECT doc_id, len(regexp_extract_all(text, '[A-Za-z0-9]+'))::BIGINT"
+            " AS n_tokens FROM documents"
+        ),
+        "doc_stats": (
+            "SELECT doc_id,"
+            " length(text)::BIGINT AS n_chars_calc,"
+            " len(regexp_extract_all(text, '[.,;:!?]'))::BIGINT AS n_punct,"
+            " len(regexp_extract_all(text, '[A-Za-z0-9]+'))::BIGINT AS n_tokens"
+            " FROM documents"
+        ),
+        "doc_fingerprint": "SELECT doc_id, md5(text) AS fp FROM documents",
+        "lang_distribution": (
+            "SELECT lang, count(*)::BIGINT AS n_docs FROM documents GROUP BY lang"
+        ),
+        "dedup_exact": (
+            "SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)"
+        ),
+        "q1_pricing": (
+            # sums in integer cents -> exact regardless of summation order
+            "SELECT l_returnflag, l_linestatus,"
+            " sum(floor(l_quantity * 100 + 0.5)::BIGINT) / 100.0 AS sum_qty,"
+            " sum(floor(l_extendedprice * 100 + 0.5)::BIGINT) / 100.0"
+            "   AS sum_base_price,"
+            " sum(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5)::BIGINT)"
+            "   / 100.0 AS sum_disc_price,"
+            " count(*)::BIGINT AS count_order"
+            " FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'"
+            " GROUP BY l_returnflag, l_linestatus"
+        ),
+        "customer_nation_count": (
+            "SELECT n_name, count(*)::BIGINT AS n_customers"
+            " FROM customer JOIN nation ON c_nationkey = n_nationkey"
+            " GROUP BY n_name"
+        ),
+        "events_hourly": (
+            "SELECT event_type,"
+            " epoch(date_trunc('hour', ts))::BIGINT AS window_start,"
+            " count(*)::BIGINT AS n_events,"
+            " sum(floor(value * 100 + 0.5)::BIGINT) / 100.0 AS sum_value"
+            " FROM events GROUP BY 1, 2"
+        ),
+        "user_sessions": (
+            "WITH x AS ("
+            "  SELECT user_id, ts,"
+            "   CASE WHEN lag(ts) OVER w IS NULL"
+            "     OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE"
+            "   THEN 1 ELSE 0 END AS new_s"
+            "  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)"
+            "), y AS ("
+            "  SELECT user_id,"
+            "   sum(new_s) OVER (PARTITION BY user_id ORDER BY ts"
+            "     ROWS UNBOUNDED PRECEDING)::BIGINT AS session_id"
+            "  FROM x"
+            ") SELECT user_id, session_id, count(*)::BIGINT AS n_events"
+            " FROM y GROUP BY user_id, session_id"
+        ),
+        "supplier_account_rank": (
+            "SELECT s_suppkey FROM supplier"
+            " ORDER BY s_acctbal DESC, s_suppkey LIMIT 10"
+        ),
+        "ann_topk": (
+            "SELECT q.vec_id AS query_id, e.vec_id AS vec_id"
+            " FROM embeddings q, embeddings e"
+            " WHERE q.vec_id IN (0, 1, 2, 3)"
+            " QUALIFY row_number() OVER ("
+            "   PARTITION BY q.vec_id"
+            "   ORDER BY list_cosine_similarity(q.embedding, e.embedding) DESC,"
+            "   e.vec_id) <= 10"
+        ),
+        "media_byte_stats": (
+            "SELECT doc_id AS media_id, strlen(text)::BIGINT AS n_bytes"
+            " FROM documents"
+        ),
+    }

@@ -1,0 +1,143 @@
+"""Benchmark driver for the rayld engine.
+
+Plain run: executes the headline pipelines over $GRAFT_SF_DIR (default
+/root/testdata/sf0.1) under ray.init(num_cpus=$RAY_GRAFT_CPUS, default 32)
+and prints ONE JSON line:
+  {"metric": "rayld_pipeline_sec", "value": <headline sec>, "unit": "sec",
+   "queries": {...}, "sf": ..., "num_cpus": N, "kg_triples": T,
+   "kg_triples_per_sec": R}
+
+--scaling: runs the same bench twice in fresh processes (num_cpus=8 and 32)
+on the same input and prints throughputs at both + scaling efficiency
+(sandbox stand-in for the N-node vs 4N-node cluster criterion; BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+
+def _sf_label(sf_dir: str) -> float:
+    try:
+        return float(Path(sf_dir).name.replace("sf", ""))
+    except ValueError:
+        return -1.0
+
+
+def _warm_cache(sf_dir: str) -> None:
+    for p in Path(sf_dir).glob("*.parquet"):
+        p.read_bytes()
+
+
+def kg_conversations_for_bench(sf_dir: str) -> int:
+    import pyarrow.parquet as pq
+
+    n_docs = pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
+    return max(200, (n_docs * 2) // 5)
+
+
+def run_bench() -> dict:
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=NUM_CPUS,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+    from rayld.pipelines import ann, dedup, relational, text
+    from rayld.pipelines.kg import build_triples
+    from rayld.sources.transcripts import transcripts_dataset
+
+    _warm_cache(SF_DIR)
+    timings: dict = {}
+    extras: dict = {}
+
+    def timed(name, fn):
+        t0 = time.perf_counter()
+        out = fn()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        return out
+
+    # headline: transcripts -> canonical triples
+    n_conv = kg_conversations_for_bench(SF_DIR)
+    n_triples = timed(
+        "kg_triples",
+        lambda: build_triples(
+            transcripts_dataset(n_conv), link_concurrency=max(2, NUM_CPUS // 4)
+        ).count(),
+    )
+    extras["kg_conversations"] = n_conv
+    extras["kg_triples"] = n_triples
+    extras["kg_triples_per_sec"] = round(n_triples / timings["kg_triples"], 1)
+
+    timed("token_count", lambda: text.token_count(SF_DIR).count())
+    timed("dedup_exact", lambda: dedup.dedup_exact(SF_DIR).count())
+    timed("minhash_dedup", lambda: len(dedup.minhash_dedup(SF_DIR)))
+    timed("ann_topk", lambda: ann.brute_force_topk(SF_DIR).count())
+    timed("q1_pricing", lambda: relational.q1_pricing(SF_DIR).count())
+    timed("events_hourly", lambda: relational.events_hourly(SF_DIR).count())
+
+    ray.shutdown()
+    result = {
+        "metric": "rayld_pipeline_sec",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": _sf_label(SF_DIR),
+        "num_cpus": NUM_CPUS,
+    }
+    result.update(extras)
+    return result
+
+
+def run_scaling() -> dict:
+    def child(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run(
+            [sys.executable, __file__], env=env, capture_output=True, text=True,
+            check=True,
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo, hi = 8, 32
+    r_lo = child(lo)
+    r_hi = child(hi)
+    thr_lo = r_lo["kg_triples"] / r_lo["queries"]["kg_triples"]
+    thr_hi = r_hi["kg_triples"] / r_hi["queries"]["kg_triples"]
+    eff_headline = (thr_hi / thr_lo) / (hi / lo)
+    eff_total = (r_lo["value"] / r_hi["value"]) / (hi / lo)
+    return {
+        "metric": "scaling_efficiency",
+        "cpus_lo": lo,
+        "cpus_hi": hi,
+        "sec_lo": r_lo["value"],
+        "sec_hi": r_hi["value"],
+        "kg_triples_per_sec_lo": round(thr_lo, 1),
+        "kg_triples_per_sec_hi": round(thr_hi, 1),
+        "scaling_efficiency": round(eff_headline, 3),
+        "scaling_efficiency_total": round(eff_total, 3),
+        "sf": r_hi["sf"],
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_bench()))

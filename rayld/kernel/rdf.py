@@ -89,19 +89,19 @@ def object_to_rdf(item: Any, generate_blank_node_identifier=None) -> Optional[di
     if is_value(item):
         value = item["@value"]
         datatype = item.get("@type")
+        # numeric branch only for JSON-native bool/number values
+        # (RDFDataset.cs:732-760: JTokenType Boolean/Float/Integer gate)
         if isinstance(value, bool):
             return literal(
                 "true" if value else "false",
                 datatype if datatype is not None else consts.XSD_BOOLEAN,
             )
-        if isinstance(value, float) or datatype == consts.XSD_DOUBLE:
-            if isinstance(value, int) and not isinstance(value, bool):
-                value = float(value)
-            return literal(
-                xsd_double_canonical(value),
-                datatype if datatype is not None else consts.XSD_DOUBLE,
-            )
-        if isinstance(value, int):
+        if isinstance(value, (int, float)):
+            if isinstance(value, float) or datatype == consts.XSD_DOUBLE:
+                return literal(
+                    xsd_double_canonical(float(value)),
+                    datatype if datatype is not None else consts.XSD_DOUBLE,
+                )
             return literal(
                 str(value),
                 datatype if datatype is not None else consts.XSD_INTEGER,

@@ -1,0 +1,167 @@
+"""Relational pipelines over the TPC-H-ish tables: pre-aggregated groupby,
+broadcast join, windowed / sessionized event aggregation.
+
+These demonstrate the shuffle-minimizing patterns of SURVEY.md §4: partial
+aggregation inside map_batches before the groupby, dimension tables broadcast
+with ray.put instead of shuffle joins, and event windows as
+groupby(key).map_groups over ts-sorted groups."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+def q1_pricing(sf_dir: str):
+    """TPC-H Q1-style pricing summary. Partial sums per batch -> small global
+    groupby. Sums rounded to 2dp for stable float comparison."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=[
+            "l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice",
+            "l_discount", "l_shipdate",
+        ],
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["l_shipdate"] <= pd.Timestamp("1998-09-02")]
+        # sum in integer cents so the result is exact regardless of the
+        # floating-point summation order across batches/workers
+        # half-up rounding (floor(x+0.5)) — matches the SQL oracle exactly,
+        # unlike numpy's half-even round
+        df = df.assign(
+            qty_c=np.floor(df["l_quantity"] * 100 + 0.5).astype("int64"),
+            base_c=np.floor(df["l_extendedprice"] * 100 + 0.5).astype("int64"),
+            disc_c=np.floor(
+                df["l_extendedprice"] * (1 - df["l_discount"]) * 100 + 0.5
+            ).astype("int64"),
+            n=1,
+        )
+        g = df.groupby(["l_returnflag", "l_linestatus"], as_index=False).agg(
+            sum_qty=("qty_c", "sum"),
+            sum_base_price=("base_c", "sum"),
+            sum_disc_price=("disc_c", "sum"),
+            count_order=("n", "sum"),
+        )
+        return g
+
+    partials = ds.map_batches(partial, batch_format="pandas")
+    agg = partials.groupby(["l_returnflag", "l_linestatus"]).aggregate(
+        Sum("sum_qty", alias_name="sum_qty"),
+        Sum("sum_base_price", alias_name="sum_base_price"),
+        Sum("sum_disc_price", alias_name="sum_disc_price"),
+        Sum("count_order", alias_name="count_order"),
+    )
+
+    def round_cols(df: pd.DataFrame) -> pd.DataFrame:
+        for c in ("sum_qty", "sum_base_price", "sum_disc_price"):
+            df[c] = df[c].astype("int64") / 100.0
+        df["count_order"] = df["count_order"].astype("int64")
+        return df
+
+    return agg.map_batches(round_cols, batch_format="pandas")
+
+
+def customer_nation_count(sf_dir: str):
+    """Customers per nation name — broadcast join (nation is the tiny side,
+    shipped once via ray.put; no shuffle join)."""
+    import ray
+    import ray.data as rd
+    import pyarrow.parquet as pq
+    from ray.data.aggregate import Sum
+
+    nation = pq.read_table(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
+    )
+    lookup = dict(
+        zip(nation["n_nationkey"].to_pylist(), nation["n_name"].to_pylist())
+    )
+    ref = ray.put(lookup)
+
+    ds = rd.read_parquet(f"{sf_dir}/customer.parquet", columns=["c_nationkey"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        lk = ray.get(ref)
+        df = df.assign(n_name=df["c_nationkey"].map(lk))
+        g = df.groupby("n_name", as_index=False).size()
+        return g.rename(columns={"size": "partial"})
+
+    partials = ds.map_batches(partial, batch_format="pandas")
+    return partials.groupby("n_name").aggregate(
+        Sum("partial", alias_name="n_customers")
+    )
+
+
+def events_hourly(sf_dir: str):
+    """Tumbling 1-hour window per event_type: counts + rounded value sums.
+    Window derived vectorized per batch; partial-aggregated before the tiny
+    groupby."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "ts", "value"]
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        # window as epoch seconds (BIGINT) for a type-stable oracle compare;
+        # value summed in integer cents (order-independent exactness)
+        window = df["ts"].dt.floor("h").astype("datetime64[s]").astype("int64")
+        df = df.assign(
+            window_start=window,
+            value_c=np.floor(df["value"] * 100 + 0.5).astype("int64"),
+            n=1,
+        )
+        g = df.groupby(["event_type", "window_start"], as_index=False).agg(
+            n_events=("n", "sum"), sum_value=("value_c", "sum")
+        )
+        return g
+
+    partials = ds.map_batches(partial, batch_format="pandas")
+    agg = partials.groupby(["event_type", "window_start"]).aggregate(
+        Sum("n_events", alias_name="n_events"),
+        Sum("sum_value", alias_name="sum_value"),
+    )
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        df["n_events"] = df["n_events"].astype("int64")
+        df["sum_value"] = df["sum_value"].astype("int64") / 100.0
+        return df
+
+    return agg.map_batches(finish, batch_format="pandas")
+
+
+def user_sessions(sf_dir: str, gap_minutes: int = 30):
+    """Session windows per user (gap-based sessionization): the
+    streaming-shaped op expressed as groupby(user).map_groups over the
+    ts-sorted group. Output: (user_id, session_id, n_events)."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
+
+    def sessionize(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values("ts", kind="mergesort")
+        gaps = df["ts"].diff()
+        new_session = (gaps.isna()) | (gaps > pd.Timedelta(minutes=gap_minutes))
+        session_id = new_session.cumsum().astype("int64")
+        out = df.assign(session_id=session_id)
+        g = out.groupby(["user_id", "session_id"], as_index=False).size()
+        return g.rename(columns={"size": "n_events"})
+
+    return ds.groupby("user_id").map_groups(sessionize, batch_format="pandas")
+
+
+def supplier_account_rank(sf_dir: str, top_n: int = 10):
+    """Top-N suppliers by account balance — sort + limit (deterministic
+    tie-break by s_suppkey)."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_acctbal"]
+    )
+    out = ds.sort(["s_acctbal", "s_suppkey"], descending=[True, False]).limit(top_n)
+    return out.select_columns(["s_suppkey"])

@@ -1,0 +1,168 @@
+"""Text-analysis pipelines over the ``documents`` table: token counting,
+document stats, language ID, quality scoring, fingerprinting.
+
+All stages are vectorized ``map_batches`` bodies (pandas string kernels /
+hashlib over Arrow columns); reads prune to the needed columns.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+_TOKEN_RE = r"[A-Za-z0-9]+"
+_PUNCT_RE = r"[.,;:!?]"
+
+# tiny deterministic stopword profiles for the 5 corpus languages
+_LANG_MARKERS = {
+    "en": {"the", "and", "of", "to", "a", "in", "is", "it", "for", "with"},
+    "de": {"der", "die", "das", "und", "ist", "mit", "für", "von", "ein", "nicht"},
+    "fr": {"le", "la", "les", "et", "est", "pour", "avec", "dans", "une", "pas"},
+    "es": {"el", "la", "los", "y", "es", "para", "con", "en", "una", "no"},
+    "zh": set(),  # detected by CJK codepoints instead
+}
+
+
+def documents(sf_dir: str, columns=("doc_id", "text")):
+    import ray.data as rd
+
+    return rd.read_parquet(f"{sf_dir}/documents.parquet", columns=list(columns))
+
+
+def token_count(sf_dir: str):
+    """Per-document token count (regex tokens, matches the SQL oracle's
+    regexp_extract_all)."""
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        n = df["text"].str.findall(_TOKEN_RE).str.len().astype("int64")
+        return pd.DataFrame({"doc_id": df["doc_id"], "n_tokens": n})
+
+    return documents(sf_dir).map_batches(fn, batch_format="pandas")
+
+
+def doc_stats(sf_dir: str):
+    """Integer quality-signal counts per document."""
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"],
+                "n_chars_calc": df["text"].str.len().astype("int64"),
+                "n_punct": df["text"].str.count(_PUNCT_RE).astype("int64"),
+                "n_tokens": df["text"].str.findall(_TOKEN_RE).str.len().astype("int64"),
+            }
+        )
+
+    return documents(sf_dir).map_batches(fn, batch_format="pandas")
+
+
+def doc_fingerprint(sf_dir: str):
+    """Content fingerprint per document (md5 hex — SQL-checkable)."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        fps = [
+            hashlib.md5(t.encode("utf-8")).hexdigest()
+            for t in batch["text"].to_pylist()
+        ]
+        return pa.table({"doc_id": batch["doc_id"], "fp": pa.array(fps, pa.string())})
+
+    return documents(sf_dir).map_batches(fn, batch_format="pyarrow")
+
+
+def rolling_fingerprint(sf_dir: str, window: int = 8):
+    """Rabin-Karp rolling-hash document fingerprint: min rolling hash over
+    token windows (a shift-resistant near-dup signal; deterministic)."""
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for text in df["text"]:
+            toks = re.findall(_TOKEN_RE, text)
+            if len(toks) < window:
+                h = hashlib.md5(" ".join(toks).encode()).hexdigest()[:16]
+                out.append(h)
+                continue
+            best = None
+            for i in range(len(toks) - window + 1):
+                h = hashlib.md5(" ".join(toks[i:i + window]).encode()).hexdigest()[:16]
+                if best is None or h < best:
+                    best = h
+            out.append(best)
+        return pd.DataFrame({"doc_id": df["doc_id"], "rolling_fp": out})
+
+    return documents(sf_dir).map_batches(fn, batch_format="pandas")
+
+
+class LangId:
+    """Stopword/CJK-heuristic language identifier — stateful stage: marker
+    sets + tokenizer compiled once per actor (__init__), vectorized __call__."""
+
+    def __init__(self):
+        self.token_re = re.compile(_TOKEN_RE)
+        self.markers = {k: v for k, v in _LANG_MARKERS.items() if v}
+
+    def predict(self, text: str) -> str:
+        if any("一" <= c <= "鿿" for c in text[:400]):
+            return "zh"
+        toks = [t.lower() for t in self.token_re.findall(text)]
+        if not toks:
+            return "und"
+        scores = {
+            lang: sum(t in marks for t in toks) for lang, marks in self.markers.items()
+        }
+        best = max(scores, key=lambda k: (scores[k], k))
+        return best if scores[best] > 0 else "und"
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"],
+                "lang_pred": [self.predict(t) for t in df["text"]],
+            }
+        )
+
+
+def lang_id(sf_dir: str, concurrency: int = 2):
+    return documents(sf_dir).map_batches(
+        LangId, batch_format="pandas", concurrency=concurrency, num_cpus=1
+    )
+
+
+def lang_distribution(sf_dir: str):
+    """Grouped count over the lang column (pre-aggregate then tiny groupby)."""
+    from ray.data.aggregate import Sum
+
+    ds = documents(sf_dir, columns=("doc_id", "lang"))
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("lang", as_index=False).size()
+        return g.rename(columns={"size": "partial"})
+
+    partials = ds.map_batches(partial, batch_format="pandas")
+    return partials.groupby("lang").aggregate(Sum("partial", alias_name="n_docs"))
+
+
+def quality_score(sf_dir: str):
+    """Float quality score in [0,1] from length/punct/stopword signals
+    (composite heuristic — not SQL-oracled; doc_stats carries the
+    SQL-checkable integer signals)."""
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        n_chars = df["text"].str.len().clip(lower=1)
+        toks = df["text"].str.findall(_TOKEN_RE)
+        n_toks = toks.str.len().clip(lower=1)
+        stop = toks.map(
+            lambda ts: sum(1 for t in ts if t.lower() in _LANG_MARKERS["en"])
+        )
+        punct_ratio = (df["text"].str.count(_PUNCT_RE) / n_chars).clip(0, 1)
+        stop_ratio = (stop / n_toks).clip(0, 1)
+        len_score = (n_toks / 64).clip(0, 1)
+        score = (
+            0.4 * len_score + 0.3 * (1 - punct_ratio) + 0.3 * stop_ratio
+        ).round(6)
+        return pd.DataFrame({"doc_id": df["doc_id"], "quality": score})
+
+    return documents(sf_dir).map_batches(fn, batch_format="pandas")
