@@ -43,10 +43,27 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ds = kg_triples(sf_dir)
         return ds.groupby("pred").aggregate(Count(alias_name="n_triples"))
 
+    def kg_triples_global_dedup(sf_dir: str):
+        """Global exact triple dedup across conversations: hash-partition on
+        the full quad key + per-group first (SURVEY.md §2.8 'set ops/dedup';
+        conv-scoped bnodes keep their conv_id qualifier so only
+        ground-identical quads collapse)."""
+        import pandas as pd
+
+        ds = kg_triples(sf_dir).drop_columns(["conv_id"])
+        key = ["graph", "subj", "pred", "obj_kind", "obj_value",
+               "obj_datatype", "obj_lang"]
+
+        def first(df: pd.DataFrame) -> pd.DataFrame:
+            return df.head(1)
+
+        return ds.groupby(key).map_groups(first, batch_format="pandas")
+
     return {
         # flagship KG construction (A5/A7 end-to-end; non-SQL)
         "kg_triples": kg_triples,
         "kg_triple_counts": kg_triple_counts,
+        "kg_triples_global_dedup": kg_triples_global_dedup,
         # JSON-LD API surface A1-A7 + S1/S2 (non-SQL)
         "jsonld_expand": jsonld_ops.op_expand,
         "jsonld_compact_roundtrip": jsonld_ops.op_compact_roundtrip,

@@ -43,7 +43,10 @@ def kg_conversations_for_bench(sf_dir: str) -> int:
     import pyarrow.parquet as pq
 
     n_docs = pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
-    return max(200, (n_docs * 2) // 5)
+    # large enough that kernel compute dominates scheduling overhead at both
+    # parallelism levels (the scaling-efficiency criterion measures compute,
+    # not fixed startup)
+    return max(200, n_docs * 4)
 
 
 def run_bench() -> dict:

@@ -32,12 +32,15 @@ from .utils import (
 
 
 class JsonLdApi:
-    def __init__(self, input_: Any = None, opts: Optional[JsonLdOptions] = None):
+    def __init__(self, input_: Any = None, opts: Optional[JsonLdOptions] = None,
+                 clone_input: bool = True):
         self.opts = opts if opts is not None else JsonLdOptions("")
         self.value: Any = None
         self.context: Context = Context(self.opts)
         if isinstance(input_, (dict, list)):
-            self.value = clone(input_)
+            # the reference deep-clones its input (JsonLdApi.cs:50-65);
+            # pipeline callers that own their trees pass clone_input=False
+            self.value = clone(input_) if clone_input else input_
         self._blank_node_identifier_map: dict = {}
         self._blank_node_counter = 0
         self.node_map: Optional[dict] = None  # set by frame()
@@ -1010,6 +1013,21 @@ class JsonLdApi:
     def normalize(self, dataset: "RDFDataset"):
         from .normalize import NormalizeUtils, UniqueNamer
 
+        quads, bnodes = self._collect_normalize_state(dataset)
+        normalize_utils = NormalizeUtils(quads, bnodes, UniqueNamer("_:c14n"), self.opts)
+        return normalize_utils.hash_blank_nodes(list(bnodes.keys()))
+
+    def canonicalize_quads(self, dataset: "RDFDataset") -> list:
+        """Columnar fast path: canonical (c14n) naming, quads out — no text
+        serialization round trip. Engine-only addition; same naming as
+        normalize()."""
+        from .normalize import NormalizeUtils, UniqueNamer
+
+        quads, bnodes = self._collect_normalize_state(dataset)
+        normalize_utils = NormalizeUtils(quads, bnodes, UniqueNamer("_:c14n"), self.opts)
+        return normalize_utils.canonical_quads(list(bnodes.keys()))
+
+    def _collect_normalize_state(self, dataset: "RDFDataset"):
         quads: list = []
         bnodes: dict = {}
         for graph_name in list(dataset.keys()):
@@ -1026,8 +1044,7 @@ class JsonLdApi:
                     if attr in quad and quad[attr].get("type") == "blank node":
                         id_ = quad[attr]["value"]
                         bnodes.setdefault(id_, {"quads": []})["quads"].append(quad)
-        normalize_utils = NormalizeUtils(quads, bnodes, UniqueNamer("_:c14n"), self.opts)
-        return normalize_utils.hash_blank_nodes(list(bnodes.keys()))
+        return quads, bnodes
 
 
 class _FramingContext:

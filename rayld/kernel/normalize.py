@@ -225,10 +225,45 @@ class NormalizeUtils:
         self.namer = namer
         self.options = options
 
+    def canonical_quads(self, unnamed_: list) -> list:
+        """Assign canonical names and return the renamed quads directly —
+        the engine's columnar fast path (skips the reference's serialize ->
+        sort -> re-parse round trip, which only matters for text output)."""
+        self._assign_canonical_names(list(unnamed_))
+        for quad in self.quads:
+            self._rename_quad(quad)
+        return self.quads
+
+    def _rename_quad(self, quad: dict) -> None:
+        for attr in ("subject", "object", "name"):
+            if attr in quad:
+                qa = quad[attr]
+                if (
+                    qa is not None
+                    and qa.get("type") == "blank node"
+                    and not qa["value"].startswith("_:c14n")
+                ):
+                    qa["value"] = self.namer.get_name(qa["value"])
+
     def hash_blank_nodes(self, unnamed_: list):
         """Fixpoint first-degree hashing, then per-group N-degree naming, then
         canonical rename + sorted N-Quads (NormalizeUtils.cs:30-205)."""
-        unnamed = list(unnamed_)
+        self._assign_canonical_names(list(unnamed_))
+        normalized = []
+        for quad in self.quads:
+            self._rename_quad(quad)
+            name = quad.get("name")
+            normalized.append(
+                to_nquad(quad, name["value"] if name is not None else None)
+            )
+        normalized.sort(key=utf16_key)
+        if self.options.format is not None:
+            if self.options.format == "application/nquads":
+                return "".join(normalized)
+            raise JsonLdError(JsonLdError.UNKNOWN_FORMAT, self.options.format)
+        return parse_nquads("".join(normalized))
+
+    def _assign_canonical_names(self, unnamed: list) -> None:
         while True:
             next_unnamed: list = []
             duplicates: dict = {}
@@ -272,25 +307,3 @@ class NormalizeUtils:
                     for key in r.path_namer.existing.keys():
                         self.namer.get_name(key)
             break
-        # rename all quads and emit sorted N-Quads
-        normalized = []
-        for quad in self.quads:
-            for attr in ("subject", "object", "name"):
-                if attr in quad:
-                    qa = quad[attr]
-                    if (
-                        qa is not None
-                        and qa.get("type") == "blank node"
-                        and not qa["value"].startswith("_:c14n")
-                    ):
-                        qa["value"] = self.namer.get_name(qa["value"])
-            name = quad.get("name")
-            normalized.append(
-                to_nquad(quad, name["value"] if name is not None else None)
-            )
-        normalized.sort(key=utf16_key)
-        if self.options.format is not None:
-            if self.options.format == "application/nquads":
-                return "".join(normalized)
-            raise JsonLdError(JsonLdError.UNKNOWN_FORMAT, self.options.format)
-        return parse_nquads("".join(normalized))

@@ -32,7 +32,15 @@ _ESCAPE_MAP = {
 }
 
 
+_NEEDS_ESCAPE = re.compile(
+    "[\x00-\x1f\"\\\\\x7f-\xa0ɏ-￿]|[\U00010000-\U0010ffff]"
+)
+
+
 def escape(s: str) -> str:
+    # fast path: nothing to escape (the overwhelmingly common case)
+    if _NEEDS_ESCAPE.search(s) is None:
+        return s
     out = []
     for ch in s:
         c = ord(ch)

@@ -103,7 +103,7 @@ def expand_turns(batch: pa.Table) -> pa.Table:
 # Stage: conversation group -> canonical triples (groupby(conv_id).map_groups)
 # ---------------------------------------------------------------------------
 
-def conv_group_to_triples(group: pd.DataFrame) -> pd.DataFrame:
+def conv_group_to_triples(group: pd.DataFrame) -> pa.Table:
     group = group.sort_values("turn_idx", kind="mergesort")
     conv_id = group["conv_id"].iloc[0]
     turn_idxs = [int(i) for i in group["turn_idx"]]
@@ -114,31 +114,70 @@ def conv_group_to_triples(group: pd.DataFrame) -> pd.DataFrame:
     for expanded_json in group["expanded"]:
         nodes.extend(json.loads(expanded_json))
     cols = expanded_to_canonical_triples(conv_id, nodes, JsonLdOptions(""))
-    return pd.DataFrame(cols)
+    return pa.Table.from_pydict(cols, schema=TRIPLES_SCHEMA)
+
+
+def conv_partition_to_triples(part: pd.DataFrame) -> pa.Table:
+    """Process ONE hash partition holding MANY conversations: a pandas
+    groupby over conv_id inside the task amortizes Ray's per-group overhead
+    across the whole partition (thousands of small groups would otherwise
+    dominate wall time — this is the bucketed variant of the conv_id
+    shuffle)."""
+    tables = []
+    for _, group in part.groupby("conv_id", sort=True):
+        tables.append(conv_group_to_triples(group))
+    if not tables:
+        return pa.Table.from_pydict(
+            {f.name: [] for f in TRIPLES_SCHEMA}, schema=TRIPLES_SCHEMA
+        )
+    return pa.concat_tables(tables)
 
 
 # ---------------------------------------------------------------------------
 # Pipeline assembly
 # ---------------------------------------------------------------------------
 
-def build_triples(transcripts_ds, gazetteer=None, link_concurrency: int = 4):
-    """transcripts Dataset -> triples Dataset (lazy; nothing materializes)."""
+def build_triples(transcripts_ds, gazetteer=None, link_concurrency: int = 4,
+                  num_partitions: int = 64):
+    """transcripts Dataset -> triples Dataset (lazy; nothing materializes).
+
+    The conv_id shuffle is bucketed: rows get a ``part = hash(conv_id) % P``
+    column and the groupby runs on ``part`` with an in-task pandas groupby
+    over conv_id — P ≈ 2x total cores keeps every core busy without paying
+    Ray per-group overhead for millions of small conversations. At cluster
+    scale raise ``num_partitions`` to ~2x cluster cores."""
     import ray
 
     if gazetteer is None:
         gazetteer = build_gazetteer()
     gazetteer_ref = ray.put(gazetteer)
+    # batch_size=None everywhere: the block structure (set at the source)
+    # drives task granularity; re-bundling into big batches collapses
+    # parallelism on small inputs
     ds = transcripts_ds.map_batches(
         MentionLinker,
         batch_format="pyarrow",
-        batch_size=4096,
+        batch_size=None,
         concurrency=link_concurrency,
         num_cpus=1,
         fn_constructor_kwargs={"gazetteer_ref": gazetteer_ref},
     )
-    ds = ds.map_batches(expand_turns, batch_format="pyarrow", batch_size=2048)
-    return ds.groupby("conv_id").map_groups(
-        conv_group_to_triples, batch_format="pandas"
+    ds = ds.map_batches(expand_turns, batch_format="pyarrow", batch_size=None)
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        parts = np.fromiter(
+            (conv_bucket(c, num_partitions) for c in batch["conv_id"].to_pylist()),
+            dtype=np.int32,
+            count=batch.num_rows,
+        )
+        return batch.append_column("part", pa.array(parts, pa.int32()))
+
+    ds = ds.map_batches(add_part, batch_format="pyarrow", batch_size=None)
+    # ensure at least num_partitions blocks feed the shuffle so the group
+    # stage parallelizes even when upstream blocks coalesced
+    ds = ds.repartition(num_partitions)
+    return ds.groupby("part").map_groups(
+        conv_partition_to_triples, batch_format="pandas"
     )
 
 

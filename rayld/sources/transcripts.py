@@ -167,19 +167,25 @@ def _conversations_to_table(indices, seed: int, surfaces: list[str]) -> pa.Table
 
 
 def transcripts_dataset(num_conversations: int, seed: int = 42,
-                        override_num_blocks: int | None = None):
+                        conversations_per_block: int = 16):
     """Streaming Dataset of synthetic transcripts — generation happens inside
     map_batches tasks (nothing materializes on the driver), so this scales to
-    arbitrarily many conversations."""
+    arbitrarily many conversations.
+
+    Block sizing: task parallelism in Ray Data follows BLOCK structure, not
+    batch_size — one block of conversation ids per ~16 conversations keeps
+    every downstream map stage parallel (a single collapsed block serializes
+    the whole pipeline)."""
     import ray.data as rd
 
     surfaces = [s for s, _, _ in build_gazetteer(seed)]
-    ds = rd.range(num_conversations, override_num_blocks=override_num_blocks)
+    nblocks = max(1, num_conversations // conversations_per_block)
+    ds = rd.range(num_conversations, override_num_blocks=nblocks)
 
     def gen(batch: pa.Table) -> pa.Table:
         return _conversations_to_table(batch["id"].to_pylist(), seed, surfaces)
 
-    return ds.map_batches(gen, batch_format="pyarrow", batch_size=256)
+    return ds.map_batches(gen, batch_format="pyarrow", batch_size=None)
 
 
 def transcripts_table(num_conversations: int, seed: int = 42) -> pa.Table:

@@ -173,7 +173,31 @@ def expanded_to_canonical_triples(conv_id: str, expanded_nodes: list,
     conversation canonical bnode naming (_:c14n, NormalizeUtils.cs:30-205).
     """
     opts = options or JsonLdOptions("")
-    api = JsonLdApi(expanded_nodes, opts)
+    api = JsonLdApi(expanded_nodes, opts, clone_input=False)
     dataset = api.to_rdf()
-    normalized = api.normalize(dataset)  # format None -> RDFDataset with c14n names
-    return triples_rows_from_dataset(conv_id, normalized)
+    quads = api.canonicalize_quads(dataset)  # columnar fast path, c14n names
+    cols = {
+        "conv_id": [], "graph": [], "subj": [], "pred": [],
+        "obj_kind": [], "obj_value": [], "obj_datatype": [], "obj_lang": [],
+    }
+    from ..kernel.rdf import quad_key
+
+    seen = set()
+    for quad in quads:
+        key = quad_key(quad)
+        if key in seen:  # exact dedup, matching the reference's per-graph
+            continue     # dedup in ParseNQuads (RDFDatasetUtils.cs:686-691)
+        seen.add(key)
+        o = quad["object"]
+        name = quad.get("name")
+        cols["conv_id"].append(conv_id)
+        cols["graph"].append(name["value"] if name is not None else "@default")
+        cols["subj"].append(quad["subject"]["value"])
+        cols["pred"].append(quad["predicate"]["value"])
+        cols["obj_kind"].append(o["type"])
+        cols["obj_value"].append(o["value"])
+        cols["obj_datatype"].append(
+            o.get("datatype", "") if o["type"] == "literal" else ""
+        )
+        cols["obj_lang"].append(o.get("language") or "")
+    return cols
