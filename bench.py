@@ -91,7 +91,10 @@ def run_bench() -> dict:
 
     timed("token_count", lambda: text.token_count(SF_DIR).count())
     timed("dedup_exact", lambda: dedup.dedup_exact(SF_DIR).count())
-    timed("minhash_dedup", lambda: len(dedup.minhash_dedup(SF_DIR)))
+    timed(
+        "minhash_dedup",
+        lambda: len(dedup.minhash_dedup(SF_DIR, concurrency=max(2, NUM_CPUS // 4))),
+    )
     timed("ann_topk", lambda: ann.brute_force_topk(SF_DIR).count())
     timed("q1_pricing", lambda: relational.q1_pricing(SF_DIR).count())
     timed("events_hourly", lambda: relational.events_hourly(SF_DIR).count())

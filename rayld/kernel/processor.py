@@ -222,14 +222,17 @@ except ImportError:  # pragma: no cover
 def from_rdf(dataset: Any, opts: Optional[JsonLdOptions] = None,
              parser: Optional[Callable[[Any], RDFDataset]] = None) -> Any:
     opts = _default_options(opts)
-    if parser is None:
-        if opts.format is None and isinstance(dataset, str):
-            opts.format = "application/nquads"
-        if opts.format in _rdf_parsers:
-            parser = _rdf_parsers[opts.format]
-        else:
-            raise JsonLdError(JsonLdError.UNKNOWN_FORMAT, opts.format)
-    parsed = parser(dataset) if not isinstance(dataset, RDFDataset) else dataset
+    if isinstance(dataset, RDFDataset):
+        parsed = dataset
+    else:
+        if parser is None:
+            if opts.format is None and isinstance(dataset, str):
+                opts.format = "application/nquads"
+            if opts.format in _rdf_parsers:
+                parser = _rdf_parsers[opts.format]
+            else:
+                raise JsonLdError(JsonLdError.UNKNOWN_FORMAT, opts.format)
+        parsed = parser(dataset)
     rval = JsonLdApi(opts=opts).from_rdf(parsed)
     if opts.output_form is not None:
         if opts.output_form == "expanded":

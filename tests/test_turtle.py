@@ -1,0 +1,123 @@
+"""Turtle reader/writer tests, including the reference's self-hosting
+manifest flow (NQuadsParserTests.cs:15-60: parse manifest.ttl with the Turtle
+parser, frame it, and drive the suite from the result)."""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+
+import pytest
+
+from rayld.kernel import JsonLdOptions, from_rdf, frame, to_rdf
+from rayld.kernel.nquads import to_nquads
+from rayld.kernel.turtle import parse_turtle, to_turtle
+
+NQUADS_DIR = Path("/root/reference/test/json-ld.net.tests/NQuads")
+
+MANIFEST_FRAME = {
+    "@context": {
+        "mf": "http://www.w3.org/2001/sw/DataAccess/tests/test-manifest#",
+        "rdfs": "http://www.w3.org/2000/01/rdf-schema#",
+        "rdft": "http://www.w3.org/ns/rdftest#",
+        "mf:entries": {"@container": "@list"},
+        "mf:action": {"@type": "@id"},
+    },
+    "@type": "mf:Manifest",
+}
+
+
+def test_parse_simple_turtle():
+    ttl = """
+@prefix ex: <http://example.org/> .
+ex:s ex:p ex:o ;
+     ex:q "lit"@en , "42"^^<http://www.w3.org/2001/XMLSchema#integer> .
+ex:t a ex:Thing .
+"""
+    ds = parse_turtle(ttl)
+    quads = ds.get_quads("@default")
+    assert len(quads) == 4
+    preds = {q["predicate"]["value"] for q in quads}
+    assert "http://www.w3.org/1999/02/22-rdf-syntax-ns#type" in preds
+
+
+def test_parse_collections_and_bnodes():
+    ttl = """
+@prefix ex: <http://example.org/> .
+ex:s ex:list ( ex:a ex:b ex:c ) .
+ex:t ex:p [ ex:q "v" ] .
+"""
+    ds = parse_turtle(ttl)
+    quads = ds.get_quads("@default")
+    first = [q for q in quads if q["predicate"]["value"].endswith("#first")]
+    rest = [q for q in quads if q["predicate"]["value"].endswith("#rest")]
+    assert len(first) == 3 and len(rest) == 3
+
+
+def test_numeric_and_boolean_literals():
+    ttl = "@prefix ex: <http://example.org/> .\nex:s ex:a 42 ; ex:b 4.2 ; ex:c 4.2e1 ; ex:d true .\n"
+    ds = parse_turtle(ttl)
+    dts = sorted(q["object"]["datatype"] for q in ds.get_quads("@default"))
+    assert dts == [
+        "http://www.w3.org/2001/XMLSchema#boolean",
+        "http://www.w3.org/2001/XMLSchema#decimal",
+        "http://www.w3.org/2001/XMLSchema#double",
+        "http://www.w3.org/2001/XMLSchema#integer",
+    ]
+
+
+def test_parse_error_has_position():
+    with pytest.raises(Exception) as ei:
+        parse_turtle("this is not turtle at all {")
+    assert "line" in str(ei.value)
+
+
+@pytest.mark.skipif(not NQUADS_DIR.exists(), reason="NQuads fixture tree absent")
+def test_self_hosting_manifest_roundtrip():
+    txt = (NQUADS_DIR / "manifest.ttl").read_text(encoding="utf-8-sig")
+    ds = parse_turtle(txt)
+    out = to_turtle(ds)
+    ds2 = parse_turtle(out)
+
+    def ground(d):
+        return sorted(l for l in to_nquads(d).splitlines() if "_:" not in l)
+
+    assert ground(ds) == ground(ds2)
+
+
+@pytest.mark.skipif(not NQUADS_DIR.exists(), reason="NQuads fixture tree absent")
+def test_manifest_frame_enumerates_suite():
+    """Parse manifest.ttl -> fromRDF -> frame: the framed manifest lists the
+    suite entries in order (the reference's test-discovery path)."""
+    txt = (NQUADS_DIR / "manifest.ttl").read_text(encoding="utf-8-sig")
+    opts = JsonLdOptions("")
+    expanded = from_rdf(parse_turtle(txt), opts)
+    framed = frame(expanded, MANIFEST_FRAME, JsonLdOptions(""))
+    graph = framed["@graph"]
+    manifest = next(g for g in graph if "mf:entries" in g)
+    entries = manifest["mf:entries"]  # @list container -> plain array
+    assert len(entries) == 90
+    actions = []
+    for e in entries:
+        a = e.get("mf:action")
+        if isinstance(a, dict):
+            a = a.get("@id")
+        actions.append(a)
+    assert all(a and a.endswith(".nq") for a in actions)
+    # every action file exists in the suite directory
+    for a in actions:
+        assert (NQUADS_DIR / a.split("/")[-1]).exists(), a
+
+
+def test_to_rdf_turtle_format():
+    doc = {
+        "@context": {"ex": "http://example.org/"},
+        "@id": "ex:s",
+        "ex:p": {"@value": "hello"},
+    }
+    opts = JsonLdOptions("")
+    opts.format = "text/turtle"
+    ttl = to_rdf(doc, opts)
+    assert "<http://example.org/s>" in ttl
+    reparsed = parse_turtle(ttl)
+    assert len(reparsed.get_quads("@default")) == 1
