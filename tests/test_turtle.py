@@ -96,7 +96,7 @@ def test_manifest_frame_enumerates_suite():
     graph = framed["@graph"]
     manifest = next(g for g in graph if "mf:entries" in g)
     entries = manifest["mf:entries"]  # @list container -> plain array
-    assert len(entries) == 90
+    assert len(entries) == 85  # manifest lists 85 of the suite's .nq files
     actions = []
     for e in entries:
         a = e.get("mf:action")
