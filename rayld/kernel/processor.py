@@ -187,6 +187,82 @@ def remove_preserve(ctx: Context, input_: Any, opts: JsonLdOptions) -> Any:
 
 
 # ---------------------------------------------------------------------------
+# Context URL pre-resolution (JsonLdUtils.cs:888-1060) — the offline
+# "context prefetch" tool: replaces every remote @context URL in a document
+# with the dereferenced context so the hot path never does I/O (SURVEY.md U10)
+# ---------------------------------------------------------------------------
+
+_MAX_CONTEXT_URLS = 10
+
+
+def resolve_context_urls(input_: Any, loader=None, _cycles: Optional[set] = None) -> Any:
+    """Mutates ``input_`` so every string @context (or string member of an
+    array @context) is replaced by the loaded context document. Cycle-capped
+    at 10 like the reference."""
+    if loader is None:
+        from .options import DocumentLoader
+
+        loader = DocumentLoader()
+    if _cycles is None:
+        _cycles = set()
+    if len(_cycles) > _MAX_CONTEXT_URLS:
+        raise JsonLdError(JsonLdError.UNKNOWN_ERROR, "too many remote contexts")
+
+    urls: dict = {}
+    _find_context_urls(input_, urls, replace=False)
+    for url in [u for u, v in urls.items() if v is False]:
+        if url in _cycles:
+            raise JsonLdError(JsonLdError.UNKNOWN_ERROR, f"context cycle at {url}")
+        ctx_doc = loader.load_document(url).document
+        if not isinstance(ctx_doc, dict) or "@context" not in ctx_doc:
+            ctx_doc = {"@context": {}}
+        resolve_context_urls(ctx_doc, loader, _cycles | {url})
+        urls[url] = ctx_doc["@context"]
+    if urls:
+        _find_context_urls(input_, urls, replace=True)
+    return input_
+
+
+def _find_context_urls(input_: Any, urls: dict, replace: bool) -> bool:
+    """JsonLdUtils.FindContextUrls (JsonLdUtils.cs:973-1060)."""
+    count = len(urls)
+    if isinstance(input_, list):
+        for i in input_:
+            _find_context_urls(i, urls, replace)
+        return count < len(urls)
+    if isinstance(input_, dict):
+        for key in list(input_.keys()):
+            if key != "@context":
+                _find_context_urls(input_[key], urls, replace)
+                continue
+            ctx = input_[key]
+            if isinstance(ctx, list):
+                new_ctx: list = []
+                for item in ctx:
+                    if isinstance(item, str):
+                        if replace:
+                            resolved = urls[item]
+                            if isinstance(resolved, list):
+                                new_ctx.extend(resolved)
+                            else:
+                                new_ctx.append(resolved)
+                        else:
+                            urls.setdefault(item, False)
+                            new_ctx.append(item)
+                    else:
+                        new_ctx.append(item)
+                if replace:
+                    input_[key] = new_ctx
+            elif isinstance(ctx, str):
+                if replace:
+                    input_[key] = urls[ctx]
+                else:
+                    urls.setdefault(ctx, False)
+        return count < len(urls)
+    return False
+
+
+# ---------------------------------------------------------------------------
 # RDF parser registry (JsonLdProcessor.cs:284-315) — user-extension surface
 # ---------------------------------------------------------------------------
 

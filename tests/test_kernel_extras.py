@@ -1,0 +1,92 @@
+"""Kernel extras: context-URL pre-resolution, document loader seam, context
+serialization, options plumbing, error surfaces."""
+
+from __future__ import annotations
+
+import pytest
+
+from rayld.kernel import (
+    DocumentLoader,
+    JsonLdError,
+    JsonLdOptions,
+    compact,
+    expand,
+)
+from rayld.kernel.context import Context
+from rayld.kernel.processor import resolve_context_urls
+
+
+def test_resolve_context_urls_inline():
+    loader = DocumentLoader(
+        {
+            "http://ctx.example/a": {"@context": {"name": "http://schema.org/name"}},
+        }
+    )
+    doc = {"@context": "http://ctx.example/a", "name": "x"}
+    resolve_context_urls(doc, loader)
+    assert doc["@context"] == {"name": "http://schema.org/name"}
+    out = expand(doc, JsonLdOptions(""))
+    assert out == [{"http://schema.org/name": [{"@value": "x"}]}]
+
+
+def test_resolve_context_urls_chain_and_array():
+    loader = DocumentLoader(
+        {
+            "http://ctx.example/a": {"@context": "http://ctx.example/b"},
+            "http://ctx.example/b": {"@context": {"p": "http://ex/p"}},
+        }
+    )
+    doc = {"@context": ["http://ctx.example/a", {"q": "http://ex/q"}], "p": 1, "q": 2}
+    resolve_context_urls(doc, loader)
+    assert doc["@context"][0] == {"p": "http://ex/p"}
+
+
+def test_resolve_context_urls_cycle():
+    loader = DocumentLoader(
+        {
+            "http://ctx.example/a": {"@context": "http://ctx.example/b"},
+            "http://ctx.example/b": {"@context": "http://ctx.example/a"},
+        }
+    )
+    doc = {"@context": "http://ctx.example/a"}
+    with pytest.raises(JsonLdError):
+        resolve_context_urls(doc, loader)
+
+
+def test_remote_context_via_loader():
+    opts = JsonLdOptions("http://base.example/doc")
+    opts.document_loader = DocumentLoader(
+        {"http://ctx.example/c": {"@context": {"t": "http://ex/t"}}}
+    )
+    doc = {"@context": "http://ctx.example/c", "t": "v"}
+    assert expand(doc, opts) == [{"http://ex/t": [{"@value": "v"}]}]
+
+
+def test_missing_remote_context_fails_deterministically():
+    doc = {"@context": "http://nowhere.example/ctx", "a": 1}
+    with pytest.raises(JsonLdError) as ei:
+        expand(doc, JsonLdOptions(""))
+    assert str(ei.value).startswith(JsonLdError.LOADING_REMOTE_CONTEXT_FAILED)
+
+
+def test_context_serialize_roundtrip():
+    opts = JsonLdOptions("")
+    ctx = Context(opts).parse(
+        {
+            "name": "http://schema.org/name",
+            "tags": {"@id": "http://schema.org/keywords", "@container": "@list"},
+            "homepage": {"@id": "http://schema.org/url", "@type": "@id"},
+        }
+    )
+    ser = ctx.serialize()
+    assert ser["@context"]["name"] == "http://schema.org/name"
+    assert ser["@context"]["tags"]["@container"] == "@list"
+    # reparse of serialized context behaves identically
+    ctx2 = Context(opts).parse(ser["@context"])
+    assert ctx2.expand_iri("tags", False, True, None, None) == "http://schema.org/keywords"
+
+
+def test_compact_with_registered_prefix():
+    doc = [{"http://schema.org/name": [{"@value": "n"}]}]
+    out = compact(doc, {"sc": "http://schema.org/"}, JsonLdOptions(""))
+    assert out["sc:name"] == "n"
