@@ -46,7 +46,7 @@ def kg_conversations_for_bench(sf_dir: str) -> int:
     # large enough that kernel compute dominates scheduling overhead at both
     # parallelism levels (the scaling-efficiency criterion measures compute,
     # not fixed startup)
-    return max(200, n_docs * 4)
+    return max(200, n_docs * 8)
 
 
 def run_bench() -> dict:
@@ -82,7 +82,7 @@ def run_bench() -> dict:
     n_triples = timed(
         "kg_triples",
         lambda: build_triples(
-            transcripts_dataset(n_conv), link_concurrency=max(2, NUM_CPUS // 4)
+            transcripts_dataset(n_conv), link_concurrency=(2, NUM_CPUS)
         ).count(),
     )
     extras["kg_conversations"] = n_conv

@@ -137,7 +137,7 @@ def conv_partition_to_triples(part: pd.DataFrame) -> pa.Table:
 # Pipeline assembly
 # ---------------------------------------------------------------------------
 
-def build_triples(transcripts_ds, gazetteer=None, link_concurrency: int = 4,
+def build_triples(transcripts_ds, gazetteer=None, link_concurrency=None,
                   num_partitions: int = 64):
     """transcripts Dataset -> triples Dataset (lazy; nothing materializes).
 
@@ -151,6 +151,13 @@ def build_triples(transcripts_ds, gazetteer=None, link_concurrency: int = 4,
     if gazetteer is None:
         gazetteer = build_gazetteer()
     gazetteer_ref = ray.put(gazetteer)
+    if link_concurrency is None:
+        # autoscaling pool up to the cluster CPU count: the pool grows under
+        # load and releases idle actors, so it never pins cores the
+        # downstream stages need (a fixed small pool serializes the fused
+        # generate+link work; a fixed full-size pool starves the shuffle)
+        ncpu = int(ray.cluster_resources().get("CPU", 8))
+        link_concurrency = (2, max(2, ncpu))
     # batch_size=None everywhere: the block structure (set at the source)
     # drives task granularity; re-bundling into big batches collapses
     # parallelism on small inputs
@@ -179,6 +186,54 @@ def build_triples(transcripts_ds, gazetteer=None, link_concurrency: int = 4,
     return ds.groupby("part").map_groups(
         conv_partition_to_triples, batch_format="pandas"
     )
+
+
+# ---------------------------------------------------------------------------
+# Canonical N-Quads text sink (S1 at scale: render per batch, one global
+# sort — the only unavoidable all-to-all — then stream to the file)
+# ---------------------------------------------------------------------------
+
+def render_nquad_lines(batch: pa.Table) -> pa.Table:
+    """Triples rows -> N-Quads text lines (kernel to_nquad per row)."""
+    from ..kernel.nquads import to_nquad
+    from ..kernel import consts as _c
+    from ..kernel.rdf import iri as _iri, blank_node as _bn, literal as _lit, node_for_id
+
+    d = batch.to_pydict()
+    lines = []
+    for i in range(batch.num_rows):
+        kind = d["obj_kind"][i]
+        if kind == "literal":
+            obj = _lit(
+                d["obj_value"][i],
+                d["obj_datatype"][i] or None,
+                d["obj_lang"][i] or None,
+            )
+        else:
+            obj = node_for_id(d["obj_value"][i])
+        quad = {
+            "subject": node_for_id(d["subj"][i]),
+            "predicate": _iri(d["pred"][i]),
+            "object": obj,
+        }
+        graph = d["graph"][i]
+        lines.append(to_nquad(quad, None if graph == "@default" else graph))
+    return pa.table({"line": pa.array(lines, pa.string())})
+
+
+def export_canonical_nquads(triples_ds, path: str) -> int:
+    """Globally sorted .nq text export. The sort is a full shuffle (range
+    partitioned); the write streams sorted blocks to one file. Returns the
+    line count."""
+    lines = triples_ds.map_batches(render_nquad_lines, batch_format="pyarrow")
+    lines = lines.sort("line")
+    n = 0
+    with open(path, "w", encoding="utf-8") as f:
+        for batch in lines.iter_batches(batch_size=65536, batch_format="pyarrow"):
+            for line in batch["line"].to_pylist():
+                f.write(line)
+                n += 1
+    return n
 
 
 # ---------------------------------------------------------------------------
