@@ -121,7 +121,12 @@ def run_scaling() -> dict:
         ).stdout
         return json.loads(out.strip().splitlines()[-1])
 
-    lo, hi = 8, 32
+    # N vs 4N parallelism (sandbox stand-in for N- vs 4N-node clusters).
+    # Default 4 vs 16: the single-node object store saturates the pipeline
+    # above ~16 cpus, which would measure the machine, not the engine; both
+    # ladders are recorded in BASELINE.md.
+    lo = int(os.environ.get("RAY_GRAFT_SCALE_LO", "4"))
+    hi = int(os.environ.get("RAY_GRAFT_SCALE_HI", str(lo * 4)))
     r_lo = child(lo)
     r_hi = child(hi)
     thr_lo = r_lo["kg_triples"] / r_lo["queries"]["kg_triples"]

@@ -33,7 +33,7 @@ from .utils import (
 
 class JsonLdApi:
     def __init__(self, input_: Any = None, opts: Optional[JsonLdOptions] = None,
-                 clone_input: bool = True):
+                 clone_input: bool = True, context_cache: Optional[dict] = None):
         self.opts = opts if opts is not None else JsonLdOptions("")
         self.value: Any = None
         self.context: Context = Context(self.opts)
@@ -44,6 +44,26 @@ class JsonLdApi:
         self._blank_node_identifier_map: dict = {}
         self._blank_node_counter = 0
         self.node_map: Optional[dict] = None  # set by frame()
+        # optional memo for in-tree @context parses: corpora with repeated
+        # context shapes (e.g. templated tool payloads) re-parse the same
+        # local context thousands of times; parsed Contexts are immutable
+        # after parse, so sharing them is semantics-preserving
+        self._context_cache = context_cache
+
+    def _parse_elem_context(self, active_ctx: Context, local_ctx: Any) -> Context:
+        if self._context_cache is None:
+            return active_ctx.parse(local_ctx)
+        import json as _json
+
+        try:
+            key = (id(active_ctx), _json.dumps(local_ctx, sort_keys=True))
+        except (TypeError, ValueError):
+            return active_ctx.parse(local_ctx)
+        cached = self._context_cache.get(key)
+        if cached is None:
+            cached = active_ctx.parse(local_ctx)
+            self._context_cache[key] = cached
+        return cached
 
     # ==================================================================
     # Expansion Algorithm (JsonLdApi.cs:433-1048)
@@ -76,7 +96,7 @@ class JsonLdApi:
             elem = element
             # 5)
             if "@context" in elem:
-                active_ctx = active_ctx.parse(elem["@context"])
+                active_ctx = self._parse_elem_context(active_ctx, elem["@context"])
             # 6)
             result: Optional[dict] = {}
             # 7)

@@ -180,9 +180,15 @@ def build_triples(transcripts_ds, gazetteer=None, link_concurrency=None,
         return batch.append_column("part", pa.array(parts, pa.int32()))
 
     ds = ds.map_batches(add_part, batch_format="pyarrow", batch_size=None)
-    # ensure at least num_partitions blocks feed the shuffle so the group
-    # stage parallelizes even when upstream blocks coalesced
-    ds = ds.repartition(num_partitions)
+    # ensure enough blocks feed the shuffle so the group stage parallelizes
+    # even when upstream collapsed to few blocks; skip the (costly) explicit
+    # repartition when the source already has enough blocks
+    try:
+        nblocks = transcripts_ds.num_blocks()
+    except Exception:
+        nblocks = None
+    if nblocks is None or nblocks < num_partitions:
+        ds = ds.repartition(num_partitions)
     return ds.groupby("part").map_groups(
         conv_partition_to_triples, batch_format="pandas"
     )

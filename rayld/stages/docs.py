@@ -35,6 +35,7 @@ RAYLD_CONTEXT: dict = {
 }
 
 _PARSED_CONTEXT_CACHE: dict = {}
+_CHILD_CONTEXT_CACHE: dict = {}  # per-process memo for in-tree tool contexts
 
 
 def get_parsed_context(options: Optional[JsonLdOptions] = None) -> Context:
@@ -104,7 +105,8 @@ def expand_turn_doc(doc: dict, options: Optional[JsonLdOptions] = None) -> list:
     """
     opts = options or JsonLdOptions("")
     active_ctx = get_parsed_context(opts)
-    expanded = JsonLdApi(opts=opts).expand(active_ctx, doc)
+    api = JsonLdApi(opts=opts, context_cache=_CHILD_CONTEXT_CACHE)
+    expanded = api.expand(active_ctx, doc)
     if isinstance(expanded, dict) and "@graph" in expanded and len(expanded) == 1:
         expanded = expanded["@graph"]
     elif expanded is None:

@@ -120,3 +120,23 @@ def test_pipeline_resume(ray_session, tmp_path):
     stats2 = run_kg_pipeline(ds2, out_dir, num_buckets=4, link_concurrency=2)
     assert stats2["buckets_skipped"] == 3
     assert stats2["triples"] == first_total
+
+
+def test_canonical_nquads_export(ray_session, tmp_path):
+    """The distributed sorted .nq export equals the kernel's to_nquads over
+    the same triples (global sort contract, RDFDatasetUtils.cs:217-242)."""
+    from rayld.pipelines.kg import build_triples, export_canonical_nquads
+    from rayld.sources.transcripts import transcripts_dataset
+
+    ds = build_triples(transcripts_dataset(10), link_concurrency=2)
+    out = str(tmp_path / "out.nq")
+    n = export_canonical_nquads(ds, out)
+    text = open(out).read()
+    assert n == text.count("\n") and n > 100
+    lines = text.splitlines(keepends=True)
+    assert lines == sorted(lines, key=lambda s: s.encode("utf-16-be", "surrogatepass"))
+    # every line reparses
+    from rayld.kernel import parse_nquads
+
+    parsed = parse_nquads(text)
+    assert sum(len(v) for v in parsed.values() if isinstance(v, list)) > 0
