@@ -48,16 +48,29 @@ def queries() -> dict[str, Callable[[str], Any]]:
         the full quad key + per-group first (SURVEY.md §2.8 'set ops/dedup';
         conv-scoped bnodes keep their conv_id qualifier so only
         ground-identical quads collapse)."""
-        import pandas as pd
+        import hashlib
+
+        import pyarrow as pa
+        from ray.data.aggregate import Min
 
         ds = kg_triples(sf_dir).drop_columns(["conv_id"])
-        key = ["graph", "subj", "pred", "obj_kind", "obj_value",
-               "obj_datatype", "obj_lang"]
+        cols = ["graph", "subj", "pred", "obj_kind", "obj_value",
+                "obj_datatype", "obj_lang"]
 
-        def first(df: pd.DataFrame) -> pd.DataFrame:
-            return df.head(1)
+        def add_key(batch: pa.Table) -> pa.Table:
+            d = batch.to_pydict()
+            keys = [
+                hashlib.md5("\x00".join(d[c][i] for c in cols).encode()).hexdigest()
+                for i in range(batch.num_rows)
+            ]
+            return batch.append_column("k", pa.array(keys, pa.string()))
 
-        return ds.groupby(key).map_groups(first, batch_format="pandas")
+        # every column is part of the key, so Min over the group returns the
+        # row itself — a vectorized aggregate instead of per-group map_groups
+        agg = ds.map_batches(add_key, batch_format="pyarrow").groupby("k").aggregate(
+            *[Min(c, alias_name=c) for c in cols]
+        )
+        return agg.drop_columns(["k"])
 
     return {
         # flagship KG construction (A5/A7 end-to-end; non-SQL)
