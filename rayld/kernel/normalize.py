@@ -53,6 +53,12 @@ class _HashResult:
         self.path_namer = path_namer
 
 
+# N-degree path hashing tries every permutation of a same-hash bnode group —
+# factorial blowup (SURVEY.md §7 hard-point 2). Groups beyond this size take
+# the single sorted permutation instead, with a loud log (no silent cap).
+MAX_PERMUTATION_GROUP = 7
+
+
 class Permutator:
     """Steinhaus-Johnson-Trotter permutations in ordinal order
     (NormalizeUtils.cs:539-617)."""
@@ -61,12 +67,27 @@ class Permutator:
         self.list = sorted(lst, key=utf16_key)
         self.done = False
         self.left = {i: True for i in self.list}
+        if len(self.list) > MAX_PERMUTATION_GROUP:
+            import logging
+
+            logging.getLogger("rayld.normalize").warning(
+                "canonicalization: capping permutation search for a bnode "
+                "clique of %d (> %d); using sorted order — canonical labels "
+                "may differ from the exhaustive search for this component",
+                len(self.list), MAX_PERMUTATION_GROUP,
+            )
+            self.capped = True
+        else:
+            self.capped = False
 
     def has_next(self) -> bool:
         return not self.done
 
     def next(self) -> list:
         rval = list(self.list)
+        if self.capped:
+            self.done = True
+            return rval
         # find largest mobile element k
         k = None
         pos = 0

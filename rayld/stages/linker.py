@@ -2,9 +2,13 @@
 
 Ray pattern (SURVEY.md M3): a callable CLASS for ``map_batches`` — the
 gazetteer arrives as a ``ray.put`` object ref (broadcast once, not re-shipped
-per batch) and the matcher regex is compiled ONCE per actor in ``__init__``;
-``__call__`` does vectorizable per-batch work only.
-"""
+per batch) and the token index is built ONCE per actor in ``__init__``;
+``__call__`` does per-batch work only.
+
+Matching is a leftmost-longest token-index scan (first token -> candidate
+phrases, longest first). Unlike a single alternation regex this scales to
+large gazetteers: per-token cost is a dict lookup, independent of gazetteer
+size."""
 
 from __future__ import annotations
 
@@ -13,22 +17,29 @@ import re
 
 import pyarrow as pa
 
+_WORD_RE = re.compile(r"[A-Za-z]+(?:[-.][A-Za-z]+)*")
 
-def compile_matcher(surfaces: list[str]) -> re.Pattern:
-    """One alternation regex over all surface forms, longest-first so longer
-    mentions win, with word boundaries."""
-    ordered = sorted(surfaces, key=len, reverse=True)
-    pattern = r"\b(?:" + "|".join(re.escape(s) for s in ordered) + r")\b"
-    return re.compile(pattern)
+
+def build_token_index(surfaces: dict) -> dict:
+    """surface -> iri mapping to {first_token: [(token_tuple, surface, iri)]}
+    with candidates longest-first."""
+    index: dict = {}
+    for surface, iri in surfaces.items():
+        words = tuple(_WORD_RE.findall(surface))
+        if not words:
+            continue
+        index.setdefault(words[0], []).append((words, surface, iri))
+    for cands in index.values():
+        cands.sort(key=lambda c: len(c[0]), reverse=True)
+    return index
 
 
 class MentionLinker:
-    """map_batches(MentionLinker, concurrency=N, fn_constructor_kwargs=
+    """map_batches(MentionLinker, concurrency=(min,max), fn_constructor_kwargs=
     {"gazetteer_ref": ray.put(build_gazetteer())}).
 
     Adds an ``entities`` column: JSON array of linked entity IRIs, in order of
-    first appearance, deduplicated.
-    """
+    first appearance, deduplicated."""
 
     def __init__(self, gazetteer_ref=None, gazetteer=None):
         if gazetteer is None:
@@ -36,19 +47,45 @@ class MentionLinker:
 
             gazetteer = ray.get(gazetteer_ref)
         self.surface_to_iri = {s: iri for s, iri, _ in gazetteer}
-        self.matcher = compile_matcher(list(self.surface_to_iri.keys()))
+        self.index = build_token_index(self.surface_to_iri)
 
     def link_text(self, text: str) -> list[str]:
         out: list[str] = []
         seen = set()
-        for m in self.matcher.finditer(text):
-            iri = self.surface_to_iri[m.group(0)]
-            if iri not in seen:
-                seen.add(iri)
-                out.append(iri)
+        words = [(m.group(0), m.start(), m.end()) for m in _WORD_RE.finditer(text)]
+        n_words = len(words)
+        index = self.index
+        i = 0
+        while i < n_words:
+            cands = index.get(words[i][0])
+            if cands:
+                matched = False
+                for token_tuple, surface, iri in cands:
+                    n = len(token_tuple)
+                    if i + n <= n_words and all(
+                        words[i + k][0] == token_tuple[k] for k in range(1, n)
+                    ):
+                        # contiguity: the raw text slice must equal the surface
+                        if text[words[i][1]:words[i + n - 1][2]] == surface:
+                            if iri not in seen:
+                                seen.add(iri)
+                                out.append(iri)
+                            i += n
+                            matched = True
+                            break
+                if matched:
+                    continue
+            i += 1
         return out
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         texts = batch["text"].to_pylist()
         entities = [json.dumps(self.link_text(t or "")) for t in texts]
         return batch.append_column("entities", pa.array(entities, pa.string()))
+
+
+def compile_matcher(surfaces: list[str]) -> re.Pattern:
+    """Legacy regex-alternation matcher (kept for comparison tests)."""
+    ordered = sorted(surfaces, key=len, reverse=True)
+    pattern = r"\b(?:" + "|".join(re.escape(s) for s in ordered) + r")\b"
+    return re.compile(pattern)

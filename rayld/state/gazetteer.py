@@ -35,8 +35,17 @@ _PLACE = [
 ]
 
 
+_DIVISION = ["Analytics", "Robotics", "Logistics", "Energy", "Marine", "Aviation"]
+_PLACE_SUFFIX = ["Harbor", "Heights", "Valley", "Junction", "Falls"]
+_GREEK = [
+    "Hydra", "Lyra", "Orion", "Vega", "Atlas", "Nova", "Titan", "Quasar",
+    "Pulsar", "Nebula", "Comet", "Meteor", "Aurora", "Zenith", "Apex", "Helix",
+]
+
+
 def build_gazetteer(seed: int = 42) -> list[tuple[str, str, str]]:
-    """~1k deterministic (surface_form, entity_iri, entity_type) rows."""
+    """~1k deterministic (surface_form, entity_iri, entity_type) rows
+    (FIXTURES.md §5)."""
     rng = np.random.default_rng(seed)
     rows: list[tuple[str, str, str]] = []
     seen = set()
@@ -49,14 +58,23 @@ def build_gazetteer(seed: int = 42) -> list[tuple[str, str, str]]:
 
     for first in _FIRST:
         for last in _LAST:
-            if rng.random() < 0.55:
+            if rng.random() < 0.85:
                 surface = f"{first.capitalize()} {last.capitalize()}"
                 add(surface, f"person/{first}_{last}", "Person")
     for org in _ORG:
         add(org.capitalize() + " Corp", f"org/{org}", "Organization")
         add(org.capitalize() + " Labs", f"org/{org}_labs", "Organization")
+        for div in _DIVISION:
+            add(f"{org.capitalize()} {div}", f"org/{org}_{div.lower()}", "Organization")
     for place in _PLACE:
         add(place.replace("-", " ").title(), f"place/{place}", "Place")
+        for sfx in _PLACE_SUFFIX:
+            add(
+                place.replace("-", " ").title() + " " + sfx,
+                f"place/{place}_{sfx.lower()}", "Place",
+            )
+    for name in _GREEK:
+        add(f"Project {name}", f"project/{name.lower()}", "Project")
     rows.sort(key=lambda r: r[1])
     return rows
 
