@@ -21,11 +21,9 @@ from .utils import (
     deep_compare,
     is_blank_node,
     is_keyword,
-    is_list,
     is_node,
     is_node_reference,
     is_relative_iri,
-    is_value,
     merge_value,
     sorted_ordinal,
 )

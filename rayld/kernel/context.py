@@ -24,7 +24,6 @@ from .utils import (
     is_relative_iri,
     is_value,
     shortest_least_key,
-    sorted_ordinal,
 )
 
 _MISSING = object()

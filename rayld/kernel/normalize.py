@@ -9,13 +9,12 @@ Permutator :539-617) and Core/UniqueNamer.cs:7-79.
 
 from __future__ import annotations
 
-import copy
 import hashlib
 from typing import Optional
 
 from .errors import JsonLdError
 from .nquads import parse_nquads, to_nquad
-from .utils import sorted_ordinal, utf16_key
+from .utils import utf16_key
 
 
 class UniqueNamer:

@@ -8,7 +8,7 @@ documents from a preloaded registry and fails deterministically otherwise
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Any, Optional
 
 from .errors import JsonLdError

@@ -17,7 +17,7 @@ from . import consts
 from .errors import JsonLdError
 from .nquads import unescape
 from .normalize import UniqueNamer
-from .rdf import RDFDataset, iri, blank_node, literal, make_quad
+from .rdf import RDFDataset
 
 # ---------------------------------------------------------------------------
 # Terminals (Core/Regex.cs)

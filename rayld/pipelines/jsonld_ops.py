@@ -22,8 +22,6 @@ from ..kernel import (
     from_rdf,
     normalize,
     to_rdf,
-    parse_nquads,
-    to_nquads,
 )
 from ..kernel.utils import deep_compare
 from ..sources.transcripts import transcripts_dataset

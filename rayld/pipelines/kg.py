@@ -37,7 +37,6 @@ import pyarrow as pa
 
 from ..kernel import JsonLdOptions
 from ..stages.docs import (
-    RAYLD_CONTEXT,
     build_conv_node,
     build_turn_doc,
     expand_turn_doc,
@@ -202,8 +201,7 @@ def build_triples(transcripts_ds, gazetteer=None, link_concurrency=None,
 def render_nquad_lines(batch: pa.Table) -> pa.Table:
     """Triples rows -> N-Quads text lines (kernel to_nquad per row)."""
     from ..kernel.nquads import to_nquad
-    from ..kernel import consts as _c
-    from ..kernel.rdf import iri as _iri, blank_node as _bn, literal as _lit, node_for_id
+    from ..kernel.rdf import iri as _iri, literal as _lit, node_for_id
 
     d = batch.to_pydict()
     lines = []
@@ -267,7 +265,6 @@ def run_kg_pipeline(transcripts_ds, out_dir: str, num_buckets: int = 16,
 
     Returns {"triples": total_rows_written, "buckets_skipped": n}.
     """
-    import pyarrow.compute as pc
     import pyarrow.parquet as pq
 
     os.makedirs(out_dir, exist_ok=True)

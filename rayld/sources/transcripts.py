@@ -193,3 +193,23 @@ def transcripts_table(num_conversations: int, seed: int = 42) -> pa.Table:
     """Small in-process variant for tests / oracles."""
     surfaces = [s for s, _, _ in build_gazetteer(seed)]
     return _conversations_to_table(range(num_conversations), seed, surfaces)
+
+
+def write_transcripts_parquet(path: str, num_conversations: int,
+                              seed: int = 42) -> None:
+    """Materialize a transcripts corpus as partitioned Parquet (streamed;
+    one file per block)."""
+    transcripts_dataset(num_conversations, seed).write_parquet(path)
+
+
+def read_transcripts(path: str, conversations_per_block: int = 128):
+    """Read a transcripts Parquet directory/file as the pipeline input.
+
+    Column-pruned to the contract schema; block count follows the Parquet
+    layout (use override via repartition upstream only if files are huge)."""
+    import ray.data as rd
+
+    return rd.read_parquet(
+        path,
+        columns=["conv_id", "turn_idx", "role", "text", "tool", "ts"],
+    )

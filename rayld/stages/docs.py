@@ -9,7 +9,7 @@ text equality under stable turn ordering" invariant directly checkable
 from __future__ import annotations
 
 import json
-from typing import Any, Optional
+from typing import Optional
 
 from ..kernel import JsonLdOptions, expand as kernel_expand
 from ..kernel.api import JsonLdApi

@@ -140,3 +140,30 @@ def test_canonical_nquads_export(ray_session, tmp_path):
 
     parsed = parse_nquads(text)
     assert sum(len(v) for v in parsed.values() if isinstance(v, list)) > 0
+
+
+def test_pipeline_from_parquet_input(ray_session, tmp_path):
+    """The contract input path: transcripts written to Parquet, read back
+    with read_transcripts, produce identical triples to the generated
+    Dataset path."""
+    from rayld.pipelines.kg import build_triples
+    from rayld.sources.transcripts import (
+        read_transcripts,
+        transcripts_dataset,
+        write_transcripts_parquet,
+    )
+
+    pdir = str(tmp_path / "transcripts")
+    write_transcripts_parquet(pdir, 20)
+    via_parquet = build_triples(read_transcripts(pdir), link_concurrency=2)
+    via_gen = build_triples(transcripts_dataset(20), link_concurrency=2)
+
+    def key_set(ds):
+        out = set()
+        for b in ds.iter_batches(batch_size=10_000, batch_format="pyarrow"):
+            d = b.to_pydict()
+            for i in range(b.num_rows):
+                out.add(tuple(d[k][i] for k in b.column_names))
+        return out
+
+    assert key_set(via_parquet) == key_set(via_gen)
