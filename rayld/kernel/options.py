@@ -44,6 +44,88 @@ class DocumentLoader:
         )
 
 
+class HttpSemanticsLoader(DocumentLoader):
+    """Document loader implementing the reference's HTTP content rules
+    (Core/DocumentLoader.cs:48-111, Util/LDHttpClient.cs:23-50) over an
+    abstract fetch: content-type classification (ld+json / plain *+json /
+    other), redirect following (max 20), and ``Link rel=json-ld#context``
+    header handling with the multiple-link error.
+
+    Subclasses implement ``_fetch(url) -> (status, headers, document)`` where
+    headers is a dict with optional "Content-Type" (str), "Link" (str or
+    list) and "Location" (str); document is the parsed JSON body (or None).
+    """
+
+    MAX_REDIRECTS = 20
+    _CONTEXT_REL = 'rel="http://www.w3.org/ns/json-ld#context"'
+
+    def _fetch(self, url: str):
+        raise JsonLdError(
+            JsonLdError.LOADING_DOCUMENT_FAILED, f"no fetch backend for {url}"
+        )
+
+    @staticmethod
+    def _classify(content_type: Optional[str]) -> str:
+        if content_type == "application/ld+json":
+            return "jsonld"
+        if content_type == "application/json" or (
+            isinstance(content_type, str) and content_type.endswith("+json")
+        ):
+            return "plainjson"
+        return "other"
+
+    def load_document(self, url: str) -> RemoteDocument:
+        from . import url as URL
+
+        try:
+            redirects = 0
+            final_url = url
+            while True:
+                status, headers, body = self._fetch(final_url)
+                if 300 <= status < 400 and "Location" in headers:
+                    final_url = URL.resolve(final_url, headers["Location"])
+                    redirects += 1
+                    if redirects >= self.MAX_REDIRECTS:
+                        raise JsonLdError(
+                            JsonLdError.LOADING_DOCUMENT_FAILED,
+                            f"Too many redirects {url}",
+                        )
+                    continue
+                break
+            if status >= 400:
+                raise JsonLdError(
+                    JsonLdError.LOADING_DOCUMENT_FAILED, f"HTTP {status} {url}"
+                )
+            kind = self._classify(headers.get("Content-Type"))
+            if kind == "other":
+                raise JsonLdError(JsonLdError.LOADING_DOCUMENT_FAILED, url)
+            doc = RemoteDocument(url, body)
+            link = headers.get("Link")
+            if kind == "plainjson" and link is not None:
+                link_headers = link if isinstance(link, list) else [link]
+                parts = [
+                    h.strip()
+                    for lh in link_headers
+                    for h in lh.split(",")
+                ]
+                linked = [v for v in parts if v.endswith(self._CONTEXT_REL)]
+                if len(linked) > 1:
+                    raise JsonLdError(JsonLdError.MULTIPLE_CONTEXT_LINK_HEADERS)
+                if linked:
+                    header = linked[0]
+                    linked_url = header[1:header.index(">")]
+                    resolved = URL.resolve(final_url, linked_url)
+                    remote_context = self.load_document(resolved)
+                    doc.context_url = remote_context.document_url
+                    doc.context = remote_context.document
+            doc.document_url = final_url
+            return doc
+        except JsonLdError:
+            raise
+        except Exception as e:
+            raise JsonLdError(JsonLdError.LOADING_DOCUMENT_FAILED, f"{url}: {e}")
+
+
 class JsonLdOptions:
     """http://json-ld.org/spec/latest/json-ld-api/#the-jsonldoptions-type
     (JsonLdOptions.cs:25-177)."""

@@ -39,6 +39,7 @@ MANIFESTS = [
     "fromRdf-manifest.jsonld",
     "normalize-manifest.jsonld",
     "error-manifest.jsonld",
+    "remote-doc-manifest.jsonld",
 ]
 
 
@@ -115,11 +116,72 @@ class _W3CLoader:
         )
 
 
+class _SimulatedHttpLoader:
+    """HTTP-semantics loader over the fixture dir, simulating the remote-doc
+    manifest's HTTP options (contentType / redirectTo / httpStatus /
+    httpLink) — the offline stand-in for the reference harness's live
+    fetches (ConformanceTests.cs:193-204)."""
+
+    def __new__(cls):
+        from rayld.kernel.options import HttpSemanticsLoader
+
+        class Impl(HttpSemanticsLoader):
+            def __init__(self):
+                super().__init__()
+                self.options_by_name = _remote_doc_options()
+
+            def _fetch(self, url):
+                name = None
+                for prefix in _W3CLoader.PREFIXES:
+                    if url.startswith(prefix):
+                        name = url[len(prefix):]
+                        break
+                if name is None:
+                    return (404, {}, None)
+                option = self.options_by_name.get(name, {})
+                if "redirectTo" in option:
+                    return (
+                        option.get("httpStatus", 301),
+                        {"Location": option["redirectTo"]},
+                        None,
+                    )
+                path = W3C / name
+                if not path.exists():
+                    return (404, {}, None)
+                if "contentType" in option:
+                    content_type = option["contentType"]
+                elif name.endswith(".jsonld"):
+                    content_type = "application/ld+json"
+                elif name.endswith(".json"):
+                    content_type = "application/json"
+                else:
+                    content_type = "application/octet-stream"
+                headers = {"Content-Type": content_type}
+                if "httpLink" in option:
+                    headers["Link"] = option["httpLink"]
+                return (200, headers, get_json(name))
+
+        return Impl()
+
+
+def _remote_doc_options():
+    opts = {}
+    manifest_path = W3C / "remote-doc-manifest.jsonld"
+    if manifest_path.exists():
+        manifest = json.loads(manifest_path.read_text(encoding="utf-8-sig"))
+        for t in manifest["sequence"]:
+            if "option" in t:
+                opts[t["input"]] = t["option"]
+    return opts
+
+
 def build_cases(manifest_name):
     manifest = get_json(manifest_name)
     cases = []
     for testcase in manifest["sequence"]:
-        cases.append((manifest_name, testcase))
+        tc = dict(testcase)
+        tc["__remote__"] = manifest.get("name") == "Remote document"
+        cases.append((manifest_name, tc))
     return cases
 
 
@@ -145,7 +207,8 @@ def run_case(testcase):
         else:
             output = get_json(testcase["expect"])
 
-    if "jld:FromRDFTest" not in test_type and input_doc is None:
+    is_remote = testcase.get("__remote__", False)
+    if "jld:FromRDFTest" not in test_type and input_doc is None and not is_remote:
         input_doc = get_json(testcase["input"])
 
     option = testcase.get("option", {})
@@ -164,6 +227,18 @@ def run_case(testcase):
         opts.use_rdf_type = option["useRdfType"]
 
     def run():
+        nonlocal input_doc, context_doc
+        if is_remote:
+            # remote flow (ConformanceTests.cs:193-204): fetch the document
+            # through the HTTP-semantics loader, adopt its final URL as base
+            # and its linked context as expandContext
+            loader = _SimulatedHttpLoader()
+            remote_doc = loader.load_document(
+                "https://json-ld.org/test-suite/tests/" + testcase["input"]
+            )
+            input_doc = remote_doc.document
+            opts.base = remote_doc.document_url
+            opts.expand_context = remote_doc.context
         if "jld:CompactTest" in test_type:
             return compact(input_doc, context_doc, opts)
         if "jld:ExpandTest" in test_type:
