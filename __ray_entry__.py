@@ -104,6 +104,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # relational / windowed
         "q1_pricing": relational.q1_pricing,
         "customer_nation_count": relational.customer_nation_count,
+        "order_revenue_by_status": relational.order_revenue_by_status,
+        "event_props_extract": relational.event_props_extract,
         "events_hourly": relational.events_hourly,
         "user_sessions": relational.user_sessions,
         "supplier_account_rank": relational.supplier_account_rank,
@@ -174,6 +176,19 @@ def oracle_sql() -> dict[str, str]:
         "supplier_account_rank": (
             "SELECT s_suppkey FROM supplier"
             " ORDER BY s_acctbal DESC, s_suppkey LIMIT 10"
+        ),
+        "order_revenue_by_status": (
+            "SELECT o_orderstatus,"
+            " sum(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5)::BIGINT)"
+            "   / 100.0 AS revenue"
+            " FROM lineitem JOIN orders ON l_orderkey = o_orderkey"
+            " GROUP BY o_orderstatus"
+        ),
+        "event_props_extract": (
+            "SELECT event_type,"
+            " sum(json_extract_string(props, '$.k')::BIGINT)::BIGINT AS sum_k,"
+            " count(*)::BIGINT AS n_events"
+            " FROM events GROUP BY event_type"
         ),
         "ann_topk": (
             "SELECT q.vec_id AS query_id, e.vec_id AS vec_id"

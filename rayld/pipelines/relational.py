@@ -154,6 +154,79 @@ def user_sessions(sf_dir: str, gap_minutes: int = 30):
     return ds.groupby("user_id").map_groups(sessionize, batch_format="pandas")
 
 
+def order_revenue_by_status(sf_dir: str, num_partitions: int = 16):
+    """Large-large hash join: lineitem x orders on orderkey via Dataset.join
+    (hash-partitioned on the key), then a tiny grouped sum. Revenue in
+    integer cents for exact oracle compare."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    lineitem = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount"],
+    )
+
+    def partial_rev(df: pd.DataFrame) -> pd.DataFrame:
+        rev = np.floor(
+            df["l_extendedprice"] * (1 - df["l_discount"]) * 100 + 0.5
+        ).astype("int64")
+        g = df.assign(rev_c=rev).groupby("l_orderkey", as_index=False).agg(
+            rev_c=("rev_c", "sum")
+        )
+        return g
+
+    # pre-aggregate to one row per orderkey per batch BEFORE the join:
+    # the join then moves ~|orders| rows, not ~|lineitem|
+    per_order = lineitem.map_batches(partial_rev, batch_format="pandas")
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderstatus"]
+    )
+    joined = per_order.join(
+        orders,
+        join_type="inner",
+        num_partitions=num_partitions,
+        on=("l_orderkey",),
+        right_on=("o_orderkey",),
+    )
+    agg = joined.groupby("o_orderstatus").aggregate(
+        Sum("rev_c", alias_name="rev_c")
+    )
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "o_orderstatus": df["o_orderstatus"],
+                "revenue": (df["rev_c"].astype("int64") / 100.0),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pandas")
+
+
+def event_props_extract(sf_dir: str):
+    """JSON scalar extraction over the events ``props`` payload column:
+    per event_type, sum of the numeric ``k`` field (SQL-checkable against
+    DuckDB json_extract)."""
+    import json
+
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "props"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        ks = df["props"].map(lambda p: json.loads(p).get("k", 0) if p else 0)
+        g = df.assign(k=ks.astype("int64")).groupby(
+            "event_type", as_index=False
+        ).agg(sum_k=("k", "sum"), n=("k", "size"))
+        return g
+
+    partials = ds.map_batches(partial, batch_format="pandas")
+    return partials.groupby("event_type").aggregate(
+        Sum("sum_k", alias_name="sum_k"), Sum("n", alias_name="n_events")
+    )
+
+
 def supplier_account_rank(sf_dir: str, top_n: int = 10):
     """Top-N suppliers by account balance — sort + limit (deterministic
     tie-break by s_suppkey)."""
