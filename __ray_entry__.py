@@ -96,6 +96,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # dedup family
         "dedup_exact": dedup.dedup_exact,
         "dedup_minhash": dedup.minhash_dedup,
+        "dedup_clusters": dedup.dedup_clusters,
         "simhash": dedup.simhash,
         "embedding_neardup": dedup.embedding_neardup,
         # similarity search

@@ -278,3 +278,50 @@ def embedding_neardup(sf_dir: str, threshold: float = 0.95):
         )
 
     return emb.map_batches(fn, batch_format="pyarrow", batch_size=1024)
+
+
+# ---------------------------------------------------------------------------
+# Near-dup clusters (connected components over verified pairs)
+# ---------------------------------------------------------------------------
+
+def dedup_clusters(sf_dir: str, threshold: float = 0.5, concurrency: int = 2):
+    """Connected components over the verified near-dup pairs:
+    (doc_id, cluster_id) with cluster_id = min doc_id of the component;
+    singleton docs are omitted.
+
+    The verified pair set is orders of magnitude smaller than the corpus
+    (only banding collisions that passed Jaccard), so union-find runs on the
+    driver. At 100 TB scale with huge components, swap in min-label
+    propagation: iterate `labels = edges.join(labels).groupby(node).min()`
+    until no label changes — each round is one shuffle over the edge list."""
+    pairs = minhash_dedup(sf_dir, threshold=threshold, concurrency=concurrency)
+    n_pairs = len(pairs)
+    if n_pairs > 5_000_000:
+        print(f"[dedup_clusters] {n_pairs} pairs exceeds the driver-side "
+              "union-find budget; switch to distributed label propagation")
+    parent: dict = {}
+
+    def find(x: int) -> int:
+        while parent.get(x, x) != x:
+            parent[x] = parent.get(parent[x], parent[x])
+            x = parent[x]
+        return x
+
+    def union(a: int, b: int) -> None:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            if rb < ra:
+                ra, rb = rb, ra
+            parent[rb] = ra
+
+    for a, b in zip(pairs["doc_a"].to_pylist(), pairs["doc_b"].to_pylist()):
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        union(a, b)
+    rows = sorted((doc, find(doc)) for doc in parent)
+    return pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "cluster_id": pa.array([r[1] for r in rows], pa.int64()),
+        }
+    )

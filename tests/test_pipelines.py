@@ -154,3 +154,24 @@ def test_quality_score_bounds(ray_session):
 
     out = quality_score(SF).to_pandas()
     assert out["quality"].between(0, 1).all()
+
+
+def test_dedup_clusters_transitive(ray_session, tmp_path):
+    """a~b, b~c -> one cluster {a,b,c} even if a~c was never a pair."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from rayld.pipelines.dedup import dedup_clusters
+
+    base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lambda mu nu xi omicron pi rho sigma tau upsilon phi chi")
+    texts = [base + " one", base + " two", base + " three",
+             "completely different content in this document entirely"]
+    tbl = pa.table({"doc_id": pa.array(range(4), pa.int64()),
+                    "text": pa.array(texts, pa.string())})
+    d = tmp_path / "mini"
+    d.mkdir()
+    pq.write_table(tbl, d / "documents.parquet")
+    out = dedup_clusters(str(d))
+    clusters = dict(zip(out["doc_id"].to_pylist(), out["cluster_id"].to_pylist()))
+    assert clusters.get(0) == clusters.get(1) == clusters.get(2) == 0
+    assert 3 not in clusters
