@@ -68,8 +68,15 @@ def conv_bucket(conv_id: str, num_buckets: int) -> int:
 # ---------------------------------------------------------------------------
 
 def expand_turns(batch: pa.Table) -> pa.Table:
-    """Arrow in / Arrow out. Emits (conv_id, turn_idx, expanded) where
-    ``expanded`` is the JSON of the expanded turn node array."""
+    """Arrow in / Arrow out. Emits (conv_id, turn_idx, expanded, error) where
+    ``expanded`` is the JSON of the expanded turn node array.
+
+    Error quarantine (SURVEY.md §2.8 error model): a turn whose payload fails
+    JSON-LD processing is NOT allowed to fail the job — it yields an empty
+    expansion plus the typed error string in the ``error`` column, which
+    flows into the per-bucket manifests as an error count."""
+    from ..kernel import JsonLdError
+
     conv_ids = batch["conv_id"].to_pylist()
     turn_idxs = batch["turn_idx"].to_pylist()
     roles = batch["role"].to_pylist()
@@ -82,18 +89,27 @@ def expand_turns(batch: pa.Table) -> pa.Table:
         else [None] * len(conv_ids)
     )
     expanded_out = []
+    errors = []
     for i in range(len(conv_ids)):
         entity_iris = json.loads(entities[i]) if entities[i] else []
-        doc = build_turn_doc(
-            conv_ids[i], turn_idxs[i], roles[i], texts[i], tools[i], ts[i],
-            entity_iris,
-        )
-        expanded_out.append(json.dumps(expand_turn_doc(doc), ensure_ascii=False))
+        try:
+            doc = build_turn_doc(
+                conv_ids[i], turn_idxs[i], roles[i], texts[i], tools[i], ts[i],
+                entity_iris,
+            )
+            expanded_out.append(
+                json.dumps(expand_turn_doc(doc), ensure_ascii=False)
+            )
+            errors.append("")
+        except JsonLdError as err:
+            expanded_out.append("[]")
+            errors.append(str(err))
     return pa.table(
         {
             "conv_id": pa.array(conv_ids, pa.string()),
             "turn_idx": pa.array(turn_idxs, pa.int32()),
             "expanded": pa.array(expanded_out, pa.string()),
+            "error": pa.array(errors, pa.string()),
         }
     )
 
@@ -110,9 +126,27 @@ def conv_group_to_triples(group: pd.DataFrame) -> pa.Table:
     # conversation head node expanded against the cached context
     conv_node = build_conv_node(conv_id, turn_idxs)
     nodes.extend(expand_turn_doc(conv_node))
-    for expanded_json in group["expanded"]:
-        nodes.extend(json.loads(expanded_json))
+    quarantined: list = []
+    has_error = "error" in group.columns
+    for _, row in group.iterrows():
+        if has_error and row["error"]:
+            quarantined.append((int(row["turn_idx"]), row["error"]))
+            continue
+        nodes.extend(json.loads(row["expanded"]))
     cols = expanded_to_canonical_triples(conv_id, nodes, JsonLdOptions(""))
+    # quarantined turns surface as rows in the reserved "@error" graph —
+    # the side output travels with the data and is counted in manifests
+    from ..stages.docs import turn_iri
+
+    for turn_idx, err in quarantined:
+        cols["conv_id"].append(conv_id)
+        cols["graph"].append("@error")
+        cols["subj"].append(turn_iri(conv_id, turn_idx))
+        cols["pred"].append("https://rayld.dev/vocab#processingError")
+        cols["obj_kind"].append("literal")
+        cols["obj_value"].append(err)
+        cols["obj_datatype"].append("http://www.w3.org/2001/XMLSchema#string")
+        cols["obj_lang"].append("")
     return pa.Table.from_pydict(cols, schema=TRIPLES_SCHEMA)
 
 
@@ -265,6 +299,7 @@ def run_kg_pipeline(transcripts_ds, out_dir: str, num_buckets: int = 16,
 
     Returns {"triples": total_rows_written, "buckets_skipped": n}.
     """
+    import pyarrow.compute as pc
     import pyarrow.parquet as pq
 
     os.makedirs(out_dir, exist_ok=True)
@@ -314,6 +349,8 @@ def run_kg_pipeline(transcripts_ds, out_dir: str, num_buckets: int = 16,
                 total += json.load(f)["rows"]
             continue
         rows = 0
+        n_errors = 0
+        n_convs = 0
         files = []
         content_hash = 0
         if os.path.isdir(bdir):
@@ -323,6 +360,13 @@ def run_kg_pipeline(transcripts_ds, out_dir: str, num_buckets: int = 16,
                 fp = os.path.join(bdir, fn)
                 md = pq.ParquetFile(fp).metadata
                 rows += md.num_rows
+                # per-partition metrics: quarantined-turn count + distinct
+                # conversations (one narrow column scan of the output)
+                t = pq.read_table(fp, columns=["graph", "conv_id"])
+                n_errors += pc.sum(
+                    pc.equal(t["graph"], "@error")
+                ).as_py() or 0
+                n_convs += pc.count_distinct(t["conv_id"]).as_py()
                 content_hash = zlib.crc32(
                     f"{fn}:{md.num_rows}".encode(), content_hash
                 )
@@ -332,7 +376,8 @@ def run_kg_pipeline(transcripts_ds, out_dir: str, num_buckets: int = 16,
         with open(_manifest_path(out_dir, b), "w") as f:
             json.dump(
                 {"bucket": b, "rows": rows, "files": files,
-                 "content_hash": content_hash, "num_buckets": num_buckets},
+                 "content_hash": content_hash, "num_buckets": num_buckets,
+                 "n_errors": n_errors, "n_conversations": n_convs},
                 f,
             )
         total += rows

@@ -167,3 +167,43 @@ def test_pipeline_from_parquet_input(ray_session, tmp_path):
         return out
 
     assert key_set(via_parquet) == key_set(via_gen)
+
+
+def test_error_quarantine(ray_session, tmp_path):
+    """A turn whose payload fails JSON-LD processing is quarantined into the
+    @error graph (with the typed error string) instead of failing the job;
+    manifests carry the error count (SURVEY.md §2.8 error model)."""
+    import json as _json
+
+    import pyarrow as pa
+    import ray.data as rd
+    from rayld.pipelines.kg import build_triples, run_kg_pipeline
+
+    poison = _json.dumps({"@context": {"@vocab": "not-absolute"}, "@id": "http://x/1"})
+    good = _json.dumps({"@context": {"p": "http://ex/p"}, "@id": "http://x/2", "p": "v"})
+    tbl = pa.table(
+        {
+            "conv_id": pa.array(["conv-x"] * 3, pa.string()),
+            "turn_idx": pa.array([0, 1, 2], pa.int32()),
+            "role": pa.array(["user", "tool", "tool"], pa.string()),
+            "text": pa.array(["hello there", "t", "t2"], pa.string()),
+            "tool": pa.array(["", poison, good], pa.string()),
+            "ts": pa.array([1, 2, 3], pa.timestamp("us")),
+        }
+    )
+    out = build_triples(rd.from_arrow(tbl), link_concurrency=2).to_pandas()
+    errs = out[out["graph"] == "@error"]
+    assert len(errs) == 1
+    assert errs.iloc[0]["subj"].endswith("/turn/1")
+    assert errs.iloc[0]["obj_value"].startswith("invalid vocab mapping")
+    # the good turns still produced triples
+    assert (out["graph"] != "@error").sum() > 5
+    # manifests carry the error count
+    odir = str(tmp_path / "q")
+    run_kg_pipeline(rd.from_arrow(tbl), odir, num_buckets=2, link_concurrency=2)
+    total_errors = 0
+    for b in range(2):
+        m = _json.load(open(f"{odir}/bucket={b}/_manifest.json"))
+        total_errors += m["n_errors"]
+        assert "n_conversations" in m
+    assert total_errors == 1
