@@ -93,7 +93,13 @@ def utf16_key(s: str) -> bytes:
 
 
 def sorted_ordinal(strings) -> list:
-    return sorted(strings, key=utf16_key)
+    lst = list(strings)
+    # fast path: UTF-16 code-unit order equals code-point order unless an
+    # astral-plane character is present; plain sort avoids the encode cost
+    for s in lst:
+        if s and max(s) >= "\U00010000":
+            return sorted(lst, key=utf16_key)
+    return sorted(lst)
 
 
 def compare_ordinal(a: str, b: str) -> int:

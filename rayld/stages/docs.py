@@ -182,24 +182,29 @@ def expanded_to_canonical_triples(conv_id: str, expanded_nodes: list,
         "conv_id": [], "graph": [], "subj": [], "pred": [],
         "obj_kind": [], "obj_value": [], "obj_datatype": [], "obj_lang": [],
     }
-    from ..kernel.rdf import quad_key
-
     seen = set()
     for quad in quads:
-        key = quad_key(quad)
-        if key in seen:  # exact dedup, matching the reference's per-graph
-            continue     # dedup in ParseNQuads (RDFDatasetUtils.cs:686-691)
-        seen.add(key)
         o = quad["object"]
         name = quad.get("name")
-        cols["conv_id"].append(conv_id)
-        cols["graph"].append(name["value"] if name is not None else "@default")
-        cols["subj"].append(quad["subject"]["value"])
-        cols["pred"].append(quad["predicate"]["value"])
-        cols["obj_kind"].append(o["type"])
-        cols["obj_value"].append(o["value"])
-        cols["obj_datatype"].append(
-            o.get("datatype", "") if o["type"] == "literal" else ""
+        kind = o["type"]
+        row = (
+            name["value"] if name is not None else "@default",
+            quad["subject"]["value"],
+            quad["predicate"]["value"],
+            kind,
+            o["value"],
+            o.get("datatype", "") if kind == "literal" else "",
+            o.get("language") or "",
         )
-        cols["obj_lang"].append(o.get("language") or "")
+        if row in seen:  # exact dedup, matching the reference's per-graph
+            continue     # dedup in ParseNQuads (RDFDatasetUtils.cs:686-691)
+        seen.add(row)
+        cols["conv_id"].append(conv_id)
+        cols["graph"].append(row[0])
+        cols["subj"].append(row[1])
+        cols["pred"].append(row[2])
+        cols["obj_kind"].append(row[3])
+        cols["obj_value"].append(row[4])
+        cols["obj_datatype"].append(row[5])
+        cols["obj_lang"].append(row[6])
     return cols
