@@ -207,3 +207,43 @@ def test_error_quarantine(ray_session, tmp_path):
         total_errors += m["n_errors"]
         assert "n_conversations" in m
     assert total_errors == 1
+
+
+def test_unicode_content_end_to_end(ray_session, tmp_path):
+    """CJK / emoji / astral-plane text survives the full pipeline: triples,
+    canonical export, reparse (escape + UTF-16 ordinal sort paths)."""
+    import pyarrow as pa
+    import ray.data as rd
+    from rayld.pipelines.kg import build_triples, export_canonical_nquads
+    from rayld.kernel import parse_nquads
+
+    texts = ["你好世界 Ada Lovelace 测试", "emoji \U0001F600\U0001F680 end",
+             "quote \" backslash \\ tab\tdone", "ɐ ￿ boundary ɏ"]
+    tbl = pa.table(
+        {
+            "conv_id": pa.array(["conv-u"] * 4, pa.string()),
+            "turn_idx": pa.array([0, 1, 2, 3], pa.int32()),
+            "role": pa.array(["user", "assistant", "user", "assistant"], pa.string()),
+            "text": pa.array(texts, pa.string()),
+            "tool": pa.array([""] * 4, pa.string()),
+            "ts": pa.array([1, 2, 3, 4], pa.timestamp("us")),
+        }
+    )
+    out = build_triples(rd.from_arrow(tbl), link_concurrency=2)
+    df = out.to_pandas()
+    text_triples = df[df["pred"] == "http://schema.org/text"]
+    assert sorted(text_triples["obj_value"]) == sorted(texts)
+    # sorted .nq export round-trips every value
+    ds2 = build_triples(rd.from_arrow(tbl), link_concurrency=2)
+    path = str(tmp_path / "u.nq")
+    export_canonical_nquads(ds2, path)
+    parsed = parse_nquads(open(path, encoding="utf-8").read())
+    values = {
+        q["object"]["value"]
+        for quads in parsed.values()
+        if isinstance(quads, list)
+        for q in quads
+        if q["object"]["type"] == "literal"
+    }
+    for t in texts:
+        assert t in values
