@@ -24,7 +24,9 @@ def entry() -> Any:
     from rayld.sources.transcripts import transcripts_dataset
 
     ds = transcripts_dataset(100)
-    return build_triples(ds, link_concurrency=2)
+    # link_concurrency=None -> autoscaling (2, cluster cpus) pool: safe at
+    # any driver cpu count (a fixed pool == cpus starves the shuffle)
+    return build_triples(ds)
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
@@ -34,7 +36,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     def kg_triples(sf_dir: str):
         n = jsonld_ops.n_conversations_for(sf_dir)
-        return build_triples(transcripts_dataset(n), link_concurrency=4)
+        return build_triples(transcripts_dataset(n))  # autoscaling linker pool
 
     def kg_triple_counts(sf_dir: str):
         """Aggregated view of the flagship output: triples per predicate."""
