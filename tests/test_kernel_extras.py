@@ -90,3 +90,57 @@ def test_compact_with_registered_prefix():
     doc = [{"http://schema.org/name": [{"@value": "n"}]}]
     out = compact(doc, {"sc": "http://schema.org/"}, JsonLdOptions(""))
     assert out["sc:name"] == "n"
+
+
+def test_from_rdf_output_forms():
+    from rayld.kernel import from_rdf, JsonLdOptions
+
+    nq = (
+        '<http://ex/s> <http://ex/p> "v" .\n'
+        '<http://ex/s> <http://www.w3.org/1999/02/22-rdf-syntax-ns#type> <http://ex/T> .\n'
+    )
+    expanded = from_rdf(nq, JsonLdOptions(""))
+    assert expanded[0]["@id"] == "http://ex/s"
+    opts = JsonLdOptions("")
+    opts.output_form = "expanded"
+    assert from_rdf(nq, opts) == expanded
+    opts2 = JsonLdOptions("")
+    opts2.output_form = "compacted"
+    compacted = from_rdf(nq, opts2)
+    assert "@context" in compacted or compacted  # compact path executes
+    opts3 = JsonLdOptions("")
+    opts3.output_form = "flattened"
+    flattened = from_rdf(nq, opts3)
+    assert flattened
+
+
+def test_to_rdf_use_namespaces_turtle():
+    from rayld.kernel import to_rdf, JsonLdOptions
+    from rayld.kernel.turtle import parse_turtle
+
+    doc = {
+        "@context": {"ex": "http://example.org/"},
+        "@id": "ex:s",
+        "ex:p": "v",
+    }
+    opts = JsonLdOptions("")
+    opts.format = "text/turtle"
+    opts.use_namespaces = True
+    ttl = to_rdf(doc, opts)
+    assert "@prefix ex: <http://example.org/> ." in ttl
+    assert "ex:p" in ttl
+    reparsed = parse_turtle(ttl)
+    assert len(reparsed.get_quads("@default")) == 1
+
+
+def test_use_rdf_type_option():
+    from rayld.kernel import from_rdf, JsonLdOptions
+
+    nq = '<http://ex/s> <http://www.w3.org/1999/02/22-rdf-syntax-ns#type> <http://ex/T> .\n'
+    default = from_rdf(nq, JsonLdOptions(""))
+    assert default[0]["@type"] == ["http://ex/T"]
+    opts = JsonLdOptions("")
+    opts.use_rdf_type = True
+    raw = from_rdf(nq, opts)
+    assert "@type" not in raw[0]
+    assert "http://www.w3.org/1999/02/22-rdf-syntax-ns#type" in raw[0]
