@@ -127,12 +127,14 @@ def conv_group_to_triples(group: pd.DataFrame) -> pa.Table:
     conv_node = build_conv_node(conv_id, turn_idxs)
     nodes.extend(expand_turn_doc(conv_node))
     quarantined: list = []
-    has_error = "error" in group.columns
-    for _, row in group.iterrows():
-        if has_error and row["error"]:
-            quarantined.append((int(row["turn_idx"]), row["error"]))
+    errors = group["error"] if "error" in group.columns else [""] * len(group)
+    for turn_idx, expanded_json, err in zip(
+        group["turn_idx"], group["expanded"], errors
+    ):
+        if err:
+            quarantined.append((int(turn_idx), err))
             continue
-        nodes.extend(json.loads(row["expanded"]))
+        nodes.extend(json.loads(expanded_json))
     cols = expanded_to_canonical_triples(conv_id, nodes, JsonLdOptions(""))
     # quarantined turns surface as rows in the reserved "@error" graph —
     # the side output travels with the data and is counted in manifests
