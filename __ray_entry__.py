@@ -99,6 +99,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_exact": dedup.dedup_exact,
         "dedup_minhash": dedup.minhash_dedup,
         "dedup_clusters": dedup.dedup_clusters,
+        "dedup_ngram_jaccard": dedup.ngram_jaccard_dedup,
         "simhash": dedup.simhash,
         "embedding_neardup": dedup.embedding_neardup,
         # similarity search

@@ -477,6 +477,8 @@ class _TurtleWriter:
             if len(refs[id_]) > 1:
                 continue
             obj = ttl.pop(id_, None)
+            if obj is None:
+                obj = {}  # dangling bnode ref -> empty anonymous node [ ]
             if id_ in collections:
                 obj = {_COLS_KEY: [collections.pop(id_)]}
             predicate = refs[id_][0]

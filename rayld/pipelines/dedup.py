@@ -325,3 +325,50 @@ def dedup_clusters(sf_dir: str, threshold: float = 0.5, concurrency: int = 2):
             "cluster_id": pa.array([r[1] for r in rows], pa.int64()),
         }
     )
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard dedup (rolling-fingerprint blocking)
+# ---------------------------------------------------------------------------
+
+def ngram_jaccard_dedup(sf_dir: str, threshold: float = 0.5, window: int = 8):
+    """Near-dup pairs via true n-gram Jaccard, blocked by the min rolling-hash
+    fingerprint (shift-resistant): docs sharing a fingerprint bucket are
+    compared pairwise. A distinct blocking strategy from MinHash banding —
+    one shuffle on the fingerprint, pairwise verification inside buckets.
+    Output: (doc_a, doc_b) with doc_a < doc_b."""
+    from .text import rolling_fingerprint
+
+    fps = rolling_fingerprint(sf_dir, window=window)
+    texts_ds = documents(sf_dir)
+
+    # join fingerprints back to text via the doc_id (both tiny projections);
+    # bucket on the fingerprint and verify inside the bucket
+    import ray.data as rd
+
+    joined = fps.join(
+        texts_ds, join_type="inner", num_partitions=8, on=("doc_id",)
+    )
+
+    def bucket_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        rows_a, rows_b = [], []
+        if len(df) > 1:
+            recs = sorted(
+                zip(df["doc_id"].tolist(), df["text"].tolist())
+            )
+            if len(recs) > 200:
+                print(f"[ngram_jaccard] capping bucket of {len(recs)} at 200")
+                recs = recs[:200]
+            for i in range(len(recs)):
+                for j in range(i + 1, len(recs)):
+                    if jaccard(recs[i][1], recs[j][1]) >= threshold:
+                        rows_a.append(recs[i][0])
+                        rows_b.append(recs[j][0])
+        return pd.DataFrame(
+            {"doc_a": pd.Series(rows_a, dtype="int64"),
+             "doc_b": pd.Series(rows_b, dtype="int64")}
+        )
+
+    return joined.groupby("rolling_fp").map_groups(
+        bucket_pairs, batch_format="pandas"
+    )

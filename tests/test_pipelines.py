@@ -175,3 +175,23 @@ def test_dedup_clusters_transitive(ray_session, tmp_path):
     clusters = dict(zip(out["doc_id"].to_pylist(), out["cluster_id"].to_pylist()))
     assert clusters.get(0) == clusters.get(1) == clusters.get(2) == 0
     assert 3 not in clusters
+
+
+def test_ngram_jaccard_dedup(ray_session, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from rayld.pipelines.dedup import ngram_jaccard_dedup
+
+    base = ("one two three four five six seven eight nine ten eleven twelve "
+            "thirteen fourteen fifteen sixteen seventeen eighteen nineteen")
+    texts = [base, "prefix " + base, "other words that differ completely "
+             "from the rest of the corpus in every way imaginable today"]
+    tbl = pa.table({"doc_id": pa.array(range(3), pa.int64()),
+                    "text": pa.array(texts, pa.string())})
+    d = tmp_path / "mini"
+    d.mkdir()
+    pq.write_table(tbl, d / "documents.parquet")
+    out = ngram_jaccard_dedup(str(d)).to_pandas()
+    got = set(zip(out["doc_a"], out["doc_b"]))
+    assert (0, 1) in got
+    assert all(2 not in p for p in got)

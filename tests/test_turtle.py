@@ -121,3 +121,39 @@ def test_to_rdf_turtle_format():
     assert "<http://example.org/s>" in ttl
     reparsed = parse_turtle(ttl)
     assert len(reparsed.get_quads("@default")) == 1
+
+
+def test_turtle_writer_roundtrip_property():
+    """Property: for randomized datasets, to_turtle output reparses to the
+    same ground triples (writer escaping + nesting correctness)."""
+    from hypothesis import given, settings, strategies as st
+
+    from rayld.kernel.nquads import to_nquads
+    from rayld.kernel.rdf import RDFDataset
+
+    name = st.text(alphabet="abcdefgh", min_size=1, max_size=6)
+    iri = name.map(lambda s: f"http://ex.org/{s}")
+    obj = st.one_of(
+        st.tuples(st.just("iri"), iri),
+        st.tuples(st.just("bnode"), name.map(lambda s: f"_:{s}")),
+        st.tuples(st.just("lit"), st.text(max_size=20)),
+    )
+
+    @settings(max_examples=50, deadline=None)
+    @given(st.lists(st.tuples(iri, iri, obj), min_size=0, max_size=8))
+    def prop(triples):
+        ds = RDFDataset()
+        for s, p, (kind, o) in triples:
+            if kind == "lit":
+                ds.add_triple(s, p, o, is_literal=True)
+            else:
+                ds.add_triple(s, p, o)
+        out = to_turtle(ds)
+        ds2 = parse_turtle(out)
+
+        def ground(d):
+            return sorted(l for l in to_nquads(d).splitlines() if "_:" not in l)
+
+        assert ground(ds) == ground(ds2)
+
+    prop()
