@@ -105,12 +105,23 @@ def test_normalize_invariant_under_bnode_renaming_and_order(doc, rnd):
     opts.format = "application/nquads"
     base = normalize(doc, opts)
 
-    # rename bnodes and shuffle top-level nodes
-    import json
+    # rename bnode IDENTIFIERS structurally (never literals) and shuffle
+    import copy
 
-    renamed = json.loads(
-        json.dumps(doc).replace("_:", "_:zz")
-    )
+    def rename(v):
+        if isinstance(v, dict):
+            out = {}
+            for k, val in v.items():
+                if k == "@id" and isinstance(val, str) and val.startswith("_:"):
+                    out[k] = "_:zz" + val[2:]
+                else:
+                    out[k] = rename(val)
+            return out
+        if isinstance(v, list):
+            return [rename(i) for i in v]
+        return copy.copy(v)
+
+    renamed = rename(doc)
     rnd.shuffle(renamed)
     opts2 = JsonLdOptions("")
     opts2.format = "application/nquads"
