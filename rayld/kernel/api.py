@@ -593,6 +593,15 @@ class JsonLdApi:
                     list_, skip,
                 )
             return
+        if not isinstance(element, dict):
+            # invalid expanded shape (e.g. @language beside @id without
+            # @value): the reference throws an InvalidCastException here
+            # (JsonLdApi.cs:1105); we raise the typed error instead so the
+            # pipeline's quarantine can catch it
+            raise JsonLdError(
+                JsonLdError.INVALID_INPUT,
+                "node map generation encountered a non-object element",
+            )
         elem = element
         # 2)
         if active_graph not in node_map:
@@ -606,8 +615,12 @@ class JsonLdApi:
         # 3)
         if "@type" in elem:
             old_types = elem["@type"] if isinstance(elem["@type"], list) else [elem["@type"]]
+            # non-string @type entries (the framing wildcard {}) pass through
+            # unrelabeled instead of crashing (the reference would throw an
+            # InvalidCastException here; we surface a typed error downstream)
             new_types = [
-                self.generate_blank_node_identifier(t) if t.startswith("_:") else t
+                self.generate_blank_node_identifier(t)
+                if isinstance(t, str) and t.startswith("_:") else t
                 for t in old_types
             ]
             if isinstance(elem["@type"], list):

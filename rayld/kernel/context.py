@@ -489,6 +489,12 @@ class Context:
         # 1)
         if iri is None:
             return None
+        if not isinstance(iri, str):
+            # the reference would throw an InvalidCastException casting the
+            # token to string (Context.cs:643); raise the typed error instead
+            raise JsonLdError(
+                JsonLdError.INVALID_INPUT, "compact_iri expects a string IRI"
+            )
         # 2)
         if relative_to_vocab and iri in self.get_inverse():
             # 2.1)
