@@ -15,9 +15,45 @@ from rayld.kernel.nquads import escape, unescape
 
 NQUADS_DIR = Path("/root/reference/test/json-ld.net.tests/NQuads")
 
-_files = sorted(NQUADS_DIR.glob("*.nq")) if NQUADS_DIR.exists() else []
-_positive = [p for p in _files if "bad" not in p.name]
-_negative = [p for p in _files if "bad" in p.name]
+
+def _discover():
+    """Self-hosting suite discovery, exactly like the reference
+    (NQuadsParserTests.cs:70-95): parse manifest.ttl with the Turtle parser,
+    fromRDF it, frame it, split entries by rdft type."""
+    if not NQUADS_DIR.exists():
+        return [], []
+    from rayld.kernel import JsonLdOptions, frame, from_rdf
+    from rayld.kernel.turtle import parse_turtle
+
+    manifest_frame = {
+        "@context": {
+            "mf": "http://www.w3.org/2001/sw/DataAccess/tests/test-manifest#",
+            "rdfs": "http://www.w3.org/2000/01/rdf-schema#",
+            "rdft": "http://www.w3.org/ns/rdftest#",
+            "mf:entries": {"@container": "@list"},
+            "mf:action": {"@type": "@id"},
+        },
+        "@type": "mf:Manifest",
+    }
+    ttl = (NQUADS_DIR / "manifest.ttl").read_text(encoding="utf-8-sig")
+    expanded = from_rdf(parse_turtle(ttl), JsonLdOptions(""))
+    framed = frame(expanded, manifest_frame, JsonLdOptions(""))
+    entries = next(g for g in framed["@graph"] if "mf:entries" in g)["mf:entries"]
+    pos, neg = [], []
+    for e in entries:
+        action = e["mf:action"]
+        if isinstance(action, dict):
+            action = action["@id"]
+        path = NQUADS_DIR / action.split("/")[-1]
+        if e.get("@type") == "rdft:TestNQuadsNegativeSyntax":
+            neg.append(path)
+        else:
+            pos.append(path)
+    return pos, neg
+
+
+_positive, _negative = _discover()
+_files = _positive + _negative
 
 
 @pytest.mark.skipif(not _files, reason="NQuads fixture tree not available")
@@ -56,3 +92,9 @@ def test_escape_unescape_roundtrip():
     assert unescape(escape(s)) == s
     assert "\\u2603" in escape(s)
     assert "\\U0001f600" in escape(s)
+
+
+@pytest.mark.skipif(not NQUADS_DIR.exists(), reason="NQuads fixture tree absent")
+def test_parse_rdf11_blank_nodes():
+    """NQuadsParserTests.ParseBlankNodesTest (NQuadsParserTests.cs:59-68)."""
+    parse_nquads((NQUADS_DIR / "rdf11blanknodes.nq").read_text(encoding="utf-8-sig"))
