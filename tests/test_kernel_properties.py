@@ -148,3 +148,63 @@ def test_escaped_literal_reparses(s):
     line = f'<http://ex/s> <http://ex/p> "{escape(s)}" .\n'
     ds = parse_nquads(line)
     assert ds.get_quads("@default")[0]["object"]["value"] == s
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.data())
+def test_fromrdf_tordf_canonical_roundtrip(data):
+    """For duplicate-free datasets (incl. rdf list chains), fromRDF -> toRDF
+    reproduces the same canonical quads. (With duplicate input quads the
+    multiset first-degree hashes legitimately differ — fromRDF dedups.)"""
+    from rayld.kernel.api import JsonLdApi
+    from rayld.kernel.rdf import RDFDataset, quad_key
+    from rayld.kernel import from_rdf
+
+    rng = data.draw(st.randoms(use_true_random=False))
+    RDF = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+
+    def iri():
+        return "http://e/" + "".join(rng.choices("abcd", k=2))
+
+    def node():
+        r = rng.random()
+        if r < 0.4:
+            return iri()
+        if r < 0.7:
+            return "_:" + "".join(rng.choices("xyz", k=2))
+        return None
+
+    ds = RDFDataset()
+    seen = set()
+
+    def add(s, p, o, g="@default", lit=False):
+        ds.add_quad(s, p, o, g, is_literal=lit)
+        q = ds[g][-1]
+        if quad_key(q) in seen:
+            ds[g].pop()
+        else:
+            seen.add(quad_key(q))
+
+    for _ in range(rng.randint(1, 8)):
+        o = node()
+        if o is None:
+            add(node() or iri(), iri(), "lit" + str(rng.randint(0, 9)), lit=True)
+        else:
+            add(node() or iri(), iri(), o)
+    if rng.random() < 0.5:
+        head = "_:hh"
+        add(iri(), iri(), head)
+        cur = head
+        for k in range(rng.randint(1, 3)):
+            add(cur, RDF + "first", "item" + str(k), lit=True)
+            nxt = f"_:nn{k}" if rng.random() < 0.5 else RDF + "nil"
+            add(cur, RDF + "rest", nxt)
+            if nxt.endswith("nil"):
+                break
+            cur = nxt
+
+    j = from_rdf(ds, JsonLdOptions(""))
+    ds2 = JsonLdApi(j, JsonLdOptions("")).to_rdf()
+    c1 = to_nquads(JsonLdApi(opts=JsonLdOptions("")).normalize(ds))
+    c2 = to_nquads(JsonLdApi(opts=JsonLdOptions("")).normalize(ds2))
+    assert c1 == c2
