@@ -38,6 +38,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         n = jsonld_ops.n_conversations_for(sf_dir)
         return build_triples(transcripts_dataset(n))  # autoscaling linker pool
 
+    def kg_documents_fromrdf(sf_dir: str):
+        """Inverse pipeline (A6 at scale): triples -> one expanded JSON-LD
+        document per conversation via distributed fromRDF."""
+        from rayld.pipelines.kg import triples_to_documents
+
+        n = max(50, jsonld_ops.n_conversations_for(sf_dir) // 5)
+        return triples_to_documents(build_triples(transcripts_dataset(n)))
+
     def kg_triple_counts(sf_dir: str):
         """Aggregated view of the flagship output: triples per predicate."""
         from ray.data.aggregate import Count
@@ -79,6 +87,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_triples": kg_triples,
         "kg_triple_counts": kg_triple_counts,
         "kg_triples_global_dedup": kg_triples_global_dedup,
+        "kg_documents_fromrdf": kg_documents_fromrdf,
         # JSON-LD API surface A1-A7 + S1/S2 (non-SQL)
         "jsonld_expand": jsonld_ops.op_expand,
         "jsonld_compact_roundtrip": jsonld_ops.op_compact_roundtrip,

@@ -384,3 +384,65 @@ def run_kg_pipeline(transcripts_ds, out_dir: str, num_buckets: int = 16,
             )
         total += rows
     return {"triples": total, "buckets_skipped": len(done)}
+
+
+# ---------------------------------------------------------------------------
+# Inverse pipeline: triples -> expanded JSON-LD documents (A6 at scale)
+# ---------------------------------------------------------------------------
+
+def _rows_to_rdf_dataset(group: pd.DataFrame):
+    """Triples rows (one conversation) -> kernel RDFDataset (skips the
+    @error quarantine graph)."""
+    from ..kernel.rdf import RDFDataset, iri, literal, make_quad, node_for_id
+
+    ds = RDFDataset()
+    for graph, subj, pred, kind, value, datatype, lang in zip(
+        group["graph"], group["subj"], group["pred"], group["obj_kind"],
+        group["obj_value"], group["obj_datatype"], group["obj_lang"],
+    ):
+        if graph == "@error":
+            continue
+        if kind == "literal":
+            obj = literal(value, datatype or None, lang or None)
+        else:
+            obj = node_for_id(value)
+        ds.setdefault(graph, []).append(
+            make_quad(node_for_id(subj), iri(pred), obj, graph)
+        )
+    return ds
+
+
+def conv_partition_to_documents(part: pd.DataFrame) -> pa.Table:
+    """One hash partition of the triples table -> one expanded JSON-LD
+    document per conversation (kernel fromRDF per conv graph,
+    JsonLdApi.cs:1974-2158)."""
+    from ..kernel.api import JsonLdApi
+
+    conv_ids, docs = [], []
+    for conv_id, group in part.groupby("conv_id", sort=True):
+        rdf = _rows_to_rdf_dataset(group)
+        doc = JsonLdApi(opts=JsonLdOptions("")).from_rdf(rdf)
+        conv_ids.append(conv_id)
+        docs.append(json.dumps(doc, ensure_ascii=False))
+    return pa.table(
+        {
+            "conv_id": pa.array(conv_ids, pa.string()),
+            "document": pa.array(docs, pa.string()),
+        }
+    )
+
+
+def triples_to_documents(triples_ds, num_partitions: int = 64):
+    """Inverse of build_triples: the triples table back to one expanded
+    JSON-LD document per conversation — fromRDF distributed over the same
+    conv_id hash bucketing as the forward path."""
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        parts = [conv_bucket(c, num_partitions) for c in batch["conv_id"].to_pylist()]
+        return batch.append_column("part", pa.array(parts, pa.int32()))
+
+    ds = triples_ds.map_batches(add_part, batch_format="pyarrow", batch_size=None)
+    ds = ds.repartition(num_partitions)
+    return ds.groupby("part").map_groups(
+        conv_partition_to_documents, batch_format="pandas"
+    )

@@ -1,0 +1,118 @@
+"""Distributed RDF text sources: N-Quads and Turtle files -> triples Dataset.
+
+- N-Quads is line-delimited: `read_text` shards lines across blocks and a
+  stateless map_batches parses each line with the kernel quad regex — the
+  per-graph dedup of the reference's ParseNQuads becomes a downstream
+  groupby when exactness is required (dedup=True).
+- Turtle is NOT line-splittable (statements span lines, prefixes are
+  document-scoped), so each FILE is the unit of parallelism:
+  `read_binary_files` + a per-file kernel parse.
+
+Output schema matches the pipeline triples table minus conv_id:
+(graph, subj, pred, obj_kind, obj_value, obj_datatype, obj_lang) plus
+``source`` (file path) for lineage.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+RDF_ROWS_SCHEMA = pa.schema(
+    [
+        ("source", pa.string()),
+        ("graph", pa.string()),
+        ("subj", pa.string()),
+        ("pred", pa.string()),
+        ("obj_kind", pa.string()),
+        ("obj_value", pa.string()),
+        ("obj_datatype", pa.string()),
+        ("obj_lang", pa.string()),
+    ]
+)
+
+
+def _dataset_to_rows(dataset, source: str) -> dict:
+    cols = {f.name: [] for f in RDF_ROWS_SCHEMA}
+    for graph_name in dataset.graph_names():
+        for quad in dataset.get_quads(graph_name):
+            o = quad["object"]
+            cols["source"].append(source)
+            cols["graph"].append(graph_name)
+            cols["subj"].append(quad["subject"]["value"])
+            cols["pred"].append(quad["predicate"]["value"])
+            cols["obj_kind"].append(o["type"])
+            cols["obj_value"].append(o["value"])
+            cols["obj_datatype"].append(
+                o.get("datatype", "") if o["type"] == "literal" else ""
+            )
+            cols["obj_lang"].append(o.get("language") or "")
+    return cols
+
+
+def read_nquads(paths, dedup: bool = True):
+    """N-Quads files -> triples Dataset. Lines parse independently per
+    batch; with dedup=True exact duplicate quads collapse globally
+    (hash-key aggregate — the distributed form of ParseNQuads' per-graph
+    Contains check, RDFDatasetUtils.cs:686-691)."""
+    import ray.data as rd
+
+    from ..kernel.nquads import parse_nquads
+
+    ds = rd.read_text(paths, include_paths=True)
+
+    def parse(batch: pa.Table) -> pa.Table:
+        cols = {f.name: [] for f in RDF_ROWS_SCHEMA}
+        for path, line in zip(batch["path"].to_pylist(), batch["text"].to_pylist()):
+            if not line.strip() or line.lstrip().startswith("#"):
+                continue
+            parsed = parse_nquads(line)
+            rows = _dataset_to_rows(parsed, path)
+            for k, v in rows.items():
+                cols[k].extend(v)
+        return pa.Table.from_pydict(cols, schema=RDF_ROWS_SCHEMA)
+
+    rows = ds.map_batches(parse, batch_format="pyarrow")
+    if not dedup:
+        return rows
+    import hashlib
+
+    from ray.data.aggregate import Min
+
+    cols = [f.name for f in RDF_ROWS_SCHEMA]
+
+    def add_key(batch: pa.Table) -> pa.Table:
+        d = batch.to_pydict()
+        keys = [
+            hashlib.md5(
+                "\x00".join(d[c][i] for c in cols if c != "source").encode()
+            ).hexdigest()
+            for i in range(batch.num_rows)
+        ]
+        return batch.append_column("k", pa.array(keys, pa.string()))
+
+    agg = rows.map_batches(add_key, batch_format="pyarrow").groupby("k").aggregate(
+        *[Min(c, alias_name=c) for c in cols]
+    )
+    return agg.drop_columns(["k"])
+
+
+def read_turtle(paths):
+    """Turtle files -> triples Dataset; one kernel parse per file (Turtle
+    statements are document-scoped, so the file is the parallelism unit)."""
+    import ray.data as rd
+
+    from ..kernel.turtle import parse_turtle
+
+    ds = rd.read_binary_files(paths, include_paths=True)
+
+    def parse(batch: dict) -> pa.Table:
+        cols = {f.name: [] for f in RDF_ROWS_SCHEMA}
+        for path, data in zip(batch["path"], batch["bytes"]):
+            text = bytes(data).decode("utf-8-sig")
+            parsed = parse_turtle(text)
+            rows = _dataset_to_rows(parsed, path)
+            for k, v in rows.items():
+                cols[k].extend(v)
+        return pa.Table.from_pydict(cols, schema=RDF_ROWS_SCHEMA)
+
+    return ds.map_batches(parse, batch_format="numpy")

@@ -247,3 +247,33 @@ def test_unicode_content_end_to_end(ray_session, tmp_path):
     }
     for t in texts:
         assert t in values
+
+
+def test_inverse_pipeline_roundtrip(ray_session):
+    """triples -> documents (distributed fromRDF) -> toRDF + c14n per conv
+    reproduces the pipeline's canonical triples exactly."""
+    import json as _json
+
+    from rayld.kernel import JsonLdOptions
+    from rayld.kernel.api import JsonLdApi
+    from rayld.kernel.nquads import to_nquads
+    from rayld.pipelines.kg import build_triples, triples_to_documents
+
+    triples = build_triples(transcripts_dataset(12), link_concurrency=2)
+    rows = triples.to_pandas()
+    docs = triples_to_documents(
+        build_triples(transcripts_dataset(12), link_concurrency=2)
+    ).to_pandas()
+    assert set(docs["conv_id"]) == set(rows["conv_id"])
+    for conv_id, doc_json in zip(docs["conv_id"], docs["document"]):
+        doc = _json.loads(doc_json)
+        api = JsonLdApi(doc, JsonLdOptions(""))
+        c = to_nquads(api.normalize(api.to_rdf()))
+        # canonical quads from the forward pipeline for this conv
+        sub = rows[rows["conv_id"] == conv_id]
+        from rayld.pipelines.kg import _rows_to_rdf_dataset
+
+        want = to_nquads(
+            JsonLdApi(opts=JsonLdOptions("")).normalize(_rows_to_rdf_dataset(sub))
+        )
+        assert c == want, conv_id
