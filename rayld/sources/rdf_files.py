@@ -116,3 +116,41 @@ def read_turtle(paths):
         return pa.Table.from_pydict(cols, schema=RDF_ROWS_SCHEMA)
 
     return ds.map_batches(parse, batch_format="numpy")
+
+
+def read_jsonld(paths, options=None):
+    """JSON-LD document files -> triples Dataset: per-file kernel
+    expand -> toRDF (A1+A5 distributed over a document corpus). Documents
+    that fail processing quarantine into the @error graph with the typed
+    error string instead of failing the job."""
+    import json as _json
+
+    import ray.data as rd
+
+    from ..kernel import JsonLdError, JsonLdOptions, to_rdf
+
+    ds = rd.read_binary_files(paths, include_paths=True)
+
+    def parse(batch: dict) -> pa.Table:
+        cols = {f.name: [] for f in RDF_ROWS_SCHEMA}
+        for path, data in zip(batch["path"], batch["bytes"]):
+            try:
+                doc = _json.loads(bytes(data).decode("utf-8-sig"))
+                dataset = to_rdf(doc, options or JsonLdOptions(""))
+                rows = _dataset_to_rows(dataset, path)
+                for k, v in rows.items():
+                    cols[k].extend(v)
+            except (JsonLdError, ValueError) as err:
+                cols["source"].append(path)
+                cols["graph"].append("@error")
+                cols["subj"].append(path)
+                cols["pred"].append("https://rayld.dev/vocab#processingError")
+                cols["obj_kind"].append("literal")
+                cols["obj_value"].append(str(err))
+                cols["obj_datatype"].append(
+                    "http://www.w3.org/2001/XMLSchema#string"
+                )
+                cols["obj_lang"].append("")
+        return pa.Table.from_pydict(cols, schema=RDF_ROWS_SCHEMA)
+
+    return ds.map_batches(parse, batch_format="numpy")
