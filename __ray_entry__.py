@@ -98,6 +98,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "jsonld_normalize": jsonld_ops.op_normalize,
         # text analysis
         "token_count": text.token_count,
+        "token_count_bpe": text.token_count_bpe,
         "doc_stats": text.doc_stats,
         "doc_fingerprint": text.doc_fingerprint,
         "rolling_fingerprint": text.rolling_fingerprint,
@@ -141,6 +142,14 @@ def oracle_sql() -> dict[str, str]:
             " FROM documents"
         ),
         "doc_fingerprint": "SELECT doc_id, md5(text) AS fp FROM documents",
+        "token_count_bpe": (
+            "SELECT doc_id,"
+            " len(regexp_extract_all(text,"
+            " $$'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s']+|'| ?\\s+$$"
+            " ))::BIGINT AS n_bpe_tokens,"
+            " len(regexp_extract_all(text, '\\S+'))::BIGINT AS n_ws_tokens"
+            " FROM documents"
+        ),
         "lang_distribution": (
             "SELECT lang, count(*)::BIGINT AS n_docs FROM documents GROUP BY lang"
         ),

@@ -165,3 +165,24 @@ def quality_score(sf_dir: str):
         return pd.DataFrame({"doc_id": df["doc_id"], "quality": score})
 
     return documents(sf_dir).map_batches(fn, batch_format="pandas")
+
+
+# GPT-2-style (ASCII-approximated) BPE pre-tokenizer pattern — identical
+# semantics in Python re and DuckDB's RE2, so the count is SQL-checkable
+_BPE_RE = r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s']+|'| ?\s+"
+
+
+def token_count_bpe(sf_dir: str):
+    """BPE-ish pre-tokenizer counts per document (contractions, word/number/
+    punct runs, whitespace runs) alongside a whitespace-split count."""
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"],
+                "n_bpe_tokens": df["text"].str.findall(_BPE_RE).str.len().astype("int64"),
+                "n_ws_tokens": df["text"].str.split().str.len().astype("int64"),
+            }
+        )
+
+    return documents(sf_dir).map_batches(fn, batch_format="pandas")
