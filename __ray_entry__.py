@@ -54,33 +54,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return ds.groupby("pred").aggregate(Count(alias_name="n_triples"))
 
     def kg_triples_global_dedup(sf_dir: str):
-        """Global exact triple dedup across conversations: hash-partition on
-        the full quad key + per-group first (SURVEY.md §2.8 'set ops/dedup';
-        conv-scoped bnodes keep their conv_id qualifier so only
-        ground-identical quads collapse)."""
-        import hashlib
-
-        import pyarrow as pa
-        from ray.data.aggregate import Min
+        """Global exact triple dedup across conversations: a multi-column
+        groupby where the full quad tuple IS the shuffle key (SURVEY.md §2.8
+        'set ops/dedup') — no per-row hashing anywhere; conv-scoped bnodes
+        keep their conv_id qualifier so only ground-identical quads
+        collapse."""
+        from ray.data.aggregate import Count
 
         ds = kg_triples(sf_dir).drop_columns(["conv_id"])
         cols = ["graph", "subj", "pred", "obj_kind", "obj_value",
                 "obj_datatype", "obj_lang"]
-
-        def add_key(batch: pa.Table) -> pa.Table:
-            d = batch.to_pydict()
-            keys = [
-                hashlib.md5("\x00".join(d[c][i] for c in cols).encode()).hexdigest()
-                for i in range(batch.num_rows)
-            ]
-            return batch.append_column("k", pa.array(keys, pa.string()))
-
-        # every column is part of the key, so Min over the group returns the
-        # row itself — a vectorized aggregate instead of per-group map_groups
-        agg = ds.map_batches(add_key, batch_format="pyarrow").groupby("k").aggregate(
-            *[Min(c, alias_name=c) for c in cols]
-        )
-        return agg.drop_columns(["k"])
+        return ds.groupby(cols).aggregate(
+            Count(alias_name="_n")
+        ).drop_columns(["_n"])
 
     return {
         # flagship KG construction (A5/A7 end-to-end; non-SQL)
@@ -129,7 +115,55 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 
 def oracle_sql() -> dict[str, str]:
+    # The jsonld_* oracles read the SAME tool-doc parquet the Ray ops consume
+    # (materialized by rayld.pipelines.jsonld_ops.tool_docs_parquet before the
+    # Ray query executes) and recompute the expected metrics STRUCTURALLY with
+    # DuckDB's JSON functions: our corpus docs have three shapes — @graph docs
+    # (expand to len(@graph) nodes, 3 quads), @list/tags docs (1 node,
+    # 2*len(tags)+3 quads incl. rdf:first/rest cons cells), typed-scalar docs
+    # (1 node, 5 quads; the 'mentions' value is a relative IRI and drops in
+    # toRDF per spec). Roundtrip flags are spec invariants asserted as
+    # constant 1 columns.
+    _td = "read_parquet('/tmp/rayld_tooldocs/current/*.parquet')"
+    _graph = "json_extract(doc, '$.\"@graph\"')"
+    _nlines = (
+        "(CASE WHEN " + _graph + " IS NOT NULL THEN 3"
+        " WHEN json_extract(doc, '$.tags') IS NOT NULL"
+        " THEN 2 * json_array_length(doc, '$.tags') + 3"
+        " ELSE 5 END)::BIGINT AS n_lines"
+    )
     return {
+        "jsonld_expand": (
+            "SELECT conv_id, turn_idx::BIGINT AS turn_idx,"
+            " (CASE WHEN " + _graph + " IS NOT NULL"
+            " THEN json_array_length(doc, '$.\"@graph\"')"
+            " ELSE 1 END)::BIGINT AS n_nodes FROM " + _td
+        ),
+        "jsonld_compact_roundtrip": (
+            "SELECT conv_id, turn_idx::BIGINT AS turn_idx,"
+            " 1::BIGINT AS roundtrip_ok FROM " + _td
+        ),
+        "jsonld_flatten": (
+            "SELECT conv_id, turn_idx::BIGINT AS turn_idx,"
+            " (CASE WHEN " + _graph + " IS NOT NULL"
+            " THEN json_array_length(doc, '$.\"@graph\"')"
+            " WHEN json_type(doc, '$.partner') = 'OBJECT' THEN 2"
+            " ELSE 1 END)::BIGINT AS n_flat_nodes FROM " + _td
+        ),
+        "jsonld_frame": (
+            "SELECT conv_id, turn_idx::BIGINT AS turn_idx,"
+            " (CASE WHEN json_extract_string(doc, '$.\"@type\"')"
+            " = 'http://schema.org/SearchAction' THEN 1 ELSE 0 END)::BIGINT"
+            " AS n_framed FROM " + _td
+        ),
+        "jsonld_tordf": (
+            "SELECT conv_id, turn_idx::BIGINT AS turn_idx, "
+            + _nlines + " FROM " + _td
+        ),
+        "jsonld_fromrdf_roundtrip": (
+            "SELECT conv_id, turn_idx::BIGINT AS turn_idx,"
+            " 1::BIGINT AS roundtrip_ok, " + _nlines + " FROM " + _td
+        ),
         "token_count": (
             "SELECT doc_id, len(regexp_extract_all(text, '[A-Za-z0-9]+'))::BIGINT"
             " AS n_tokens FROM documents"

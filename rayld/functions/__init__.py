@@ -24,8 +24,18 @@ from ..kernel.utils import (
 )
 from ..pipelines.dedup import jaccard, minhash_signature, simhash_signature
 from ..stages.linker import build_token_index
+from .vectorized import (
+    crc32_buckets,
+    l2_normalize_rows,
+    money_cents,
+    utf16_sort_keys,
+)
 
 __all__ = [
+    "crc32_buckets",
+    "l2_normalize_rows",
+    "money_cents",
+    "utf16_sort_keys",
     "nquads_escape",
     "nquads_unescape",
     "xsd_double_canonical",

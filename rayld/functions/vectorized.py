@@ -1,0 +1,56 @@
+"""Vectorized batch kernels shared across pipelines — the hot-path helpers
+that every map_batches body otherwise reimplements:
+
+- half-up integer-cents money rounding (exact, summation-order-independent)
+- crc32 bucket assignment (the shuffle-bucketing key used by kg / sessions)
+- UTF-16-BE sort keys (C#-ordinal-compatible distributed sorts)
+- L2 row normalization (cosine pipelines)
+"""
+
+from __future__ import annotations
+
+import zlib
+
+import numpy as np
+import pyarrow as pa
+
+
+def money_cents(values, out_dtype: str = "int64"):
+    """Half-up rounding to integer cents: floor(x*100 + 0.5).
+
+    This is the engine's money contract (CLAUDE.md): integer-cents sums are
+    exact regardless of float summation order across batches/workers, and
+    half-up matches DuckDB's floor(x*100+0.5) oracle exactly — unlike
+    numpy/Python round() (half-even)."""
+    arr = np.asarray(values, dtype=np.float64)
+    return np.floor(arr * 100 + 0.5).astype(out_dtype)
+
+
+def crc32_buckets(values, num_buckets: int) -> np.ndarray:
+    """Stable bucket id per value: crc32(str(v)) % num_buckets. The standard
+    shuffle-bucketing key (kg conv_id, user sessions): P buckets ~ 2x cores
+    keep every core busy without per-group Ray overhead."""
+    it = (
+        zlib.crc32(v if isinstance(v, bytes) else str(v).encode("utf-8"))
+        % num_buckets
+        for v in values
+    )
+    return np.fromiter(it, dtype=np.int32, count=len(values))
+
+
+def utf16_sort_keys(strings) -> pa.Array:
+    """UTF-16-BE byte keys: sorting these bytewise equals sorting by UTF-16
+    code units (the reference's C# ordinal order, kernel utf16_key) — use as
+    the sort column for distributed sorts that must match kernel canonical
+    order even for astral-plane / U+E000..U+FFFF mixtures."""
+    return pa.array(
+        [s.encode("utf-16-be") for s in strings], pa.binary()
+    )
+
+
+def l2_normalize_rows(mat: np.ndarray) -> np.ndarray:
+    """Row-wise L2 normalization with zero-row safety (cosine = dot after)."""
+    mat = np.asarray(mat, dtype=np.float64)
+    norms = np.linalg.norm(mat, axis=1)
+    norms[norms == 0] = 1.0
+    return mat / norms[:, None]

@@ -54,7 +54,9 @@ class JsonLdApi:
         import json as _json
 
         try:
-            key = (id(active_ctx), _json.dumps(local_ctx, sort_keys=True))
+            # keyed on the Context's stable serial (not id()): a GC'd parent
+            # whose address is reused can never alias a stale child entry
+            key = (active_ctx._serial, _json.dumps(local_ctx, sort_keys=True))
         except (TypeError, ValueError):
             return active_ctx.parse(local_ctx)
         cached = self._context_cache.get(key)

@@ -13,6 +13,7 @@ once per actor and shared across batches (SURVEY.md C1-C10).
 from __future__ import annotations
 
 import copy
+import itertools
 from typing import Any, Optional
 
 from .errors import JsonLdError
@@ -30,9 +31,14 @@ _MISSING = object()
 
 
 class Context:
+    # monotonically assigned identity token: memo keys use this instead of
+    # id() so an address-reused Context can never alias a stale cache entry
+    _serial_counter = itertools.count(1)
+
     def __init__(self, options=None, map_: Optional[dict] = None):
         from .options import JsonLdOptions
 
+        self._serial = next(Context._serial_counter)
         self.options = options if options is not None else JsonLdOptions()
         self.map: dict = dict(map_) if map_ else {}
         self.term_definitions: dict = {}

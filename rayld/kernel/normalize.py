@@ -62,18 +62,19 @@ class Permutator:
     """Steinhaus-Johnson-Trotter permutations in ordinal order
     (NormalizeUtils.cs:539-617)."""
 
-    def __init__(self, lst: list):
+    def __init__(self, lst: list, max_group: Optional[int] = None):
+        cap = MAX_PERMUTATION_GROUP if max_group is None else max_group
         self.list = sorted(lst, key=utf16_key)
         self.done = False
         self.left = {i: True for i in self.list}
-        if len(self.list) > MAX_PERMUTATION_GROUP:
+        if cap and len(self.list) > cap:
             import logging
 
             logging.getLogger("rayld.normalize").warning(
                 "canonicalization: capping permutation search for a bnode "
                 "clique of %d (> %d); using sorted order — canonical labels "
                 "may differ from the exhaustive search for this component",
-                len(self.list), MAX_PERMUTATION_GROUP,
+                len(self.list), cap,
             )
             self.capped = True
         else:
@@ -144,7 +145,8 @@ def _hash_quads(id_: str, bnodes: dict, namer: UniqueNamer) -> str:
 
 
 def _hash_paths(id_: str, bnodes: dict, namer: UniqueNamer,
-                path_namer: UniqueNamer) -> _HashResult:
+                path_namer: UniqueNamer,
+                max_group: Optional[int] = None) -> _HashResult:
     """N-degree path hashing with permutation search
     (NormalizeUtils.cs:242-458)."""
     md = hashlib.sha1()
@@ -178,7 +180,7 @@ def _hash_paths(id_: str, bnodes: dict, namer: UniqueNamer,
         md.update(group_hash.encode("utf-8"))
         chosen_path = None
         chosen_namer = None
-        permutator = Permutator(groups[group_hash])
+        permutator = Permutator(groups[group_hash], max_group=max_group)
         while True:
             cont_permutation = False
             break_out = False
@@ -211,7 +213,8 @@ def _hash_paths(id_: str, bnodes: dict, namer: UniqueNamer,
                 break
             hit_break_out = False
             for bnode_1 in recurse:
-                result = _hash_paths(bnode_1, bnodes, namer, path_namer_copy)
+                result = _hash_paths(bnode_1, bnodes, namer, path_namer_copy,
+                                     max_group=max_group)
                 path += path_namer_copy.get_name(bnode_1) + "<" + result.hash + ">"
                 path_namer_copy = result.path_namer
                 if (
@@ -321,7 +324,9 @@ class NormalizeUtils:
                         continue
                     path_namer = UniqueNamer("_:b")
                     path_namer.get_name(bnode)
-                    results.append(_hash_paths(bnode, self.bnodes, self.namer, path_namer))
+                    results.append(_hash_paths(
+                        bnode, self.bnodes, self.namer, path_namer,
+                        max_group=getattr(self.options, 'max_permutation_group', None)))
                 results.sort(key=lambda r: r.hash)
                 for r in results:
                     for key in r.path_namer.existing.keys():

@@ -126,6 +126,59 @@ class HttpSemanticsLoader(DocumentLoader):
             raise JsonLdError(JsonLdError.LOADING_DOCUMENT_FAILED, f"{url}: {e}")
 
 
+class UrllibDocumentLoader(HttpSemanticsLoader):
+    """Concrete network backend for the HTTP-semantics loader, closing the S8
+    seam against the reference's real fetcher (Core/DocumentLoader.cs:48-111,
+    Util/LDHttpClient.cs:23-50): stdlib urllib with the reference's Accept
+    profile. OFF by default — pipelines keep the offline registry loader for
+    determinism (SURVEY.md §7.6); opt in explicitly via
+    ``options.document_loader = UrllibDocumentLoader()``. This sandbox has no
+    network, so coverage is a stubbed-transport unit test."""
+
+    ACCEPT = "application/ld+json, application/json;q=0.9, */*;q=0.1"
+
+    def __init__(self, timeout: float = 10.0, opener=None):
+        super().__init__()
+        self.timeout = timeout
+        self._opener = opener  # injectable transport for tests
+
+    def _fetch(self, url: str):
+        import json as _json
+        import urllib.request
+
+        class _NoRedirect(urllib.request.HTTPRedirectHandler):
+            # redirects are handled by HttpSemanticsLoader.load_document so
+            # Link headers resolve against each hop like the reference
+            def redirect_request(self, req, fp, code, msg, headers, newurl):
+                return None
+
+        req = urllib.request.Request(url, headers={"Accept": self.ACCEPT})
+        opener = self._opener or urllib.request.build_opener(_NoRedirect())
+        try:
+            resp = opener.open(req, timeout=self.timeout)
+            status = resp.status
+            headers = {
+                k: v for k, v in resp.headers.items()
+                if k in ("Content-Type", "Link", "Location")
+            }
+            ctype = headers.get("Content-Type", "")
+            headers["Content-Type"] = ctype.split(";")[0].strip()
+            body = None
+            if self._classify(headers.get("Content-Type")) != "other":
+                body = _json.loads(resp.read().decode("utf-8"))
+            return status, headers, body
+        except Exception as e:
+            import urllib.error
+
+            if isinstance(e, urllib.error.HTTPError):
+                headers = {
+                    k: v for k, v in e.headers.items()
+                    if k in ("Content-Type", "Link", "Location")
+                }
+                return e.code, headers, None
+            raise
+
+
 class JsonLdOptions:
     """http://json-ld.org/spec/latest/json-ld-api/#the-jsonldoptions-type
     (JsonLdOptions.cs:25-177)."""
@@ -147,6 +200,10 @@ class JsonLdOptions:
         self.use_namespaces = False
         self.output_form: Optional[str] = None
         self.document_loader = DocumentLoader()
+        # c14n N-degree permutation-search cap (normalize.py): None = the
+        # module default (7); 0 = unlimited, for strict-parity callers who
+        # accept factorial blowup on pathological same-hash bnode cliques
+        self.max_permutation_group: Optional[int] = None
 
     def clone(self) -> "JsonLdOptions":
         # Matches reference Clone(): only base carries over (JsonLdOptions.cs:20-23)

@@ -2,10 +2,11 @@
 
 - brute-force cosine top-k: numpy matmul per batch against a broadcast query
   matrix (the baseline; SQL-checkable against DuckDB list_cosine_similarity)
-- IVF-bucketed variant: k-means-lite centroids (deterministic seed), assign
-  each vector to its nearest centroid inside map_batches, probe only the
-  nearest ``nprobe`` buckets at query time — the 100 TB scale path (the probe
-  prunes the scan; centroids are the broadcast small side).
+- IVF index + query: a build step materializes the table as Parquet
+  partitioned by nearest-centroid id (k-means-lite, deterministic seed);
+  queries read ONLY their ``nprobe`` partition directories — the probe prunes
+  actual I/O, which is what makes this the 100 TB scale path (centroids are
+  the tiny persisted side).
 """
 
 from __future__ import annotations
@@ -23,10 +24,7 @@ def _embeddings(sf_dir: str):
     )
 
 
-def _normalize(mat: np.ndarray) -> np.ndarray:
-    norms = np.linalg.norm(mat, axis=1)
-    norms[norms == 0] = 1.0
-    return mat / norms[:, None]
+from ..functions.vectorized import l2_normalize_rows as _normalize  # noqa: E402
 
 
 def query_vectors(sf_dir: str, query_ids=(0, 1, 2, 3)) -> tuple:
@@ -109,29 +107,114 @@ def _kmeans_lite(mat: np.ndarray, n_clusters: int, seed: int = 42,
     return centroids
 
 
-def ivf_topk(sf_dir: str, k: int = 10, query_ids=(0, 1, 2, 3),
-             n_clusters: int = 16, nprobe: int = 4, sample_size: int = 2048):
-    """IVF: train centroids on a deterministic sample, assign vectors to
-    buckets in map_batches, scan only the nprobe closest buckets per query.
-    Returns (query_id, vec_id) — approximate; tests compare recall vs brute
-    force."""
+def ivf_build(sf_dir: str, index_dir: str, n_clusters: int = 16,
+              sample_size: int = 2048, seed: int = 42) -> str:
+    """Build a materialized IVF index: centroids trained on a deterministic
+    sample, then the whole table rewritten as Parquet partitioned by the
+    nearest-centroid id (one directory per centroid). Queries read ONLY their
+    ``nprobe`` partition directories, so the probe prunes actual I/O — the
+    100 TB scale path. Centroids persist beside the partitions.
+
+    Idempotent: a finished index (marked by _CENTROIDS.npy + _SUCCESS) is
+    reused as-is."""
+    import json
+    import os
+
     import ray
 
-    # train on a deterministic prefix sample (small, driver-side)
+    success = os.path.join(index_dir, "_SUCCESS")
+    if os.path.exists(success):
+        return index_dir
+    os.makedirs(index_dir, exist_ok=True)
+    # train on a deterministic prefix sample (small, driver-side by design:
+    # centroid training needs one dense matrix; the sample is capped)
     head = _embeddings(sf_dir).limit(sample_size).to_pandas()
     train = _normalize(np.asarray(head["embedding"].tolist(), dtype=np.float64))
     centroids = _kmeans_lite(train, n_clusters)
+    np.save(os.path.join(index_dir, "_CENTROIDS.npy"), centroids)
+    cents_ref = ray.put(centroids)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        cents = ray.get(cents_ref)
+        mat = _normalize(
+            np.asarray(batch["embedding"].to_pylist(), dtype=np.float64)
+        )
+        cid = np.argmax(mat @ cents.T, axis=1).astype(np.int32)
+        # centroid drives the hive partitioning (consumed into the dir name);
+        # cid stays inside the files so pruned per-file reads keep the
+        # assignment column
+        batch = batch.append_column("centroid", pa.array(cid, pa.int32()))
+        return batch.append_column("cid", pa.array(cid, pa.int32()))
+
+    _embeddings(sf_dir).map_batches(
+        assign, batch_format="pyarrow"
+    ).write_parquet(index_dir, partition_cols=["centroid"])
+    with open(success, "w") as f:
+        json.dump({"n_clusters": int(len(centroids))}, f)
+    return index_dir
+
+
+def _default_index_dir(sf_dir: str, n_clusters: int, sample_size: int) -> str:
+    import hashlib
+    import os
+
+    import pyarrow.parquet as pq
+
+    n_rows = pq.ParquetFile(f"{sf_dir}/embeddings.parquet").metadata.num_rows
+    key = hashlib.md5(
+        f"v2|{os.path.abspath(sf_dir)}|{n_rows}|{n_clusters}|{sample_size}".encode()
+    ).hexdigest()[:16]
+    return f"/tmp/rayld_ivf/{key}"
+
+
+def ivf_probe_paths(index_dir: str, q_norm: np.ndarray, nprobe: int):
+    """The partition directories the probe selects: union over queries of the
+    nprobe nearest centroids. Returns (paths, probe_sets, centroids)."""
+    import os
+
+    centroids = np.load(os.path.join(index_dir, "_CENTROIDS.npy"))
+    order = np.argsort(-(q_norm @ centroids.T), axis=1)[:, :nprobe]
+    probe_sets = [set(row.tolist()) for row in order]
+    import glob as _glob
+
+    buckets = sorted(set().union(*probe_sets)) if probe_sets else []
+    paths = []
+    for b in buckets:
+        pdir = os.path.join(index_dir, f"centroid={b}")
+        if os.path.isdir(pdir):
+            paths.extend(sorted(_glob.glob(os.path.join(pdir, "*.parquet"))))
+    return paths, probe_sets, centroids
+
+
+def ivf_topk(sf_dir: str, k: int = 10, query_ids=(0, 1, 2, 3),
+             n_clusters: int = 16, nprobe: int = 4, sample_size: int = 2048,
+             index_dir: str | None = None):
+    """IVF query over the materialized centroid-partitioned index: read ONLY
+    the union of each query's nprobe partition dirs (pruned at the read — at
+    scale this skips (n_clusters - nprobe)/n_clusters of the bytes), then
+    per-batch partial top-k filtered to each query's own probe set via the
+    index's ``centroid`` column. Returns (query_id, vec_id) — approximate;
+    tests compare recall vs brute force and assert the read is pruned."""
+    import ray
+    import ray.data as rd
+
+    if index_dir is None:
+        index_dir = _default_index_dir(sf_dir, n_clusters, sample_size)
+    ivf_build(sf_dir, index_dir, n_clusters=n_clusters,
+              sample_size=sample_size)
     q_ids, q_mat = query_vectors(sf_dir, query_ids)
     q_norm = _normalize(q_mat)
-    probe = np.argsort(-(q_norm @ centroids.T), axis=1)[:, :nprobe]
-    probe_sets = {int(qid): set(probe[row].tolist()) for row, qid in enumerate(q_ids)}
-    ref = ray.put((q_ids, q_norm, centroids, probe_sets))
+    paths, probe_sets, _ = ivf_probe_paths(index_dir, q_norm, nprobe)
+    probe_by_qid = {int(qid): probe_sets[row] for row, qid in enumerate(q_ids)}
+    ref = ray.put((q_ids, q_norm, probe_by_qid))
+
+    ds = rd.read_parquet(paths, columns=["vec_id", "embedding", "cid"])
 
     def partial(batch: pa.Table) -> pa.Table:
-        qi, qm, cents, probes = ray.get(ref)
+        qi, qm, probes = ray.get(ref)
         b_ids = np.asarray(batch["vec_id"].to_pylist(), dtype=np.int64)
         b_mat = _normalize(np.asarray(batch["embedding"].to_pylist(), dtype=np.float64))
-        assign = np.argmax(b_mat @ cents.T, axis=1)
+        assign = np.asarray(batch["cid"].to_pylist(), dtype=np.int64)
         out_q, out_v, out_s = [], [], []
         for row, qid in enumerate(qi):
             mask = np.isin(assign, list(probes[int(qid)]))
@@ -152,9 +235,7 @@ def ivf_topk(sf_dir: str, k: int = 10, query_ids=(0, 1, 2, 3),
             }
         )
 
-    partials = _embeddings(sf_dir).map_batches(
-        partial, batch_format="pyarrow", batch_size=4096
-    )
+    partials = ds.map_batches(partial, batch_format="pyarrow", batch_size=4096)
 
     def merge(df: pd.DataFrame) -> pd.DataFrame:
         df = df.sort_values(["sim", "vec_id"], ascending=[False, True], kind="mergesort")

@@ -141,9 +141,15 @@ def _explode_bands(batch: pa.Table) -> pa.Table:
 
 
 def minhash_candidates(sf_dir: str, concurrency: int = 2):
-    """Candidate near-dup pairs via LSH banding. Output: (doc_a, doc_b)."""
+    """Candidate near-dup pairs via LSH banding. Output: (doc_a, doc_b).
+
+    The MinHasher pool AUTOSCALES (1, concurrency): a fixed-size pool
+    serializes the fused upstream read and can starve the downstream join /
+    shuffle aggregator actors of CPUs in small sessions (the CLAUDE.md 4-cpu
+    deadlock)."""
     ds = documents(sf_dir).map_batches(
-        MinHasher, batch_format="pyarrow", concurrency=concurrency, num_cpus=1
+        MinHasher, batch_format="pyarrow",
+        concurrency=(1, max(2, concurrency)), num_cpus=1,
     )
     bands = ds.map_batches(_explode_bands, batch_format="pyarrow")
 
@@ -159,49 +165,152 @@ def minhash_candidates(sf_dir: str, concurrency: int = 2):
             for j in range(i + 1, len(ids)):
                 rows_a.append(ids[i])
                 rows_b.append(ids[j])
-        return pd.DataFrame({"doc_a": rows_a, "doc_b": rows_b})
+        # explicit dtypes: an empty frame would otherwise carry object/null
+        # columns that poison downstream join schema unification
+        return pd.DataFrame(
+            {"doc_a": pd.Series(rows_a, dtype="int64"),
+             "doc_b": pd.Series(rows_b, dtype="int64")}
+        )
 
     pairs = bands.groupby(["band_id", "band_hash"]).map_groups(
         bucket_pairs, batch_format="pandas"
     )
 
-    def dedup_pairs(df: pd.DataFrame) -> pd.DataFrame:
-        return df.head(1)
+    # distinct pairs via a vectorized aggregate on the pair key (a pair that
+    # collides in several bands shuffles once here, never per-band)
+    from ray.data.aggregate import Count
 
-    return pairs.groupby(["doc_a", "doc_b"]).map_groups(
-        dedup_pairs, batch_format="pandas"
-    )
+    return pairs.groupby(["doc_a", "doc_b"]).aggregate(
+        Count(alias_name="_n")
+    ).drop_columns(["_n"])
 
 
-def minhash_dedup(sf_dir: str, threshold: float = 0.5, concurrency: int = 2):
+def _bucketed_hash_join(left_ds, right_ds, key: str, num_partitions: int,
+                        merge_fn):
+    """Distributed hash join built from primitives that are stable in this
+    engine: tag + union the two sides, bucket on ``hash(key) % P``, and run a
+    pandas merge inside each bucket task (``merge_fn(group) -> DataFrame``).
+
+    Both sides already carry the key in the SAME column name and an
+    ``is_right`` marker column. This is the same data movement as a shuffle
+    hash join (each side partitioned once by key) without Ray's JoinOperator,
+    whose fixed aggregator actors deadlock nondeterministically in small CPU
+    sessions and choke on the schema-less empty blocks that groupby stages
+    emit."""
+
+    def bucket(batch: pa.Table) -> pa.Table:
+        k = np.asarray(batch[key].to_pylist(), dtype=np.int64)
+        parts = (k % num_partitions).astype(np.int32)
+        return batch.append_column("part", pa.array(parts, pa.int32()))
+
+    u = left_ds.union(right_ds).map_batches(bucket, batch_format="pyarrow")
+    return u.groupby("part").map_groups(merge_fn, batch_format="pandas")
+
+
+def minhash_dedup(sf_dir: str, threshold: float = 0.5, concurrency: int = 2,
+                  num_partitions: int = 8):
     """LSH candidates verified by true n-gram Jaccard >= threshold.
 
-    Verification broadcasts the candidate doc texts: candidate sets are tiny
-    relative to the corpus (only banding collisions), so we join them to text
-    by broadcasting the needed texts, not by shuffling the corpus."""
-    import ray
+    Fully distributed verification in TWO bucketed shuffles — no .to_pandas()
+    and no driver-side corpus scan anywhere on the path:
 
-    cands = minhash_candidates(sf_dir, concurrency=concurrency).to_pandas()
-    if len(cands) == 0:
+      1. each candidate pair explodes into two half-rows keyed by its doc
+         ids; the halves union with the documents table and a bucketed
+         hash(doc) % P groupby attaches each half's text via an in-task
+         pandas merge (a shuffle hash join's data movement — the corpus is
+         partitioned ONCE, not once per pair side);
+      2. halves re-bucket on the pair key and an in-task pivot reunites
+         (text_a, text_b), running the Jaccard verification right there.
+
+    The candidate set (banding collisions only — orders of magnitude smaller
+    than the corpus) is materialized to the OBJECT STORE as a pipeline
+    breaker: one streaming execution containing the candidate shuffles AND
+    the verification shuffles starves itself of CPUs in small sessions."""
+    cands = minhash_candidates(sf_dir, concurrency=concurrency).materialize()
+    docs = documents(sf_dir)
+
+    def halves(batch: pa.Table) -> pa.Table:
+        a = np.asarray(batch["doc_a"].to_pylist(), dtype=np.int64)
+        b = np.asarray(batch["doc_b"].to_pylist(), dtype=np.int64)
+        n2 = 2 * len(a)
         return pa.table(
-            {"doc_a": pa.array([], pa.int64()), "doc_b": pa.array([], pa.int64())}
+            {
+                "doc": pa.array(np.concatenate([a, b]), pa.int64()),
+                "mate": pa.array(np.concatenate([b, a]), pa.int64()),
+                "slot": pa.array(
+                    np.concatenate(
+                        [np.zeros(len(a), np.int8), np.ones(len(b), np.int8)]
+                    ),
+                    pa.int8(),
+                ),
+                "t": pa.nulls(n2, pa.string()),
+                "is_doc": pa.array(np.zeros(n2, np.int8)),
+            }
         )
-    needed = set(cands["doc_a"]) | set(cands["doc_b"])
-    texts = {}
-    for batch in documents(sf_dir).iter_batches(
-        batch_size=8192, batch_format="pyarrow"
-    ):
-        for d, t in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
-            if d in needed:
-                texts[d] = t
-    keep_a, keep_b = [], []
-    for a, b in zip(cands["doc_a"], cands["doc_b"]):
-        if jaccard(texts[int(a)], texts[int(b)]) >= threshold:
-            keep_a.append(int(a))
-            keep_b.append(int(b))
-    return pa.table(
-        {"doc_a": pa.array(keep_a, pa.int64()), "doc_b": pa.array(keep_b, pa.int64())}
+
+    def tag_docs(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return pa.table(
+            {
+                "doc": batch["doc_id"].cast(pa.int64()),
+                "mate": pa.nulls(n, pa.int64()),
+                "slot": pa.nulls(n, pa.int8()),
+                "t": batch["text"],
+                "is_doc": pa.array(np.ones(n, np.int8)),
+            }
+        )
+
+    def attach(df: pd.DataFrame) -> pd.DataFrame:
+        d = df[df["is_doc"] == 1][["doc", "t"]]
+        h = df[df["is_doc"] == 0][["doc", "mate", "slot"]]
+        out = h.merge(d, on="doc", how="inner")
+        slot0 = out["slot"] == 0
+        a = np.where(slot0, out["doc"], out["mate"])
+        b = np.where(slot0, out["mate"], out["doc"])
+        return pd.DataFrame(
+            {
+                "doc_a": pd.Series(a, dtype="int64"),
+                "doc_b": pd.Series(b, dtype="int64"),
+                "slot": out["slot"].astype("int8").to_numpy(),
+                "t": out["t"].astype("object").to_numpy(),
+            }
+        )
+
+    u = cands.map_batches(halves, batch_format="pyarrow").union(
+        docs.map_batches(tag_docs, batch_format="pyarrow")
     )
+
+    def bucket_doc(batch: pa.Table) -> pa.Table:
+        k = np.asarray(batch["doc"].to_pylist(), dtype=np.int64)
+        parts = (k % num_partitions).astype(np.int32)
+        return batch.append_column("part", pa.array(parts, pa.int32()))
+
+    attached = u.map_batches(bucket_doc, batch_format="pyarrow").groupby(
+        "part"
+    ).map_groups(attach, batch_format="pandas")
+
+    def bucket_pair(batch: pa.Table) -> pa.Table:
+        a = np.asarray(batch["doc_a"].to_pylist(), dtype=np.int64)
+        b = np.asarray(batch["doc_b"].to_pylist(), dtype=np.int64)
+        parts = ((a * 1000003 + b) % num_partitions).astype(np.int32)
+        return batch.append_column("part2", pa.array(parts, pa.int32()))
+
+    def pivot_verify(df: pd.DataFrame) -> pd.DataFrame:
+        out_a, out_b = [], []
+        for (a, b), g in df.groupby(["doc_a", "doc_b"], sort=True):
+            ta = g[g["slot"] == 0]["t"]
+            tb = g[g["slot"] == 1]["t"]
+            if len(ta) and len(tb) and jaccard(ta.iloc[0], tb.iloc[0]) >= threshold:
+                out_a.append(a)
+                out_b.append(b)
+        return pd.DataFrame(
+            {"doc_a": pd.Series(out_a, dtype="int64"),
+             "doc_b": pd.Series(out_b, dtype="int64")}
+        )
+
+    return attached.map_batches(bucket_pair, batch_format="pyarrow").groupby(
+        "part2"
+    ).map_groups(pivot_verify, batch_format="pandas")
 
 
 # ---------------------------------------------------------------------------
@@ -239,92 +348,216 @@ def simhash(sf_dir: str):
 # Embedding-cosine near-dup
 # ---------------------------------------------------------------------------
 
-def embedding_neardup(sf_dir: str, threshold: float = 0.95):
-    """Pairs of embeddings with cosine >= threshold. The comparison side is
-    broadcast once (ray.put) and each batch does one numpy matmul against it —
-    no O(n^2) shuffle. At 100 TB scale the broadcast side becomes the IVF
-    centroid table from ann.ivf_index instead of the full matrix."""
-    import ray
+def _hyperplanes(dim: int, n_tables: int, n_planes: int, seed: int) -> np.ndarray:
+    """Deterministic random hyperplanes, regenerated from (seed, dim) inside
+    any task — cheap enough that nothing needs broadcasting."""
+    rng = np.random.default_rng([seed, dim])
+    return rng.standard_normal((n_tables, n_planes, dim))
+
+
+def embedding_neardup(sf_dir: str, threshold: float = 0.95, n_tables: int = 4,
+                      n_planes: int = 6, seed: int = 7, max_bucket: int = 4096,
+                      path: str | None = None):
+    """Pairs of embeddings with cosine >= threshold, blocked by sign-bit
+    hyperplane LSH (n_tables independent tables of n_planes random
+    hyperplanes). Vectors land in one bucket per table; exact cosine verifies
+    candidates inside each (table, bucket) group; a final pair-key aggregate
+    dedups pairs found by several tables.
+
+    Scale shape: the only shuffles are the bounded (table, bucket) groupby and
+    the tiny pair dedup — the full matrix is never materialized anywhere. At
+    larger corpora raise n_planes (buckets ~ n / 2^n_planes vectors each) so
+    the in-bucket gram matrix stays small; pathological buckets are capped
+    with a logged truncation."""
     import ray.data as rd
+    from ray.data.aggregate import Count
 
-    emb = rd.read_parquet(
-        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
-    )
-    all_tbl = emb.to_arrow_refs()
-    tables = ray.get(all_tbl)
-    full = pa.concat_tables(tables)
-    ids = np.asarray(full["vec_id"].to_pylist(), dtype=np.int64)
-    mat = np.asarray(full["embedding"].to_pylist(), dtype=np.float64)
-    norms = np.linalg.norm(mat, axis=1)
-    norms[norms == 0] = 1.0
-    matn = mat / norms[:, None]
-    ref = ray.put((ids, matn))
+    src = path or f"{sf_dir}/embeddings.parquet"
+    emb = rd.read_parquet(src, columns=["vec_id", "embedding"])
 
-    def fn(batch: pa.Table) -> pa.Table:
-        r_ids, r_mat = ray.get(ref)
-        b_ids = np.asarray(batch["vec_id"].to_pylist(), dtype=np.int64)
-        b_mat = np.asarray(batch["embedding"].to_pylist(), dtype=np.float64)
-        bn = np.linalg.norm(b_mat, axis=1)
-        bn[bn == 0] = 1.0
-        b_mat = b_mat / bn[:, None]
-        sims = b_mat @ r_mat.T
-        ii, jj = np.nonzero(sims >= threshold)
-        keep = b_ids[ii] < r_ids[jj]
+    def assign(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch["vec_id"].to_pylist(), dtype=np.int64)
+        mat = np.asarray(batch["embedding"].to_pylist(), dtype=np.float64)
+        n, dim = mat.shape if mat.ndim == 2 else (0, 0)
+        if n == 0:
+            return pa.table(
+                {"table_id": pa.array([], pa.int32()),
+                 "bucket": pa.array([], pa.int32()),
+                 "vec_id": pa.array([], pa.int64()),
+                 "embedding": pa.array([], pa.list_(pa.float64()))}
+            )
+        planes = _hyperplanes(dim, n_tables, n_planes, seed)
+        bits = 1 << np.arange(n_planes, dtype=np.int64)
+        out_t, out_b, out_v, out_e = [], [], [], []
+        for t in range(n_tables):
+            proj = mat @ planes[t].T  # (n, n_planes)
+            buckets = ((proj > 0).astype(np.int64) @ bits).astype(np.int32)
+            out_t.append(np.full(n, t, dtype=np.int32))
+            out_b.append(buckets)
+            out_v.append(ids)
+            out_e.extend(mat.tolist())
         return pa.table(
             {
-                "vec_a": pa.array(b_ids[ii][keep], pa.int64()),
-                "vec_b": pa.array(r_ids[jj][keep], pa.int64()),
+                "table_id": pa.array(np.concatenate(out_t), pa.int32()),
+                "bucket": pa.array(np.concatenate(out_b), pa.int32()),
+                "vec_id": pa.array(np.concatenate(out_v), pa.int64()),
+                "embedding": pa.array(out_e, pa.list_(pa.float64())),
             }
         )
 
-    return emb.map_batches(fn, batch_format="pyarrow", batch_size=1024)
+    exploded = emb.map_batches(assign, batch_format="pyarrow")
+
+    def bucket_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) > max_bucket:
+            print(f"[embedding_neardup] capping bucket of {len(df)} at {max_bucket}")
+            df = df.sort_values("vec_id").head(max_bucket)
+        ids = np.asarray(df["vec_id"].tolist(), dtype=np.int64)
+        mat = np.asarray(df["embedding"].tolist(), dtype=np.float64)
+        if len(ids) < 2:
+            return pd.DataFrame(
+                {"vec_a": pd.Series([], dtype="int64"),
+                 "vec_b": pd.Series([], dtype="int64")}
+            )
+        norms = np.linalg.norm(mat, axis=1)
+        norms[norms == 0] = 1.0
+        matn = mat / norms[:, None]
+        sims = matn @ matn.T
+        ii, jj = np.nonzero(np.triu(sims >= threshold, k=1))
+        a, b = ids[ii], ids[jj]
+        swap = a > b
+        a2 = np.where(swap, b, a)
+        b2 = np.where(swap, a, b)
+        return pd.DataFrame({"vec_a": a2, "vec_b": b2})
+
+    pairs = exploded.groupby(["table_id", "bucket"]).map_groups(
+        bucket_pairs, batch_format="pandas"
+    )
+    return pairs.groupby(["vec_a", "vec_b"]).aggregate(
+        Count(alias_name="_n")
+    ).drop_columns(["_n"])
 
 
 # ---------------------------------------------------------------------------
 # Near-dup clusters (connected components over verified pairs)
 # ---------------------------------------------------------------------------
 
+def connected_components(pairs_ds, num_partitions: int = 8,
+                         max_iters: int = 50):
+    """Distributed connected components by min-label propagation over an
+    undirected edge Dataset (doc_a, doc_b) -> (doc_id, cluster_id) with
+    cluster_id = the component's min doc_id.
+
+    Each round is one hash join (edges x labels on dst) + one groupby-min —
+    the driver never holds the edge list; it only sees the scalar label sum
+    used as the convergence test (labels are monotonically non-increasing, so
+    an unchanged sum is a fixpoint). Rounds = graph diameter, which is small
+    for near-dup components. The per-round label table (one row per
+    non-singleton doc — far smaller than the corpus) is materialized to cut
+    lineage growth across iterations."""
+    from ray.data.aggregate import Min, Sum
+
+    def symmetrize(batch: pa.Table) -> pa.Table:
+        a = batch["doc_a"].cast(pa.int64())
+        b = batch["doc_b"].cast(pa.int64())
+        # both directions plus self-loops so each node's own label always
+        # participates in the per-round min
+        src = pa.concat_arrays(
+            [c.combine_chunks() for c in (a, b, a, b)]
+        )
+        dst = pa.concat_arrays(
+            [c.combine_chunks() for c in (b, a, a, b)]
+        )
+        return pa.table({"src": src, "dst": dst})
+
+    # pipeline breaker: materialize the (small) pair set to the object store
+    # before the propagation loop — running the upstream verification joins
+    # inside the same streaming execution as the per-round joins starves the
+    # executor in small sessions. repartition purges schema-less empty blocks
+    # (see _join_pair_texts) and bounds the block count for the loop.
+    edges = pairs_ds.materialize().repartition(num_partitions).map_batches(
+        symmetrize, batch_format="pyarrow"
+    ).materialize()
+    if edges.count() == 0:
+        return pa.table(
+            {"doc_id": pa.array([], pa.int64()),
+             "cluster_id": pa.array([], pa.int64())}
+        )
+
+    # initial label(node) = min neighbor (self-loops include the node itself)
+    labels = edges.groupby("src").aggregate(
+        Min("dst", alias_name="label")
+    ).repartition(num_partitions).materialize()
+    prev_sum = labels.aggregate(Sum("label", alias_name="s"))["s"]
+
+    def tag_edges(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return pa.table(
+            {
+                "dst": batch["dst"].cast(pa.int64()),
+                "src": batch["src"].cast(pa.int64()),
+                "label": pa.nulls(n, pa.int64()),
+                "is_right": pa.array(np.zeros(n, np.int8)),
+            }
+        )
+
+    def tag_labels(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return pa.table(
+            {
+                "dst": batch["src"].cast(pa.int64()),  # keyed on the node
+                "src": pa.nulls(n, pa.int64()),
+                "label": batch["label"].cast(pa.int64()),
+                "is_right": pa.array(np.ones(n, np.int8)),
+            }
+        )
+
+    def merge_labels(df: pd.DataFrame) -> pd.DataFrame:
+        lab = df[df["is_right"] == 1][["dst", "label"]]
+        edg = df[df["is_right"] == 0][["dst", "src"]]
+        out = edg.merge(lab, on="dst", how="inner")
+        return pd.DataFrame(
+            {"src": out["src"].astype("int64"),
+             "label": out["label"].astype("int64")}
+        )
+
+    tagged_edges = edges.map_batches(
+        tag_edges, batch_format="pyarrow"
+    ).materialize()
+    for _ in range(max_iters):
+        # candidate(node) = min over neighbors of label(neighbor): a bucketed
+        # hash join (edges x labels on dst) then a groupby-min on src
+        prop = _bucketed_hash_join(
+            tagged_edges,
+            labels.map_batches(tag_labels, batch_format="pyarrow"),
+            "dst", num_partitions, merge_labels,
+        )
+        labels = prop.groupby("src").aggregate(
+            Min("label", alias_name="label")
+        ).repartition(num_partitions).materialize()
+        new_sum = labels.aggregate(Sum("label", alias_name="s"))["s"]
+        if new_sum == prev_sum:
+            break
+        prev_sum = new_sum
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {"doc_id": batch["src"], "cluster_id": batch["label"]}
+        )
+
+    return labels.map_batches(rename, batch_format="pyarrow")
+
+
 def dedup_clusters(sf_dir: str, threshold: float = 0.5, concurrency: int = 2):
     """Connected components over the verified near-dup pairs:
     (doc_id, cluster_id) with cluster_id = min doc_id of the component;
-    singleton docs are omitted.
+    singleton docs are omitted (every doc in a pair gets a row, including the
+    component minimum itself).
 
-    The verified pair set is orders of magnitude smaller than the corpus
-    (only banding collisions that passed Jaccard), so union-find runs on the
-    driver. At 100 TB scale with huge components, swap in min-label
-    propagation: iterate `labels = edges.join(labels).groupby(node).min()`
-    until no label changes — each round is one shuffle over the edge list."""
+    Fully distributed: the verified pairs feed min-label propagation
+    (connected_components) — one join + groupby-min per round; the driver
+    never materializes the pair set."""
     pairs = minhash_dedup(sf_dir, threshold=threshold, concurrency=concurrency)
-    n_pairs = len(pairs)
-    if n_pairs > 5_000_000:
-        print(f"[dedup_clusters] {n_pairs} pairs exceeds the driver-side "
-              "union-find budget; switch to distributed label propagation")
-    parent: dict = {}
-
-    def find(x: int) -> int:
-        while parent.get(x, x) != x:
-            parent[x] = parent.get(parent[x], parent[x])
-            x = parent[x]
-        return x
-
-    def union(a: int, b: int) -> None:
-        ra, rb = find(a), find(b)
-        if ra != rb:
-            if rb < ra:
-                ra, rb = rb, ra
-            parent[rb] = ra
-
-    for a, b in zip(pairs["doc_a"].to_pylist(), pairs["doc_b"].to_pylist()):
-        parent.setdefault(a, a)
-        parent.setdefault(b, b)
-        union(a, b)
-    rows = sorted((doc, find(doc)) for doc in parent)
-    return pa.table(
-        {
-            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
-            "cluster_id": pa.array([r[1] for r in rows], pa.int64()),
-        }
-    )
+    return connected_components(pairs)
 
 
 # ---------------------------------------------------------------------------

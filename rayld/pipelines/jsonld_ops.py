@@ -2,14 +2,20 @@
 (S1-S2) as distributed Ray Data stages over the transcript corpus's JSON-LD
 tool payloads.
 
-Each op runs inside map_batches with the kernel; outputs are deterministic
-summaries (counts / hashes / round-trip flags) so results are stable across
-parallelism levels and resumable runs."""
+Each op runs inside map_batches with the kernel and emits TYPED metric
+columns (counts / 0-1 flags / hashes), deterministic across parallelism
+levels. The tool-doc corpus itself is materialized once per scale to a shared
+Parquet path (tool_docs_parquet) that BOTH the Ray ops and the DuckDB oracle
+read — the oracle recomputes the expected counts structurally with DuckDB's
+JSON functions over the very same file, so the distributed kernel results are
+SQL-checkable (the driver's value-hash gate), not just rows-counted.
+"""
 
 from __future__ import annotations
 
 import hashlib
 import json
+import os
 
 import pyarrow as pa
 
@@ -34,6 +40,11 @@ _COMPACT_CTX = {
 
 _FRAME = {"@type": "http://schema.org/SearchAction"}
 
+# fixed path contract with __ray_entry__.oracle_sql(): the oracle reads
+# TOOLDOC_CURRENT/*.parquet (a symlink updated atomically per scale)
+TOOLDOC_ROOT = "/tmp/rayld_tooldocs"
+TOOLDOC_CURRENT = os.path.join(TOOLDOC_ROOT, "current")
+
 
 def n_conversations_for(sf_dir: str) -> int:
     """Deterministic conversation count scaled to the sf directory size."""
@@ -44,7 +55,7 @@ def n_conversations_for(sf_dir: str) -> int:
 
 
 def _tool_docs(sf_dir: str):
-    """Dataset of (conv_id, turn_idx, doc_json) for JSON-LD-shaped payloads."""
+    """Dataset of (conv_id, turn_idx, doc) for JSON-LD-shaped payloads."""
     ds = transcripts_dataset(n_conversations_for(sf_dir))
 
     def pick(batch: pa.Table) -> pa.Table:
@@ -75,45 +86,94 @@ def _tool_docs(sf_dir: str):
     return ds.map_batches(pick, batch_format="pyarrow")
 
 
-def _op_stage(fn):
-    """Wrap a per-doc kernel op into a vectorized batch stage."""
+def tool_docs_parquet(sf_dir: str) -> str:
+    """Materialize the tool-doc corpus for this scale as Parquet (once; the
+    write streams through Ray and is cached by conversation count), then
+    atomically point TOOLDOC_CURRENT at it. Returns the concrete directory.
+
+    This is the shared input file of the jsonld_* oracle rows: DuckDB reads
+    TOOLDOC_CURRENT/*.parquet and recomputes the expected metrics
+    structurally, so Ray op and oracle see byte-identical inputs."""
+    n = n_conversations_for(sf_dir)
+    final = os.path.join(TOOLDOC_ROOT, f"n{n}")
+    done = os.path.join(TOOLDOC_ROOT, f"n{n}.done")
+    os.makedirs(TOOLDOC_ROOT, exist_ok=True)
+    if not os.path.exists(done):
+        tmp = os.path.join(TOOLDOC_ROOT, f".tmp-n{n}-{os.getpid()}")
+        _tool_docs(sf_dir).write_parquet(tmp)
+        if os.path.exists(final):  # lost a race; keep the winner
+            import shutil
+
+            shutil.rmtree(tmp)
+        else:
+            os.rename(tmp, final)
+        with open(done, "w") as f:
+            f.write("ok")
+    tmp_link = os.path.join(TOOLDOC_ROOT, f".lnk-{os.getpid()}")
+    try:
+        os.symlink(final, tmp_link)
+        os.replace(tmp_link, TOOLDOC_CURRENT)
+    except OSError:
+        if os.path.islink(tmp_link):
+            os.unlink(tmp_link)
+    return final
+
+
+def _tool_docs_ds(sf_dir: str):
+    import ray.data as rd
+
+    return rd.read_parquet(
+        tool_docs_parquet(sf_dir), columns=["conv_id", "turn_idx", "doc"]
+    )
+
+
+def _op_stage(metric_cols: dict, fn):
+    """Wrap a per-doc kernel op into a batch stage emitting typed metric
+    columns. ``metric_cols`` maps column name -> pyarrow type; ``fn`` returns
+    a dict with those keys per document."""
 
     def stage(batch: pa.Table) -> pa.Table:
-        conv = batch["conv_id"].to_pylist()
-        turn = batch["turn_idx"].to_pylist()
         docs = batch["doc"].to_pylist()
-        out = [fn(json.loads(d)) for d in docs]
-        return pa.table(
-            {
-                "conv_id": pa.array(conv, pa.string()),
-                "turn_idx": pa.array(turn, pa.int32()),
-                "result": pa.array([json.dumps(o, sort_keys=True) for o in out], pa.string()),
-            }
-        )
+        outs = [fn(json.loads(d)) for d in docs]
+        cols = {
+            "conv_id": batch["conv_id"],
+            "turn_idx": batch["turn_idx"].cast(pa.int64()),
+        }
+        for name, typ in metric_cols.items():
+            cols[name] = pa.array([o[name] for o in outs], typ)
+        return pa.table(cols)
 
     return stage
 
 
 def op_expand(sf_dir: str):
-    """A1 Expand (JsonLdProcessor.cs:64-155) distributed per tool doc."""
-    return _tool_docs(sf_dir).map_batches(
-        _op_stage(lambda d: {"n_nodes": len(expand(d, JsonLdOptions("")))}),
+    """A1 Expand (JsonLdProcessor.cs:64-155) distributed per tool doc.
+    n_nodes = top-level node count of the expanded array (SQL oracle:
+    structural @graph length over the same parquet)."""
+    return _tool_docs_ds(sf_dir).map_batches(
+        _op_stage(
+            {"n_nodes": pa.int64()},
+            lambda d: {"n_nodes": len(expand(d, JsonLdOptions("")))},
+        ),
         batch_format="pyarrow",
     )
 
 
 def op_compact_roundtrip(sf_dir: str):
     """A2 Compact: expand -> compact with a shared context -> re-expand must
-    round-trip (deep_compare)."""
+    round-trip (deep_compare); flag as 0/1 so the invariant is a constant
+    column the SQL oracle asserts."""
 
     def fn(d):
         opts = JsonLdOptions("")
         expanded = expand(d, opts)
         compacted = compact(expanded, _COMPACT_CTX, JsonLdOptions(""))
         reexpanded = expand(compacted, JsonLdOptions(""))
-        return {"roundtrip_ok": bool(deep_compare(expanded, reexpanded))}
+        return {"roundtrip_ok": int(deep_compare(expanded, reexpanded))}
 
-    return _tool_docs(sf_dir).map_batches(_op_stage(fn), batch_format="pyarrow")
+    return _tool_docs_ds(sf_dir).map_batches(
+        _op_stage({"roundtrip_ok": pa.int64()}, fn), batch_format="pyarrow"
+    )
 
 
 def op_flatten(sf_dir: str):
@@ -123,7 +183,9 @@ def op_flatten(sf_dir: str):
         flat = flatten(d, None, JsonLdOptions(""))
         return {"n_flat_nodes": len(flat)}
 
-    return _tool_docs(sf_dir).map_batches(_op_stage(fn), batch_format="pyarrow")
+    return _tool_docs_ds(sf_dir).map_batches(
+        _op_stage({"n_flat_nodes": pa.int64()}, fn), batch_format="pyarrow"
+    )
 
 
 def op_frame(sf_dir: str):
@@ -134,22 +196,25 @@ def op_frame(sf_dir: str):
         graph = framed.get("@graph", [])
         return {"n_framed": len(graph)}
 
-    return _tool_docs(sf_dir).map_batches(_op_stage(fn), batch_format="pyarrow")
+    return _tool_docs_ds(sf_dir).map_batches(
+        _op_stage({"n_framed": pa.int64()}, fn), batch_format="pyarrow"
+    )
 
 
 def op_tordf(sf_dir: str):
-    """A5 ToRDF + S1 serialize: triple count + sha1 of canonical N-Quads."""
+    """A5 ToRDF + S1 serialize: N-Quads line count per document (the SQL
+    oracle recomputes it structurally: @graph docs emit 3 quads, @list docs
+    2*len(tags)+3, scalar docs 5 — relative-IRI mentions drop per spec)."""
 
     def fn(d):
         opts = JsonLdOptions("")
         opts.format = "application/nquads"
         nq = to_rdf(d, opts)
-        return {
-            "n_lines": nq.count("\n"),
-            "sha1": hashlib.sha1(nq.encode("utf-8")).hexdigest(),
-        }
+        return {"n_lines": nq.count("\n")}
 
-    return _tool_docs(sf_dir).map_batches(_op_stage(fn), batch_format="pyarrow")
+    return _tool_docs_ds(sf_dir).map_batches(
+        _op_stage({"n_lines": pa.int64()}, fn), batch_format="pyarrow"
+    )
 
 
 def op_fromrdf_roundtrip(sf_dir: str):
@@ -164,13 +229,19 @@ def op_fromrdf_roundtrip(sf_dir: str):
         opts2 = JsonLdOptions("")
         opts2.format = "application/nquads"
         nq2 = to_rdf(back, opts2)
-        return {"roundtrip_ok": nq == nq2, "n_lines": nq.count("\n")}
+        return {"roundtrip_ok": int(nq == nq2), "n_lines": nq.count("\n")}
 
-    return _tool_docs(sf_dir).map_batches(_op_stage(fn), batch_format="pyarrow")
+    return _tool_docs_ds(sf_dir).map_batches(
+        _op_stage({"roundtrip_ok": pa.int64(), "n_lines": pa.int64()}, fn),
+        batch_format="pyarrow",
+    )
 
 
 def op_normalize(sf_dir: str):
-    """A7 Normalize: sha1 of the canonical (URGNA2012-lineage) N-Quads."""
+    """A7 Normalize: sha1 of the canonical (URGNA2012-lineage) N-Quads —
+    content hashes are not SQL-expressible, so this op keeps the driver's
+    rows-only check; c14n correctness is covered by W3C manifest 57 and the
+    hypothesis invariance suite."""
 
     def fn(d):
         opts = JsonLdOptions("")
@@ -178,4 +249,6 @@ def op_normalize(sf_dir: str):
         canonical = normalize(d, opts)
         return {"c14n_sha1": hashlib.sha1(canonical.encode("utf-8")).hexdigest()}
 
-    return _tool_docs(sf_dir).map_batches(_op_stage(fn), batch_format="pyarrow")
+    return _tool_docs_ds(sf_dir).map_batches(
+        _op_stage({"c14n_sha1": pa.string()}, fn), batch_format="pyarrow"
+    )

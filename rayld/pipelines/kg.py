@@ -35,6 +35,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
+from ..functions.vectorized import crc32_buckets, utf16_sort_keys
 from ..kernel import JsonLdOptions
 from ..stages.docs import (
     build_conv_node,
@@ -207,11 +208,7 @@ def build_triples(transcripts_ds, gazetteer=None, link_concurrency=None,
     ds = ds.map_batches(expand_turns, batch_format="pyarrow", batch_size=None)
 
     def add_part(batch: pa.Table) -> pa.Table:
-        parts = np.fromiter(
-            (conv_bucket(c, num_partitions) for c in batch["conv_id"].to_pylist()),
-            dtype=np.int32,
-            count=batch.num_rows,
-        )
+        parts = crc32_buckets(batch["conv_id"].to_pylist(), num_partitions)
         return batch.append_column("part", pa.array(parts, pa.int32()))
 
     ds = ds.map_batches(add_part, batch_format="pyarrow", batch_size=None)
@@ -264,9 +261,22 @@ def render_nquad_lines(batch: pa.Table) -> pa.Table:
 def export_canonical_nquads(triples_ds, path: str) -> int:
     """Globally sorted .nq text export. The sort is a full shuffle (range
     partitioned); the write streams sorted blocks to one file. Returns the
-    line count."""
+    line count.
+
+    The sort key is the UTF-16-BE encoding of the line, NOT the raw string:
+    the kernel's canonical to_nquads sorts by UTF-16 code units (C# ordinal
+    order, nquads.py:148), and UTF-8/code-point order diverges from it for
+    lines mixing astral-plane and U+E000..U+FFFF characters — the computed
+    key makes the distributed export byte-identical to the kernel's canonical
+    form in that edge case too."""
+
+    def add_sort_key(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "k", utf16_sort_keys(batch["line"].to_pylist())
+        )
+
     lines = triples_ds.map_batches(render_nquad_lines, batch_format="pyarrow")
-    lines = lines.sort("line")
+    lines = lines.map_batches(add_sort_key, batch_format="pyarrow").sort("k")
     n = 0
     with open(path, "w", encoding="utf-8") as f:
         for batch in lines.iter_batches(batch_size=65536, batch_format="pyarrow"):

@@ -11,6 +11,8 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 
+from ..functions.vectorized import crc32_buckets, money_cents
+
 
 def q1_pricing(sf_dir: str):
     """TPC-H Q1-style pricing summary. Partial sums per batch -> small global
@@ -33,11 +35,9 @@ def q1_pricing(sf_dir: str):
         # half-up rounding (floor(x+0.5)) — matches the SQL oracle exactly,
         # unlike numpy's half-even round
         df = df.assign(
-            qty_c=np.floor(df["l_quantity"] * 100 + 0.5).astype("int64"),
-            base_c=np.floor(df["l_extendedprice"] * 100 + 0.5).astype("int64"),
-            disc_c=np.floor(
-                df["l_extendedprice"] * (1 - df["l_discount"]) * 100 + 0.5
-            ).astype("int64"),
+            qty_c=money_cents(df["l_quantity"]),
+            base_c=money_cents(df["l_extendedprice"]),
+            disc_c=money_cents(df["l_extendedprice"] * (1 - df["l_discount"])),
             n=1,
         )
         g = df.groupby(["l_returnflag", "l_linestatus"], as_index=False).agg(
@@ -112,7 +112,7 @@ def events_hourly(sf_dir: str):
         window = df["ts"].dt.floor("h").astype("datetime64[s]").astype("int64")
         df = df.assign(
             window_start=window,
-            value_c=np.floor(df["value"] * 100 + 0.5).astype("int64"),
+            value_c=money_cents(df["value"]),
             n=1,
         )
         g = df.groupby(["event_type", "window_start"], as_index=False).agg(
@@ -134,24 +134,35 @@ def events_hourly(sf_dir: str):
     return agg.map_batches(finish, batch_format="pandas")
 
 
-def user_sessions(sf_dir: str, gap_minutes: int = 30):
-    """Session windows per user (gap-based sessionization): the
-    streaming-shaped op expressed as groupby(user).map_groups over the
-    ts-sorted group. Output: (user_id, session_id, n_events)."""
+def user_sessions(sf_dir: str, gap_minutes: int = 30,
+                  num_partitions: int = 32):
+    """Session windows per user (gap-based sessionization). The shuffle is
+    BUCKETED: rows group on hash(user_id) % P and a pandas groupby inside the
+    task sessionizes every user of the partition — one Ray group per bucket
+    instead of one per user (the kg.py conv_id pattern; also de-skews hot
+    users across fixed-size buckets). Output: (user_id, session_id,
+    n_events)."""
+    import pyarrow as pa
     import ray.data as rd
 
     ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
 
-    def sessionize(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.sort_values("ts", kind="mergesort")
-        gaps = df["ts"].diff()
-        new_session = (gaps.isna()) | (gaps > pd.Timedelta(minutes=gap_minutes))
-        session_id = new_session.cumsum().astype("int64")
-        out = df.assign(session_id=session_id)
-        g = out.groupby(["user_id", "session_id"], as_index=False).size()
+    def add_part(batch: pa.Table) -> pa.Table:
+        parts = crc32_buckets(batch["user_id"].to_pylist(), num_partitions)
+        return batch.append_column("part", pa.array(parts, pa.int32()))
+
+    def sessionize_partition(part: pd.DataFrame) -> pd.DataFrame:
+        part = part.sort_values(["user_id", "ts"], kind="mergesort")
+        gaps = part.groupby("user_id")["ts"].diff()
+        new_session = gaps.isna() | (gaps > pd.Timedelta(minutes=gap_minutes))
+        part = part.assign(session_id=new_session.groupby(
+            part["user_id"]).cumsum().astype("int64"))
+        g = part.groupby(["user_id", "session_id"], as_index=False).size()
         return g.rename(columns={"size": "n_events"})
 
-    return ds.groupby("user_id").map_groups(sessionize, batch_format="pandas")
+    return ds.map_batches(add_part, batch_format="pyarrow").groupby(
+        "part"
+    ).map_groups(sessionize_partition, batch_format="pandas")
 
 
 def order_revenue_by_status(sf_dir: str, num_partitions: int = 16):
@@ -167,9 +178,7 @@ def order_revenue_by_status(sf_dir: str, num_partitions: int = 16):
     )
 
     def partial_rev(df: pd.DataFrame) -> pd.DataFrame:
-        rev = np.floor(
-            df["l_extendedprice"] * (1 - df["l_discount"]) * 100 + 0.5
-        ).astype("int64")
+        rev = money_cents(df["l_extendedprice"] * (1 - df["l_discount"]))
         g = df.assign(rev_c=rev).groupby("l_orderkey", as_index=False).agg(
             rev_c=("rev_c", "sum")
         )

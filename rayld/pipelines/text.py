@@ -10,6 +10,7 @@ from __future__ import annotations
 import hashlib
 import re
 
+import numpy as np
 import pandas as pd
 import pyarrow as pa
 
@@ -72,25 +73,68 @@ def doc_fingerprint(sf_dir: str):
     return documents(sf_dir).map_batches(fn, batch_format="pyarrow")
 
 
+# Rabin-Karp base: odd (so invertible mod 2^64) FNV-ish prime
+_RK_BASE = 1099511628211
+_RK_BASE_INV = pow(_RK_BASE, -1, 1 << 64)
+
+
+def _rk_window_hashes(tok_hashes: np.ndarray, window: int) -> np.ndarray:
+    """All polynomial window hashes H_i = sum_j h[i+j] * B^(w-1-j) (mod 2^64)
+    in O(n) vectorized work: prefix sums of h[k] * B^(-k) rescaled per window
+    (B odd -> invertible mod 2^64; uint64 arithmetic wraps, which IS the mod).
+    One amortized hash update per token — no per-window digesting."""
+    n = len(tok_hashes)
+    with np.errstate(over="ignore"):
+        binv = np.uint64(_RK_BASE_INV)
+        b = np.uint64(_RK_BASE)
+        # binv_pows[k] = B^-k, b_pows[k] = B^k (mod 2^64)
+        binv_pows = np.empty(n, dtype=np.uint64)
+        b_pows = np.empty(n, dtype=np.uint64)
+        binv_pows[0] = 1
+        b_pows[0] = 1
+        np.multiply.accumulate(
+            np.full(n, binv, dtype=np.uint64), out=binv_pows
+        )
+        binv_pows = np.roll(binv_pows, 1)
+        binv_pows[0] = 1
+        np.multiply.accumulate(np.full(n, b, dtype=np.uint64), out=b_pows)
+        b_pows = np.roll(b_pows, 1)
+        b_pows[0] = 1
+        scaled = tok_hashes.astype(np.uint64) * binv_pows
+        prefix = np.concatenate(
+            ([np.uint64(0)], np.add.accumulate(scaled))
+        )
+        win_sums = prefix[window:] - prefix[:-window]  # sum_{k=i}^{i+w-1} h_k B^-k
+        # H_i = win_sum_i * B^(i+w-1)
+        return win_sums * b_pows[window - 1:]
+
+
 def rolling_fingerprint(sf_dir: str, window: int = 8):
-    """Rabin-Karp rolling-hash document fingerprint: min rolling hash over
-    token windows (a shift-resistant near-dup signal; deterministic)."""
+    """Rabin-Karp rolling-hash document fingerprint: the min polynomial
+    rolling hash over token windows (a shift-resistant near-dup blocking
+    signal; deterministic). Token hashes are crc32 (one cheap digest per
+    token); window hashes are the O(n)-vectorized polynomial roll above."""
+    import zlib
+
+    token_re = re.compile(_TOKEN_RE)
+
+    def doc_fp(text: str) -> str:
+        toks = token_re.findall(text)
+        if len(toks) < window:
+            return format(
+                zlib.crc32(" ".join(toks).encode()) & 0xFFFFFFFFFFFFFFFF, "016x"
+            )
+        h = np.fromiter(
+            (zlib.crc32(t.encode()) for t in toks),
+            dtype=np.uint64, count=len(toks),
+        )
+        return format(int(_rk_window_hashes(h, window).min()), "016x")
 
     def fn(df: pd.DataFrame) -> pd.DataFrame:
-        out = []
-        for text in df["text"]:
-            toks = re.findall(_TOKEN_RE, text)
-            if len(toks) < window:
-                h = hashlib.md5(" ".join(toks).encode()).hexdigest()[:16]
-                out.append(h)
-                continue
-            best = None
-            for i in range(len(toks) - window + 1):
-                h = hashlib.md5(" ".join(toks[i:i + window]).encode()).hexdigest()[:16]
-                if best is None or h < best:
-                    best = h
-            out.append(best)
-        return pd.DataFrame({"doc_id": df["doc_id"], "rolling_fp": out})
+        return pd.DataFrame(
+            {"doc_id": df["doc_id"],
+             "rolling_fp": [doc_fp(t) for t in df["text"]]}
+        )
 
     return documents(sf_dir).map_batches(fn, batch_format="pandas")
 

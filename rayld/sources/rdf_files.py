@@ -74,26 +74,36 @@ def read_nquads(paths, dedup: bool = True):
     rows = ds.map_batches(parse, batch_format="pyarrow")
     if not dedup:
         return rows
-    import hashlib
 
     from ray.data.aggregate import Min
 
     cols = [f.name for f in RDF_ROWS_SCHEMA]
+    key_cols = [c for c in cols if c != "source"]
 
-    def add_key(batch: pa.Table) -> pa.Table:
-        d = batch.to_pydict()
-        keys = [
-            hashlib.md5(
-                "\x00".join(d[c][i] for c in cols if c != "source").encode()
-            ).hexdigest()
-            for i in range(batch.num_rows)
-        ]
-        return batch.append_column("k", pa.array(keys, pa.string()))
+    def add_scope(batch: pa.Table) -> pa.Table:
+        """Blank-node labels are DOCUMENT-scoped (the reference's ParseNQuads
+        dedup is per-document, RDFDatasetUtils.cs:686-691), so a quad touching
+        a blank node only collapses within its own file: its dedup scope is
+        the source path. Ground quads (no bnodes) dedup globally (scope '')."""
+        import pyarrow.compute as pc
 
-    agg = rows.map_batches(add_key, batch_format="pyarrow").groupby("k").aggregate(
-        *[Min(c, alias_name=c) for c in cols]
-    )
-    return agg.drop_columns(["k"])
+        bnode_subj = pc.starts_with(batch["subj"], "_:")
+        bnode_graph = pc.starts_with(batch["graph"], "_:")
+        # a literal's text may start with "_:", so gate on obj_kind
+        bnode_obj = pc.and_(
+            pc.invert(pc.equal(batch["obj_kind"], "literal")),
+            pc.starts_with(batch["obj_value"], "_:"),
+        )
+        any_bnode = pc.or_(bnode_subj, pc.or_(bnode_graph, bnode_obj))
+        scope = pc.if_else(any_bnode, batch["source"], "")
+        return batch.append_column("scope", scope)
+
+    # multi-column groupby: the quad fields (+ scope) ARE the key — no
+    # per-row hash loop; Min(source) keeps one lineage path per quad
+    agg = rows.map_batches(add_scope, batch_format="pyarrow").groupby(
+        key_cols + ["scope"]
+    ).aggregate(Min("source", alias_name="source"))
+    return agg.drop_columns(["scope"]).select_columns(cols)
 
 
 def read_turtle(paths):

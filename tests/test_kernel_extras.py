@@ -144,3 +144,62 @@ def test_use_rdf_type_option():
     raw = from_rdf(nq, opts)
     assert "@type" not in raw[0]
     assert "http://www.w3.org/1999/02/22-rdf-syntax-ns#type" in raw[0]
+
+
+def test_urllib_loader_with_stub_transport():
+    """UrllibDocumentLoader drives the HTTP-semantics rules over an injected
+    opener (no network in the sandbox): redirect then ld+json body, and a
+    Link rel=context header on plain JSON."""
+    import json
+    from email.message import Message
+
+    from rayld.kernel import JsonLdOptions, expand
+    from rayld.kernel.options import UrllibDocumentLoader
+
+    class Resp:
+        def __init__(self, status, headers, body=None):
+            self.status = status
+            self.headers = Message()
+            for k, v in headers.items():
+                self.headers[k] = v
+            self._body = body
+
+        def read(self):
+            return json.dumps(self._body).encode()
+
+    routes = {
+        "http://ex.test/doc": Resp(301, {"Location": "/doc2"}),
+        "http://ex.test/doc2": Resp(
+            200, {"Content-Type": "application/ld+json"},
+            {"@context": {"name": "http://schema.org/name"}, "name": "x"},
+        ),
+        "http://ex.test/plain": Resp(
+            200,
+            {"Content-Type": "application/json",
+             "Link": '<ctx>; rel="http://www.w3.org/ns/json-ld#context"'},
+            {"name": "y"},
+        ),
+        "http://ex.test/ctx": Resp(
+            200, {"Content-Type": "application/ld+json"},
+            {"@context": {"name": "http://schema.org/name"}},
+        ),
+    }
+
+    class Opener:
+        def open(self, req, timeout=None):
+            r = routes[req.full_url]
+            if r.status >= 400:
+                raise AssertionError("unused")
+            return r
+
+    loader = UrllibDocumentLoader(opener=Opener())
+    doc = loader.load_document("http://ex.test/doc")
+    assert doc.document_url == "http://ex.test/doc2"  # redirect followed
+    assert doc.document["name"] == "x"
+    plain = loader.load_document("http://ex.test/plain")
+    assert plain.context == {"@context": {"name": "http://schema.org/name"}}
+    # and the loaded context actually drives expansion
+    opts = JsonLdOptions("")
+    opts.document_loader = loader
+    out = expand(doc.document, opts)
+    assert out[0]["http://schema.org/name"][0]["@value"] == "x"

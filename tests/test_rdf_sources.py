@@ -29,6 +29,34 @@ def test_read_nquads_matches_kernel(ray_session, tmp_path):
     assert "en" in langs
 
 
+def test_read_nquads_bnode_quads_stay_file_scoped(ray_session, tmp_path):
+    """Label-identical blank-node quads from DIFFERENT files are distinct
+    nodes (bnode labels are document-scoped; the reference's ParseNQuads
+    dedup is per-document, RDFDatasetUtils.cs:686-691) — only ground quads
+    dedup globally."""
+    from rayld.sources.rdf_files import read_nquads
+
+    text = (
+        '<http://ex/s> <http://ex/p> "ground" .\n'
+        '_:b0 <http://ex/p> "x" .\n'
+    )
+    for i in range(2):
+        (tmp_path / f"f{i}.nq").write_text(text)
+    out = read_nquads(
+        [str(tmp_path / f"f{i}.nq") for i in range(2)]
+    ).to_pandas()
+    # 1 ground quad (global dedup) + 2 bnode quads (one per file)
+    assert len(out) == 3
+    assert (out["subj"] == "_:b0").sum() == 2
+    # a literal whose text starts with "_:" is NOT treated as a bnode
+    lit = tmp_path / "lit.nq"
+    lit.write_text('<http://ex/s> <http://ex/p> "_:b0" .\n')
+    lit2 = tmp_path / "lit2.nq"
+    lit2.write_text('<http://ex/s> <http://ex/p> "_:b0" .\n')
+    out2 = read_nquads([str(lit), str(lit2)]).to_pandas()
+    assert len(out2) == 1
+
+
 def test_read_turtle_distributed(ray_session, tmp_path):
     from rayld.sources.rdf_files import read_turtle
 
