@@ -101,7 +101,7 @@ def run_bench() -> dict:
     timed(
         "minhash_dedup",
         lambda: dedup.minhash_dedup(
-            SF_DIR, concurrency=max(2, NUM_CPUS // 4)
+            SF_DIR, concurrency=max(2, NUM_CPUS // 2)
         ).count(),
     )
     timed("ann_topk", lambda: ann.brute_force_topk(SF_DIR).count())

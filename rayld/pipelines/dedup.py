@@ -41,20 +41,25 @@ _A, _B = _hash_params()
 
 
 def _shingles(text: str, k: int = 3) -> np.ndarray:
-    toks = [t.lower() for t in _TOKEN_RE.findall(text)]
-    if len(toks) < k:
-        grams = [" ".join(toks)] if toks else [""]
-    else:
-        grams = [" ".join(toks[i:i + k]) for i in range(len(toks) - k + 1)]
-    out = np.fromiter(
-        (
-            struct.unpack("<Q", hashlib.md5(g.encode()).digest()[:8])[0]
-            & ((1 << 61) - 1)
-            for g in set(grams)
-        ),
-        dtype=np.uint64,
+    """Distinct k-token shingle hashes (61-bit). One crc32 per token plus a
+    vectorized O(n) polynomial window roll — no per-shingle digesting (10M+
+    md5 calls per 50k-doc corpus otherwise dominate the MinHash stage)."""
+    import zlib
+
+    from .text import _rk_window_hashes
+
+    toks = _TOKEN_RE.findall(text.lower())
+    if not toks:
+        return np.zeros(0, dtype=np.uint64)
+    h = np.fromiter(
+        (zlib.crc32(t.encode()) for t in toks), dtype=np.uint64,
+        count=len(toks),
     )
-    return out
+    if len(toks) < k:
+        win = _rk_window_hashes(h, len(toks))
+    else:
+        win = _rk_window_hashes(h, k)
+    return np.unique(win & np.uint64((1 << 61) - 1))
 
 
 def minhash_signature(text: str) -> np.ndarray:
@@ -118,24 +123,40 @@ class MinHasher:
         )
 
 
+_BAND_MIX = np.array(
+    [0x9E3779B97F4A7C15, 0xC2B2AE3D27D4EB4F, 0x165667B19E3779F9,
+     0x27D4EB2F165667C5],
+    dtype=np.uint64,
+)
+
+
 def _explode_bands(batch: pa.Table) -> pa.Table:
-    doc_ids = batch["doc_id"].to_pylist()
-    sigs = batch["sig"].to_pylist()
-    out_doc, out_band, out_hash = [], [], []
-    for doc_id, sig in zip(doc_ids, sigs):
-        for band in range(_N_HASHES // _BAND_SIZE):
-            chunk = sig[band * _BAND_SIZE:(band + 1) * _BAND_SIZE]
-            h = hashlib.md5(
-                struct.pack(f"<{_BAND_SIZE}q", *chunk) + struct.pack("<i", band)
-            ).hexdigest()[:16]
-            out_doc.append(doc_id)
-            out_band.append(band)
-            out_hash.append(h)
+    """(doc_id, band_id, band_hash) rows, fully vectorized: the band hash is
+    a 64-bit multiply-mix of the band's signature chunk (a rare mix collision
+    only adds a candidate pair, which Jaccard verification rejects)."""
+    n_bands = _N_HASHES // _BAND_SIZE
+    doc_ids = np.asarray(batch["doc_id"].to_pylist(), dtype=np.int64)
+    sigs = np.asarray(batch["sig"].to_pylist(), dtype=np.uint64)
+    if sigs.size == 0:
+        return pa.table(
+            {"doc_id": pa.array([], pa.int64()),
+             "band_id": pa.array([], pa.int32()),
+             "band_hash": pa.array([], pa.int64())}
+        )
+    chunks = sigs.reshape(len(doc_ids), n_bands, _BAND_SIZE)
+    with np.errstate(over="ignore"):
+        mixed = (chunks * _BAND_MIX[None, None, :]).sum(
+            axis=2, dtype=np.uint64
+        )
+        mixed ^= mixed >> np.uint64(33)
     return pa.table(
         {
-            "doc_id": pa.array(out_doc, pa.int64()),
-            "band_id": pa.array(out_band, pa.int32()),
-            "band_hash": pa.array(out_hash, pa.string()),
+            "doc_id": pa.array(np.repeat(doc_ids, n_bands), pa.int64()),
+            "band_id": pa.array(
+                np.tile(np.arange(n_bands, dtype=np.int32), len(doc_ids)),
+                pa.int32(),
+            ),
+            "band_hash": pa.array(mixed.reshape(-1).view(np.int64), pa.int64()),
         }
     )
 
@@ -153,28 +174,45 @@ def minhash_candidates(sf_dir: str, concurrency: int = 2):
     )
     bands = ds.map_batches(_explode_bands, batch_format="pyarrow")
 
-    def bucket_pairs(df: pd.DataFrame) -> pd.DataFrame:
-        ids = sorted(df["doc_id"].unique().tolist())
+    # bucket the band key: one Ray group per hash bucket (not per band value
+    # — hundreds of thousands of tiny groups otherwise pay huge per-group
+    # overhead, the CLAUDE.md rule); pairs emerge from an in-task pandas
+    # groupby over the real key
+    num_buckets = 64
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        h = np.asarray(batch["band_hash"].to_pylist(), dtype=np.int64)
+        b = np.asarray(batch["band_id"].to_pylist(), dtype=np.int64)
+        parts = (((h * 31 + b) % num_buckets) + num_buckets) % num_buckets
+        return batch.append_column(
+            "part", pa.array(parts.astype(np.int32), pa.int32())
+        )
+
+    def bucket_pairs(part_df: pd.DataFrame) -> pd.DataFrame:
         rows_a, rows_b = [], []
-        # bucket sizes are tiny (docs sharing a band hash); cap pathological
-        # buckets and log (no silent cap)
-        if len(ids) > 200:
-            print(f"[minhash] capping bucket of {len(ids)} docs at 200")
-            ids = ids[:200]
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                rows_a.append(ids[i])
-                rows_b.append(ids[j])
+        for _, df in part_df.groupby(["band_id", "band_hash"], sort=False):
+            if len(df) < 2:
+                continue
+            ids = sorted(df["doc_id"].unique().tolist())
+            # bucket sizes are tiny (docs sharing a band hash); cap
+            # pathological buckets and log (no silent cap)
+            if len(ids) > 200:
+                print(f"[minhash] capping bucket of {len(ids)} docs at 200")
+                ids = ids[:200]
+            for i in range(len(ids)):
+                for j in range(i + 1, len(ids)):
+                    rows_a.append(ids[i])
+                    rows_b.append(ids[j])
         # explicit dtypes: an empty frame would otherwise carry object/null
-        # columns that poison downstream join schema unification
+        # columns that poison downstream schema unification
         return pd.DataFrame(
             {"doc_a": pd.Series(rows_a, dtype="int64"),
              "doc_b": pd.Series(rows_b, dtype="int64")}
         )
 
-    pairs = bands.groupby(["band_id", "band_hash"]).map_groups(
-        bucket_pairs, batch_format="pandas"
-    )
+    pairs = bands.map_batches(add_bucket, batch_format="pyarrow").groupby(
+        "part"
+    ).map_groups(bucket_pairs, batch_format="pandas")
 
     # distinct pairs via a vectorized aggregate on the pair key (a pair that
     # collides in several bands shuffles once here, never per-band)
