@@ -84,6 +84,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "jsonld_normalize": jsonld_ops.op_normalize,
         # text analysis
         "token_count": text.token_count,
+        "token_frequencies": text.token_frequencies,
+        "doc_len_histogram": text.doc_len_histogram,
         "token_count_bpe": text.token_count_bpe,
         "doc_stats": text.doc_stats,
         "doc_fingerprint": text.doc_fingerprint,
@@ -93,6 +95,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_score": text.quality_score,
         # dedup family
         "dedup_exact": dedup.dedup_exact,
+        "dedup_survivor_map": dedup.dedup_survivor_map,
         "dedup_minhash": dedup.minhash_dedup,
         "dedup_clusters": dedup.dedup_clusters,
         "dedup_ngram_jaccard": dedup.ngram_jaccard_dedup,
@@ -107,6 +110,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "order_revenue_by_status": relational.order_revenue_by_status,
         "event_props_extract": relational.event_props_extract,
         "events_hourly": relational.events_hourly,
+        "events_sliding": relational.events_sliding,
         "user_sessions": relational.user_sessions,
         "supplier_account_rank": relational.supplier_account_rank,
         # multimodal plumbing
@@ -189,6 +193,27 @@ def oracle_sql() -> dict[str, str]:
         ),
         "dedup_exact": (
             "SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)"
+        ),
+        "dedup_survivor_map": (
+            "SELECT doc_id, min(doc_id) OVER (PARTITION BY md5(text))::BIGINT"
+            " AS survivor_id FROM documents"
+        ),
+        "token_frequencies": (
+            "SELECT t AS token, count(*)::BIGINT AS n FROM documents,"
+            " unnest(regexp_extract_all(text, '[A-Za-z0-9]+')) AS u(t)"
+            " GROUP BY t ORDER BY n DESC, token LIMIT 100"
+        ),
+        "doc_len_histogram": (
+            "SELECT (len(regexp_extract_all(text, '[A-Za-z0-9]+')) // 16)"
+            "::BIGINT AS bucket, count(*)::BIGINT AS n_docs"
+            " FROM documents GROUP BY 1"
+        ),
+        "events_sliding": (
+            "SELECT event_type,"
+            " (epoch(date_trunc('hour', ts))::BIGINT - 3600 * k)::BIGINT"
+            "   AS window_start,"
+            " count(*)::BIGINT AS n_events"
+            " FROM events, unnest([0, 1, 2]) AS u(k) GROUP BY 1, 2"
         ),
         "q1_pricing": (
             # sums in integer cents -> exact regardless of summation order

@@ -99,6 +99,43 @@ def dedup_exact(sf_dir: str):
     return kept.select_columns(["doc_id"])
 
 
+def dedup_survivor_map(sf_dir: str, num_partitions: int = 32):
+    """Exact-dedup REMAPPING: every doc_id -> the canonical survivor (min
+    doc_id sharing its text hash). The content-hash shuffle is bucketed
+    (hash(h) % P groups, pandas transform('min') inside the task) so the
+    remap emits one row per document without per-group Ray overhead —
+    the apply-side of dedup_exact that a training pipeline uses to rewrite
+    references to deduped documents."""
+    import zlib
+
+    def add_hash(batch: pa.Table) -> pa.Table:
+        hs = [
+            hashlib.md5(t.encode("utf-8")).hexdigest()
+            for t in batch["text"].to_pylist()
+        ]
+        parts = np.fromiter(
+            (zlib.crc32(h.encode()) % num_partitions for h in hs),
+            dtype=np.int32, count=len(hs),
+        )
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "h": pa.array(hs, pa.string()),
+                "part": pa.array(parts, pa.int32()),
+            }
+        )
+
+    def assign(df: pd.DataFrame) -> pd.DataFrame:
+        surv = df.groupby("h")["doc_id"].transform("min")
+        return pd.DataFrame(
+            {"doc_id": df["doc_id"].astype("int64"),
+             "survivor_id": surv.astype("int64")}
+        )
+
+    hashed = documents(sf_dir).map_batches(add_hash, batch_format="pyarrow")
+    return hashed.groupby("part").map_groups(assign, batch_format="pandas")
+
+
 # ---------------------------------------------------------------------------
 # MinHash + LSH near-dup
 # ---------------------------------------------------------------------------

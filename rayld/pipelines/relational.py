@@ -134,6 +134,43 @@ def events_hourly(sf_dir: str):
     return agg.map_batches(finish, batch_format="pandas")
 
 
+def events_sliding(sf_dir: str, n_windows: int = 3):
+    """SLIDING window counts (3h windows advancing hourly): each event
+    explodes into the n_windows hourly window-starts that cover it — the
+    window assignment is vectorized per batch and pre-aggregated before the
+    (event_type, window_start) groupby, so the shuffle moves partial counts,
+    not exploded events."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "ts"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        base = df["ts"].dt.floor("h").astype("datetime64[s]").astype("int64")
+        frames = [
+            pd.DataFrame(
+                {"event_type": df["event_type"],
+                 "window_start": base - 3600 * k, "n": 1}
+            )
+            for k in range(n_windows)
+        ]
+        cat = pd.concat(frames, ignore_index=True)
+        return cat.groupby(["event_type", "window_start"], as_index=False).agg(
+            n_events=("n", "sum")
+        )
+
+    partials = ds.map_batches(partial, batch_format="pandas")
+    agg = partials.groupby(["event_type", "window_start"]).aggregate(
+        Sum("n_events", alias_name="n_events")
+    )
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        df["n_events"] = df["n_events"].astype("int64")
+        return df
+
+    return agg.map_batches(finish, batch_format="pandas")
+
+
 def user_sessions(sf_dir: str, gap_minutes: int = 30,
                   num_partitions: int = 32):
     """Session windows per user (gap-based sessionization). The shuffle is

@@ -139,6 +139,42 @@ def rolling_fingerprint(sf_dir: str, window: int = 8):
     return documents(sf_dir).map_batches(fn, batch_format="pandas")
 
 
+def token_frequencies(sf_dir: str, top_n: int = 100):
+    """Corpus-level token frequency table (top_n, ties broken by token):
+    per-batch value_counts pre-aggregates BEFORE the token-key groupby, so
+    the shuffle moves one row per distinct token per block, not one per
+    occurrence; the final sort+limit runs over distinct tokens only."""
+    from ray.data.aggregate import Sum
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df["text"].str.findall(_TOKEN_RE).explode().dropna()
+        g = toks.value_counts().reset_index()
+        g.columns = ["token", "partial"]
+        return g
+
+    partials = documents(sf_dir).map_batches(partial, batch_format="pandas")
+    agg = partials.groupby("token").aggregate(Sum("partial", alias_name="n"))
+    return agg.sort(["n", "token"], descending=[True, False]).limit(top_n)
+
+
+def doc_len_histogram(sf_dir: str, bucket_size: int = 16):
+    """Document-length histogram (token-count buckets): the grouped-count
+    shape over a derived bucket key, pre-aggregated per batch."""
+    from ray.data.aggregate import Sum
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        n = df["text"].str.findall(_TOKEN_RE).str.len() // bucket_size
+        g = n.value_counts().reset_index()
+        g.columns = ["bucket", "partial"]
+        g["bucket"] = g["bucket"].astype("int64")
+        return g
+
+    partials = documents(sf_dir).map_batches(partial, batch_format="pandas")
+    return partials.groupby("bucket").aggregate(
+        Sum("partial", alias_name="n_docs")
+    )
+
+
 class LangId:
     """Stopword/CJK-heuristic language identifier — stateful stage: marker
     sets + tokenizer compiled once per actor (__init__), vectorized __call__."""
