@@ -174,16 +174,22 @@ def conv_partition_to_triples(part: pd.DataFrame) -> pa.Table:
 # ---------------------------------------------------------------------------
 
 def build_triples(transcripts_ds, gazetteer=None, link_concurrency=None,
-                  num_partitions: int = 64):
+                  num_partitions: int | None = None):
     """transcripts Dataset -> triples Dataset (lazy; nothing materializes).
 
     The conv_id shuffle is bucketed: rows get a ``part = hash(conv_id) % P``
     column and the groupby runs on ``part`` with an in-task pandas groupby
     over conv_id — P ≈ 2x total cores keeps every core busy without paying
-    Ray per-group overhead for millions of small conversations. At cluster
-    scale raise ``num_partitions`` to ~2x cluster cores."""
+    Ray per-group overhead for millions of small conversations.
+    ``num_partitions=None`` derives P from the CLUSTER's CPU count (min 64),
+    so the same code scales the shuffle on a 256-node cluster without a
+    hand-set knob."""
     import ray
 
+    if num_partitions is None:
+        num_partitions = max(
+            64, 2 * int(ray.cluster_resources().get("CPU", 8))
+        )
     if gazetteer is None:
         gazetteer = build_gazetteer()
     gazetteer_ref = ray.put(gazetteer)
