@@ -115,6 +115,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "supplier_account_rank": relational.supplier_account_rank,
         # multimodal plumbing
         "media_byte_stats": multimodal.media_byte_stats,
+        "media_resize": multimodal.media_resize,
+        "media_frame_sample": multimodal.media_frame_sample,
     }
 
 
@@ -283,5 +285,10 @@ def oracle_sql() -> dict[str, str]:
         "media_byte_stats": (
             "SELECT doc_id AS media_id, strlen(text)::BIGINT AS n_bytes"
             " FROM documents"
+        ),
+        "media_frame_sample": (
+            "SELECT doc_id AS media_id, k::BIGINT AS frame_idx"
+            " FROM documents, unnest(range(0, strlen(text) // 64 + 1, 2))"
+            " AS u(k)"
         ),
     }

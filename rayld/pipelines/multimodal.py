@@ -104,3 +104,81 @@ def media_byte_stats(sf_dir: str):
     """SQL-checkable projection of the decode stage: (media_id, n_bytes)."""
     feats = media_features(sf_dir)
     return feats.select_columns(["media_id", "n_bytes"])
+
+
+class MediaResizer:
+    """Actor-pool resize stage: computes the target geometry for a bounded
+    max dimension (aspect-preserving). The pixel resample itself is the
+    stubbed codec seam (no codecs in this container); the geometry math,
+    schema and actor plumbing are the real deployment shape."""
+
+    def __init__(self, max_dim: int = 224):
+        self.max_dim = max_dim
+        # real version: self.resampler = load_resampler()
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ws = batch["width"].to_pylist()
+        hs = batch["height"].to_pylist()
+        out_w, out_h = [], []
+        for w, h in zip(ws, hs):
+            scale = min(1.0, self.max_dim / max(w, h))
+            # half-up: int(w*scale) truncation can lose the max dim to a ulp
+            out_w.append(max(1, int(w * scale + 0.5)))
+            out_h.append(max(1, int(h * scale + 0.5)))
+        return pa.table(
+            {
+                "media_id": batch["media_id"],
+                "width": batch["width"],
+                "height": batch["height"],
+                "resized_w": pa.array(out_w, pa.int32()),
+                "resized_h": pa.array(out_h, pa.int32()),
+            }
+        )
+
+
+def media_resize(sf_dir: str, max_dim: int = 224, concurrency: int = 2,
+                 batch_size: int = 64):
+    """Decode -> resize as chained actor-pool stages over the media table."""
+    return media_features(
+        sf_dir, concurrency=concurrency, batch_size=batch_size
+    ).map_batches(
+        MediaResizer,
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+        num_cpus=1,
+        fn_constructor_kwargs={"max_dim": max_dim},
+    )
+
+
+def media_frame_sample(sf_dir: str, frame_bytes: int = 64, stride: int = 2):
+    """Video-style frame sampling layout: each payload is treated as
+    ``n_frames = n_bytes // frame_bytes + 1`` frames and every ``stride``-th
+    frame index is emitted as its own row (media_id, frame_idx) — the
+    explode-shaped output a real frame sampler produces, with the per-frame
+    decode left to the stubbed codec seam. Vectorized per batch; the row
+    count is SQL-checkable from the payload length."""
+    import numpy as np
+
+    ds = media_dataset(sf_dir)
+
+    def explode(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch["media_id"].to_pylist(), dtype=np.int64)
+        sizes = np.fromiter(
+            (len(p) for p in batch["payload"].to_pylist()),
+            dtype=np.int64, count=batch.num_rows,
+        )
+        n_frames = sizes // frame_bytes + 1
+        counts = (n_frames + stride - 1) // stride  # sampled per media
+        rep_ids = np.repeat(ids, counts)
+        # frame_idx = stride * (0..count-1) per media, flattened
+        offsets = np.repeat(np.cumsum(counts) - counts, counts)
+        frame_idx = (np.arange(counts.sum()) - offsets) * stride
+        return pa.table(
+            {
+                "media_id": pa.array(rep_ids, pa.int64()),
+                "frame_idx": pa.array(frame_idx.astype(np.int64), pa.int64()),
+            }
+        )
+
+    return ds.map_batches(explode, batch_format="pyarrow")

@@ -175,6 +175,21 @@ def test_media_features_stub(ray_session):
         MediaDecoder(raise_on_decode=True)._decode(b"x", "image/fake")
 
 
+def test_media_resize_and_frame_sample(ray_session):
+    from rayld.pipelines.multimodal import media_frame_sample, media_resize
+
+    rs = media_resize(SF, max_dim=100).to_pandas()
+    assert len(rs) == 500
+    assert (rs[["resized_w", "resized_h"]].max(axis=1) <= 100).all()
+    # aspect preserved within integer truncation
+    big = rs[rs[["width", "height"]].max(axis=1) > 100]
+    assert (big[["resized_w", "resized_h"]].max(axis=1) == 100).all()
+
+    fs = media_frame_sample(SF).to_pandas()
+    assert (fs["frame_idx"] % 2 == 0).all()  # stride-2 sampling
+    assert (fs.groupby("media_id")["frame_idx"].min() == 0).all()
+
+
 def test_user_sessions_gap_logic(ray_session):
     from rayld.pipelines.relational import user_sessions
 
