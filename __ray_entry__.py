@@ -193,6 +193,28 @@ def oracle_sql() -> dict[str, str]:
         "lang_distribution": (
             "SELECT lang, count(*)::BIGINT AS n_docs FROM documents GROUP BY lang"
         ),
+        # the composite heuristic is plain IEEE-double arithmetic in the same
+        # evaluation order on both sides; both sides round half-up via
+        # floor(x*1e6+0.5) (plain round() is half-even in numpy vs half-away
+        # in DuckDB and diverges on exact ties)
+        "quality_score": (
+            "WITH x AS ("
+            " SELECT doc_id,"
+            "  greatest(length(text), 1) AS n_chars,"
+            "  greatest(len(regexp_extract_all(text, '[A-Za-z0-9]+')), 1)"
+            "    AS n_toks,"
+            "  len(list_filter(regexp_extract_all(text, '[A-Za-z0-9]+'),"
+            "      t -> lower(t) IN ('the','and','of','to','a','in','is',"
+            "      'it','for','with'))) AS stop,"
+            "  len(regexp_extract_all(text, '[.,;:!?]')) AS n_punct"
+            " FROM documents)"
+            " SELECT doc_id,"
+            " floor((0.4 * least(n_toks / 64.0, 1.0)"
+            "     + 0.3 * (1 - least(n_punct / n_chars::DOUBLE, 1.0))"
+            "     + 0.3 * least(stop / n_toks::DOUBLE, 1.0)) * 1e6 + 0.5)"
+            "   / 1e6 AS quality"
+            " FROM x"
+        ),
         "dedup_exact": (
             "SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)"
         ),

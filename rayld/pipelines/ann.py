@@ -125,6 +125,12 @@ def ivf_build(sf_dir: str, index_dir: str, n_clusters: int = 16,
     success = os.path.join(index_dir, "_SUCCESS")
     if os.path.exists(success):
         return index_dir
+    if os.path.isdir(index_dir):
+        # partial build from an interrupted run: write_parquet into a dir
+        # with leftover files would APPEND duplicate rows — start clean
+        import shutil
+
+        shutil.rmtree(index_dir)
     os.makedirs(index_dir, exist_ok=True)
     # train on a deterministic prefix sample (small, driver-side by design:
     # centroid training needs one dense matrix; the sample is capped)

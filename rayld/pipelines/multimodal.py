@@ -91,11 +91,13 @@ class MediaDecoder:
 
 
 def media_features(sf_dir: str, concurrency: int = 2, batch_size: int = 64):
+    # autoscaling pool: fixed-size pools stacked with other stages can pin
+    # every CPU of a small session (CLAUDE.md deadlock rule)
     return media_dataset(sf_dir).map_batches(
         MediaDecoder,
         batch_format="pyarrow",
         batch_size=batch_size,
-        concurrency=concurrency,
+        concurrency=(1, max(2, concurrency)),
         num_cpus=1,
     )
 
@@ -145,7 +147,7 @@ def media_resize(sf_dir: str, max_dim: int = 224, concurrency: int = 2,
         MediaResizer,
         batch_format="pyarrow",
         batch_size=batch_size,
-        concurrency=concurrency,
+        concurrency=(1, max(2, concurrency)),
         num_cpus=1,
         fn_constructor_kwargs={"max_dim": max_dim},
     )

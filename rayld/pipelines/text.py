@@ -239,9 +239,10 @@ def quality_score(sf_dir: str):
         punct_ratio = (df["text"].str.count(_PUNCT_RE) / n_chars).clip(0, 1)
         stop_ratio = (stop / n_toks).clip(0, 1)
         len_score = (n_toks / 64).clip(0, 1)
-        score = (
-            0.4 * len_score + 0.3 * (1 - punct_ratio) + 0.3 * stop_ratio
-        ).round(6)
+        raw = 0.4 * len_score + 0.3 * (1 - punct_ratio) + 0.3 * stop_ratio
+        # half-up to 6dp (floor(x*1e6+0.5)) — .round() is half-even and
+        # diverges from the SQL oracle on exact 5e-7 ties
+        score = np.floor(raw * 1e6 + 0.5) / 1e6
         return pd.DataFrame({"doc_id": df["doc_id"], "quality": score})
 
     return documents(sf_dir).map_batches(fn, batch_format="pandas")

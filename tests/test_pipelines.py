@@ -257,6 +257,63 @@ def test_embedding_neardup_planted_pairs(ray_session, tmp_path):
     assert got <= {(0, 1), (10, 11), (20, 21)}, got
 
 
+def test_rk_window_hashes_match_modular_definition():
+    """The O(n) vectorized roll equals the per-window polynomial definition
+    H_i = sum_j h[i+j] * B^(w-1-j) mod 2^64, for random inputs/windows."""
+    from rayld.pipelines.text import _RK_BASE, _rk_window_hashes
+
+    rng = np.random.default_rng(11)
+    M = 1 << 64
+    for trial in range(5):
+        n = int(rng.integers(3, 60))
+        w = int(rng.integers(1, min(9, n + 1)))
+        h = rng.integers(0, 2**32, size=n).astype(np.uint64)
+        got = _rk_window_hashes(h, w)
+        for i in range(n - w + 1):
+            acc = 0
+            for j in range(w):
+                acc = (acc + int(h[i + j]) * pow(_RK_BASE, w - 1 - j, M)) % M
+            assert int(got[i]) == acc
+
+
+def test_connected_components_random_graph(ray_session):
+    """Label propagation matches a local union-find on a seeded random
+    graph (multiple components, chains longer than one hop)."""
+    import pyarrow as pa
+    import ray.data as rd
+    from rayld.pipelines.dedup import connected_components
+
+    rng = np.random.default_rng(5)
+    edges = set()
+    while len(edges) < 60:
+        a, b = sorted(rng.integers(0, 80, size=2).tolist())
+        if a != b:
+            edges.add((a, b))
+    edges = sorted(edges)
+
+    parent: dict = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent.get(parent[x], parent[x])
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {n: find(n) for n in parent}
+
+    pairs = rd.from_arrow(
+        pa.table({"doc_a": pa.array([a for a, _ in edges], pa.int64()),
+                  "doc_b": pa.array([b for _, b in edges], pa.int64())})
+    )
+    out = connected_components(pairs, num_partitions=4).to_pandas()
+    got = dict(zip(out["doc_id"], out["cluster_id"]))
+    assert got == want
+
+
 def test_connected_components_chain(ray_session):
     """Chain 5-6-7 plus pair 1-2 -> two components labeled by their minima."""
     import pyarrow as pa
