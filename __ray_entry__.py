@@ -86,6 +86,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_count": text.token_count,
         "token_frequencies": text.token_frequencies,
         "doc_len_histogram": text.doc_len_histogram,
+        "doc_expectations": text.doc_expectations,
         "token_count_bpe": text.token_count_bpe,
         "doc_stats": text.doc_stats,
         "doc_fingerprint": text.doc_fingerprint,
@@ -231,6 +232,15 @@ def oracle_sql() -> dict[str, str]:
             "SELECT (len(regexp_extract_all(text, '[A-Za-z0-9]+')) // 16)"
             "::BIGINT AS bucket, count(*)::BIGINT AS n_docs"
             " FROM documents GROUP BY 1"
+        ),
+        "doc_expectations": (
+            "SELECT 'n_chars_matches' AS check_name,"
+            " count(*) FILTER (WHERE n_chars != length(text))::BIGINT"
+            "   AS n_violations FROM documents"
+            " UNION ALL SELECT 'doc_id_unique',"
+            " (count(*) - count(DISTINCT doc_id))::BIGINT FROM documents"
+            " UNION ALL SELECT 'text_nonempty',"
+            " count(*) FILTER (WHERE length(text) = 0)::BIGINT FROM documents"
         ),
         "events_sliding": (
             "SELECT event_type,"

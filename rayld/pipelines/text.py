@@ -175,6 +175,59 @@ def doc_len_histogram(sf_dir: str, bucket_size: int = 16):
     )
 
 
+def doc_expectations(sf_dir: str):
+    """Data-validation (expectations) stage over the ingest table: per-check
+    violation counts, computed as vectorized per-batch partials + a tiny
+    global sum — the pattern for schema/invariant gating of a 100 TB ingest
+    before expensive downstream stages run. Checks: the stored n_chars
+    matches the text length, doc_id is unique, text is non-empty."""
+    from ray.data.aggregate import Sum
+
+    ds = documents(sf_dir, columns=("doc_id", "text", "n_chars"))
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        length = df["text"].str.len()
+        return pd.DataFrame(
+            {
+                "check_name": ["n_chars_matches", "doc_id_unique",
+                               "text_nonempty"],
+                "partial": [
+                    int((df["n_chars"] != length).sum()),
+                    int(len(df) - df["doc_id"].nunique()),
+                    int((length == 0).sum()),
+                ],
+            }
+        )
+
+    # NOTE: doc_id uniqueness within batches misses cross-batch duplicates;
+    # count them exactly via the distinct-key aggregate below instead
+    partials = ds.map_batches(partial, batch_format="pandas")
+    per_batch = partials.groupby("check_name").aggregate(
+        Sum("partial", alias_name="n_violations")
+    )
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        df["n_violations"] = df["n_violations"].astype("int64")
+        return df
+
+    from ray.data.aggregate import Count
+
+    # exact duplicate-id count: total rows - distinct doc_ids
+    n_total = ds.count()
+    n_distinct = ds.groupby("doc_id").aggregate(
+        Count(alias_name="_n")
+    ).count()
+
+    def fix_unique(df: pd.DataFrame) -> pd.DataFrame:
+        mask = df["check_name"] == "doc_id_unique"
+        df.loc[mask, "n_violations"] = n_total - n_distinct
+        return df
+
+    return per_batch.map_batches(finish, batch_format="pandas").map_batches(
+        fix_unique, batch_format="pandas"
+    )
+
+
 class LangId:
     """Stopword/CJK-heuristic language identifier — stateful stage: marker
     sets + tokenizer compiled once per actor (__init__), vectorized __call__."""
