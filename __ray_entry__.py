@@ -105,6 +105,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # similarity search
         "ann_topk": ann.brute_force_topk,
         "ann_ivf_topk": ann.ivf_topk,
+        "label_centroids": ann.label_centroids,
         # relational / windowed
         "q1_pricing": relational.q1_pricing,
         "customer_nation_count": relational.customer_nation_count,
@@ -317,6 +318,15 @@ def oracle_sql() -> dict[str, str]:
         "media_byte_stats": (
             "SELECT doc_id AS media_id, strlen(text)::BIGINT AS n_bytes"
             " FROM documents"
+        ),
+        # float means rounded half-up to 6dp on both sides; partial float64
+        # sums agree with DuckDB's within ~1e-15, far inside the rounding
+        "label_centroids": (
+            "SELECT label::BIGINT AS label, u.d::BIGINT AS dim,"
+            " floor((sum(embedding[u.d + 1]::DOUBLE) / count(*)) * 1e6 + 0.5)"
+            "   / 1e6 AS mean_val"
+            " FROM embeddings, unnest(range(0, 64)) AS u(d)"
+            " GROUP BY 1, 2"
         ),
         "media_frame_sample": (
             "SELECT doc_id AS media_id, k::BIGINT AS frame_idx"

@@ -248,3 +248,58 @@ def ivf_topk(sf_dir: str, k: int = 10, query_ids=(0, 1, 2, 3),
         return df.head(k)[["query_id", "vec_id"]]
 
     return partials.groupby("query_id").map_groups(merge, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# Per-label centroids (distributed vector aggregate)
+# ---------------------------------------------------------------------------
+
+def label_centroids(sf_dir: str, dim: int = 64):
+    """Per-label mean embedding as a distributed VECTOR aggregate: each batch
+    reduces to (label, dim, partial_sum, partial_n) rows (10 labels x 64 dims
+    regardless of batch size), a tiny (label, dim) groupby sums the partials,
+    and the mean is finished with half-up 6dp rounding so the float matches
+    the SQL oracle bit-for-bit. The classic pre-aggregate-before-shuffle
+    shape for training-set class prototypes / cluster seeding."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["label", "embedding"]
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        labels = np.asarray(batch["label"].to_pylist(), dtype=np.int64)
+        mat = np.asarray(batch["embedding"].to_pylist(), dtype=np.float64)
+        out_label, out_dim, out_s, out_n = [], [], [], []
+        for lab in np.unique(labels):
+            sel = mat[labels == lab]
+            out_label.extend([int(lab)] * dim)
+            out_dim.extend(range(dim))
+            out_s.extend(sel.sum(axis=0).tolist())
+            out_n.extend([len(sel)] * dim)
+        return pa.table(
+            {
+                "label": pa.array(out_label, pa.int64()),
+                "dim": pa.array(out_dim, pa.int64()),
+                "s": pa.array(out_s, pa.float64()),
+                "n": pa.array(out_n, pa.int64()),
+            }
+        )
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    agg = partials.groupby(["label", "dim"]).aggregate(
+        Sum("s", alias_name="s"), Sum("n", alias_name="n")
+    )
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        mean = df["s"] / df["n"]
+        return pd.DataFrame(
+            {
+                "label": df["label"].astype("int64"),
+                "dim": df["dim"].astype("int64"),
+                "mean_val": np.floor(mean * 1e6 + 0.5) / 1e6,
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pandas")
