@@ -106,6 +106,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk": ann.brute_force_topk,
         "ann_ivf_topk": ann.ivf_topk,
         "label_centroids": ann.label_centroids,
+        "knn_label_vote": ann.knn_label_vote,
         # relational / windowed
         "q1_pricing": relational.q1_pricing,
         "customer_nation_count": relational.customer_nation_count,
@@ -318,6 +319,20 @@ def oracle_sql() -> dict[str, str]:
         "media_byte_stats": (
             "SELECT doc_id AS media_id, strlen(text)::BIGINT AS n_bytes"
             " FROM documents"
+        ),
+        "knn_label_vote": (
+            "WITH nn AS ("
+            " SELECT q.vec_id AS query_id, e.label"
+            " FROM embeddings q, embeddings e"
+            " WHERE q.vec_id IN (0, 1, 2, 3)"
+            " QUALIFY row_number() OVER (PARTITION BY q.vec_id"
+            "   ORDER BY list_cosine_similarity(q.embedding, e.embedding)"
+            "   DESC, e.vec_id) <= 10"
+            "), votes AS ("
+            " SELECT query_id, label, count(*) AS n FROM nn GROUP BY 1, 2"
+            " QUALIFY rank() OVER (PARTITION BY query_id ORDER BY n DESC) = 1"
+            ") SELECT query_id, min(label)::BIGINT AS knn_label"
+            " FROM votes GROUP BY 1"
         ),
         # float means rounded half-up to 6dp on both sides; partial float64
         # sums agree with DuckDB's within ~1e-15, far inside the rounding

@@ -303,3 +303,32 @@ def label_centroids(sf_dir: str, dim: int = 64):
         )
 
     return agg.map_batches(finish, batch_format="pandas")
+
+
+def knn_label_vote(sf_dir: str, k: int = 10, query_ids=(0, 1, 2, 3)):
+    """kNN classification vote: majority label of each query's k nearest
+    neighbors (ties -> min label). The neighbor search is the distributed
+    brute-force top-k; the vote runs over the tiny (n_queries x k) result —
+    labels for just those ids come from a pruned filtered read, never the
+    full label column."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    top = brute_force_topk(sf_dir, k=k, query_ids=query_ids).to_pandas()
+    ids = sorted(set(top["vec_id"].tolist()))
+    lab_tbl = pq.read_table(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "label"],
+        filters=[("vec_id", "in", ids)],
+    )
+    lab = dict(zip(lab_tbl["vec_id"].to_pylist(), lab_tbl["label"].to_pylist()))
+    top["label"] = top["vec_id"].map(lab)
+    votes = top.groupby(["query_id", "label"], as_index=False).size()
+    votes = votes.sort_values(
+        ["query_id", "size", "label"], ascending=[True, False, True],
+        kind="mergesort",
+    )
+    best = votes.groupby("query_id", as_index=False).first()
+    return pd.DataFrame(
+        {"query_id": best["query_id"].astype("int64"),
+         "knn_label": best["label"].astype("int64")}
+    )
