@@ -84,7 +84,9 @@ def jaccard(text_a: str, text_b: str) -> float:
 
 def dedup_exact(sf_dir: str):
     """Hash-partition + per-group first: one surviving doc_id per distinct
-    text. Shuffle key = md5(text)."""
+    text. Shuffle key = md5(text) — md5 stays (one digest per DOCUMENT, i.e.
+    proportional to I/O, unlike the per-shingle loops that were vectorized
+    away) because the SQL oracle pins the exact same md5(text) key."""
     from ray.data.aggregate import Min
 
     def add_hash(batch: pa.Table) -> pa.Table:
