@@ -472,7 +472,13 @@ class _TurtleWriter:
                     refs.pop(next_, None)
                     if preds is None:
                         break
-        # nest single-reference bnodes
+        # nest single-reference bnodes; multiply-referenced bnodes must keep
+        # their LABEL at top level (an anonymous [ ] form would sever the
+        # other references — like the escaping fix above, we deviate from the
+        # reference writer to emit valid, identity-preserving Turtle)
+        self._labeled_bnodes = {
+            id_ for id_, r in refs.items() if len(r) > 1
+        }
         for id_ in list(refs.keys()):
             if len(refs[id_]) > 1:
                 continue
@@ -564,7 +570,12 @@ class _TurtleWriter:
             subjval = ttl[subject]
             has_open_bnode_bracket = False
             if subject.startswith("_:"):
-                if _COLS_KEY not in subjval:
+                if not is_object and subject in getattr(
+                    self, "_labeled_bnodes", ()
+                ):
+                    rval += subject + " "
+                    line_length += len(subject) + 1
+                elif _COLS_KEY not in subjval:
                     rval += "[ "
                     line_length += 2
                     has_open_bnode_bracket = True

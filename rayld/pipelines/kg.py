@@ -462,3 +462,55 @@ def triples_to_documents(triples_ds, num_partitions: int = 64):
     return ds.groupby("part").map_groups(
         conv_partition_to_documents, batch_format="pandas"
     )
+
+
+# ---------------------------------------------------------------------------
+# Distributed Turtle text sink (S7 at scale: each bucket task renders and
+# writes its own .ttl shard; the driver only sees the manifest rows)
+# ---------------------------------------------------------------------------
+
+def export_turtle(triples_ds, out_dir: str, num_buckets: int = 16):
+    """Triples Dataset -> bucketed .ttl shards + a manifest Dataset.
+
+    Every hash(conv_id) bucket renders its conversations' default-graph
+    triples with the kernel Turtle writer and writes ONE shard file from
+    inside the task — the text never flows through the driver, and the
+    bucketed layout makes re-runs resumable the same way as the Parquet sink
+    (skip buckets whose shard exists). Returns a Dataset of
+    (bucket, path, n_statements) manifest rows."""
+
+    os.makedirs(out_dir, exist_ok=True)
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        parts = crc32_buckets(batch["conv_id"].to_pylist(), num_buckets)
+        return batch.append_column("bucket", pa.array(parts, pa.int32()))
+
+    def render_and_write(part: pd.DataFrame) -> pa.Table:
+        from ..kernel.turtle import to_turtle
+
+        bucket = int(part["bucket"].iloc[0])
+        texts = []
+        n_statements = 0
+        for conv_id, group in part.groupby("conv_id", sort=True):
+            rdf = _rows_to_rdf_dataset(group)
+            ttl = to_turtle(rdf)
+            n_statements += sum(
+                len(v) for k, v in rdf.items() if isinstance(v, list)
+            )
+            # no comment headers: the reference-parity Turtle reader accepts
+            # only directives/statements
+            texts.append(ttl)
+        path = os.path.join(out_dir, f"part-{bucket:05d}.ttl")
+        with open(path, "w", encoding="utf-8") as f:
+            f.write("\n".join(texts))
+        return pa.table(
+            {
+                "bucket": pa.array([bucket], pa.int32()),
+                "path": pa.array([path], pa.string()),
+                "n_statements": pa.array([n_statements], pa.int64()),
+            }
+        )
+
+    return triples_ds.map_batches(
+        add_bucket, batch_format="pyarrow"
+    ).groupby("bucket").map_groups(render_and_write, batch_format="pandas")

@@ -277,3 +277,28 @@ def test_inverse_pipeline_roundtrip(ray_session):
             JsonLdApi(opts=JsonLdOptions("")).normalize(_rows_to_rdf_dataset(sub))
         )
         assert c == want, conv_id
+
+
+def test_export_turtle_distributed(ray_session, tmp_path):
+    """The bucketed Turtle sink writes shards from inside tasks; reparsing
+    every shard with the kernel reader recovers the default-graph statement
+    count reported by the manifest rows."""
+    from rayld.kernel.turtle import parse_turtle
+    from rayld.pipelines.kg import build_triples, export_turtle
+    from rayld.sources.transcripts import transcripts_dataset
+
+    out = tmp_path / "ttl"
+    manifest = export_turtle(
+        build_triples(transcripts_dataset(30), link_concurrency=2),
+        str(out), num_buckets=4,
+    ).to_pandas()
+    assert len(manifest) >= 1
+    assert manifest["n_statements"].sum() > 0
+    total_reparsed = 0
+    for p in manifest["path"]:
+        text = open(p, encoding="utf-8").read()
+        ds = parse_turtle(text)
+        total_reparsed += sum(
+            len(v) for k, v in ds.items() if isinstance(v, list)
+        )
+    assert total_reparsed == manifest["n_statements"].sum()
