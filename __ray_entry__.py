@@ -87,6 +87,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_frequencies": text.token_frequencies,
         "doc_len_histogram": text.doc_len_histogram,
         "doc_expectations": text.doc_expectations,
+        "corpus_summary": text.corpus_summary,
         "token_count_bpe": text.token_count_bpe,
         "doc_stats": text.doc_stats,
         "doc_fingerprint": text.doc_fingerprint,
@@ -234,6 +235,14 @@ def oracle_sql() -> dict[str, str]:
             "SELECT (len(regexp_extract_all(text, '[A-Za-z0-9]+')) // 16)"
             "::BIGINT AS bucket, count(*)::BIGINT AS n_docs"
             " FROM documents GROUP BY 1"
+        ),
+        "corpus_summary": (
+            "SELECT count(*)::BIGINT AS n_docs,"
+            " count(DISTINCT md5(text))::BIGINT AS n_distinct_texts,"
+            " sum(len(regexp_extract_all(text, '[A-Za-z0-9]+')))::BIGINT"
+            "   AS total_tokens,"
+            " count(DISTINCT lang)::BIGINT AS n_langs"
+            " FROM documents"
         ),
         "doc_expectations": (
             "SELECT 'n_chars_matches' AS check_name,"

@@ -321,3 +321,46 @@ def token_count_bpe(sf_dir: str):
         )
 
     return documents(sf_dir).map_batches(fn, batch_format="pandas")
+
+
+def corpus_summary(sf_dir: str):
+    """One-row corpus overview (docs, distinct texts, total tokens, distinct
+    languages): sums stream as per-batch partials; the distinct counts are
+    count-rows-of-groupby aggregates (never a driver-side set)."""
+    from ray.data.aggregate import Count
+
+    ds = documents(sf_dir, columns=("doc_id", "text", "lang"))
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "n_docs": [len(df)],
+                "total_tokens": [
+                    int(df["text"].str.findall(_TOKEN_RE).str.len().sum())
+                ],
+            }
+        )
+
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+
+    def add_hash(batch: pa.Table) -> pa.Table:
+        hs = [
+            hashlib.md5(t.encode("utf-8")).hexdigest()
+            for t in batch["text"].to_pylist()
+        ]
+        return pa.table({"h": pa.array(hs, pa.string())})
+
+    n_distinct_texts = ds.map_batches(
+        add_hash, batch_format="pyarrow"
+    ).groupby("h").aggregate(Count(alias_name="_n")).count()
+    n_langs = ds.select_columns(["lang"]).groupby("lang").aggregate(
+        Count(alias_name="_n")
+    ).count()
+    return pd.DataFrame(
+        {
+            "n_docs": [int(parts["n_docs"].sum())],
+            "n_distinct_texts": [int(n_distinct_texts)],
+            "total_tokens": [int(parts["total_tokens"].sum())],
+            "n_langs": [int(n_langs)],
+        }
+    )
