@@ -448,10 +448,24 @@ class _TurtleWriter:
                     if o.startswith("_:"):
                         refs.setdefault(o, []).append(this_predicate)
                     this_predicate.append(o)
+        # multiply-referenced bnodes must keep their LABEL (see below); a
+        # first/rest chain that starts at — or runs through — such a node
+        # cannot be collapsed into a "( ... )" collection without severing
+        # the other references, so those chains keep explicit
+        # rdf:first/rdf:rest triples instead.  Computed BEFORE the collapse
+        # walk (the walk only removes or swaps refs entries, never changes
+        # reference multiplicity).
+        self._labeled_bnodes = {
+            id_ for id_, r in refs.items() if len(r) > 1
+        }
         collections: dict = {}
         for subj in list(ttl.keys()):
             preds = ttl.get(subj)
             if preds is not None and consts.RDF_FIRST in preds:
+                if subj in self._labeled_bnodes or not self._chain_collapsible(
+                    subj, ttl, collections
+                ):
+                    continue
                 col: list = []
                 collections[subj] = col
                 while True:
@@ -476,9 +490,6 @@ class _TurtleWriter:
         # their LABEL at top level (an anonymous [ ] form would sever the
         # other references — like the escaping fix above, we deviate from the
         # reference writer to emit valid, identity-preserving Turtle)
-        self._labeled_bnodes = {
-            id_ for id_, r in refs.items() if len(r) > 1
-        }
         for id_ in list(refs.keys()):
             if len(refs[id_]) > 1:
                 continue
@@ -502,6 +513,35 @@ class _TurtleWriter:
             name = self.available_namespaces[prefix]
             prefixes += f"@prefix {name}: <{prefix}> .\n"
         return ("" if prefixes == "" else prefixes + "\n") + output
+
+    def _chain_collapsible(self, subj: str, ttl: dict, collections: dict) -> bool:
+        """Read-only pre-walk mirroring the collapse loop's transitions.
+
+        Returns False when the chain reaches a multiply-referenced (labeled)
+        node, lacks a well-formed rdf:rest link, or cycles — those chains
+        stay as explicit rdf:first/rdf:rest triples.
+        """
+        preds = ttl[subj]
+        visited = {subj}
+        while True:
+            rest = preds.get(consts.RDF_REST)
+            if not rest:
+                return False
+            next_ = rest[0]
+            if next_ == consts.RDF_NIL:
+                return True
+            if next_ in self._labeled_bnodes:
+                return False
+            if next_ in collections:
+                return True  # merging into an already-validated chain
+            if next_ in visited:
+                return False  # cyclic rest chain
+            visited.add(next_)
+            preds = ttl.get(next_)
+            if preds is None:
+                return True  # consumed/absent -> collapse walk stops there
+            if consts.RDF_FIRST not in preds:
+                return False
 
     def _get_uri(self, uri: str) -> str:
         if uri.startswith("_:"):

@@ -101,7 +101,7 @@ def dedup_exact(sf_dir: str):
     return kept.select_columns(["doc_id"])
 
 
-def dedup_survivor_map(sf_dir: str, num_partitions: int = 32):
+def dedup_survivor_map(sf_dir: str, num_partitions: int | None = None):
     """Exact-dedup REMAPPING: every doc_id -> the canonical survivor (min
     doc_id sharing its text hash). The content-hash shuffle is bucketed
     (hash(h) % P groups, pandas transform('min') inside the task) so the
@@ -109,6 +109,11 @@ def dedup_survivor_map(sf_dir: str, num_partitions: int = 32):
     the apply-side of dedup_exact that a training pipeline uses to rewrite
     references to deduped documents."""
     import zlib
+
+    from .common import cluster_partitions
+
+    if num_partitions is None:
+        num_partitions = cluster_partitions()
 
     def add_hash(batch: pa.Table) -> pa.Table:
         hs = [
@@ -286,7 +291,7 @@ def _bucketed_hash_join(left_ds, right_ds, key: str, num_partitions: int,
 
 
 def minhash_dedup(sf_dir: str, threshold: float = 0.5, concurrency: int = 2,
-                  num_partitions: int = 8):
+                  num_partitions: int | None = None):
     """LSH candidates verified by true n-gram Jaccard >= threshold.
 
     Fully distributed verification in TWO bucketed shuffles — no .to_pandas()
@@ -304,6 +309,10 @@ def minhash_dedup(sf_dir: str, threshold: float = 0.5, concurrency: int = 2,
     than the corpus) is materialized to the OBJECT STORE as a pipeline
     breaker: one streaming execution containing the candidate shuffles AND
     the verification shuffles starves itself of CPUs in small sessions."""
+    from .common import cluster_partitions
+
+    if num_partitions is None:
+        num_partitions = cluster_partitions()
     cands = minhash_candidates(sf_dir, concurrency=concurrency).materialize()
     docs = documents(sf_dir)
 
@@ -523,7 +532,7 @@ def embedding_neardup(sf_dir: str, threshold: float = 0.95, n_tables: int = 4,
 # Near-dup clusters (connected components over verified pairs)
 # ---------------------------------------------------------------------------
 
-def connected_components(pairs_ds, num_partitions: int = 8,
+def connected_components(pairs_ds, num_partitions: int | None = None,
                          max_iters: int = 50):
     """Distributed connected components by min-label propagation over an
     undirected edge Dataset (doc_a, doc_b) -> (doc_id, cluster_id) with
@@ -540,6 +549,12 @@ def connected_components(pairs_ds, num_partitions: int = 8,
     non-increasing, so an unchanged sum is a fixpoint). The per-round label
     table (one row per non-singleton doc — far smaller than the corpus) is
     materialized to cut lineage growth across iterations."""
+    from .common import cluster_partitions
+
+    if num_partitions is None:
+        # lower floor than the one-shot shuffles: the per-round task count is
+        # P x rounds, so a small session should not pay 64 groups per round
+        num_partitions = cluster_partitions(minimum=8)
 
     def symmetrize(batch: pa.Table) -> pa.Table:
         a = batch["doc_a"].cast(pa.int64())
@@ -721,31 +736,49 @@ def dedup_clusters(sf_dir: str, threshold: float = 0.5, concurrency: int = 2):
 # n-gram Jaccard dedup (rolling-fingerprint blocking)
 # ---------------------------------------------------------------------------
 
-def ngram_jaccard_dedup(sf_dir: str, threshold: float = 0.5, window: int = 8):
+def ngram_jaccard_dedup(sf_dir: str, threshold: float = 0.5, window: int = 8,
+                        num_partitions: int | None = None):
     """Near-dup pairs via true n-gram Jaccard, blocked by the min rolling-hash
-    fingerprint (shift-resistant): docs sharing a fingerprint bucket are
-    compared pairwise. A distinct blocking strategy from MinHash banding —
-    one shuffle on the fingerprint, pairwise verification inside buckets.
-    Output: (doc_a, doc_b) with doc_a < doc_b."""
-    from .text import rolling_fingerprint
+    fingerprint (shift-resistant): docs sharing a fingerprint are compared
+    pairwise. A distinct blocking strategy from MinHash banding.
+    Output: (doc_a, doc_b) with doc_a < doc_b.
 
-    fps = rolling_fingerprint(sf_dir, window=window)
-    texts_ds = documents(sf_dir)
+    The fingerprint is a pure per-document function, so it is computed
+    ALONGSIDE the text in one map stage (no doc_id join), and the blocking
+    shuffle is BUCKETED: fingerprints are near-unique, so grouping on the raw
+    key would make one Ray group per document at scale — instead rows carry
+    ``part = crc32(rolling_fp) % P`` (P cluster-derived), the groupby runs on
+    ``part``, and an in-task pandas groupby recovers the real fingerprint
+    buckets."""
+    import zlib
 
-    # join fingerprints back to text via the doc_id (both tiny projections);
-    # bucket on the fingerprint and verify inside the bucket
-    import ray.data as rd
+    from .common import cluster_partitions
+    from .text import _doc_rolling_fp
 
-    joined = fps.join(
-        texts_ds, join_type="inner", num_partitions=8, on=("doc_id",)
-    )
+    if num_partitions is None:
+        num_partitions = cluster_partitions()
 
-    def bucket_pairs(df: pd.DataFrame) -> pd.DataFrame:
+    def fp_and_bucket(df: pd.DataFrame) -> pa.Table:
+        fps = [_doc_rolling_fp(t, window) for t in df["text"]]
+        parts = np.fromiter(
+            (zlib.crc32(f.encode()) % num_partitions for f in fps),
+            dtype=np.int32, count=len(fps),
+        )
+        return pa.table(
+            {
+                "doc_id": pa.array(df["doc_id"].astype("int64"), pa.int64()),
+                "rolling_fp": pa.array(fps, pa.string()),
+                "text": pa.array(df["text"], pa.string()),
+                "part": pa.array(parts, pa.int32()),
+            }
+        )
+
+    def bucket_pairs(df: pd.DataFrame) -> pa.Table:
         rows_a, rows_b = [], []
-        if len(df) > 1:
-            recs = sorted(
-                zip(df["doc_id"].tolist(), df["text"].tolist())
-            )
+        for _, grp in df.groupby("rolling_fp", sort=False):
+            if len(grp) <= 1:
+                continue
+            recs = sorted(zip(grp["doc_id"].tolist(), grp["text"].tolist()))
             if len(recs) > 200:
                 print(f"[ngram_jaccard] capping bucket of {len(recs)} at 200")
                 recs = recs[:200]
@@ -754,11 +787,11 @@ def ngram_jaccard_dedup(sf_dir: str, threshold: float = 0.5, window: int = 8):
                     if jaccard(recs[i][1], recs[j][1]) >= threshold:
                         rows_a.append(recs[i][0])
                         rows_b.append(recs[j][0])
-        return pd.DataFrame(
-            {"doc_a": pd.Series(rows_a, dtype="int64"),
-             "doc_b": pd.Series(rows_b, dtype="int64")}
+        return pa.table(
+            {"doc_a": pa.array(rows_a, pa.int64()),
+             "doc_b": pa.array(rows_b, pa.int64())}
         )
 
-    return joined.groupby("rolling_fp").map_groups(
-        bucket_pairs, batch_format="pandas"
-    )
+    return documents(sf_dir).map_batches(
+        fp_and_bucket, batch_format="pandas"
+    ).groupby("part").map_groups(bucket_pairs, batch_format="pandas")

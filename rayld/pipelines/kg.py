@@ -448,10 +448,14 @@ def conv_partition_to_documents(part: pd.DataFrame) -> pa.Table:
     )
 
 
-def triples_to_documents(triples_ds, num_partitions: int = 64):
+def triples_to_documents(triples_ds, num_partitions: int | None = None):
     """Inverse of build_triples: the triples table back to one expanded
     JSON-LD document per conversation — fromRDF distributed over the same
     conv_id hash bucketing as the forward path."""
+    from .common import cluster_partitions
+
+    if num_partitions is None:
+        num_partitions = cluster_partitions()
 
     def add_part(batch: pa.Table) -> pa.Table:
         parts = [conv_bucket(c, num_partitions) for c in batch["conv_id"].to_pylist()]

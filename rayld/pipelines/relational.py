@@ -172,7 +172,7 @@ def events_sliding(sf_dir: str, n_windows: int = 3):
 
 
 def user_sessions(sf_dir: str, gap_minutes: int = 30,
-                  num_partitions: int = 32):
+                  num_partitions: int | None = None):
     """Session windows per user (gap-based sessionization). The shuffle is
     BUCKETED: rows group on hash(user_id) % P and a pandas groupby inside the
     task sessionizes every user of the partition — one Ray group per bucket
@@ -182,6 +182,10 @@ def user_sessions(sf_dir: str, gap_minutes: int = 30,
     import pyarrow as pa
     import ray.data as rd
 
+    from .common import cluster_partitions
+
+    if num_partitions is None:
+        num_partitions = cluster_partitions()
     ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
 
     def add_part(batch: pa.Table) -> pa.Table:
@@ -202,13 +206,19 @@ def user_sessions(sf_dir: str, gap_minutes: int = 30,
     ).map_groups(sessionize_partition, batch_format="pandas")
 
 
-def order_revenue_by_status(sf_dir: str, num_partitions: int = 16):
+def order_revenue_by_status(sf_dir: str, num_partitions: int | None = None):
     """Large-large hash join: lineitem x orders on orderkey via Dataset.join
     (hash-partitioned on the key), then a tiny grouped sum. Revenue in
     integer cents for exact oracle compare."""
     import ray.data as rd
     from ray.data.aggregate import Sum
 
+    import ray
+
+    if num_partitions is None:
+        # Dataset.join spawns num_partitions fixed aggregator actors; size to
+        # the core count (not 2x) so a small session is not oversubscribed
+        num_partitions = max(4, int(ray.cluster_resources().get("CPU", 8)))
     lineitem = rd.read_parquet(
         f"{sf_dir}/lineitem.parquet",
         columns=["l_orderkey", "l_extendedprice", "l_discount"],

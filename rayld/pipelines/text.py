@@ -109,31 +109,37 @@ def _rk_window_hashes(tok_hashes: np.ndarray, window: int) -> np.ndarray:
         return win_sums * b_pows[window - 1:]
 
 
+_FP_TOKEN_RE = re.compile(_TOKEN_RE)
+
+
+def _doc_rolling_fp(text: str, window: int) -> str:
+    """Min Rabin-Karp rolling hash over token windows, as a 16-hex string.
+    Token hashes are crc32 (one cheap digest per token); window hashes are
+    the O(n)-vectorized polynomial roll above. Shared by the fingerprint
+    query and the n-gram-Jaccard blocking stage."""
+    import zlib
+
+    toks = _FP_TOKEN_RE.findall(text)
+    if len(toks) < window:
+        return format(
+            zlib.crc32(" ".join(toks).encode()) & 0xFFFFFFFFFFFFFFFF, "016x"
+        )
+    h = np.fromiter(
+        (zlib.crc32(t.encode()) for t in toks),
+        dtype=np.uint64, count=len(toks),
+    )
+    return format(int(_rk_window_hashes(h, window).min()), "016x")
+
+
 def rolling_fingerprint(sf_dir: str, window: int = 8):
     """Rabin-Karp rolling-hash document fingerprint: the min polynomial
     rolling hash over token windows (a shift-resistant near-dup blocking
-    signal; deterministic). Token hashes are crc32 (one cheap digest per
-    token); window hashes are the O(n)-vectorized polynomial roll above."""
-    import zlib
-
-    token_re = re.compile(_TOKEN_RE)
-
-    def doc_fp(text: str) -> str:
-        toks = token_re.findall(text)
-        if len(toks) < window:
-            return format(
-                zlib.crc32(" ".join(toks).encode()) & 0xFFFFFFFFFFFFFFFF, "016x"
-            )
-        h = np.fromiter(
-            (zlib.crc32(t.encode()) for t in toks),
-            dtype=np.uint64, count=len(toks),
-        )
-        return format(int(_rk_window_hashes(h, window).min()), "016x")
+    signal; deterministic)."""
 
     def fn(df: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame(
             {"doc_id": df["doc_id"],
-             "rolling_fp": [doc_fp(t) for t in df["text"]]}
+             "rolling_fp": [_doc_rolling_fp(t, window) for t in df["text"]]}
         )
 
     return documents(sf_dir).map_batches(fn, batch_format="pandas")

@@ -347,3 +347,30 @@ def test_ngram_jaccard_dedup(ray_session, tmp_path):
     got = set(zip(out["doc_a"], out["doc_b"]))
     assert (0, 1) in got
     assert all(2 not in p for p in got)
+
+
+def test_ngram_jaccard_bucketed_stress(ray_session, tmp_path):
+    """Thousands of near-unique fingerprints collapse into <= P Ray groups
+    (the blocking shuffle groups on ``part``, never on the raw fingerprint),
+    and the bucket count never changes the result set."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from rayld.pipelines.dedup import ngram_jaccard_dedup
+
+    n = 1500
+    texts = [" ".join(f"t{i}x{j}" for j in range(12)) for i in range(n)]
+    expected = set()
+    for k in range(20):  # planted exact duplicates
+        texts[1000 + k] = texts[k]
+        expected.add((k, 1000 + k))
+    tbl = pa.table({"doc_id": pa.array(range(n), pa.int64()),
+                    "text": pa.array(texts, pa.string())})
+    d = tmp_path / "stress"
+    d.mkdir()
+    pq.write_table(tbl, d / "documents.parquet")
+
+    out8 = ngram_jaccard_dedup(str(d), num_partitions=8).to_pandas()
+    got8 = set(zip(out8["doc_a"], out8["doc_b"]))
+    assert got8 == expected
+    out3 = ngram_jaccard_dedup(str(d), num_partitions=3).to_pandas()
+    assert set(zip(out3["doc_a"], out3["doc_b"])) == got8

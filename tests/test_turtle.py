@@ -123,6 +123,72 @@ def test_to_rdf_turtle_format():
     assert len(reparsed.get_quads("@default")) == 1
 
 
+def test_shared_collection_head_keeps_label():
+    """Two subjects referencing ONE list-head bnode: the writer must keep the
+    head's label (explicit rdf:first/rdf:rest) instead of collapsing it into
+    an identity-severing "( ... )" — and must not crash (round-2 regression:
+    the labeled-bnode branch leaked the collection list into the predicate
+    loop)."""
+    from rayld.kernel import consts
+    from rayld.kernel.rdf import RDFDataset
+
+    ds = RDFDataset()
+    ds.add_triple("http://ex.org/s1", "http://ex.org/p", "_:head")
+    ds.add_triple("http://ex.org/s2", "http://ex.org/p", "_:head")
+    ds.add_triple("_:head", consts.RDF_FIRST, "http://ex.org/a")
+    ds.add_triple("_:head", consts.RDF_REST, "_:t")
+    ds.add_triple("_:t", consts.RDF_FIRST, "http://ex.org/b")
+    ds.add_triple("_:t", consts.RDF_REST, consts.RDF_NIL)
+
+    out = to_turtle(ds)
+    ds2 = parse_turtle(out)
+    quads = ds2.get_quads("@default")
+
+    # both subjects still point at the SAME bnode (identity preserved)
+    p_quads = [
+        q for q in quads if q["predicate"]["value"] == "http://ex.org/p"
+    ]
+    assert {q["subject"]["value"] for q in p_quads} == {
+        "http://ex.org/s1", "http://ex.org/s2"
+    }
+    (head,) = {q["object"]["value"] for q in p_quads}
+    assert head.startswith("_:")
+
+    # walking first/rest from the shared head recovers [a, b]
+    by_subj = {}
+    for q in quads:
+        by_subj.setdefault(q["subject"]["value"], {})[
+            q["predicate"]["value"]
+        ] = q["object"]["value"]
+    items = []
+    node = head
+    while node != consts.RDF_NIL:
+        items.append(by_subj[node][consts.RDF_FIRST])
+        node = by_subj[node][consts.RDF_REST]
+    assert items == ["http://ex.org/a", "http://ex.org/b"]
+
+
+def test_single_ref_collection_still_collapses():
+    """Sanity: an ordinary once-referenced list still renders as '( ... )'."""
+    from rayld.kernel import consts
+    from rayld.kernel.rdf import RDFDataset
+
+    ds = RDFDataset()
+    ds.add_triple("http://ex.org/s", "http://ex.org/p", "_:h")
+    ds.add_triple("_:h", consts.RDF_FIRST, "http://ex.org/a")
+    ds.add_triple("_:h", consts.RDF_REST, "_:t")
+    ds.add_triple("_:t", consts.RDF_FIRST, "http://ex.org/b")
+    ds.add_triple("_:t", consts.RDF_REST, consts.RDF_NIL)
+    out = to_turtle(ds)
+    assert "( " in out and " )" in out and "first" not in out
+    ds2 = parse_turtle(out)
+    first = [
+        q for q in ds2.get_quads("@default")
+        if q["predicate"]["value"] == consts.RDF_FIRST
+    ]
+    assert len(first) == 2
+
+
 def test_turtle_writer_roundtrip_property():
     """Property: for randomized datasets, to_turtle output reparses to the
     same ground triples (writer escaping + nesting correctness)."""
