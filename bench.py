@@ -100,9 +100,7 @@ def run_bench() -> dict:
     timed("dedup_exact", lambda: dedup.dedup_exact(SF_DIR).count())
     timed(
         "minhash_dedup",
-        lambda: dedup.minhash_dedup(
-            SF_DIR, concurrency=max(2, NUM_CPUS // 2)
-        ).count(),
+        lambda: dedup.minhash_dedup(SF_DIR).count(),
     )
     timed("ann_topk", lambda: ann.brute_force_topk(SF_DIR).count())
     timed("q1_pricing", lambda: relational.q1_pricing(SF_DIR).count())

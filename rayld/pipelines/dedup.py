@@ -205,16 +205,27 @@ def _explode_bands(batch: pa.Table) -> pa.Table:
     )
 
 
-def minhash_candidates(sf_dir: str, concurrency: int = 2):
+def minhash_candidates(sf_dir: str, concurrency: int | None = None,
+                       distinct: bool = True):
     """Candidate near-dup pairs via LSH banding. Output: (doc_a, doc_b).
 
-    The MinHasher pool AUTOSCALES (1, concurrency): a fixed-size pool
-    serializes the fused upstream read and can starve the downstream join /
-    shuffle aggregator actors of CPUs in small sessions (the CLAUDE.md 4-cpu
-    deadlock)."""
+    The MinHasher pool AUTOSCALES: a fixed-size pool serializes the fused
+    upstream read and can starve the downstream join / shuffle aggregator
+    actors of CPUs in small sessions (the CLAUDE.md 4-cpu deadlock). With
+    ``concurrency=None`` the ceiling is the CLUSTER's CPU count — the
+    signature stage is the CPU-heavy step, so capping it below the core
+    count (the old default of 2) serialized the whole pipeline."""
+    import ray
+
+    from .common import cluster_partitions
+
+    if concurrency is None:
+        pool = (2, max(2, int(ray.cluster_resources().get("CPU", 8))))
+    else:
+        pool = (1, max(2, concurrency))
     ds = documents(sf_dir).map_batches(
         MinHasher, batch_format="pyarrow",
-        concurrency=(1, max(2, concurrency)), num_cpus=1,
+        concurrency=pool, num_cpus=1,
     )
     bands = ds.map_batches(_explode_bands, batch_format="pyarrow")
 
@@ -222,7 +233,7 @@ def minhash_candidates(sf_dir: str, concurrency: int = 2):
     # — hundreds of thousands of tiny groups otherwise pay huge per-group
     # overhead, the CLAUDE.md rule); pairs emerge from an in-task pandas
     # groupby over the real key
-    num_buckets = 64
+    num_buckets = cluster_partitions()
 
     def add_bucket(batch: pa.Table) -> pa.Table:
         h = np.asarray(batch["band_hash"].to_pylist(), dtype=np.int64)
@@ -249,15 +260,26 @@ def minhash_candidates(sf_dir: str, concurrency: int = 2):
                     rows_b.append(ids[j])
         # ARROW out with explicit types: empty pandas frames carry
         # object/null columns that poison schema unification, and Ray
-        # aggregates over pandas blocks are ~16x slower than over Arrow
+        # aggregates over pandas blocks are ~16x slower than over Arrow.
+        # In-task drop_duplicates: a pair colliding in several bands of the
+        # SAME part emits once (cross-part duplicates remain unless
+        # ``distinct``).
+        t = pd.DataFrame({"doc_a": rows_a, "doc_b": rows_b}).drop_duplicates()
         return pa.table(
-            {"doc_a": pa.array(rows_a, pa.int64()),
-             "doc_b": pa.array(rows_b, pa.int64())}
+            {"doc_a": pa.array(t["doc_a"].to_numpy(np.int64), pa.int64()),
+             "doc_b": pa.array(t["doc_b"].to_numpy(np.int64), pa.int64())}
         )
 
     pairs = bands.map_batches(add_bucket, batch_format="pyarrow").groupby(
         "part"
     ).map_groups(bucket_pairs, batch_format="pandas")
+
+    if not distinct:
+        # callers whose next stage already groups on the pair key (the
+        # Jaccard verification pivot) skip this whole all-to-all: duplicate
+        # pairs are bounded by n_bands (16x of the tiny candidate set) and
+        # collapse for free in that downstream groupby
+        return pairs
 
     # distinct pairs via a vectorized aggregate on the pair key (a pair that
     # collides in several bands shuffles once here, never per-band)
@@ -290,7 +312,7 @@ def _bucketed_hash_join(left_ds, right_ds, key: str, num_partitions: int,
     return u.groupby("part").map_groups(merge_fn, batch_format="pandas")
 
 
-def minhash_dedup(sf_dir: str, threshold: float = 0.5, concurrency: int = 2,
+def minhash_dedup(sf_dir: str, threshold: float = 0.5, concurrency: int | None = None,
                   num_partitions: int | None = None):
     """LSH candidates verified by true n-gram Jaccard >= threshold.
 
@@ -313,7 +335,9 @@ def minhash_dedup(sf_dir: str, threshold: float = 0.5, concurrency: int = 2,
 
     if num_partitions is None:
         num_partitions = cluster_partitions()
-    cands = minhash_candidates(sf_dir, concurrency=concurrency).materialize()
+    cands = minhash_candidates(
+        sf_dir, concurrency=concurrency, distinct=False
+    ).materialize()
     docs = documents(sf_dir)
 
     def halves(batch: pa.Table) -> pa.Table:
@@ -719,7 +743,7 @@ def connected_components(pairs_ds, num_partitions: int | None = None,
     return labels.map_batches(rename, batch_format="pyarrow")
 
 
-def dedup_clusters(sf_dir: str, threshold: float = 0.5, concurrency: int = 2):
+def dedup_clusters(sf_dir: str, threshold: float = 0.5, concurrency: int | None = None):
     """Connected components over the verified near-dup pairs:
     (doc_id, cluster_id) with cluster_id = min doc_id of the component;
     singleton docs are omitted (every doc in a pair gets a row, including the

@@ -264,10 +264,8 @@ def render_nquad_lines(batch: pa.Table) -> pa.Table:
     return pa.table({"line": pa.array(lines, pa.string())})
 
 
-def export_canonical_nquads(triples_ds, path: str) -> int:
-    """Globally sorted .nq text export. The sort is a full shuffle (range
-    partitioned); the write streams sorted blocks to one file. Returns the
-    line count.
+def _sorted_nquad_lines(triples_ds):
+    """Render + globally sort N-Quads lines.
 
     The sort key is the UTF-16-BE encoding of the line, NOT the raw string:
     the kernel's canonical to_nquads sorts by UTF-16 code units (C# ordinal
@@ -282,13 +280,74 @@ def export_canonical_nquads(triples_ds, path: str) -> int:
         )
 
     lines = triples_ds.map_batches(render_nquad_lines, batch_format="pyarrow")
-    lines = lines.map_batches(add_sort_key, batch_format="pyarrow").sort("k")
-    n = 0
-    with open(path, "w", encoding="utf-8") as f:
-        for batch in lines.iter_batches(batch_size=65536, batch_format="pyarrow"):
-            for line in batch["line"].to_pylist():
-                f.write(line)
-                n += 1
+    return lines.map_batches(add_sort_key, batch_format="pyarrow").sort("k")
+
+
+def export_canonical_nquads_sharded(triples_ds, out_dir: str):
+    """Distributed globally-sorted .nq text sink (the 100-TB path).
+
+    After the range-partitioned sort, EVERY task writes its own sorted block
+    as one shard file — the text never flows through the driver. The sort's
+    range partitioning guarantees each block covers a disjoint, ordered key
+    range, so concatenating the shards in manifest order (ascending
+    (first_key, last_key); keys are the lines' UTF-16-BE sort keys, compared
+    bytewise) reproduces the canonical single-file export byte for byte.
+    Shard names are content-hashed, so task retries overwrite idempotently
+    (write-to-tmp + atomic rename).
+
+    Returns a manifest Dataset: (path, first_key, last_key, n_lines)."""
+    import hashlib as _hashlib
+
+    os.makedirs(out_dir, exist_ok=True)
+    lines = _sorted_nquad_lines(triples_ds)
+
+    def write_shard(batch: pa.Table) -> pa.Table:
+        data = "".join(batch["line"].to_pylist()).encode("utf-8")
+        name = _hashlib.sha1(data).hexdigest()[:16]
+        path = os.path.join(out_dir, f"part-{name}.nq")
+        tmp = f"{path}.tmp.{os.getpid()}"
+        with open(tmp, "wb") as f:
+            f.write(data)
+        os.replace(tmp, path)
+        keys = batch["k"]
+        return pa.table(
+            {
+                "path": pa.array([path], pa.string()),
+                "first_key": pa.array([keys[0].as_py()], pa.binary()),
+                "last_key": pa.array([keys[-1].as_py()], pa.binary()),
+                "n_lines": pa.array([batch.num_rows], pa.int64()),
+            }
+        )
+
+    # batch_size=None -> one write task per sorted block
+    return lines.map_batches(
+        write_shard, batch_format="pyarrow", batch_size=None
+    )
+
+
+def export_canonical_nquads(triples_ds, path: str) -> int:
+    """Single-file canonical .nq export: the sharded sink plus a driver-side
+    byte-level concatenation in manifest order (shutil.copyfileobj — no line
+    iteration). Convenience wrapper for small outputs and tests; at scale use
+    export_canonical_nquads_sharded and keep the shards. Returns the line
+    count."""
+    import shutil
+    import tempfile
+
+    with tempfile.TemporaryDirectory(
+        prefix="nq_shards_", dir=os.path.dirname(os.path.abspath(path)) or "."
+    ) as shard_dir:
+        manifest = export_canonical_nquads_sharded(
+            triples_ds, shard_dir
+        ).to_pandas()
+        manifest = manifest.sort_values(
+            ["first_key", "last_key"], kind="mergesort"
+        )
+        n = int(manifest["n_lines"].sum())
+        with open(path, "wb") as out:
+            for shard in manifest["path"]:
+                with open(shard, "rb") as f:
+                    shutil.copyfileobj(f, out)
     return n
 
 

@@ -142,6 +142,34 @@ def test_canonical_nquads_export(ray_session, tmp_path):
     assert sum(len(v) for v in parsed.values() if isinstance(v, list)) > 0
 
 
+def test_sharded_nquads_matches_single_file(ray_session, tmp_path):
+    """The distributed shard sink: manifest key ranges are disjoint and
+    ordered, and concatenating shards in manifest order is byte-identical to
+    the single-file canonical export."""
+    from rayld.pipelines.kg import (
+        build_triples,
+        export_canonical_nquads,
+        export_canonical_nquads_sharded,
+    )
+    from rayld.sources.transcripts import transcripts_dataset
+
+    ds = build_triples(
+        transcripts_dataset(40, conversations_per_block=4), link_concurrency=2
+    )
+    single = str(tmp_path / "single.nq")
+    n = export_canonical_nquads(ds, single)
+
+    shard_dir = str(tmp_path / "shards")
+    m = export_canonical_nquads_sharded(ds, shard_dir).to_pandas()
+    m = m.sort_values(["first_key", "last_key"], kind="mergesort")
+    assert len(m) > 1  # the sink actually sharded
+    fk, lk = list(m["first_key"]), list(m["last_key"])
+    assert all(lk[i] <= fk[i + 1] for i in range(len(m) - 1))
+    concat = b"".join(open(p, "rb").read() for p in m["path"])
+    assert concat == open(single, "rb").read()
+    assert int(m["n_lines"].sum()) == n
+
+
 def test_pipeline_from_parquet_input(ray_session, tmp_path):
     """The contract input path: transcripts written to Parquet, read back
     with read_transcripts, produce identical triples to the generated
