@@ -134,7 +134,11 @@ def oracle_sql() -> dict[str, str]:
     # (1 node, 5 quads; the 'mentions' value is a relative IRI and drops in
     # toRDF per spec). Roundtrip flags are spec invariants asserted as
     # constant 1 columns.
-    _td = "read_parquet('/tmp/rayld_tooldocs/current/*.parquet')"
+    from rayld.pipelines.jsonld_ops import TOOLDOC_CURRENT
+
+    # process-scoped link: concurrent runs at different scales each resolve
+    # their own corpus (see jsonld_ops.TOOLDOC_CURRENT)
+    _td = f"read_parquet('{TOOLDOC_CURRENT}/*.parquet')"
     _graph = "json_extract(doc, '$.\"@graph\"')"
     _nlines = (
         "(CASE WHEN " + _graph + " IS NOT NULL THEN 3"

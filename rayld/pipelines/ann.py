@@ -107,37 +107,89 @@ def _kmeans_lite(mat: np.ndarray, n_clusters: int, seed: int = 42,
     return centroids
 
 
+_SAMPLE_MIX = np.uint64(0x9E3779B97F4A7C15)
+
+
+def _ivf_training_sample(sf_dir: str, sample_size: int) -> np.ndarray:
+    """Deterministic SCATTERED sample for centroid training: keep a row when
+    a multiply-mix hash of its vec_id lands under sample_size/n_rows — the
+    sample draws from EVERY block of the table, not a prefix (a prefix is
+    biased whenever the table is ordered, which at 100 TB it always is).
+    Returns (vec_ids, L2-normalized dense matrix), ordered by vec_id."""
+    import pyarrow.parquet as pq
+
+    n_rows = pq.ParquetFile(
+        f"{sf_dir}/embeddings.parquet"
+    ).metadata.num_rows
+    threshold = np.uint64(
+        min(n_rows, max(1, sample_size)) * ((1 << 32) // max(1, n_rows))
+    )
+
+    def keep(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch["vec_id"].to_pylist(), dtype=np.uint64)
+        with np.errstate(over="ignore"):
+            h = (ids * _SAMPLE_MIX) >> np.uint64(32)
+        return batch.filter(pa.array(h < threshold))
+
+    df = (
+        _embeddings(sf_dir)
+        .map_batches(keep, batch_format="pyarrow")
+        .to_pandas()
+        .sort_values("vec_id", kind="mergesort")
+    )
+    mat = _normalize(np.asarray(df["embedding"].tolist(), dtype=np.float64))
+    return df["vec_id"].to_numpy(np.int64), mat
+
+
 def ivf_build(sf_dir: str, index_dir: str, n_clusters: int = 16,
               sample_size: int = 2048, seed: int = 42) -> str:
     """Build a materialized IVF index: centroids trained on a deterministic
-    sample, then the whole table rewritten as Parquet partitioned by the
-    nearest-centroid id (one directory per centroid). Queries read ONLY their
-    ``nprobe`` partition directories, so the probe prunes actual I/O — the
-    100 TB scale path. Centroids persist beside the partitions.
+    scattered sample, then the whole table rewritten as Parquet partitioned
+    by the nearest-centroid id (one directory per centroid). Queries read
+    ONLY their ``nprobe`` partition directories, so the probe prunes actual
+    I/O — the 100 TB scale path. Centroids persist beside the partitions.
 
-    Idempotent: a finished index (marked by _CENTROIDS.npy + _SUCCESS) is
-    reused as-is."""
+    Idempotent AND concurrency-safe: the build happens in a pid-suffixed tmp
+    dir that is atomically renamed into place, so two concurrent builders
+    never interleave writes; the loser discards its tmp dir. ``_SUCCESS``
+    records every build parameter, and a finished index is reused only when
+    the requested parameters match — otherwise it is rebuilt."""
     import json
     import os
+    import shutil
 
     import ray
 
-    success = os.path.join(index_dir, "_SUCCESS")
-    if os.path.exists(success):
+    params = {
+        "n_clusters": int(n_clusters),
+        "sample_size": int(sample_size),
+        "seed": int(seed),
+        "sample": "scatter-v1",
+    }
+
+    def _valid(d: str) -> bool:
+        s = os.path.join(d, "_SUCCESS")
+        if not os.path.exists(s):
+            return False
+        try:
+            with open(s) as f:
+                return json.load(f) == params
+        except (ValueError, OSError):
+            return False
+
+    if _valid(index_dir):
         return index_dir
     if os.path.isdir(index_dir):
-        # partial build from an interrupted run: write_parquet into a dir
-        # with leftover files would APPEND duplicate rows — start clean
-        import shutil
-
+        # stale params or a partial legacy build — rebuild from scratch
         shutil.rmtree(index_dir)
-    os.makedirs(index_dir, exist_ok=True)
-    # train on a deterministic prefix sample (small, driver-side by design:
-    # centroid training needs one dense matrix; the sample is capped)
-    head = _embeddings(sf_dir).limit(sample_size).to_pandas()
-    train = _normalize(np.asarray(head["embedding"].tolist(), dtype=np.float64))
-    centroids = _kmeans_lite(train, n_clusters)
-    np.save(os.path.join(index_dir, "_CENTROIDS.npy"), centroids)
+
+    tmp_dir = f"{index_dir}.build.{os.getpid()}"
+    if os.path.isdir(tmp_dir):
+        shutil.rmtree(tmp_dir)
+    os.makedirs(tmp_dir)
+    _, train = _ivf_training_sample(sf_dir, sample_size)
+    centroids = _kmeans_lite(train, n_clusters, seed=seed)
+    np.save(os.path.join(tmp_dir, "_CENTROIDS.npy"), centroids)
     cents_ref = ray.put(centroids)
 
     def assign(batch: pa.Table) -> pa.Table:
@@ -154,9 +206,16 @@ def ivf_build(sf_dir: str, index_dir: str, n_clusters: int = 16,
 
     _embeddings(sf_dir).map_batches(
         assign, batch_format="pyarrow"
-    ).write_parquet(index_dir, partition_cols=["centroid"])
-    with open(success, "w") as f:
-        json.dump({"n_clusters": int(len(centroids))}, f)
+    ).write_parquet(tmp_dir, partition_cols=["centroid"])
+    with open(os.path.join(tmp_dir, "_SUCCESS"), "w") as f:
+        json.dump(params, f)
+    try:
+        os.rename(tmp_dir, index_dir)
+    except OSError:
+        # a concurrent builder won the rename race; keep theirs if valid
+        shutil.rmtree(tmp_dir)
+        if not _valid(index_dir):
+            raise
     return index_dir
 
 

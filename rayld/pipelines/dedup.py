@@ -15,7 +15,6 @@ from __future__ import annotations
 
 import hashlib
 import re
-import struct
 
 import numpy as np
 import pandas as pd
@@ -428,19 +427,37 @@ def minhash_dedup(sf_dir: str, threshold: float = 0.5, concurrency: int | None =
 # SimHash
 # ---------------------------------------------------------------------------
 
+_SIMHASH_MIX1 = np.uint64(0xFF51AFD7ED558CCD)
+_SIMHASH_MIX2 = np.uint64(0xC4CEB9FE1A85EC53)
+
+
 def simhash_signature(text: str) -> int:
-    toks = [t.lower() for t in _TOKEN_RE.findall(text)]
+    """64-bit SimHash: one crc32 per distinct token widened by a
+    splitmix-style multiply-mix (no per-token md5 — the digest loop was
+    2-5x the stage cost), then a vectorized n_tokens x 64 sign
+    aggregation. The signature values are pinned by a fixture test."""
+    import zlib
+
+    toks = {t.lower() for t in _TOKEN_RE.findall(text)}
     if not toks:
         return 0
-    acc = np.zeros(64, dtype=np.int64)
-    for t in set(toks):
-        h = struct.unpack("<Q", hashlib.md5(t.encode()).digest()[:8])[0]
-        bits = np.unpackbits(
-            np.frombuffer(struct.pack("<Q", h), dtype=np.uint8)
-        ).astype(np.int64)
-        acc += bits * 2 - 1
-    sig = np.packbits((acc > 0).astype(np.uint8))
-    return struct.unpack("<Q", sig.tobytes())[0]
+    h = np.fromiter(
+        (zlib.crc32(t.encode()) for t in toks), dtype=np.uint64,
+        count=len(toks),
+    )
+    with np.errstate(over="ignore"):
+        h ^= h >> np.uint64(33)
+        h *= _SIMHASH_MIX1
+        h ^= h >> np.uint64(33)
+        h *= _SIMHASH_MIX2
+        h ^= h >> np.uint64(33)
+    bits = (
+        (h[:, None] >> np.arange(64, dtype=np.uint64)[None, :])
+        & np.uint64(1)
+    ).astype(np.int64)
+    acc = (bits * 2 - 1).sum(axis=0)
+    sig_bits = np.where(acc > 0, np.uint64(1), np.uint64(0))
+    return int((sig_bits << np.arange(64, dtype=np.uint64)).sum(dtype=np.uint64))
 
 
 def simhash(sf_dir: str):
@@ -611,13 +628,17 @@ def connected_components(pairs_ds, num_partitions: int | None = None,
     # groupby.aggregate() calls spin up to 64 hash-shuffle aggregator ACTORS
     # each, which dominates wall time in an iterative loop.
 
+    # -1 SENTINELS (not nulls) in the unused side-columns: a nullable int64
+    # column comes out of the Arrow->pandas conversion as float64, which
+    # silently rounds node ids above 2^53 at scale; the sentinel cells are
+    # never read (merge_min selects only each side's own columns)
     def tag_edges(batch: pa.Table) -> pa.Table:
         n = batch.num_rows
         return pa.table(
             {
                 "dst": batch["dst"].cast(pa.int64()),
                 "src": batch["src"].cast(pa.int64()),
-                "label": pa.nulls(n, pa.int64()),
+                "label": pa.array(np.full(n, -1, np.int64)),
                 "is_right": pa.array(np.zeros(n, np.int8)),
             }
         )
@@ -627,7 +648,7 @@ def connected_components(pairs_ds, num_partitions: int | None = None,
         return pa.table(
             {
                 "dst": batch["src"].cast(pa.int64()),  # keyed on the node
-                "src": pa.nulls(n, pa.int64()),
+                "src": pa.array(np.full(n, -1, np.int64)),
                 "label": batch["label"].cast(pa.int64()),
                 "is_right": pa.array(np.ones(n, np.int8)),
             }
@@ -641,7 +662,7 @@ def connected_components(pairs_ds, num_partitions: int | None = None,
             {
                 "dst": batch["label"].cast(pa.int64()),
                 "src": batch["src"].cast(pa.int64()),
-                "label": pa.nulls(n, pa.int64()),
+                "label": pa.array(np.full(n, -1, np.int64)),
                 "is_right": pa.array(np.zeros(n, np.int8)),
             }
         )

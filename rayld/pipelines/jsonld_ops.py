@@ -40,10 +40,14 @@ _COMPACT_CTX = {
 
 _FRAME = {"@type": "http://schema.org/SearchAction"}
 
-# fixed path contract with __ray_entry__.oracle_sql(): the oracle reads
-# TOOLDOC_CURRENT/*.parquet (a symlink updated atomically per scale)
+# path contract with __ray_entry__.oracle_sql(): the oracle reads
+# TOOLDOC_CURRENT/*.parquet — a PROCESS-scoped symlink (queries() and
+# oracle_sql() run in the same driver process, so both resolve the same
+# link, while two concurrent runs at different scales each own their own
+# link and can never repoint each other's between the Ray materialization
+# and the DuckDB read)
 TOOLDOC_ROOT = "/tmp/rayld_tooldocs"
-TOOLDOC_CURRENT = os.path.join(TOOLDOC_ROOT, "current")
+TOOLDOC_CURRENT = os.path.join(TOOLDOC_ROOT, f"current-{os.getpid()}")
 
 
 def n_conversations_for(sf_dir: str) -> int:

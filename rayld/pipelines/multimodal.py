@@ -119,14 +119,15 @@ class MediaResizer:
         # real version: self.resampler = load_resampler()
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        ws = batch["width"].to_pylist()
-        hs = batch["height"].to_pylist()
-        out_w, out_h = [], []
-        for w, h in zip(ws, hs):
-            scale = min(1.0, self.max_dim / max(w, h))
-            # half-up: int(w*scale) truncation can lose the max dim to a ulp
-            out_w.append(max(1, int(w * scale + 0.5)))
-            out_h.append(max(1, int(h * scale + 0.5)))
+        import numpy as np
+
+        w = np.asarray(batch["width"].to_pylist(), dtype=np.float64)
+        h = np.asarray(batch["height"].to_pylist(), dtype=np.float64)
+        scale = np.minimum(1.0, self.max_dim / np.maximum(w, h))
+        # half-up: floor(x+0.5), never numpy round (half-even) — truncation
+        # can lose the max dim to a ulp
+        out_w = np.maximum(1, np.floor(w * scale + 0.5)).astype(np.int32)
+        out_h = np.maximum(1, np.floor(h * scale + 0.5)).astype(np.int32)
         return pa.table(
             {
                 "media_id": batch["media_id"],

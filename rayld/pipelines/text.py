@@ -156,8 +156,17 @@ def token_frequencies(sf_dir: str, top_n: int = 100):
         toks = df["text"].str.findall(_TOKEN_RE).explode().dropna()
         g = toks.value_counts().reset_index()
         g.columns = ["token", "partial"]
-        # ARROW out: the token-key aggregate is ~16x faster over Arrow blocks
-        return pa.Table.from_pandas(g, preserve_index=False)
+        # ARROW out with an EXPLICIT schema: from_pandas on an all-empty
+        # batch infers a null-type token column that poisons downstream
+        # schema unification (the bucket_pairs hazard)
+        return pa.table(
+            {
+                "token": pa.array(g["token"].astype(str), pa.string()),
+                "partial": pa.array(
+                    g["partial"].astype("int64"), pa.int64()
+                ),
+            }
+        )
 
     partials = documents(sf_dir).map_batches(partial, batch_format="pandas")
     agg = partials.groupby("token").aggregate(Sum("partial", alias_name="n"))
@@ -331,42 +340,69 @@ def token_count_bpe(sf_dir: str):
 
 def corpus_summary(sf_dir: str):
     """One-row corpus overview (docs, distinct texts, total tokens, distinct
-    languages): sums stream as per-batch partials; the distinct counts are
-    count-rows-of-groupby aggregates (never a driver-side set)."""
-    from ray.data.aggregate import Count
+    languages) in ONE pass over the table: each batch expands to tagged rows
+    — a 'stats' row carrying (n_docs, total_tokens) partials plus one row per
+    distinct text-hash / lang seen in the batch — then a single (kind, key)
+    groupby collapses global duplicates (the sums ride the same shuffle on
+    the 'stats' group), and per-block counting partials reduce the distinct
+    rows to a tiny frame. Never a driver-side set; one ReadParquet in the
+    plan (was three)."""
+    from ray.data.aggregate import Sum
 
     ds = documents(sf_dir, columns=("doc_id", "text", "lang"))
 
-    def partial(df: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
+    def expand(df: pd.DataFrame) -> pa.Table:
+        hs = {
+            hashlib.md5(t.encode("utf-8")).hexdigest() for t in df["text"]
+        }
+        langs = set(df["lang"])
+        n_tokens = int(df["text"].str.findall(_TOKEN_RE).str.len().sum())
+        kinds = ["stats"] + ["h"] * len(hs) + ["lang"] * len(langs)
+        keys = [""] + sorted(hs) + sorted(langs)
+        a = [len(df)] + [0] * (len(hs) + len(langs))
+        b = [n_tokens] + [0] * (len(hs) + len(langs))
+        return pa.table(
             {
-                "n_docs": [len(df)],
-                "total_tokens": [
-                    int(df["text"].str.findall(_TOKEN_RE).str.len().sum())
-                ],
+                "kind": pa.array(kinds, pa.string()),
+                "key": pa.array(keys, pa.string()),
+                "a": pa.array(a, pa.int64()),
+                "b": pa.array(b, pa.int64()),
             }
         )
 
-    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    distinct = ds.map_batches(expand, batch_format="pandas").groupby(
+        ["kind", "key"]
+    ).aggregate(Sum("a", alias_name="a"), Sum("b", alias_name="b"))
 
-    def add_hash(batch: pa.Table) -> pa.Table:
-        hs = [
-            hashlib.md5(t.encode("utf-8")).hexdigest()
-            for t in batch["text"].to_pylist()
-        ]
-        return pa.table({"h": pa.array(hs, pa.string())})
+    def count_partial(batch: pa.Table) -> pa.Table:
+        t = batch.to_pandas()
+        g = t.groupby("kind", as_index=False).agg(
+            n=("kind", "size"), a=("a", "sum"), b=("b", "sum")
+        )
+        return pa.table(
+            {
+                "kind": pa.array(g["kind"], pa.string()),
+                "n": pa.array(g["n"].astype("int64"), pa.int64()),
+                "a": pa.array(g["a"].astype("int64"), pa.int64()),
+                "b": pa.array(g["b"].astype("int64"), pa.int64()),
+            }
+        )
 
-    n_distinct_texts = ds.map_batches(
-        add_hash, batch_format="pyarrow"
-    ).groupby("h").aggregate(Count(alias_name="_n")).count()
-    n_langs = ds.select_columns(["lang"]).groupby("lang").aggregate(
-        Count(alias_name="_n")
-    ).count()
+    parts = distinct.map_batches(
+        count_partial, batch_format="pyarrow"
+    ).to_pandas()
+    g = parts.groupby("kind").sum() if len(parts) else None
+
+    def pick(kind, col):
+        if g is None or kind not in g.index:
+            return 0
+        return int(g.loc[kind, col])
+
     return pd.DataFrame(
         {
-            "n_docs": [int(parts["n_docs"].sum())],
-            "n_distinct_texts": [int(n_distinct_texts)],
-            "total_tokens": [int(parts["total_tokens"].sum())],
-            "n_langs": [int(n_langs)],
+            "n_docs": [pick("stats", "a")],
+            "n_distinct_texts": [pick("h", "n")],
+            "total_tokens": [pick("stats", "b")],
+            "n_langs": [pick("lang", "n")],
         }
     )

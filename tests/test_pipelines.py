@@ -26,6 +26,16 @@ def test_minhash_jaccard_properties():
     assert (minhash_signature(a) == sa).all()
 
 
+def test_simhash_fixture_pinned():
+    """Pin the crc32+multiply-mix signature values (the md5-per-token loop
+    was vectorized away; these fixtures freeze the new function)."""
+    from rayld.pipelines.dedup import simhash_signature
+
+    assert simhash_signature("") == 0
+    assert simhash_signature("the quick brown fox") == 8541772686786302353
+    assert simhash_signature("hello world") == 6972155113867790160
+
+
 def test_simhash_close_for_similar_text():
     from rayld.pipelines.dedup import simhash_signature
 
@@ -112,6 +122,34 @@ def test_ann_ivf_prunes_the_read(ray_session, tmp_path):
     # every query still finds itself: the self-vector is in the probed bucket
     for qid, grp in out.groupby("query_id"):
         assert qid in set(grp["vec_id"])
+
+
+def test_ivf_scattered_sample_and_param_guard(ray_session, tmp_path):
+    """Centroid training draws from the WHOLE table (not a biased prefix),
+    and a finished index is reused only when build params match."""
+    import json
+    import os
+
+    import pyarrow.parquet as pq
+
+    from rayld.pipelines.ann import _ivf_training_sample, ivf_build
+
+    n_rows = pq.ParquetFile(f"{SF}/embeddings.parquet").metadata.num_rows
+    ids, mat = _ivf_training_sample(SF, 256)
+    assert 64 <= len(ids) <= 1024  # near the requested size
+    assert len(ids) == len(mat)
+    # scattered: ids land in both halves of the table, far beyond a prefix
+    assert (ids < n_rows // 2).any() and (ids >= n_rows // 2).any()
+    assert ids.max() > 256
+
+    index_dir = str(tmp_path / "ivf")
+    ivf_build(SF, index_dir, n_clusters=4, seed=1)
+    marker = os.path.join(index_dir, "_CENTROIDS.npy")
+    mtime = os.path.getmtime(marker)
+    ivf_build(SF, index_dir, n_clusters=4, seed=1)  # same params -> reused
+    assert os.path.getmtime(marker) == mtime
+    ivf_build(SF, index_dir, n_clusters=4, seed=2)  # new seed -> rebuilt
+    assert json.load(open(os.path.join(index_dir, "_SUCCESS")))["seed"] == 2
 
 
 def test_ann_brute_force_self_hit(ray_session):
@@ -327,6 +365,24 @@ def test_connected_components_chain(ray_session):
     out = connected_components(pairs, num_partitions=2).to_pandas()
     labels = dict(zip(out["doc_id"], out["cluster_id"]))
     assert labels == {5: 5, 6: 5, 7: 5, 1: 1, 2: 1}
+
+
+def test_connected_components_large_ids_exact(ray_session):
+    """Node ids above 2^53 survive label propagation exactly (the unioned
+    label column must never pass through float64 — sentinels, not nulls)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from rayld.pipelines.dedup import connected_components
+
+    big = 2 ** 53
+    pairs = rd.from_arrow(
+        pa.table({"doc_a": pa.array([big + 1, big + 3], pa.int64()),
+                  "doc_b": pa.array([big + 3, big + 7], pa.int64())})
+    )
+    out = connected_components(pairs, num_partitions=2).to_pandas()
+    labels = dict(zip(out["doc_id"], out["cluster_id"]))
+    assert labels == {big + 1: big + 1, big + 3: big + 1, big + 7: big + 1}
 
 
 def test_ngram_jaccard_dedup(ray_session, tmp_path):
