@@ -106,6 +106,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # similarity search
         "ann_topk": ann.brute_force_topk,
         "ann_ivf_topk": ann.ivf_topk,
+        "ann_ivf_recall": ann.ivf_recall,
         "label_centroids": ann.label_centroids,
         "knn_label_vote": ann.knn_label_vote,
         # relational / windowed
@@ -332,6 +333,59 @@ def oracle_sql() -> dict[str, str]:
         "media_byte_stats": (
             "SELECT doc_id AS media_id, strlen(text)::BIGINT AS n_bytes"
             " FROM documents"
+        ),
+        # the stub decoder's geometry is pure arithmetic on md5(text) bytes,
+        # so the full resize output is SQL-expressible (width = 64 + first
+        # md5 byte, height = 64 + second; aspect-preserving scale to 224,
+        # half-up rounding, both sides IEEE double)
+        "media_resize": (
+            "WITH x AS ("
+            " SELECT doc_id AS media_id,"
+            "  (64 + ('0x' || substr(md5(text), 1, 2))::INT)::BIGINT AS width,"
+            "  (64 + ('0x' || substr(md5(text), 3, 2))::INT)::BIGINT AS height"
+            " FROM documents)"
+            " SELECT media_id, width, height,"
+            " greatest(1, floor(width * least(1.0,"
+            "   224.0 / greatest(width, height)) + 0.5))::BIGINT AS resized_w,"
+            " greatest(1, floor(height * least(1.0,"
+            "   224.0 / greatest(width, height)) + 0.5))::BIGINT AS resized_h"
+            " FROM x"
+        ),
+        # IVF recall gate: constant-1 oracle, hash-mismatch on regression
+        # (the jsonld roundtrip-flag structural-oracle pattern)
+        "ann_ivf_recall": (
+            "SELECT q::BIGINT AS query_id, 1::BIGINT AS recall_ok"
+            " FROM unnest([0, 1, 2, 3]) AS u(q)"
+        ),
+        # the LangId heuristic re-expressed relationally: CJK codepoint scan
+        # over the first 400 chars, else argmax of stopword-marker hits with
+        # the Python tie-break (max lang key wins ties: fr > es > en > de)
+        "lang_id": (
+            "WITH t AS ("
+            " SELECT doc_id,"
+            "  list_transform(regexp_extract_all(text, '[A-Za-z0-9]+'),"
+            "    x -> lower(x)) AS toks,"
+            "  left(text, 400) AS head"
+            " FROM documents"
+            "), s AS ("
+            " SELECT doc_id, head, len(toks) AS n_toks,"
+            "  len(list_filter(toks, x -> x IN ('the','and','of','to','a',"
+            "    'in','is','it','for','with'))) AS en,"
+            "  len(list_filter(toks, x -> x IN ('der','die','das','und',"
+            "    'ist','mit','für','von','ein','nicht'))) AS de,"
+            "  len(list_filter(toks, x -> x IN ('le','la','les','et','est',"
+            "    'pour','avec','dans','une','pas'))) AS fr,"
+            "  len(list_filter(toks, x -> x IN ('el','la','los','y','es',"
+            "    'para','con','en','una','no'))) AS es"
+            " FROM t)"
+            " SELECT doc_id,"
+            " CASE WHEN regexp_matches(head, '[一-鿿]') THEN 'zh'"
+            "  WHEN n_toks = 0 OR greatest(en, de, fr, es) = 0 THEN 'und'"
+            "  WHEN fr = greatest(en, de, fr, es) THEN 'fr'"
+            "  WHEN es = greatest(en, de, fr, es) THEN 'es'"
+            "  WHEN en = greatest(en, de, fr, es) THEN 'en'"
+            "  ELSE 'de' END AS lang_pred"
+            " FROM s"
         ),
         "knn_label_vote": (
             "WITH nn AS ("

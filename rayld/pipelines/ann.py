@@ -309,6 +309,32 @@ def ivf_topk(sf_dir: str, k: int = 10, query_ids=(0, 1, 2, 3),
     return partials.groupby("query_id").map_groups(merge, batch_format="pandas")
 
 
+def ivf_recall(sf_dir: str, k: int = 10, query_ids=(0, 1, 2, 3),
+               n_clusters: int = 16, nprobe: int = 12,
+               min_recall: float = 0.85):
+    """Typed IVF quality gate: per query, recall of the IVF top-k against the
+    exact brute-force top-k, emitted as ``recall_ok`` (1 when recall >=
+    min_recall). The driver hash-checks this against a constant-1 SQL oracle
+    — the same structural-oracle pattern as the jsonld roundtrip flags — so
+    an IVF regression (bad centroids, broken pruning) fails the correctness
+    gate instead of passing rows-only."""
+    brute = brute_force_topk(sf_dir, k=k, query_ids=query_ids).to_pandas()
+    approx = ivf_topk(
+        sf_dir, k=k, query_ids=query_ids, n_clusters=n_clusters, nprobe=nprobe
+    ).to_pandas()
+    qids, oks = [], []
+    for qid in sorted(set(brute["query_id"])):
+        b = set(brute[brute["query_id"] == qid]["vec_id"])
+        i = set(approx[approx["query_id"] == qid]["vec_id"])
+        recall = len(b & i) / max(1, len(b))
+        qids.append(int(qid))
+        oks.append(1 if recall >= min_recall else 0)
+    return pd.DataFrame(
+        {"query_id": pd.Series(qids, dtype="int64"),
+         "recall_ok": pd.Series(oks, dtype="int64")}
+    )
+
+
 # ---------------------------------------------------------------------------
 # Per-label centroids (distributed vector aggregate)
 # ---------------------------------------------------------------------------

@@ -126,15 +126,16 @@ class MediaResizer:
         scale = np.minimum(1.0, self.max_dim / np.maximum(w, h))
         # half-up: floor(x+0.5), never numpy round (half-even) — truncation
         # can lose the max dim to a ulp
-        out_w = np.maximum(1, np.floor(w * scale + 0.5)).astype(np.int32)
-        out_h = np.maximum(1, np.floor(h * scale + 0.5)).astype(np.int32)
+        out_w = np.maximum(1, np.floor(w * scale + 0.5)).astype(np.int64)
+        out_h = np.maximum(1, np.floor(h * scale + 0.5)).astype(np.int64)
+        # int64 across the board: the DuckDB oracle compares dtypes too
         return pa.table(
             {
                 "media_id": batch["media_id"],
-                "width": batch["width"],
-                "height": batch["height"],
-                "resized_w": pa.array(out_w, pa.int32()),
-                "resized_h": pa.array(out_h, pa.int32()),
+                "width": batch["width"].cast(pa.int64()),
+                "height": batch["height"].cast(pa.int64()),
+                "resized_w": pa.array(out_w, pa.int64()),
+                "resized_h": pa.array(out_h, pa.int64()),
             }
         )
 
