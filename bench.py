@@ -125,7 +125,10 @@ def run_scaling() -> dict:
     def child(ncpu: int) -> dict:
         # best-of-N trials per level: the sandbox VM shows hypervisor steal /
         # co-tenant noise with ~2x swings; best-of damps it for both levels
-        # symmetrically
+        # symmetrically. Each METRIC takes its own per-level best (max kg
+        # throughput; min total sec) — the min-noise estimate of that level's
+        # true capability, since a single noise-slammed query would otherwise
+        # poison the total of an otherwise-clean trial.
         best = None
         for _ in range(trials):
             env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
@@ -134,8 +137,15 @@ def run_scaling() -> dict:
                 text=True, check=True,
             ).stdout
             r = json.loads(out.strip().splitlines()[-1])
-            if best is None or r["kg_triples_per_sec"] > best["kg_triples_per_sec"]:
-                best = r
+            if best is None:
+                best = dict(r)
+            else:
+                if r["kg_triples_per_sec"] > best["kg_triples_per_sec"]:
+                    best["kg_triples_per_sec"] = r["kg_triples_per_sec"]
+                    best["queries"] = r["queries"]
+                    best["kg_triples"] = r["kg_triples"]
+                if r["value"] < best["value"]:
+                    best["value"] = r["value"]
         return best
 
     # N vs 4N parallelism (sandbox stand-in for N- vs 4N-node clusters).

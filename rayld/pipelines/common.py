@@ -3,7 +3,7 @@
 from __future__ import annotations
 
 
-def cluster_partitions(minimum: int = 64) -> int:
+def cluster_partitions(minimum: int = 16) -> int:
     """Bucketed-shuffle partition count derived from the CLUSTER's CPU count
     (P = max(minimum, 2 x total cores)).
 
