@@ -95,8 +95,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_distribution": text.lang_distribution,
         "lang_id": text.lang_id,
         "quality_score": text.quality_score,
+        "tfidf_top_terms": text.tfidf_top_terms,
+        "doc_length_percentiles": text.doc_length_percentiles,
+        "bigram_frequencies": text.bigram_frequencies,
         # dedup family
         "dedup_exact": dedup.dedup_exact,
+        "dedup_exact_normalized": dedup.dedup_exact_normalized,
         "dedup_survivor_map": dedup.dedup_survivor_map,
         "dedup_minhash": dedup.minhash_dedup,
         "dedup_clusters": dedup.dedup_clusters,
@@ -226,6 +230,49 @@ def oracle_sql() -> dict[str, str]:
         ),
         "dedup_exact": (
             "SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)"
+        ),
+        "dedup_exact_normalized": (
+            "SELECT min(doc_id) AS doc_id FROM documents"
+            " GROUP BY md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))"
+        ),
+        # tf-idf: idf = ln((N+1)/(df+1)) + 1 over regex tokens; top term per
+        # doc with ties broken by term; score half-up-rounded to 6dp on both
+        # sides (IEEE double arithmetic in the same order)
+        "tfidf_top_terms": (
+            "WITH tok AS ("
+            " SELECT doc_id, t AS token FROM documents,"
+            "  unnest(regexp_extract_all(text, '[A-Za-z0-9]+')) AS u(t)"
+            "), tf AS ("
+            " SELECT doc_id, token, count(*)::BIGINT AS tf FROM tok"
+            " GROUP BY 1, 2"
+            "), df AS ("
+            " SELECT token, count(*)::BIGINT AS df FROM tf GROUP BY 1"
+            "), nd AS (SELECT count(*)::BIGINT AS n FROM documents),"
+            " s AS ("
+            " SELECT tf.doc_id, tf.token,"
+            "  tf.tf * (ln((nd.n + 1.0) / (df.df + 1.0)) + 1.0) AS score"
+            " FROM tf JOIN df USING (token) CROSS JOIN nd)"
+            " SELECT doc_id, token AS top_term,"
+            " floor(score * 1e6 + 0.5) / 1e6 AS score FROM s"
+            " QUALIFY row_number() OVER (PARTITION BY doc_id"
+            "   ORDER BY score DESC, token) = 1"
+        ),
+        "doc_length_percentiles": (
+            "SELECT"
+            " percentile_disc(0.5) WITHIN GROUP (ORDER BY n)::BIGINT AS p50,"
+            " percentile_disc(0.9) WITHIN GROUP (ORDER BY n)::BIGINT AS p90,"
+            " percentile_disc(0.99) WITHIN GROUP (ORDER BY n)::BIGINT AS p99"
+            " FROM (SELECT len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS n"
+            "   FROM documents)"
+        ),
+        "bigram_frequencies": (
+            "WITH toks AS ("
+            " SELECT regexp_extract_all(text, '[A-Za-z0-9]+') AS t"
+            " FROM documents), b AS ("
+            " SELECT t[i] || ' ' || t[i + 1] AS bigram"
+            " FROM toks, unnest(range(1, len(t))) AS u(i))"
+            " SELECT bigram, count(*)::BIGINT AS n FROM b"
+            " GROUP BY 1 ORDER BY n DESC, bigram LIMIT 100"
         ),
         "dedup_survivor_map": (
             "SELECT doc_id, min(doc_id) OVER (PARTITION BY md5(text))::BIGINT"

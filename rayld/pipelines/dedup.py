@@ -100,6 +100,34 @@ def dedup_exact(sf_dir: str):
     return kept.select_columns(["doc_id"])
 
 
+_WS_RE = re.compile(r"\s+")
+
+
+def dedup_exact_normalized(sf_dir: str):
+    """Whitespace/case-normalized exact dedup: one surviving doc_id per
+    distinct lower(text) with whitespace runs collapsed to single spaces and
+    trimmed — the form training pipelines actually dedup on (raw exact dedup
+    misses trivial reflows). Same shuffle shape as dedup_exact; the
+    normalization is pinned by the SQL oracle
+    (md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))))."""
+    from ray.data.aggregate import Min
+
+    def add_hash(batch: pa.Table) -> pa.Table:
+        hs = [
+            hashlib.md5(
+                _WS_RE.sub(" ", t.lower()).strip().encode("utf-8")
+            ).hexdigest()
+            for t in batch["text"].to_pylist()
+        ]
+        return pa.table(
+            {"doc_id": batch["doc_id"], "h": pa.array(hs, pa.string())}
+        )
+
+    hashed = documents(sf_dir).map_batches(add_hash, batch_format="pyarrow")
+    kept = hashed.groupby("h").aggregate(Min("doc_id", alias_name="doc_id"))
+    return kept.select_columns(["doc_id"])
+
+
 def dedup_survivor_map(sf_dir: str, num_partitions: int | None = None):
     """Exact-dedup REMAPPING: every doc_id -> the canonical survivor (min
     doc_id sharing its text hash). The content-hash shuffle is bucketed

@@ -173,6 +173,159 @@ def token_frequencies(sf_dir: str, top_n: int = 100):
     return agg.sort(["n", "token"], descending=[True, False]).limit(top_n)
 
 
+def tfidf_top_terms(sf_dir: str, num_partitions: int | None = None):
+    """Per-document top TF-IDF term: (doc_id, top_term, score), ties broken
+    by term; idf = ln((N+1)/(df+1)) + 1, score rounded half-up to 6dp.
+
+    TWO bucketed all-to-alls, no broadcast (the corpus vocabulary at 100 TB
+    does not fit a broadcast side):
+      1. (doc, token, tf) rows bucket on hash(token); because the bucket
+         holds EVERY row of its tokens, the in-task pandas groupby computes
+         each token's GLOBAL document frequency and attaches it right there
+         — the df aggregation and the tf-df join ride one shuffle;
+      2. re-bucket on hash(doc) and an in-task argmax picks the top term.
+    N (total docs) rides in as a scalar from the parquet footer metadata."""
+    import math
+    import zlib
+
+    import pyarrow.parquet as pq
+
+    from .common import cluster_partitions
+
+    if num_partitions is None:
+        num_partitions = cluster_partitions()
+    n_docs = pq.ParquetFile(
+        f"{sf_dir}/documents.parquet"
+    ).metadata.num_rows
+
+    def tf_rows(df: pd.DataFrame) -> pa.Table:
+        toks = df.set_index("doc_id")["text"].str.findall(_TOKEN_RE)
+        ex = toks.explode().dropna()
+        g = ex.groupby([ex.index, ex]).size()
+        doc_ids = g.index.get_level_values(0).to_numpy(np.int64)
+        tokens = g.index.get_level_values(1).to_list()
+        parts = np.fromiter(
+            (zlib.crc32(t.encode()) % num_partitions for t in tokens),
+            dtype=np.int32, count=len(tokens),
+        )
+        return pa.table(
+            {
+                "doc_id": pa.array(doc_ids, pa.int64()),
+                "token": pa.array(tokens, pa.string()),
+                "tf": pa.array(g.to_numpy(np.int64), pa.int64()),
+                "part": pa.array(parts, pa.int32()),
+            }
+        )
+
+    def attach_df(df: pd.DataFrame) -> pa.Table:
+        dfreq = df.groupby("token")["doc_id"].transform("size")
+        score = df["tf"].to_numpy(np.float64) * (
+            np.log((n_docs + 1.0) / (dfreq.to_numpy(np.float64) + 1.0)) + 1.0
+        )
+        part2 = (df["doc_id"].to_numpy(np.int64) % num_partitions).astype(
+            np.int32
+        )
+        return pa.table(
+            {
+                "doc_id": pa.array(df["doc_id"].to_numpy(np.int64), pa.int64()),
+                "token": pa.array(df["token"], pa.string()),
+                "score": pa.array(score, pa.float64()),
+                "part2": pa.array(part2, pa.int32()),
+            }
+        )
+
+    def top_per_doc(df: pd.DataFrame) -> pa.Table:
+        df = df.sort_values(
+            ["doc_id", "score", "token"], ascending=[True, False, True],
+            kind="mergesort",
+        )
+        top = df.groupby("doc_id", as_index=False).first()
+        score = np.floor(top["score"].to_numpy(np.float64) * 1e6 + 0.5) / 1e6
+        return pa.table(
+            {
+                "doc_id": pa.array(top["doc_id"].to_numpy(np.int64), pa.int64()),
+                "top_term": pa.array(top["token"], pa.string()),
+                "score": pa.array(score, pa.float64()),
+            }
+        )
+
+    rows = documents(sf_dir).map_batches(tf_rows, batch_format="pandas")
+    scored = rows.groupby("part").map_groups(
+        attach_df, batch_format="pandas"
+    )
+    return scored.groupby("part2").map_groups(
+        top_per_doc, batch_format="pandas"
+    )
+
+
+def doc_length_percentiles(sf_dir: str):
+    """Exact p50/p90/p99 of per-document token counts, percentile_disc
+    semantics (smallest value whose cumulative share >= q). Distributed as a
+    length HISTOGRAM — per-batch value_counts partials, one tiny groupby —
+    because distinct lengths are bounded (≪ corpus size at any scale), the
+    driver-side cumulative walk over the histogram is exact and O(distinct
+    lengths)."""
+    from ray.data.aggregate import Sum
+
+    def partial(df: pd.DataFrame) -> pa.Table:
+        n = df["text"].str.findall(_TOKEN_RE).str.len()
+        g = n.value_counts()
+        return pa.table(
+            {
+                "n_tokens": pa.array(
+                    g.index.to_numpy(np.int64), pa.int64()
+                ),
+                "partial": pa.array(g.to_numpy(np.int64), pa.int64()),
+            }
+        )
+
+    hist = documents(sf_dir).map_batches(
+        partial, batch_format="pandas"
+    ).groupby("n_tokens").aggregate(Sum("partial", alias_name="n")).to_pandas()
+    hist = hist.sort_values("n_tokens", kind="mergesort")
+    counts = hist["n"].to_numpy(np.int64)
+    values = hist["n_tokens"].to_numpy(np.int64)
+    total = counts.sum()
+    cum = np.cumsum(counts)
+
+    def disc(q: float) -> int:
+        if total == 0:
+            return 0
+        idx = int(np.searchsorted(cum, q * total, side="left"))
+        return int(values[min(idx, len(values) - 1)])
+
+    return pd.DataFrame(
+        {
+            "p50": pd.Series([disc(0.5)], dtype="int64"),
+            "p90": pd.Series([disc(0.9)], dtype="int64"),
+            "p99": pd.Series([disc(0.99)], dtype="int64"),
+        }
+    )
+
+
+def bigram_frequencies(sf_dir: str, top_n: int = 100):
+    """Corpus-level token-bigram frequency table (top_n, ties by bigram):
+    per-batch pre-aggregation before the bigram-key groupby, same shape as
+    token_frequencies."""
+    from ray.data.aggregate import Sum
+
+    def partial(df: pd.DataFrame) -> pa.Table:
+        ex = df["text"].str.findall(_TOKEN_RE).explode().dropna()
+        nxt = ex.groupby(level=0).shift(-1)  # next token, same doc only
+        mask = nxt.notna()
+        g = (ex[mask] + " " + nxt[mask]).value_counts()
+        return pa.table(
+            {
+                "bigram": pa.array(g.index.to_list(), pa.string()),
+                "partial": pa.array(g.to_numpy(np.int64), pa.int64()),
+            }
+        )
+
+    partials = documents(sf_dir).map_batches(partial, batch_format="pandas")
+    agg = partials.groupby("bigram").aggregate(Sum("partial", alias_name="n"))
+    return agg.sort(["n", "bigram"], descending=[True, False]).limit(top_n)
+
+
 def doc_len_histogram(sf_dir: str, bucket_size: int = 16):
     """Document-length histogram (token-count buckets): the grouped-count
     shape over a derived bucket key, pre-aggregated per batch."""

@@ -367,6 +367,66 @@ def test_connected_components_chain(ray_session):
     assert labels == {5: 5, 6: 5, 7: 5, 1: 1, 2: 1}
 
 
+def _write_docs(tmp_path, texts, name="docs"):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = tmp_path / name
+    d.mkdir()
+    pq.write_table(
+        pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                  "text": pa.array(texts, pa.string())}),
+        d / "documents.parquet",
+    )
+    return str(d)
+
+
+def test_tfidf_top_terms(ray_session, tmp_path):
+    """The corpus-wide term 'common' loses to each doc's distinctive term."""
+    from rayld.pipelines.text import tfidf_top_terms
+
+    sf = _write_docs(tmp_path, [
+        "common apple apple",
+        "common banana banana",
+        "common cherry",
+    ])
+    out = tfidf_top_terms(sf, num_partitions=4).to_pandas()
+    top = dict(zip(out["doc_id"], out["top_term"]))
+    assert top == {0: "apple", 1: "banana", 2: "cherry"}
+    assert (out["score"] > 0).all()
+
+
+def test_doc_length_percentiles(ray_session, tmp_path):
+    from rayld.pipelines.text import doc_length_percentiles
+
+    # 100 docs with 1..100 tokens -> p50=50, p90=90, p99=99
+    sf = _write_docs(tmp_path, [" ".join(["w"] * n) for n in range(1, 101)])
+    out = doc_length_percentiles(sf)
+    assert out.iloc[0].tolist() == [50, 90, 99]
+
+
+def test_bigram_frequencies(ray_session, tmp_path):
+    from rayld.pipelines.text import bigram_frequencies
+
+    sf = _write_docs(tmp_path, ["a b c a b", "a b x"])
+    out = bigram_frequencies(sf).to_pandas()
+    counts = dict(zip(out["bigram"], out["n"]))
+    assert counts["a b"] == 3  # never crosses the doc boundary
+    assert counts["b c"] == 1 and counts["c a"] == 1 and counts["b x"] == 1
+
+
+def test_dedup_exact_normalized(ray_session, tmp_path):
+    from rayld.pipelines.dedup import dedup_exact, dedup_exact_normalized
+
+    sf = _write_docs(tmp_path, [
+        "Hello  World", "hello world", " HELLO\tWORLD ", "different",
+    ])
+    raw = dedup_exact(sf).to_pandas()
+    norm = dedup_exact_normalized(sf).to_pandas()
+    assert len(raw) == 4  # raw texts all distinct
+    assert sorted(norm["doc_id"]) == [0, 3]  # reflows collapse to doc 0
+
+
 def test_connected_components_large_ids_exact(ray_session):
     """Node ids above 2^53 survive label propagation exactly (the unioned
     label column must never pass through float64 — sentinels, not nulls)."""
