@@ -28,9 +28,27 @@ _LANG_MARKERS = {
 
 
 def documents(sf_dir: str, columns=("doc_id", "text")):
+    """Pruned documents read. Block count = max(2x cluster cores,
+    size/32MB): Ray's own heuristic minus its 64-block FLOOR — for a
+    megabyte-scale file the floor splits into 64 near-empty blocks and every
+    downstream stage pays 64 task launches plus a 64-wide shuffle fan-in for
+    nothing. At 100-TB scale the size term dominates and matches Ray's
+    default splitting."""
+    import os
+
+    import ray
     import ray.data as rd
 
-    return rd.read_parquet(f"{sf_dir}/documents.parquet", columns=list(columns))
+    path = f"{sf_dir}/documents.parquet"
+    ncpu = int(ray.cluster_resources().get("CPU", 8))
+    try:
+        size_blocks = os.path.getsize(path) // (32 << 20) + 1
+    except OSError:
+        size_blocks = 1
+    blocks = int(max(2 * ncpu, size_blocks))
+    return rd.read_parquet(
+        path, columns=list(columns), override_num_blocks=blocks
+    )
 
 
 def token_count(sf_dir: str):
