@@ -30,7 +30,15 @@ def entry() -> Any:
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    from rayld.pipelines import ann, dedup, jsonld_ops, multimodal, relational, text
+    from rayld.pipelines import (
+        ann,
+        dedup,
+        jsonld_ops,
+        multimodal,
+        prep,
+        relational,
+        text,
+    )
     from rayld.pipelines.kg import build_triples
     from rayld.sources.transcripts import transcripts_dataset
 
@@ -106,7 +114,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_clusters": dedup.dedup_clusters,
         "dedup_ngram_jaccard": dedup.ngram_jaccard_dedup,
         "simhash": dedup.simhash,
+        "simhash_neardup": dedup.simhash_neardup,
         "embedding_neardup": dedup.embedding_neardup,
+        "corpus_clean": prep.corpus_clean,
         # similarity search
         "ann_topk": ann.brute_force_topk,
         "ann_ivf_topk": ann.ivf_topk,
@@ -234,6 +244,33 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact_normalized": (
             "SELECT min(doc_id) AS doc_id FROM documents"
             " GROUP BY md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))"
+        ),
+        # end-to-end prep chain: quality gate (same pinned arithmetic as
+        # quality_score) THEN normalized exact-dedup among the passing docs
+        # (WHERE runs before the window, so the partition sees only passers)
+        "corpus_clean": (
+            "WITH x AS ("
+            " SELECT doc_id, lang,"
+            "  greatest(length(text), 1) AS n_chars,"
+            "  len(regexp_extract_all(text, '[A-Za-z0-9]+'))::BIGINT"
+            "    AS n_tokens,"
+            "  greatest(len(regexp_extract_all(text, '[A-Za-z0-9]+')), 1)"
+            "    AS n_toks,"
+            "  len(list_filter(regexp_extract_all(text, '[A-Za-z0-9]+'),"
+            "      t -> lower(t) IN ('the','and','of','to','a','in','is',"
+            "      'it','for','with'))) AS stop,"
+            "  len(regexp_extract_all(text, '[.,;:!?]')) AS n_punct,"
+            "  md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS h"
+            " FROM documents), q AS ("
+            " SELECT doc_id, lang, n_tokens, h,"
+            "  floor((0.4 * least(n_toks / 64.0, 1.0)"
+            "      + 0.3 * (1 - least(n_punct / n_chars::DOUBLE, 1.0))"
+            "      + 0.3 * least(stop / n_toks::DOUBLE, 1.0)) * 1e6 + 0.5)"
+            "    / 1e6 AS quality"
+            " FROM x)"
+            " SELECT doc_id, lang, n_tokens, quality FROM q"
+            " WHERE quality >= 0.5"
+            " QUALIFY row_number() OVER (PARTITION BY h ORDER BY doc_id) = 1"
         ),
         # tf-idf: idf = ln((N+1)/(df+1)) + 1 over regex tokens; top term per
         # doc with ties broken by term; score half-up-rounded to 6dp on both

@@ -500,6 +500,128 @@ def simhash(sf_dir: str):
     return documents(sf_dir).map_batches(fn, batch_format="pyarrow")
 
 
+_SIMHASH_BANDS = 4  # 4 x 16-bit bands: Hamming <= 3 pairs share >= 1 band
+
+
+def _popcount64(x: np.ndarray) -> np.ndarray:
+    """Vectorized popcount of a uint64 array (bit_count needs numpy>=2)."""
+    return np.unpackbits(
+        np.ascontiguousarray(x).view(np.uint8).reshape(len(x), 8), axis=1
+    ).sum(axis=1, dtype=np.int64)
+
+
+def simhash_neardup(
+    sf_dir: str,
+    max_hamming: int = 3,
+    num_partitions: int | None = None,
+    max_bucket: int = 4096,
+):
+    """SimHash near-dup pairs: (doc_a, doc_b, hamming) for every document
+    pair whose 64-bit SimHash signatures differ in <= max_hamming bits.
+
+    Scale shape (the MinHash band pattern, one level simpler): signatures
+    are fixed-size per-doc; each doc emits 4 x 16-bit band rows; the band
+    shuffle is BUCKETED (multiply-mix of (band, value) % P groups, in-task
+    pandas groupby over the real band key — never one Ray group per band
+    value); candidate pairs are Hamming-verified in-task with a vectorized
+    XOR-popcount (exact, by pigeonhole over the 4 bands: any pair within
+    max_hamming <= 3 collides in at least one band, so no recall loss);
+    the final bucketed pair-key shuffle dedups pairs that collided in more
+    than one band. Degenerate bands (e.g. the all-zero signature of empty
+    docs) are capped at max_bucket docs and logged, like embedding_neardup.
+    """
+    from .common import cluster_partitions
+
+    if num_partitions is None:
+        num_partitions = cluster_partitions()
+    bands = _SIMHASH_BANDS
+
+    def sign_and_band(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy().astype(np.int64)
+        sigs = np.array(
+            [simhash_signature(t) for t in batch["text"].to_pylist()],
+            dtype=np.uint64,
+        )
+        n = len(ids)
+        band = np.repeat(np.arange(bands, dtype=np.uint64), n)
+        doc = np.tile(ids, bands)
+        sig = np.tile(sigs, bands)
+        val = (sig >> (band * np.uint64(16))) & np.uint64(0xFFFF)
+        with np.errstate(over="ignore"):
+            key = (band << np.uint64(16) | val) * _SIMHASH_MIX1
+        part = ((key >> np.uint64(33)) % np.uint64(num_partitions)).astype(
+            np.int32
+        )
+        return pa.table(
+            {
+                "doc_id": pa.array(doc, pa.int64()),
+                "sig": pa.array(sig.astype(np.int64), pa.int64()),
+                "band": pa.array(band.astype(np.int32), pa.int32()),
+                "val": pa.array(val.astype(np.int32), pa.int32()),
+                "part": pa.array(part, pa.int32()),
+            }
+        )
+
+    def bucket_pairs(df: pd.DataFrame) -> pa.Table:
+        out_a: list[np.ndarray] = []
+        out_b: list[np.ndarray] = []
+        out_h: list[np.ndarray] = []
+        for _, g in df.groupby(["band", "val"], sort=False):
+            if len(g) < 2:
+                continue
+            if len(g) > max_bucket:
+                print(
+                    f"simhash_neardup: band bucket capped "
+                    f"{len(g)} -> {max_bucket} docs"
+                )
+                g = g.nsmallest(max_bucket, "doc_id")
+            g = g.sort_values("doc_id", kind="mergesort")
+            ids = g["doc_id"].to_numpy(np.int64)
+            sigs = g["sig"].to_numpy(np.int64).view(np.uint64)
+            ia, ib = np.triu_indices(len(ids), 1)
+            ham = _popcount64(sigs[ia] ^ sigs[ib])
+            ok = ham <= max_hamming
+            out_a.append(ids[ia][ok])
+            out_b.append(ids[ib][ok])
+            out_h.append(ham[ok])
+        a = np.concatenate(out_a) if out_a else np.empty(0, np.int64)
+        b = np.concatenate(out_b) if out_b else np.empty(0, np.int64)
+        h = np.concatenate(out_h) if out_h else np.empty(0, np.int64)
+        with np.errstate(over="ignore"):
+            part2 = (
+                (a.view(np.uint64) * _SIMHASH_MIX1 + b.view(np.uint64))
+                >> np.uint64(33)
+            ) % np.uint64(num_partitions)
+        return pa.table(
+            {
+                "doc_a": pa.array(a, pa.int64()),
+                "doc_b": pa.array(b, pa.int64()),
+                "hamming": pa.array(h, pa.int64()),
+                "part2": pa.array(part2.astype(np.int32), pa.int32()),
+            }
+        )
+
+    def dedup_pairs(df: pd.DataFrame) -> pa.Table:
+        out = df.drop_duplicates(["doc_a", "doc_b"])
+        return pa.table(
+            {
+                "doc_a": pa.array(out["doc_a"].to_numpy(np.int64), pa.int64()),
+                "doc_b": pa.array(out["doc_b"].to_numpy(np.int64), pa.int64()),
+                "hamming": pa.array(
+                    out["hamming"].to_numpy(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    banded = documents(sf_dir).map_batches(
+        sign_and_band, batch_format="pyarrow"
+    )
+    pairs = banded.groupby("part").map_groups(
+        bucket_pairs, batch_format="pandas"
+    )
+    return pairs.groupby("part2").map_groups(dedup_pairs, batch_format="pandas")
+
+
 # ---------------------------------------------------------------------------
 # Embedding-cosine near-dup
 # ---------------------------------------------------------------------------

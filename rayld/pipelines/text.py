@@ -464,25 +464,34 @@ def lang_distribution(sf_dir: str):
     return partials.groupby("lang").aggregate(Sum("partial", alias_name="n_docs"))
 
 
+def quality_cols(text: pd.Series) -> tuple[pd.Series, np.ndarray]:
+    """Vectorized (n_tokens, quality) for a text column. Quality is the
+    length/punct/stopword composite pinned by the quality_score SQL oracle:
+    IEEE-double arithmetic in a fixed evaluation order, half-up-rounded to
+    6dp via floor(x*1e6+0.5) (.round() is half-even and diverges from
+    DuckDB's half-away on exact 5e-7 ties). Shared by quality_score and
+    prep.corpus_clean so the two stay bit-identical."""
+    n_chars = text.str.len().clip(lower=1)
+    toks = text.str.findall(_TOKEN_RE)
+    n_tokens = toks.str.len().astype("int64")
+    n_toks = n_tokens.clip(lower=1)
+    stop = toks.map(
+        lambda ts: sum(1 for t in ts if t.lower() in _LANG_MARKERS["en"])
+    )
+    punct_ratio = (text.str.count(_PUNCT_RE) / n_chars).clip(0, 1)
+    stop_ratio = (stop / n_toks).clip(0, 1)
+    len_score = (n_toks / 64).clip(0, 1)
+    raw = 0.4 * len_score + 0.3 * (1 - punct_ratio) + 0.3 * stop_ratio
+    return n_tokens, np.floor(raw * 1e6 + 0.5) / 1e6
+
+
 def quality_score(sf_dir: str):
     """Float quality score in [0,1] from length/punct/stopword signals
-    (composite heuristic — not SQL-oracled; doc_stats carries the
-    SQL-checkable integer signals)."""
+    (composite heuristic; SQL-oracled via the shared quality_cols
+    contract)."""
 
     def fn(df: pd.DataFrame) -> pd.DataFrame:
-        n_chars = df["text"].str.len().clip(lower=1)
-        toks = df["text"].str.findall(_TOKEN_RE)
-        n_toks = toks.str.len().clip(lower=1)
-        stop = toks.map(
-            lambda ts: sum(1 for t in ts if t.lower() in _LANG_MARKERS["en"])
-        )
-        punct_ratio = (df["text"].str.count(_PUNCT_RE) / n_chars).clip(0, 1)
-        stop_ratio = (stop / n_toks).clip(0, 1)
-        len_score = (n_toks / 64).clip(0, 1)
-        raw = 0.4 * len_score + 0.3 * (1 - punct_ratio) + 0.3 * stop_ratio
-        # half-up to 6dp (floor(x*1e6+0.5)) — .round() is half-even and
-        # diverges from the SQL oracle on exact 5e-7 ties
-        score = np.floor(raw * 1e6 + 0.5) / 1e6
+        _, score = quality_cols(df["text"])
         return pd.DataFrame({"doc_id": df["doc_id"], "quality": score})
 
     return documents(sf_dir).map_batches(fn, batch_format="pandas")

@@ -490,3 +490,100 @@ def test_ngram_jaccard_bucketed_stress(ray_session, tmp_path):
     assert got8 == expected
     out3 = ngram_jaccard_dedup(str(d), num_partitions=3).to_pandas()
     assert set(zip(out3["doc_a"], out3["doc_b"])) == got8
+
+
+def test_simhash_neardup_matches_bruteforce(ray_session):
+    """The 4x16-bit band blocking is EXACT for max_hamming <= 3 (pigeonhole:
+    <= 3 flipped bits cannot touch all four bands), so the distributed
+    pipeline must reproduce the all-pairs XOR-popcount computation."""
+    import pyarrow.parquet as pq
+    from rayld.pipelines.dedup import (
+        _popcount64,
+        simhash_neardup,
+        simhash_signature,
+    )
+
+    t = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    ids = t["doc_id"].to_numpy()
+    sigs = np.array(
+        [simhash_signature(x) for x in t["text"].to_pylist()], dtype=np.uint64
+    )
+    ia, ib = np.triu_indices(len(ids), 1)
+    ham = _popcount64(sigs[ia] ^ sigs[ib])
+    ok = ham <= 3
+    want = {
+        (min(int(ids[a]), int(ids[b])), max(int(ids[a]), int(ids[b]))): int(h)
+        for a, b, h in zip(ia[ok], ib[ok], ham[ok])
+    }
+
+    out = simhash_neardup(SF, num_partitions=4).to_pandas()
+    got = {
+        (int(a), int(b)): int(h)
+        for a, b, h in zip(out["doc_a"], out["doc_b"], out["hamming"])
+    }
+    assert got == want and len(want) > 0
+    assert not out.duplicated(["doc_a", "doc_b"]).any()
+
+
+def test_corpus_clean_matches_oracle(ray_session):
+    """End-to-end prep chain equals its own registered DuckDB oracle
+    (single source of truth: the SQL string from __ray_entry__)."""
+    import importlib.util
+
+    import duckdb
+    from rayld.pipelines.prep import corpus_clean
+
+    spec = importlib.util.spec_from_file_location(
+        "_entry_for_test", "/root/repo/__ray_entry__.py"
+    )
+    entry = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(entry)
+    sql = entry.oracle_sql()["corpus_clean"]
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM read_parquet("
+        f"'{SF}/documents.parquet')"
+    )
+    want = (
+        con.execute(sql).df().sort_values("doc_id").reset_index(drop=True)
+    )
+    got = (
+        corpus_clean(SF, num_partitions=4)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)[want.columns.tolist()]
+    )
+    pd.testing.assert_frame_equal(
+        got.astype({"n_tokens": "int64"}), want.astype({"n_tokens": "int64"})
+    )
+    assert (got["quality"] >= 0.5).all() and len(got) > 0
+
+
+def test_corpus_clean_filter_then_dedup(ray_session, tmp_path):
+    """A low-quality doc must not act as dedup survivor: if the min-doc_id
+    copy of a text fails the gate, the surviving copy is the smallest
+    PASSING doc_id (filter-then-dedup, the order the oracle pins)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from rayld.pipelines.prep import corpus_clean
+
+    rich = (
+        "the quick brown fox jumps over the lazy dog and it is a fine day "
+        "for running in the park with friends and the sun is out again "
+        "so we walk to the lake and it is calm and the air is fresh today"
+    )
+    texts = ["!!! ??? ,,, ;;; :::", rich, "  " + rich + "  ", rich]
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+            "text": pa.array(texts, pa.string()),
+            "lang": pa.array(["en"] * 4, pa.string()),
+        }
+    )
+    d = tmp_path / "prep"
+    d.mkdir()
+    pq.write_table(tbl, d / "documents.parquet")
+
+    out = corpus_clean(str(d), num_partitions=2).to_pandas()
+    assert sorted(out["doc_id"].tolist()) == [1]
