@@ -116,6 +116,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash": dedup.simhash,
         "simhash_neardup": dedup.simhash_neardup,
         "embedding_neardup": dedup.embedding_neardup,
+        "embedding_neardup_recall": dedup.embedding_neardup_recall,
         "corpus_clean": prep.corpus_clean,
         # similarity search
         "ann_topk": ann.brute_force_topk,
@@ -440,6 +441,13 @@ def oracle_sql() -> dict[str, str]:
         "ann_ivf_recall": (
             "SELECT q::BIGINT AS query_id, 1::BIGINT AS recall_ok"
             " FROM unnest([0, 1, 2, 3]) AS u(q)"
+        ),
+        # planted-pair LSH gate: the Ray side must find exactly one pair per
+        # embedding (full recall, zero spurious) for recall_ok to be 1
+        "embedding_neardup_recall": (
+            "SELECT count(*)::BIGINT AS n_expected,"
+            " count(*)::BIGINT AS n_found, 1::BIGINT AS recall_ok"
+            " FROM embeddings"
         ),
         # the LangId heuristic re-expressed relationally: CJK codepoint scan
         # over the first 400 chars, else argmax of stopword-marker hits with

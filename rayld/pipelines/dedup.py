@@ -719,6 +719,101 @@ def embedding_neardup(sf_dir: str, threshold: float = 0.95, n_tables: int = 4,
     ).drop_columns(["_n"])
 
 
+def embedding_neardup_recall(sf_dir: str, threshold: float = 0.95,
+                             eps: float = 0.03, offset: int = 10_000_000,
+                             seed: int = 11):
+    """Planted-pair quality gate for the hyperplane-LSH near-dup pipeline
+    (the ann_ivf_recall structural-oracle pattern): the raw corpus has no
+    near-dups (max pairwise cosine ~0.51), so the rows-only check proved
+    nothing. Here each embedding gets a deterministically perturbed copy
+    (counter-based noise mixed from vec_id — batch-independent, no RNG
+    state — cosine ~1-eps^2/2 >= 0.9995), the LSH pipeline runs over the
+    doubled corpus, and the gate requires it to find EXACTLY the planted
+    (vec_id, vec_id+offset) pairs: full recall and no spurious pairs. The
+    driver hash-checks the constant-shape result against a constant-1 SQL
+    oracle, so a blocking/verification regression fails correctness."""
+    import os
+    import shutil
+
+    import ray.data as rd
+
+    src = f"{sf_dir}/embeddings.parquet"
+    emb = rd.read_parquet(src, columns=["vec_id", "embedding"])
+    n_expected = emb.count()
+
+    def plant(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch["vec_id"].to_pylist(), dtype=np.int64)
+        mat = np.asarray(batch["embedding"].to_pylist(), dtype=np.float64)
+        if len(ids) == 0:
+            return pa.table(
+                {"vec_id": pa.array([], pa.int64()),
+                 "embedding": pa.array([], pa.list_(pa.float64()))}
+            )
+        norms = np.linalg.norm(mat, axis=1)
+        norms[norms == 0] = 1.0
+        matn = mat / norms[:, None]
+        dim = mat.shape[1]
+        # counter-based noise: splitmix-mix of (seed, vec_id, component) —
+        # identical for a given vec_id regardless of batch boundaries
+        seed_mix = np.uint64((seed * 0x9E3779B97F4A7C15) & 0xFFFFFFFFFFFFFFFF)
+        with np.errstate(over="ignore"):
+            ctr = (
+                ids[:, None].astype(np.uint64) * np.uint64(dim)
+                + np.arange(dim, dtype=np.uint64)[None, :]
+                + seed_mix
+            )
+            ctr ^= ctr >> np.uint64(33)
+            ctr *= _SIMHASH_MIX1
+            ctr ^= ctr >> np.uint64(33)
+            ctr *= _SIMHASH_MIX2
+            ctr ^= ctr >> np.uint64(33)
+        noise = ctr.astype(np.float64) / float(2**64) - 0.5
+        nn = np.linalg.norm(noise, axis=1)
+        nn[nn == 0] = 1.0
+        pert = matn + eps * noise / nn[:, None]
+        pert /= np.linalg.norm(pert, axis=1)[:, None]
+        return pa.table(
+            {
+                "vec_id": pa.array(
+                    np.concatenate([ids, ids + offset]), pa.int64()
+                ),
+                "embedding": pa.array(
+                    list(matn) + list(pert), pa.list_(pa.float64())
+                ),
+            }
+        )
+
+    tmp = f"/tmp/rayld_neardup_recall/pid{os.getpid()}"
+    shutil.rmtree(tmp, ignore_errors=True)
+    os.makedirs(tmp, exist_ok=True)
+    emb.map_batches(plant, batch_format="pyarrow").write_parquet(tmp)
+
+    pairs = embedding_neardup(sf_dir, threshold=threshold, path=tmp)
+
+    def planted_flag(batch: pa.Table) -> pa.Table:
+        a = batch["vec_a"].to_numpy()
+        b = batch["vec_b"].to_numpy()
+        return pa.table(
+            {
+                "planted": pa.array(
+                    (b - a == offset).astype(np.int64), pa.int64()
+                )
+            }
+        )
+
+    flagged = pairs.map_batches(planted_flag, batch_format="pyarrow")
+    n_pairs = flagged.count()
+    n_found = int(flagged.sum("planted") or 0)
+    ok = 1 if (n_found == n_expected and n_pairs == n_found) else 0
+    return pd.DataFrame(
+        {
+            "n_expected": pd.Series([n_expected], dtype="int64"),
+            "n_found": pd.Series([n_found], dtype="int64"),
+            "recall_ok": pd.Series([ok], dtype="int64"),
+        }
+    )
+
+
 # ---------------------------------------------------------------------------
 # Near-dup clusters (connected components over verified pairs)
 # ---------------------------------------------------------------------------

@@ -587,3 +587,15 @@ def test_corpus_clean_filter_then_dedup(ray_session, tmp_path):
 
     out = corpus_clean(str(d), num_partitions=2).to_pandas()
     assert sorted(out["doc_id"].tolist()) == [1]
+
+
+def test_embedding_neardup_recall_gate(ray_session):
+    """Planted perturbed copies must be recovered exactly: full recall and
+    zero spurious pairs (the raw corpus has no near-dups, so this is the
+    only verification with teeth for the LSH blocking)."""
+    from rayld.pipelines.dedup import embedding_neardup_recall
+
+    out = embedding_neardup_recall(SF)
+    assert out["recall_ok"].tolist() == [1]
+    assert out["n_found"].tolist() == out["n_expected"].tolist()
+    assert out["n_expected"].iloc[0] > 0
