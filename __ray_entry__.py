@@ -111,6 +111,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_exact_normalized": dedup.dedup_exact_normalized,
         "dedup_survivor_map": dedup.dedup_survivor_map,
         "dedup_minhash": dedup.minhash_dedup,
+        "dedup_minhash_recall": dedup.minhash_dedup_recall,
         "dedup_clusters": dedup.dedup_clusters,
         "dedup_ngram_jaccard": dedup.ngram_jaccard_dedup,
         "simhash": dedup.simhash,
@@ -441,6 +442,14 @@ def oracle_sql() -> dict[str, str]:
         "ann_ivf_recall": (
             "SELECT q::BIGINT AS query_id, 1::BIGINT AS recall_ok"
             " FROM unnest([0, 1, 2, 3]) AS u(q)"
+        ),
+        # planted-pair gates: the Ray side must recover every planted pair
+        # for recall_ok to be 1 (exact copies -> identical MinHash bands, so
+        # recovery is deterministic)
+        "dedup_minhash_recall": (
+            "SELECT count(*)::BIGINT AS n_expected,"
+            " count(*)::BIGINT AS n_found, 1::BIGINT AS recall_ok"
+            " FROM documents"
         ),
         # planted-pair LSH gate: the Ray side must find exactly one pair per
         # embedding (full recall, zero spurious) for recall_ok to be 1

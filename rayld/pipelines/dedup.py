@@ -719,6 +719,72 @@ def embedding_neardup(sf_dir: str, threshold: float = 0.95, n_tables: int = 4,
     ).drop_columns(["_n"])
 
 
+def minhash_dedup_recall(sf_dir: str, offset: int = 10_000_000):
+    """Planted-pair quality gate for the MinHash+LSH pipeline (same pattern
+    as embedding_neardup_recall): each document gets an EXACT copy at
+    doc_id+offset — identical text means identical signatures, so every
+    planted pair must collide in every band and verify at Jaccard 1.0;
+    recovery is deterministic, not probabilistic. The gate requires every
+    planted (doc_id, doc_id+offset) pair in the output (the corpus's own
+    organic near-dup pairs are allowed alongside); the driver hash-checks
+    the constant-shape result against a constant-1 SQL oracle, so a band
+    shuffle / verification-join regression fails correctness."""
+    import os
+    import shutil
+
+    import ray.data as rd
+
+    from .text import documents
+
+    docs = documents(sf_dir)
+    n_expected = docs.count()
+
+    def plant(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy().astype(np.int64)
+        texts = batch["text"].to_pylist()
+        return pa.table(
+            {
+                "doc_id": pa.array(
+                    np.concatenate([ids, ids + offset]), pa.int64()
+                ),
+                "text": pa.array(texts + texts, pa.string()),
+            }
+        )
+
+    tmp = f"/tmp/rayld_minhash_recall/pid{os.getpid()}"
+    shutil.rmtree(tmp, ignore_errors=True)
+    # documents() resolves {sf_dir}/documents.parquet — write the doubled
+    # corpus as a parquet DIRECTORY of that name so tmp acts as an sf_dir
+    os.makedirs(f"{tmp}/documents.parquet", exist_ok=True)
+    docs.map_batches(plant, batch_format="pyarrow").write_parquet(
+        f"{tmp}/documents.parquet"
+    )
+
+    pairs = minhash_dedup(tmp)
+
+    def planted_flag(batch: pa.Table) -> pa.Table:
+        a = batch["doc_a"].to_numpy()
+        b = batch["doc_b"].to_numpy()
+        return pa.table(
+            {
+                "planted": pa.array(
+                    (b - a == offset).astype(np.int64), pa.int64()
+                )
+            }
+        )
+
+    flagged = pairs.map_batches(planted_flag, batch_format="pyarrow")
+    n_found = int(flagged.sum("planted") or 0)
+    ok = 1 if n_found == n_expected else 0
+    return pd.DataFrame(
+        {
+            "n_expected": pd.Series([n_expected], dtype="int64"),
+            "n_found": pd.Series([n_found], dtype="int64"),
+            "recall_ok": pd.Series([ok], dtype="int64"),
+        }
+    )
+
+
 def embedding_neardup_recall(sf_dir: str, threshold: float = 0.95,
                              eps: float = 0.03, offset: int = 10_000_000,
                              seed: int = 11):

@@ -599,3 +599,13 @@ def test_embedding_neardup_recall_gate(ray_session):
     assert out["recall_ok"].tolist() == [1]
     assert out["n_found"].tolist() == out["n_expected"].tolist()
     assert out["n_expected"].iloc[0] > 0
+
+
+def test_minhash_dedup_recall_gate(ray_session):
+    """Exact planted copies have identical signatures, so the LSH pipeline
+    must recover every planted pair deterministically."""
+    from rayld.pipelines.dedup import minhash_dedup_recall
+
+    out = minhash_dedup_recall(SF)
+    assert out["recall_ok"].tolist() == [1]
+    assert out["n_expected"].iloc[0] == 500
