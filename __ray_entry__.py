@@ -113,9 +113,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_minhash": dedup.minhash_dedup,
         "dedup_minhash_recall": dedup.minhash_dedup_recall,
         "dedup_clusters": dedup.dedup_clusters,
+        "dedup_clusters_check": dedup.dedup_clusters_check,
         "dedup_ngram_jaccard": dedup.ngram_jaccard_dedup,
+        "dedup_ngram_jaccard_recall": dedup.ngram_jaccard_recall,
         "simhash": dedup.simhash,
         "simhash_neardup": dedup.simhash_neardup,
+        "simhash_neardup_recall": dedup.simhash_neardup_recall,
         "embedding_neardup": dedup.embedding_neardup,
         "embedding_neardup_recall": dedup.embedding_neardup_recall,
         "corpus_clean": prep.corpus_clean,
@@ -447,6 +450,21 @@ def oracle_sql() -> dict[str, str]:
         # for recall_ok to be 1 (exact copies -> identical MinHash bands, so
         # recovery is deterministic)
         "dedup_minhash_recall": (
+            "SELECT count(*)::BIGINT AS n_expected,"
+            " count(*)::BIGINT AS n_found, 1::BIGINT AS recall_ok"
+            " FROM documents"
+        ),
+        "simhash_neardup_recall": (
+            "SELECT count(*)::BIGINT AS n_expected,"
+            " count(*)::BIGINT AS n_found, 1::BIGINT AS recall_ok"
+            " FROM documents"
+        ),
+        "dedup_ngram_jaccard_recall": (
+            "SELECT count(*)::BIGINT AS n_expected,"
+            " count(*)::BIGINT AS n_found, 1::BIGINT AS recall_ok"
+            " FROM documents"
+        ),
+        "dedup_clusters_check": (
             "SELECT count(*)::BIGINT AS n_expected,"
             " count(*)::BIGINT AS n_found, 1::BIGINT AS recall_ok"
             " FROM documents"

@@ -719,25 +719,19 @@ def embedding_neardup(sf_dir: str, threshold: float = 0.95, n_tables: int = 4,
     ).drop_columns(["_n"])
 
 
-def minhash_dedup_recall(sf_dir: str, offset: int = 10_000_000):
-    """Planted-pair quality gate for the MinHash+LSH pipeline (same pattern
-    as embedding_neardup_recall): each document gets an EXACT copy at
-    doc_id+offset — identical text means identical signatures, so every
-    planted pair must collide in every band and verify at Jaccard 1.0;
-    recovery is deterministic, not probabilistic. The gate requires every
-    planted (doc_id, doc_id+offset) pair in the output (the corpus's own
-    organic near-dup pairs are allowed alongside); the driver hash-checks
-    the constant-shape result against a constant-1 SQL oracle, so a band
-    shuffle / verification-join regression fails correctness."""
+def _planted_doc_corpus(sf_dir: str, offset: int, tag: str) -> tuple[str, int]:
+    """Write a doubled documents corpus (each doc plus an EXACT copy at
+    doc_id+offset) under a pid-scoped /tmp sf_dir; returns (tmp_sf_dir,
+    n_docs). Exact copies make the planted-pair gates DETERMINISTIC: every
+    sketch (minhash bands, simhash bands, rolling fingerprints) is identical
+    for the copy, so blocking cannot miss and verification scores 1.0."""
     import os
     import shutil
-
-    import ray.data as rd
 
     from .text import documents
 
     docs = documents(sf_dir)
-    n_expected = docs.count()
+    n_docs = docs.count()
 
     def plant(batch: pa.Table) -> pa.Table:
         ids = batch["doc_id"].to_numpy().astype(np.int64)
@@ -751,7 +745,7 @@ def minhash_dedup_recall(sf_dir: str, offset: int = 10_000_000):
             }
         )
 
-    tmp = f"/tmp/rayld_minhash_recall/pid{os.getpid()}"
+    tmp = f"/tmp/rayld_{tag}_recall/pid{os.getpid()}"
     shutil.rmtree(tmp, ignore_errors=True)
     # documents() resolves {sf_dir}/documents.parquet — write the doubled
     # corpus as a parquet DIRECTORY of that name so tmp acts as an sf_dir
@@ -759,8 +753,12 @@ def minhash_dedup_recall(sf_dir: str, offset: int = 10_000_000):
     docs.map_batches(plant, batch_format="pyarrow").write_parquet(
         f"{tmp}/documents.parquet"
     )
+    return tmp, n_docs
 
-    pairs = minhash_dedup(tmp)
+
+def _pair_recall_row(pairs, offset: int, n_expected: int) -> pd.DataFrame:
+    """Distributed count of planted (a, a+offset) pairs in a (doc_a, doc_b)
+    dataset -> the constant-shape gate row the driver hash-checks."""
 
     def planted_flag(batch: pa.Table) -> pa.Table:
         a = batch["doc_a"].to_numpy()
@@ -779,6 +777,91 @@ def minhash_dedup_recall(sf_dir: str, offset: int = 10_000_000):
     return pd.DataFrame(
         {
             "n_expected": pd.Series([n_expected], dtype="int64"),
+            "n_found": pd.Series([n_found], dtype="int64"),
+            "recall_ok": pd.Series([ok], dtype="int64"),
+        }
+    )
+
+
+def minhash_dedup_recall(sf_dir: str, offset: int = 10_000_000):
+    """Planted-pair quality gate for the MinHash+LSH pipeline (same pattern
+    as embedding_neardup_recall): identical text means identical signatures,
+    so every planted pair must collide in every band and verify at Jaccard
+    1.0 — recovery is deterministic, not probabilistic. Organic near-dup
+    pairs are allowed alongside; the driver hash-checks the constant-shape
+    result against a constant-1 SQL oracle, so a band shuffle /
+    verification-join regression fails correctness."""
+    tmp, n = _planted_doc_corpus(sf_dir, offset, "minhash")
+    return _pair_recall_row(minhash_dedup(tmp), offset, n)
+
+
+def simhash_neardup_recall(sf_dir: str, offset: int = 10_000_000):
+    """Planted-pair gate for the banded SimHash pipeline: exact copies have
+    Hamming distance 0, which shares all four bands — every planted pair
+    must appear. Exercises the band shuffle, in-bucket popcount verify, and
+    the pair-dedup shuffle end to end."""
+    tmp, n = _planted_doc_corpus(sf_dir, offset, "simhash")
+    return _pair_recall_row(simhash_neardup(tmp), offset, n)
+
+
+def ngram_jaccard_recall(sf_dir: str, offset: int = 10_000_000):
+    """Planted-pair gate for the rolling-fingerprint-blocked Jaccard
+    pipeline: exact copies share every window fingerprint (so the min
+    fingerprint blocks them together) and verify at Jaccard 1.0."""
+    tmp, n = _planted_doc_corpus(sf_dir, offset, "ngram")
+    return _pair_recall_row(ngram_jaccard_dedup(tmp), offset, n)
+
+
+def dedup_clusters_check(sf_dir: str, offset: int = 10_000_000,
+                         num_partitions: int | None = None):
+    """Planted-copy gate for the connected-components clustering: over the
+    doubled corpus, doc d and its exact copy d+offset must land in the SAME
+    cluster for every d (the planted edge guarantees the component exists).
+    Checked distributed: cluster rows re-key to the original doc id and a
+    bucketed groupby verifies both copies are present and agree; the driver
+    hash-checks the constant-shape result against a constant-1 oracle —
+    typed verification for the min-label-propagation loop, which was
+    rows-only before."""
+    import zlib
+
+    from .common import cluster_partitions
+
+    if num_partitions is None:
+        num_partitions = cluster_partitions(minimum=8)
+
+    tmp, n = _planted_doc_corpus(sf_dir, offset, "clusters")
+    clusters = dedup_clusters(tmp)
+
+    def rekey(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy().astype(np.int64)
+        nid = np.where(ids >= offset, ids - offset, ids)
+        part = np.fromiter(
+            (zlib.crc32(int(x).to_bytes(8, "little")) % num_partitions
+             for x in nid),
+            dtype=np.int32, count=len(nid),
+        )
+        return pa.table(
+            {
+                "nid": pa.array(nid, pa.int64()),
+                "cluster_id": batch["cluster_id"].cast(pa.int64()),
+                "part": pa.array(part, pa.int32()),
+            }
+        )
+
+    def agree(df: pd.DataFrame) -> pa.Table:
+        g = df.groupby("nid")["cluster_id"]
+        ok = ((g.transform("nunique") == 1) & (g.transform("size") >= 2))
+        n_ok = int(df[ok]["nid"].nunique())
+        return pa.table({"n_ok": pa.array([n_ok], pa.int64())})
+
+    agreed = clusters.map_batches(rekey, batch_format="pyarrow").groupby(
+        "part"
+    ).map_groups(agree, batch_format="pandas")
+    n_found = int(agreed.sum("n_ok") or 0)
+    ok = 1 if n_found == n else 0
+    return pd.DataFrame(
+        {
+            "n_expected": pd.Series([n], dtype="int64"),
             "n_found": pd.Series([n_found], dtype="int64"),
             "recall_ok": pd.Series([ok], dtype="int64"),
         }

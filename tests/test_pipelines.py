@@ -609,3 +609,17 @@ def test_minhash_dedup_recall_gate(ray_session):
     out = minhash_dedup_recall(SF)
     assert out["recall_ok"].tolist() == [1]
     assert out["n_expected"].iloc[0] == 500
+
+
+@pytest.mark.parametrize(
+    "fn_name",
+    ["simhash_neardup_recall", "ngram_jaccard_recall", "dedup_clusters_check"],
+)
+def test_planted_copy_gates(ray_session, fn_name):
+    """Exact planted copies are deterministically recoverable by every
+    sketch family; each gate must report full recall."""
+    from rayld.pipelines import dedup
+
+    out = getattr(dedup, fn_name)(SF)
+    assert out["recall_ok"].tolist() == [1], out.to_dict("records")
+    assert out["n_expected"].iloc[0] == 500
