@@ -76,12 +76,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
             Count(alias_name="_n")
         ).drop_columns(["_n"])
 
+    def kg_parity(sf_dir: str):
+        """Flagship gate: distributed pipeline == single-process kernel on a
+        bounded conversation sample (P/R = 1.0 on canonicalized quads)."""
+        from rayld.pipelines.kg import kg_parity_check
+
+        n = min(200, max(20, jsonld_ops.n_conversations_for(sf_dir) // 10))
+        return kg_parity_check(n)
+
     return {
         # flagship KG construction (A5/A7 end-to-end; non-SQL)
         "kg_triples": kg_triples,
         "kg_triple_counts": kg_triple_counts,
         "kg_triples_global_dedup": kg_triples_global_dedup,
         "kg_documents_fromrdf": kg_documents_fromrdf,
+        "kg_parity_check": kg_parity,
         # JSON-LD API surface A1-A7 + S1/S2 (non-SQL)
         "jsonld_expand": jsonld_ops.op_expand,
         "jsonld_compact_roundtrip": jsonld_ops.op_compact_roundtrip,
@@ -90,6 +99,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "jsonld_tordf": jsonld_ops.op_tordf,
         "jsonld_fromrdf_roundtrip": jsonld_ops.op_fromrdf_roundtrip,
         "jsonld_normalize": jsonld_ops.op_normalize,
+        "jsonld_normalize_check": jsonld_ops.op_normalize_check,
         # text analysis
         "token_count": text.token_count,
         "token_frequencies": text.token_frequencies,
@@ -197,6 +207,17 @@ def oracle_sql() -> dict[str, str]:
         "jsonld_fromrdf_roundtrip": (
             "SELECT conv_id, turn_idx::BIGINT AS turn_idx,"
             " 1::BIGINT AS roundtrip_ok, " + _nlines + " FROM " + _td
+        ),
+        # c14n fixpoint flag: normalize -> fromRDF -> normalize must be
+        # byte-identical for every document
+        "jsonld_normalize_check": (
+            "SELECT conv_id, turn_idx::BIGINT AS turn_idx,"
+            " 1::BIGINT AS c14n_stable FROM " + _td
+        ),
+        # flagship parity gate: distributed == kernel on the sampled convs
+        "kg_parity_check": (
+            "SELECT 0::BIGINT AS missing, 0::BIGINT AS extra,"
+            " 1::BIGINT AS parity_ok"
         ),
         "token_count": (
             "SELECT doc_id, len(regexp_extract_all(text, '[A-Za-z0-9]+'))::BIGINT"

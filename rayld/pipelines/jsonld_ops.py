@@ -241,6 +241,28 @@ def op_fromrdf_roundtrip(sf_dir: str):
     )
 
 
+def op_normalize_check(sf_dir: str):
+    """A7 gate: canonicalization is a FIXPOINT — normalize -> fromRDF ->
+    normalize must reproduce the byte-identical canonical N-Quads string
+    (canonical _:c14nN labels survive the round trip). Runs fully
+    distributed per document; the driver hash-checks the flag column
+    against a constant-1 oracle, giving the c14n path a typed correctness
+    row (op_normalize's content hashes are rows-only by nature)."""
+
+    def fn(d):
+        opts = JsonLdOptions("")
+        opts.format = "application/nquads"
+        c1 = normalize(d, opts)
+        back = from_rdf(c1, JsonLdOptions(""))
+        opts2 = JsonLdOptions("")
+        opts2.format = "application/nquads"
+        return {"c14n_stable": int(c1 == normalize(back, opts2))}
+
+    return _tool_docs_ds(sf_dir).map_batches(
+        _op_stage({"c14n_stable": pa.int64()}, fn), batch_format="pyarrow"
+    )
+
+
 def op_normalize(sf_dir: str):
     """A7 Normalize: sha1 of the canonical (URGNA2012-lineage) N-Quads —
     content hashes are not SQL-expressible, so this op keeps the driver's

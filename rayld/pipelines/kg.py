@@ -626,3 +626,69 @@ def export_turtle(triples_ds, out_dir: str, num_buckets: int = 16):
     return triples_ds.map_batches(
         add_bucket, batch_format="pyarrow"
     ).groupby("bucket").map_groups(render_and_write, batch_format="pandas")
+
+
+_QUAD_COLS = (
+    "conv_id", "graph", "subj", "pred", "obj_kind", "obj_value",
+    "obj_datatype", "obj_lang",
+)
+
+
+def kg_parity_check(n_conversations: int = 50, link_concurrency=None):
+    """Flagship parity gate: the DISTRIBUTED triples pipeline must equal the
+    single-process kernel run on the same conversations — P/R = 1.0 on
+    canonicalized quads (the test_kg_pipeline oracle, surfaced as a driver
+    correctness row against a constant-1 SQL oracle).
+
+    This is a bounded SPOT-CHECK harness, not a data path: the kernel oracle
+    is inherently single-process (that is the point of the comparison), so
+    n_conversations stays capped — the flagship itself runs only the
+    distributed path. The distributed side streams through iter_batches; the
+    quad sets held on the driver are O(n_conversations), not corpus-sized."""
+    from ..sources.transcripts import transcripts_dataset, transcripts_table
+    from ..stages.docs import conversation_expanded, expanded_to_canonical_triples
+    from ..stages.linker import MentionLinker
+    from ..state.gazetteer import build_gazetteer
+
+    tbl = transcripts_table(n_conversations)
+    linker = MentionLinker(gazetteer=build_gazetteer())
+    convs: dict = {}
+    for r in tbl.to_pylist():
+        convs.setdefault(r["conv_id"], []).append(r)
+    oracle = set()
+    for conv_id, turns in convs.items():
+        turns.sort(key=lambda r: r["turn_idx"])
+        tdicts = [
+            dict(
+                turn_idx=r["turn_idx"], role=r["role"], text=r["text"],
+                tool=r["tool"],
+                ts_us=int(r["ts"].timestamp() * 1e6)
+                if hasattr(r["ts"], "timestamp") else r["ts"],
+                entity_iris=linker.link_text(r["text"]),
+            )
+            for r in turns
+        ]
+        expanded = conversation_expanded(conv_id, tdicts, JsonLdOptions(""))
+        cols = expanded_to_canonical_triples(conv_id, expanded)
+        for i in range(len(cols["subj"])):
+            oracle.add(tuple(cols[k][i] for k in _QUAD_COLS))
+
+    out = build_triples(
+        transcripts_dataset(n_conversations), link_concurrency=link_concurrency
+    )
+    got = set()
+    for batch in out.iter_batches(batch_size=10_000, batch_format="pyarrow"):
+        d = batch.to_pydict()
+        for i in range(batch.num_rows):
+            got.add(tuple(d[k][i] for k in _QUAD_COLS))
+
+    missing = len(oracle - got)
+    extra = len(got - oracle)
+    ok = 1 if (missing == 0 and extra == 0 and len(got) > 0) else 0
+    return pd.DataFrame(
+        {
+            "missing": pd.Series([missing], dtype="int64"),
+            "extra": pd.Series([extra], dtype="int64"),
+            "parity_ok": pd.Series([ok], dtype="int64"),
+        }
+    )

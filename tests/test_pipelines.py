@@ -623,3 +623,22 @@ def test_planted_copy_gates(ray_session, fn_name):
     out = getattr(dedup, fn_name)(SF)
     assert out["recall_ok"].tolist() == [1], out.to_dict("records")
     assert out["n_expected"].iloc[0] == 500
+
+
+def test_jsonld_normalize_fixpoint(ray_session):
+    """c14n is a fixpoint: normalize -> fromRDF -> normalize is
+    byte-identical for every tool document."""
+    from rayld.pipelines.jsonld_ops import op_normalize_check
+
+    out = op_normalize_check(SF).to_pandas()
+    assert len(out) > 0
+    assert (out["c14n_stable"] == 1).all()
+
+
+def test_kg_parity_gate(ray_session):
+    from rayld.pipelines.kg import kg_parity_check
+
+    out = kg_parity_check(20, link_concurrency=2)
+    assert out.to_dict("records") == [
+        {"missing": 0, "extra": 0, "parity_ok": 1}
+    ]
