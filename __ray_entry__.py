@@ -146,6 +146,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hourly": relational.events_hourly,
         "events_sliding": relational.events_sliding,
         "user_sessions": relational.user_sessions,
+        "asof_join_attribution": relational.asof_join_attribution,
         "supplier_account_rank": relational.supplier_account_rank,
         # multimodal plumbing
         "media_byte_stats": multimodal.media_byte_stats,
@@ -413,6 +414,16 @@ def oracle_sql() -> dict[str, str]:
             "  FROM x"
             ") SELECT user_id, session_id, count(*)::BIGINT AS n_events"
             " FROM y GROUP BY user_id, session_id"
+        ),
+        # as-of join: DuckDB's native ASOF JOIN is the oracle; timestamps
+        # compare as epoch-microsecond BIGINTs on both sides
+        "asof_join_attribution": (
+            "SELECT p.event_id AS purchase_id, p.user_id,"
+            " epoch_us(p.ts)::BIGINT AS purchase_us,"
+            " c.event_id AS click_id, epoch_us(c.ts)::BIGINT AS click_us"
+            " FROM (SELECT * FROM events WHERE event_type = 'purchase') p"
+            " ASOF JOIN (SELECT * FROM events WHERE event_type = 'click') c"
+            " ON p.user_id = c.user_id AND p.ts >= c.ts"
         ),
         "supplier_account_rank": (
             "SELECT s_suppkey FROM supplier"

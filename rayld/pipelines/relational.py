@@ -293,3 +293,102 @@ def supplier_account_rank(sf_dir: str, top_n: int = 10):
     )
     out = ds.sort(["s_acctbal", "s_suppkey"], descending=[True, False]).limit(top_n)
     return out.select_columns(["s_suppkey"])
+
+
+def asof_join_attribution(sf_dir: str, left_type: str = "purchase",
+                          right_type: str = "click",
+                          num_partitions: int | None = None):
+    """As-of join (last-touch attribution): each `left_type` event joined to
+    the user's most recent `right_type` event at or before it — the classic
+    time-series operator Ray Data lacks as a primitive.
+
+    Implementation (composition (a) of the custom-operator ladder):
+    both sides are filtered from ONE pruned read and tagged, then a single
+    BUCKETED hash(user_id) % P shuffle co-locates each user's full timeline;
+    inside the task a pandas `merge_asof(by=user_id, direction=backward)`
+    over the sorted partition answers every user in the bucket at once.
+    Partitioning assumption (documented per the brief): the join key is
+    user_id, so one user's events must fit a task — guaranteed here by the
+    bounded per-user event count; a pathological hot user would need
+    time-range sub-splitting with boundary carry-over. Inner-join semantics
+    (left events with no prior right event drop) keep the result
+    nullable-free, so int64 ids survive pandas exactly (the
+    connected-components lesson). Matches DuckDB `ASOF JOIN ... ON
+    p.user_id = c.user_id AND p.ts >= c.ts` bit-for-bit: timestamps compare
+    as epoch-microsecond BIGINTs on both sides."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from .common import cluster_partitions
+
+    if num_partitions is None:
+        num_partitions = cluster_partitions()
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "user_id", "event_type"],
+    )
+
+    def tag_and_bucket(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        keep = pc.is_in(
+            batch["event_type"],
+            value_set=pa.array([left_type, right_type]),
+        )
+        batch = batch.filter(keep)
+        side = pc.equal(batch["event_type"], left_type)  # True = left
+        parts = crc32_buckets(batch["user_id"].to_pylist(), num_partitions)
+        return pa.table(
+            {
+                "event_id": batch["event_id"].cast(pa.int64()),
+                "ts_us": batch["ts"].cast(pa.timestamp("us")).cast(pa.int64()),
+                "user_id": batch["user_id"].cast(pa.int64()),
+                "is_left": side.cast(pa.bool_()),
+                "part": pa.array(parts, pa.int32()),
+            }
+        )
+
+    def asof_partition(df: pd.DataFrame) -> pa.Table:
+        left = df[df["is_left"]].sort_values("ts_us", kind="mergesort")
+        right = df[~df["is_left"]].sort_values("ts_us", kind="mergesort")
+        # merge_asof keeps only the LEFT on-key; carry the right timestamp
+        # through an explicit copy
+        right = right.assign(r_ts=right["ts_us"])
+        if len(left) == 0 or len(right) == 0:
+            m = pd.DataFrame()
+        else:
+            m = pd.merge_asof(
+                left, right, on="ts_us", by="user_id",
+                direction="backward", suffixes=("", "_r"),
+            ).dropna(subset=["event_id_r"])
+        if len(m) == 0:
+            return pa.table(
+                {
+                    "purchase_id": pa.array([], pa.int64()),
+                    "user_id": pa.array([], pa.int64()),
+                    "purchase_us": pa.array([], pa.int64()),
+                    "click_id": pa.array([], pa.int64()),
+                    "click_us": pa.array([], pa.int64()),
+                }
+            )
+        return pa.table(
+            {
+                "purchase_id": pa.array(
+                    m["event_id"].to_numpy(np.int64), pa.int64()
+                ),
+                "user_id": pa.array(m["user_id"].to_numpy(np.int64), pa.int64()),
+                "purchase_us": pa.array(
+                    m["ts_us"].to_numpy(np.int64), pa.int64()
+                ),
+                "click_id": pa.array(
+                    m["event_id_r"].to_numpy(np.int64), pa.int64()
+                ),
+                "click_us": pa.array(
+                    m["r_ts"].to_numpy(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    return ds.map_batches(tag_and_bucket, batch_format="pyarrow").groupby(
+        "part"
+    ).map_groups(asof_partition, batch_format="pandas")

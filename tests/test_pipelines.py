@@ -642,3 +642,41 @@ def test_kg_parity_gate(ray_session):
     assert out.to_dict("records") == [
         {"missing": 0, "extra": 0, "parity_ok": 1}
     ]
+
+
+def test_asof_join_attribution(ray_session):
+    """Bucketed merge_asof == DuckDB ASOF JOIN (backward-inclusive, by
+    user), and the bucket count never changes the result."""
+    import duckdb
+    from rayld.pipelines.relational import asof_join_attribution
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM read_parquet("
+        f"'{SF}/events.parquet')"
+    )
+    want = con.execute(
+        "SELECT p.event_id AS purchase_id, p.user_id,"
+        " epoch_us(p.ts)::BIGINT AS purchase_us,"
+        " c.event_id AS click_id, epoch_us(c.ts)::BIGINT AS click_us"
+        " FROM (SELECT * FROM events WHERE event_type = 'purchase') p"
+        " ASOF JOIN (SELECT * FROM events WHERE event_type = 'click') c"
+        " ON p.user_id = c.user_id AND p.ts >= c.ts"
+    ).df().sort_values("purchase_id").reset_index(drop=True)
+
+    got = (
+        asof_join_attribution(SF, num_partitions=4)
+        .to_pandas()
+        .sort_values("purchase_id")
+        .reset_index(drop=True)[want.columns.tolist()]
+    )
+    pd.testing.assert_frame_equal(
+        got.astype("int64"), want.astype("int64")
+    )
+    got3 = (
+        asof_join_attribution(SF, num_partitions=3)
+        .to_pandas()
+        .sort_values("purchase_id")
+        .reset_index(drop=True)[want.columns.tolist()]
+    )
+    pd.testing.assert_frame_equal(got3.astype("int64"), want.astype("int64"))
