@@ -147,6 +147,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sliding": relational.events_sliding,
         "user_sessions": relational.user_sessions,
         "asof_join_attribution": relational.asof_join_attribution,
+        "range_join_signup_clicks": relational.range_join_signup_clicks,
         "supplier_account_rank": relational.supplier_account_rank,
         # multimodal plumbing
         "media_byte_stats": multimodal.media_byte_stats,
@@ -424,6 +425,17 @@ def oracle_sql() -> dict[str, str]:
             " FROM (SELECT * FROM events WHERE event_type = 'purchase') p"
             " ASOF JOIN (SELECT * FROM events WHERE event_type = 'click') c"
             " ON p.user_id = c.user_id AND p.ts >= c.ts"
+        ),
+        # range join: per-signup click count in the following 30 minutes;
+        # LEFT JOIN keeps zero-click signups as n_clicks = 0 (nullable-free)
+        "range_join_signup_clicks": (
+            "SELECT s.event_id AS signup_id, s.user_id,"
+            " count(c.event_id)::BIGINT AS n_clicks"
+            " FROM (SELECT * FROM events WHERE event_type = 'signup') s"
+            " LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c"
+            " ON s.user_id = c.user_id AND c.ts >= s.ts"
+            " AND c.ts < s.ts + INTERVAL 30 MINUTE"
+            " GROUP BY s.event_id, s.user_id"
         ),
         "supplier_account_rank": (
             "SELECT s_suppkey FROM supplier"

@@ -392,3 +392,78 @@ def asof_join_attribution(sf_dir: str, left_type: str = "purchase",
     return ds.map_batches(tag_and_bucket, batch_format="pyarrow").groupby(
         "part"
     ).map_groups(asof_partition, batch_format="pandas")
+
+
+def range_join_signup_clicks(sf_dir: str, window_minutes: int = 30,
+                             num_partitions: int | None = None):
+    """Range (interval) join: each signup event joined to the same user's
+    clicks inside [ts, ts + window) and aggregated to a count — the second
+    custom time-series operator Ray Data lacks as a primitive (the as-of
+    join's sibling).
+
+    Same partitioning contract as asof_join_attribution: ONE bucketed
+    hash(user_id) % P shuffle co-locates a user's timeline; inside the task
+    each user's sorted click timestamps answer all of that user's signups
+    with two vectorized searchsorted calls (no per-pair materialization —
+    the count never expands the join). Zero-click signups keep a row with
+    n_clicks = 0, so the result is nullable-free and the DuckDB interval
+    LEFT JOIN oracle matches exactly."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from .common import cluster_partitions
+
+    if num_partitions is None:
+        num_partitions = cluster_partitions()
+    win_us = window_minutes * 60_000_000
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "user_id", "event_type"],
+    )
+
+    def tag_and_bucket(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        keep = pc.is_in(
+            batch["event_type"], value_set=pa.array(["signup", "click"])
+        )
+        batch = batch.filter(keep)
+        side = pc.equal(batch["event_type"], "signup")
+        parts = crc32_buckets(batch["user_id"].to_pylist(), num_partitions)
+        return pa.table(
+            {
+                "event_id": batch["event_id"].cast(pa.int64()),
+                "ts_us": batch["ts"].cast(pa.timestamp("us")).cast(pa.int64()),
+                "user_id": batch["user_id"].cast(pa.int64()),
+                "is_left": side.cast(pa.bool_()),
+                "part": pa.array(parts, pa.int32()),
+            }
+        )
+
+    def count_in_window(df: pd.DataFrame) -> pa.Table:
+        out_id, out_user, out_n = [], [], []
+        for uid, g in df.groupby("user_id", sort=False):
+            s = g[g["is_left"]]
+            if len(s) == 0:
+                continue
+            clicks = np.sort(g[~g["is_left"]]["ts_us"].to_numpy(np.int64))
+            ts = s["ts_us"].to_numpy(np.int64)
+            n = (
+                np.searchsorted(clicks, ts + win_us, side="left")
+                - np.searchsorted(clicks, ts, side="left")
+            )
+            out_id.append(s["event_id"].to_numpy(np.int64))
+            out_user.append(np.full(len(s), uid, dtype=np.int64))
+            out_n.append(n.astype(np.int64))
+        cat = (lambda xs: np.concatenate(xs) if xs else np.empty(0, np.int64))
+        return pa.table(
+            {
+                "signup_id": pa.array(cat(out_id), pa.int64()),
+                "user_id": pa.array(cat(out_user), pa.int64()),
+                "n_clicks": pa.array(cat(out_n), pa.int64()),
+            }
+        )
+
+    return ds.map_batches(tag_and_bucket, batch_format="pyarrow").groupby(
+        "part"
+    ).map_groups(count_in_window, batch_format="pandas")

@@ -680,3 +680,35 @@ def test_asof_join_attribution(ray_session):
         .reset_index(drop=True)[want.columns.tolist()]
     )
     pd.testing.assert_frame_equal(got3.astype("int64"), want.astype("int64"))
+
+
+def test_range_join_signup_clicks(ray_session):
+    """Bucketed searchsorted range-count == DuckDB interval LEFT JOIN,
+    including zero-click signups; bucket count never changes the result."""
+    import duckdb
+    from rayld.pipelines.relational import range_join_signup_clicks
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM read_parquet("
+        f"'{SF}/events.parquet')"
+    )
+    want = con.execute(
+        "SELECT s.event_id AS signup_id, s.user_id,"
+        " count(c.event_id)::BIGINT AS n_clicks"
+        " FROM (SELECT * FROM events WHERE event_type = 'signup') s"
+        " LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c"
+        " ON s.user_id = c.user_id AND c.ts >= s.ts"
+        " AND c.ts < s.ts + INTERVAL 30 MINUTE"
+        " GROUP BY s.event_id, s.user_id"
+    ).df().sort_values("signup_id").reset_index(drop=True)
+
+    for p in (4, 3):
+        got = (
+            range_join_signup_clicks(SF, num_partitions=p)
+            .to_pandas()
+            .sort_values("signup_id")
+            .reset_index(drop=True)[want.columns.tolist()]
+        )
+        pd.testing.assert_frame_equal(got.astype("int64"), want.astype("int64"))
+    assert (want["n_clicks"] == 0).any()  # the zero-count path is exercised
