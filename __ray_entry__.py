@@ -32,6 +32,7 @@ def entry() -> Any:
 def queries() -> dict[str, Callable[[str], Any]]:
     from rayld.pipelines import (
         ann,
+        curation,
         dedup,
         jsonld_ops,
         multimodal,
@@ -132,6 +133,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_neardup": dedup.embedding_neardup,
         "embedding_neardup_recall": dedup.embedding_neardup_recall,
         "corpus_clean": prep.corpus_clean,
+        # corpus curation (training-data prep)
+        "decontaminate": curation.decontaminate,
+        "pii_redact": curation.pii_redact,
+        "hash_split": curation.hash_split,
+        "stratified_sample": curation.stratified_sample,
+        "repetition_stats": curation.repetition_stats,
+        "length_outlier_filter": curation.length_outlier_filter,
+        "pack_sequences": curation.pack_sequences,
         # similarity search
         "ann_topk": ann.brute_force_topk,
         "ann_ivf_topk": ann.ivf_topk,
@@ -299,6 +308,118 @@ def oracle_sql() -> dict[str, str]:
             " SELECT doc_id, lang, n_tokens, quality FROM q"
             " WHERE quality >= 0.5"
             " QUALIFY row_number() OVER (PARTITION BY h ORDER BY doc_id) = 1"
+        ),
+        # decontamination: the Ray side matches n-token windows by 64-bit
+        # rolling hash, the oracle by the literal gram strings — equal token
+        # windows on both sides (hash collisions are negligible and would
+        # surface as a hash-mismatch here)
+        "decontaminate": (
+            "WITH toks AS (SELECT doc_id,"
+            "  regexp_extract_all(text, '[A-Za-z0-9]+') AS t FROM documents),"
+            " g AS (SELECT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2]"
+            "   AS gram FROM toks, unnest(range(1, len(t) - 1)) AS u(i)),"
+            " bench AS (SELECT DISTINCT gram FROM g WHERE doc_id % 29 = 0),"
+            " hits AS (SELECT g.doc_id, count(*) AS n FROM g"
+            "   JOIN bench USING (gram) WHERE g.doc_id % 29 != 0 GROUP BY 1)"
+            " SELECT d.doc_id, coalesce(h.n, 0)::BIGINT AS n_hits,"
+            " (coalesce(h.n, 0) > 0)::BIGINT AS contaminated"
+            " FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id"
+            " WHERE d.doc_id % 29 != 0"
+        ),
+        # staged redaction: each pattern's count is taken against the text
+        # the previous stage produced (RE2 and Python re agree on these
+        # ASCII patterns; parity-tested in tests/test_curation.py)
+        "pii_redact": (
+            "WITH a AS (SELECT doc_id,"
+            "  len(regexp_extract_all(text,"
+            "    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))::BIGINT"
+            "    AS n_emails,"
+            "  regexp_replace(text,"
+            "    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',"
+            "    '<EMAIL>', 'g') AS t1 FROM documents),"
+            " b AS (SELECT doc_id, n_emails,"
+            "  len(regexp_extract_all(t1,"
+            "    '\\+?[0-9][0-9() \\-]{6,}[0-9]'))::BIGINT AS n_phones,"
+            "  regexp_replace(t1, '\\+?[0-9][0-9() \\-]{6,}[0-9]',"
+            "    '<PHONE>', 'g') AS t2 FROM a)"
+            " SELECT doc_id, n_emails, n_phones,"
+            "  len(regexp_extract_all(t2, '\\bcustomer\\b'))::BIGINT"
+            "    AS n_terms,"
+            "  md5(regexp_replace(t2, '\\bcustomer\\b', '<TERM>', 'g'))"
+            "    AS redacted_md5"
+            " FROM b"
+        ),
+        "hash_split": (
+            "SELECT doc_id,"
+            " b AS bucket,"
+            " CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val'"
+            "  ELSE 'test' END AS split"
+            " FROM (SELECT doc_id,"
+            "  ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 100"
+            "    AS b FROM documents)"
+        ),
+        "stratified_sample": (
+            "SELECT doc_id, lang,"
+            " row_number() OVER (PARTITION BY lang"
+            "   ORDER BY md5(doc_id::VARCHAR), doc_id)::BIGINT AS sample_rank"
+            " FROM documents"
+            " QUALIFY sample_rank <= 50"
+        ),
+        "repetition_stats": (
+            "WITH toks AS (SELECT doc_id,"
+            "  regexp_extract_all(text, '[A-Za-z0-9]+') AS t FROM documents),"
+            " flat AS (SELECT doc_id, u.tok FROM toks, unnest(t) AS u(tok)),"
+            " tc AS (SELECT doc_id, tok, count(*) AS n FROM flat"
+            "   GROUP BY 1, 2),"
+            " agg AS (SELECT doc_id, sum(n) AS ntok, count(*) AS ndist,"
+            "   max(n) AS topn FROM tc GROUP BY 1),"
+            " big AS (SELECT doc_id, t[i] || ' ' || t[i+1] AS bg FROM toks,"
+            "   unnest(range(1, len(t))) AS u(i)),"
+            " bc AS (SELECT doc_id, bg, count(*) AS n FROM big GROUP BY 1, 2),"
+            " bagg AS (SELECT doc_id, sum(n) AS nbg, max(n) AS topbg"
+            "   FROM bc GROUP BY 1)"
+            " SELECT d.doc_id, coalesce(ntok, 0)::BIGINT AS n_tokens,"
+            " floor(coalesce(ndist, 0) / greatest(coalesce(ntok, 0), 1)::DOUBLE"
+            "   * 1e6 + 0.5) / 1e6 AS distinct_ratio,"
+            " floor(coalesce(topn, 0) / greatest(coalesce(ntok, 0), 1)::DOUBLE"
+            "   * 1e6 + 0.5) / 1e6 AS top_token_frac,"
+            " floor(coalesce(topbg, 0) / greatest(coalesce(nbg, 0), 1)::DOUBLE"
+            "   * 1e6 + 0.5) / 1e6 AS top_bigram_frac"
+            " FROM documents d LEFT JOIN agg USING (doc_id)"
+            " LEFT JOIN bagg USING (doc_id)"
+        ),
+        "length_outlier_filter": (
+            "WITH lens AS (SELECT doc_id,"
+            "  len(regexp_extract_all(text, '[A-Za-z0-9]+'))::BIGINT AS n"
+            "  FROM documents),"
+            " th AS (SELECT"
+            "  percentile_disc(0.01) WITHIN GROUP (ORDER BY n) AS lo,"
+            "  percentile_disc(0.99) WITHIN GROUP (ORDER BY n) AS hi"
+            "  FROM lens)"
+            " SELECT doc_id, n AS n_tokens FROM lens, th"
+            " WHERE n BETWEEN lo AND hi"
+        ),
+        # greedy token-budget packing replayed exactly as a per-chunk
+        # sequential recurrence (recursive CTE depth = chunk_docs)
+        "pack_sequences": (
+            "WITH RECURSIVE lens AS ("
+            " SELECT doc_id, doc_id // 128 AS chunk,"
+            "  row_number() OVER (PARTITION BY doc_id // 128"
+            "    ORDER BY doc_id) AS rn,"
+            "  len(regexp_extract_all(text, '[A-Za-z0-9]+'))::BIGINT AS n"
+            " FROM documents),"
+            " rec AS ("
+            " SELECT doc_id, chunk, rn, n, 0::BIGINT AS bin_local, n AS fill"
+            " FROM lens WHERE rn = 1"
+            " UNION ALL"
+            " SELECT l.doc_id, l.chunk, l.rn, l.n,"
+            "  CASE WHEN r.fill + l.n <= 256 THEN r.bin_local"
+            "   ELSE r.bin_local + 1 END,"
+            "  CASE WHEN r.fill + l.n <= 256 THEN r.fill + l.n ELSE l.n END"
+            " FROM rec r JOIN lens l"
+            "   ON l.chunk = r.chunk AND l.rn = r.rn + 1)"
+            " SELECT doc_id, (chunk * 128 + bin_local)::BIGINT AS bin_id,"
+            " n AS n_tokens, (fill - n)::BIGINT AS token_offset FROM rec"
         ),
         # tf-idf: idf = ln((N+1)/(df+1)) + 1 over regex tokens; top term per
         # doc with ties broken by term; score half-up-rounded to 6dp on both

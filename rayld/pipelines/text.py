@@ -276,13 +276,11 @@ def tfidf_top_terms(sf_dir: str, num_partitions: int | None = None):
     )
 
 
-def doc_length_percentiles(sf_dir: str):
-    """Exact p50/p90/p99 of per-document token counts, percentile_disc
-    semantics (smallest value whose cumulative share >= q). Distributed as a
-    length HISTOGRAM — per-batch value_counts partials, one tiny groupby —
-    because distinct lengths are bounded (≪ corpus size at any scale), the
-    driver-side cumulative walk over the histogram is exact and O(distinct
-    lengths)."""
+def _token_length_histogram(sf_dir: str) -> tuple[np.ndarray, np.ndarray]:
+    """Distributed exact token-length histogram: per-batch value_counts
+    partials + one tiny groupby. Distinct lengths are bounded (≪ corpus size
+    at any scale), so the returned (values, counts) pair is driver-sized.
+    Shared by doc_length_percentiles and curation.length_outlier_filter."""
     from ray.data.aggregate import Sum
 
     def partial(df: pd.DataFrame) -> pa.Table:
@@ -301,8 +299,17 @@ def doc_length_percentiles(sf_dir: str):
         partial, batch_format="pandas"
     ).groupby("n_tokens").aggregate(Sum("partial", alias_name="n")).to_pandas()
     hist = hist.sort_values("n_tokens", kind="mergesort")
-    counts = hist["n"].to_numpy(np.int64)
-    values = hist["n_tokens"].to_numpy(np.int64)
+    return (
+        hist["n_tokens"].to_numpy(np.int64),
+        hist["n"].to_numpy(np.int64),
+    )
+
+
+def doc_length_percentiles(sf_dir: str):
+    """Exact p50/p90/p99 of per-document token counts, percentile_disc
+    semantics (smallest value whose cumulative share >= q): the distributed
+    length histogram + an exact O(distinct lengths) driver-side walk."""
+    values, counts = _token_length_histogram(sf_dir)
     total = counts.sum()
     cum = np.cumsum(counts)
 

@@ -1,0 +1,206 @@
+"""Planted-fixture tests for the corpus-curation operators
+(rayld/pipelines/curation.py): decontamination, PII redaction, hash
+splitting, stratified sampling, repetition stats, length-outlier filtering,
+and sequence packing."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+
+def _write_docs(tmp_path, texts, langs=None, name="docs"):
+    d = tmp_path / name
+    d.mkdir()
+    cols = {
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+    }
+    if langs is not None:
+        cols["lang"] = pa.array(langs, pa.string())
+    pq.write_table(pa.table(cols), d / "documents.parquet")
+    return str(d)
+
+
+def test_decontaminate_planted_overlap(ray_session, tmp_path):
+    """Doc 0 (doc_id % 29 == 0) is the benchmark; a doc that copies one of
+    its 3-token windows is contaminated, a disjoint doc is not."""
+    from rayld.pipelines.curation import decontaminate
+
+    sf = _write_docs(tmp_path, [
+        "alpha beta gamma delta epsilon",          # benchmark (id 0)
+        "noise beta gamma delta more noise",        # shares 'beta gamma delta'
+        "totally disjoint words here",              # clean
+        "alpha beta gamma delta zeta",              # shares two windows
+    ])
+    out = decontaminate(sf).to_pandas().set_index("doc_id")
+    assert sorted(out.index) == [1, 2, 3]
+    assert out.loc[1, "n_hits"] == 1 and out.loc[1, "contaminated"] == 1
+    assert out.loc[2, "n_hits"] == 0 and out.loc[2, "contaminated"] == 0
+    # id 3 shares 'alpha beta gamma' and 'beta gamma delta'
+    assert out.loc[3, "n_hits"] == 2 and out.loc[3, "contaminated"] == 1
+
+
+def test_decontaminate_short_docs_and_empty_bench(ray_session, tmp_path):
+    from rayld.pipelines.curation import decontaminate
+
+    # benchmark doc too short for any 3-gram -> empty benchmark set
+    sf = _write_docs(tmp_path, ["one two", "one two three four"])
+    out = decontaminate(sf).to_pandas()
+    assert out["n_hits"].tolist() == [0]
+    assert out["contaminated"].tolist() == [0]
+
+
+def test_pii_redact_planted(ray_session, tmp_path):
+    from rayld.pipelines.curation import pii_redact
+
+    sf = _write_docs(tmp_path, [
+        "contact john.doe+x@mail.example.co or call +1 415-555-0199 now",
+        "customer said: customers and customer. +41 22 555 12 34",
+        "plain text with no pii at all",
+    ])
+    out = pii_redact(sf).to_pandas().set_index("doc_id").sort_index()
+    assert out.loc[0, "n_emails"] == 1
+    assert out.loc[0, "n_phones"] == 1
+    assert out.loc[0, "n_terms"] == 0
+    assert out.loc[1, "n_terms"] == 2  # 'customers' does not match \b
+    assert out.loc[1, "n_phones"] == 1
+    expected = "<TERM> said: customers and <TERM>. <PHONE>"
+    assert out.loc[1, "redacted_md5"] == hashlib.md5(
+        expected.encode()
+    ).hexdigest()
+    # no-op doc: md5 of the original text
+    assert out.loc[2, "redacted_md5"] == hashlib.md5(
+        b"plain text with no pii at all"
+    ).hexdigest()
+
+
+def test_pii_regex_parity_with_duckdb():
+    """The redaction regexes must behave identically in Python re and
+    DuckDB's RE2 — the invariant the SQL oracle rests on."""
+    import re
+
+    import duckdb
+
+    from rayld.pipelines.curation import _EMAIL_RE, _PHONE_RE, _TERM_RE
+
+    samples = [
+        "contact john.doe+x@mail.example.co, or call +1 415-555-0199 now",
+        "customer said: customers and customer. +41 22 555 12 34",
+        "a@b.io x@y.z no-digits here 12345678901",
+        "edge@case.museum trailing@dot. and (555) 123 4567",
+        "",
+    ]
+    con = duckdb.connect()
+    for s in samples:
+        t1 = re.sub(_EMAIL_RE, "<EMAIL>", s)
+        t2 = re.sub(_PHONE_RE, "<PHONE>", t1)
+        t3 = re.sub(_TERM_RE, "<TERM>", t2)
+        (d3,) = con.execute(
+            "SELECT regexp_replace(regexp_replace(regexp_replace(?, ?,"
+            " '<EMAIL>', 'g'), ?, '<PHONE>', 'g'), ?, '<TERM>', 'g')",
+            [s, _EMAIL_RE, _PHONE_RE, _TERM_RE],
+        ).fetchone()
+        assert d3 == t3, (s, d3, t3)
+
+
+def test_hash_split_deterministic_partition(ray_session, tmp_path):
+    from rayld.pipelines.curation import hash_split
+
+    sf = _write_docs(tmp_path, [f"doc {i}" for i in range(40)])
+    out = hash_split(sf).to_pandas().set_index("doc_id").sort_index()
+    assert len(out) == 40
+    for i in range(40):
+        b = int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16) % 100
+        assert out.loc[i, "bucket"] == b
+        want = "train" if b < 80 else ("val" if b < 90 else "test")
+        assert out.loc[i, "split"] == want
+
+
+def test_stratified_sample_quota_and_rank(ray_session, tmp_path):
+    from rayld.pipelines.curation import stratified_sample
+
+    texts = [f"doc {i}" for i in range(10)]
+    langs = ["en"] * 6 + ["de"] * 4
+    sf = _write_docs(tmp_path, texts, langs=langs)
+    out = stratified_sample(sf, quota=2).to_pandas()
+    assert len(out) == 4
+    assert sorted(out["lang"].value_counts().to_dict().items()) == [
+        ("de", 2), ("en", 2)
+    ]
+    # selection = the 2 smallest md5(doc_id) keys per lang, ranked
+    for lang, ids in (("en", range(6)), ("de", range(6, 10))):
+        keyed = sorted(
+            (hashlib.md5(str(i).encode()).hexdigest(), i) for i in ids
+        )
+        want = [i for _, i in keyed[:2]]
+        got = out[out["lang"] == lang].sort_values("sample_rank")
+        assert got["doc_id"].tolist() == want
+
+
+def test_repetition_stats_known_values(ray_session, tmp_path):
+    from rayld.pipelines.curation import repetition_stats
+
+    sf = _write_docs(tmp_path, ["a a a b", "x y z", ""])
+    out = repetition_stats(sf).to_pandas().set_index("doc_id").sort_index()
+    assert out.loc[0, "n_tokens"] == 4
+    assert out.loc[0, "distinct_ratio"] == 0.5
+    assert out.loc[0, "top_token_frac"] == 0.75
+    # bigrams of doc 0: 'a a' x2, 'a b' -> 2/3 half-up at 6dp
+    assert out.loc[0, "top_bigram_frac"] == 0.666667
+    assert out.loc[1, "distinct_ratio"] == 1.0
+    assert out.loc[2, "n_tokens"] == 0
+    assert out.loc[2, "top_bigram_frac"] == 0.0
+
+
+def test_length_outlier_filter_trims_tails(ray_session, tmp_path):
+    from rayld.pipelines.curation import length_outlier_filter
+
+    texts = ["t"] + ["w " * 5] * 6 + ["x " * 100]
+    sf = _write_docs(tmp_path, texts)
+    out = length_outlier_filter(sf, lo_q=0.2, hi_q=0.8).to_pandas()
+    assert sorted(out["doc_id"]) == [1, 2, 3, 4, 5, 6]
+    assert (out["n_tokens"] == 5).all()
+
+
+def test_pack_sequences_greedy_chunked(ray_session, tmp_path):
+    from rayld.pipelines.curation import pack_sequences
+
+    lens = [4, 5, 3, 11, 6, 5]
+    sf = _write_docs(tmp_path, [("t " * n).strip() for n in lens])
+    out = (
+        pack_sequences(sf, capacity=10, chunk_docs=4, num_partitions=2)
+        .to_pandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    assert out["n_tokens"].tolist() == lens
+    # chunk 0 = ids 0-3: [0,1] fill 9; 2 opens bin 1; 3 (oversize) bin 2
+    # chunk 1 = ids 4-5: 4 opens bin 4 (=1*4+0); 5 overflows into bin 5
+    assert out["bin_id"].tolist() == [0, 0, 1, 2, 4, 5]
+    assert out["token_offset"].tolist() == [0, 4, 0, 0, 0, 0]
+    # every bin is within capacity unless it holds a single oversize doc
+    g = out.reset_index().groupby("bin_id").agg(
+        total=("n_tokens", "sum"), n=("doc_id", "size")
+    )
+    assert ((g["total"] <= 10) | (g["n"] == 1)).all()
+
+
+def test_pack_sequences_deterministic_across_partitionings(
+    ray_session, tmp_path
+):
+    from rayld.pipelines.curation import pack_sequences
+
+    lens = [7, 2, 9, 1, 5, 5, 5, 12, 3]
+    sf = _write_docs(tmp_path, [("t " * n).strip() for n in lens])
+    a = (
+        pack_sequences(sf, capacity=12, chunk_docs=4, num_partitions=2)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    b = (
+        pack_sequences(sf, capacity=12, chunk_docs=4, num_partitions=5)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    assert a.equals(b)
