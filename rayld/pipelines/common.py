@@ -17,3 +17,57 @@ def cluster_partitions(minimum: int = 16) -> int:
     import ray
 
     return max(minimum, 2 * int(ray.cluster_resources().get("CPU", 8)))
+
+
+def bucketed_sum_combine(partials, keys, sum_cols, schema,
+                         num_partitions: int | None = None):
+    """Combine small pre-aggregated partials by key through ONE bucketed
+    map_groups: crc32(key) % P bucket column, in-task pandas groupby-sum over
+    the real keys, Arrow out with the caller's explicit ``schema``.
+
+    This replaces ``Dataset.groupby(...).aggregate(Sum(...))`` for
+    BOUNDED-cardinality aggregates (windows, status codes, Q1 flag pairs):
+    Ray's aggregate pays ~2.5s of fixed shuffle/aggregator setup per call
+    (measured at 16 cpus, sf0.1 — 2.7s vs 1.2s for this pattern), which
+    dominates when the partials are already tiny (≤ groups x blocks rows).
+    The data movement is identical — partials partition once by key hash —
+    so the choice holds at any scale where the group count is bounded.
+    Unbounded keys (tokens, doc hashes) keep using Ray's aggregate, which
+    spills; this helper assumes the in-task groups fit a worker's heap.
+    """
+    import zlib
+
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    if num_partitions is None:
+        num_partitions = cluster_partitions(minimum=8)
+
+    def bucket(df: pd.DataFrame) -> pa.Table:
+        if len(keys) == 1:
+            sk = df[keys[0]].astype(str)
+        else:
+            sk = df[keys[0]].astype(str)
+            for k in keys[1:]:
+                sk = sk + ":" + df[k].astype(str)
+        parts = np.fromiter(
+            (zlib.crc32(s.encode()) % num_partitions for s in sk),
+            dtype=np.int32, count=len(sk),
+        )
+        df = df.assign(part=parts)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def combine(df: pd.DataFrame) -> pa.Table:
+        if len(df) == 0:
+            return schema.empty_table()
+        g = df.groupby(keys, as_index=False)[sum_cols].sum()
+        return pa.Table.from_pandas(g, preserve_index=False).select(
+            schema.names
+        ).cast(schema)
+
+    return (
+        partials.map_batches(bucket, batch_format="pandas")
+        .groupby("part")
+        .map_groups(combine, batch_format="pandas")
+    )

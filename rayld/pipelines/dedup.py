@@ -175,7 +175,12 @@ def dedup_survivor_map(sf_dir: str, num_partitions: int | None = None):
 # ---------------------------------------------------------------------------
 
 class MinHasher:
-    """Actor stage: hash params held per actor; emits fixed-size signatures."""
+    """Signature stage. The hash params are module globals (built once per
+    worker process at import), so this runs as a PLAIN TASK map, not an actor
+    pool: tasks reuse Ray's warm worker pool while an actor pool pays a fresh
+    actor spawn per execution (measured ~2s/exec at 16 cpus — pure fixed
+    overhead for a stage whose only 'state' is two module arrays). Keep actor
+    pools for stages with real per-actor setup (the linker's token index)."""
 
     def __init__(self):
         self.a, self.b = _A, _B
@@ -192,6 +197,10 @@ class MinHasher:
                 ),
             }
         )
+
+
+def _minhash_batch(batch: pa.Table) -> pa.Table:
+    return MinHasher()(batch)
 
 
 _BAND_MIX = np.array(
@@ -236,24 +245,16 @@ def minhash_candidates(sf_dir: str, concurrency: int | None = None,
                        distinct: bool = True):
     """Candidate near-dup pairs via LSH banding. Output: (doc_a, doc_b).
 
-    The MinHasher pool AUTOSCALES: a fixed-size pool serializes the fused
-    upstream read and can starve the downstream join / shuffle aggregator
-    actors of CPUs in small sessions (the CLAUDE.md 4-cpu deadlock). With
-    ``concurrency=None`` the ceiling is the CLUSTER's CPU count — the
-    signature stage is the CPU-heavy step, so capping it below the core
-    count (the old default of 2) serialized the whole pipeline."""
-    import ray
+    The signature stage is a plain TASK map (see MinHasher's docstring): its
+    state is module-level, so tasks on warm workers match an actor pool's
+    amortization without the per-execution actor-spawn cost that dominated
+    this stage's wall time. ``concurrency`` is kept for API compatibility
+    (task maps scale with the cluster on their own)."""
+    del concurrency  # task map: parallelism follows block structure
 
     from .common import cluster_partitions
 
-    if concurrency is None:
-        pool = (2, max(2, int(ray.cluster_resources().get("CPU", 8))))
-    else:
-        pool = (1, max(2, concurrency))
-    ds = documents(sf_dir).map_batches(
-        MinHasher, batch_format="pyarrow",
-        concurrency=pool, num_cpus=1,
-    )
+    ds = documents(sf_dir).map_batches(_minhash_batch, batch_format="pyarrow")
     bands = ds.map_batches(_explode_bands, batch_format="pyarrow")
 
     # bucket the band key: one Ray group per hash bucket (not per band value
@@ -340,24 +341,28 @@ def _bucketed_hash_join(left_ds, right_ds, key: str, num_partitions: int,
 
 
 def minhash_dedup(sf_dir: str, threshold: float = 0.5, concurrency: int | None = None,
-                  num_partitions: int | None = None):
+                  num_partitions: int | None = None,
+                  broadcast_pairs_max: int = 200_000):
     """LSH candidates verified by true n-gram Jaccard >= threshold.
 
-    Fully distributed verification in TWO bucketed shuffles — no .to_pandas()
-    and no driver-side corpus scan anywhere on the path:
+    Verification strategy is COST-BASED on the measured candidate count
+    (the candidate set is already materialized as a pipeline breaker, so the
+    count is free):
 
-      1. each candidate pair explodes into two half-rows keyed by its doc
-         ids; the halves union with the documents table and a bucketed
-         hash(doc) % P groupby attaches each half's text via an in-task
-         pandas merge (a shuffle hash join's data movement — the corpus is
-         partitioned ONCE, not once per pair side);
-      2. halves re-bucket on the pair key and an in-task pivot reunites
-         (text_a, text_b), running the Jaccard verification right there.
+    - candidates <= ``broadcast_pairs_max``: BROADCAST path — the pair list
+      ships once via ``ray.put`` (a few MB), one vectorized map over the
+      corpus emits the half-rows for member docs, and ONE bucketed pair-key
+      shuffle pivots (text_a, text_b) together for the in-task Jaccard. The
+      small-side-broadcast join selection every shuffle-averse engine makes.
+    - otherwise: fully distributed TWO-shuffle path — half-rows union with
+      the documents table, a bucketed hash(doc) % P groupby attaches texts
+      via in-task pandas merge (the corpus partitions ONCE, not once per
+      pair side), then the same pair-key pivot shuffle. No driver-side
+      corpus scan at any size.
 
-    The candidate set (banding collisions only — orders of magnitude smaller
-    than the corpus) is materialized to the OBJECT STORE as a pipeline
-    breaker: one streaming execution containing the candidate shuffles AND
-    the verification shuffles starves itself of CPUs in small sessions."""
+    Both paths are value-identical (parity-tested)."""
+    import ray
+
     from .common import cluster_partitions
 
     if num_partitions is None:
@@ -366,6 +371,65 @@ def minhash_dedup(sf_dir: str, threshold: float = 0.5, concurrency: int | None =
         sf_dir, concurrency=concurrency, distinct=False
     ).materialize()
     docs = documents(sf_dir)
+
+    def bucket_pair(batch: pa.Table) -> pa.Table:
+        a = np.asarray(batch["doc_a"].to_pylist(), dtype=np.int64)
+        b = np.asarray(batch["doc_b"].to_pylist(), dtype=np.int64)
+        parts = ((a * 1000003 + b) % num_partitions).astype(np.int32)
+        return batch.append_column("part2", pa.array(parts, pa.int32()))
+
+    def pivot_verify(df: pd.DataFrame) -> pd.DataFrame:
+        out_a, out_b = [], []
+        for (a, b), g in df.groupby(["doc_a", "doc_b"], sort=True):
+            ta = g[g["slot"] == 0]["t"]
+            tb = g[g["slot"] == 1]["t"]
+            if len(ta) and len(tb) and jaccard(ta.iloc[0], tb.iloc[0]) >= threshold:
+                out_a.append(a)
+                out_b.append(b)
+        return pd.DataFrame(
+            {"doc_a": pd.Series(out_a, dtype="int64"),
+             "doc_b": pd.Series(out_b, dtype="int64")}
+        )
+
+    if cands.count() <= broadcast_pairs_max:
+        # broadcast path: ship the (deduped) pair list once; member docs
+        # emit their half-rows straight from the corpus map — the doc-key
+        # attach shuffle disappears entirely
+        pdf = cands.to_pandas()
+        if len(pdf) == 0:
+            return cands.map_batches(
+                lambda b: b.select(["doc_a", "doc_b"]),
+                batch_format="pyarrow",
+            )
+        pdf = pdf.drop_duplicates()
+        slots: dict[int, list[tuple[int, int, int]]] = {}
+        for a, b in zip(pdf["doc_a"].to_numpy(), pdf["doc_b"].to_numpy()):
+            slots.setdefault(int(a), []).append((int(a), int(b), 0))
+            slots.setdefault(int(b), []).append((int(a), int(b), 1))
+        ref = ray.put(slots)
+
+        def emit_halves(df: pd.DataFrame) -> pa.Table:
+            lk = ray.get(ref)
+            out_a, out_b, out_s, out_t = [], [], [], []
+            for did, t in zip(df["doc_id"], df["text"]):
+                for a, b, s in lk.get(int(did), ()):
+                    out_a.append(a)
+                    out_b.append(b)
+                    out_s.append(s)
+                    out_t.append(t)
+            return pa.table(
+                {
+                    "doc_a": pa.array(out_a, pa.int64()),
+                    "doc_b": pa.array(out_b, pa.int64()),
+                    "slot": pa.array(out_s, pa.int8()),
+                    "t": pa.array(out_t, pa.string()),
+                }
+            )
+
+        halves_ds = docs.map_batches(emit_halves, batch_format="pandas")
+        return halves_ds.map_batches(
+            bucket_pair, batch_format="pyarrow"
+        ).groupby("part2").map_groups(pivot_verify, batch_format="pandas")
 
     def halves(batch: pa.Table) -> pa.Table:
         a = np.asarray(batch["doc_a"].to_pylist(), dtype=np.int64)
@@ -426,25 +490,6 @@ def minhash_dedup(sf_dir: str, threshold: float = 0.5, concurrency: int | None =
     attached = u.map_batches(bucket_doc, batch_format="pyarrow").groupby(
         "part"
     ).map_groups(attach, batch_format="pandas")
-
-    def bucket_pair(batch: pa.Table) -> pa.Table:
-        a = np.asarray(batch["doc_a"].to_pylist(), dtype=np.int64)
-        b = np.asarray(batch["doc_b"].to_pylist(), dtype=np.int64)
-        parts = ((a * 1000003 + b) % num_partitions).astype(np.int32)
-        return batch.append_column("part2", pa.array(parts, pa.int32()))
-
-    def pivot_verify(df: pd.DataFrame) -> pd.DataFrame:
-        out_a, out_b = [], []
-        for (a, b), g in df.groupby(["doc_a", "doc_b"], sort=True):
-            ta = g[g["slot"] == 0]["t"]
-            tb = g[g["slot"] == 1]["t"]
-            if len(ta) and len(tb) and jaccard(ta.iloc[0], tb.iloc[0]) >= threshold:
-                out_a.append(a)
-                out_b.append(b)
-        return pd.DataFrame(
-            {"doc_a": pd.Series(out_a, dtype="int64"),
-             "doc_b": pd.Series(out_b, dtype="int64")}
-        )
 
     return attached.map_batches(bucket_pair, batch_format="pyarrow").groupby(
         "part2"

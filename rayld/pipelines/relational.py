@@ -15,10 +15,14 @@ from ..functions.vectorized import crc32_buckets, money_cents
 
 
 def q1_pricing(sf_dir: str):
-    """TPC-H Q1-style pricing summary. Partial sums per batch -> small global
-    groupby. Sums rounded to 2dp for stable float comparison."""
+    """TPC-H Q1-style pricing summary. Partial sums per batch -> ONE bucketed
+    combine over the six (flag, status) groups (bounded cardinality, so
+    common.bucketed_sum_combine beats Ray aggregate's fixed setup). Sums
+    rounded to 2dp for stable float comparison."""
+    import pyarrow as pa
     import ray.data as rd
-    from ray.data.aggregate import Sum
+
+    from .common import bucketed_sum_combine
 
     ds = rd.read_parquet(
         f"{sf_dir}/lineitem.parquet",
@@ -49,11 +53,21 @@ def q1_pricing(sf_dir: str):
         return g
 
     partials = ds.map_batches(partial, batch_format="pandas")
-    agg = partials.groupby(["l_returnflag", "l_linestatus"]).aggregate(
-        Sum("sum_qty", alias_name="sum_qty"),
-        Sum("sum_base_price", alias_name="sum_base_price"),
-        Sum("sum_disc_price", alias_name="sum_disc_price"),
-        Sum("count_order", alias_name="count_order"),
+    agg = bucketed_sum_combine(
+        partials,
+        keys=["l_returnflag", "l_linestatus"],
+        sum_cols=["sum_qty", "sum_base_price", "sum_disc_price",
+                  "count_order"],
+        schema=pa.schema(
+            [
+                ("l_returnflag", pa.string()),
+                ("l_linestatus", pa.string()),
+                ("sum_qty", pa.int64()),
+                ("sum_base_price", pa.int64()),
+                ("sum_disc_price", pa.int64()),
+                ("count_order", pa.int64()),
+            ]
+        ),
     )
 
     def round_cols(df: pd.DataFrame) -> pd.DataFrame:
@@ -97,10 +111,13 @@ def customer_nation_count(sf_dir: str):
 
 def events_hourly(sf_dir: str):
     """Tumbling 1-hour window per event_type: counts + rounded value sums.
-    Window derived vectorized per batch; partial-aggregated before the tiny
-    groupby."""
+    Window derived vectorized per batch; partial-aggregated before the ONE
+    bucketed combine (window count is bounded — hours in the data span — so
+    common.bucketed_sum_combine beats Ray aggregate's fixed setup)."""
+    import pyarrow as pa
     import ray.data as rd
-    from ray.data.aggregate import Sum
+
+    from .common import bucketed_sum_combine
 
     ds = rd.read_parquet(
         f"{sf_dir}/events.parquet", columns=["event_type", "ts", "value"]
@@ -121,9 +138,18 @@ def events_hourly(sf_dir: str):
         return g
 
     partials = ds.map_batches(partial, batch_format="pandas")
-    agg = partials.groupby(["event_type", "window_start"]).aggregate(
-        Sum("n_events", alias_name="n_events"),
-        Sum("sum_value", alias_name="sum_value"),
+    agg = bucketed_sum_combine(
+        partials,
+        keys=["event_type", "window_start"],
+        sum_cols=["n_events", "sum_value"],
+        schema=pa.schema(
+            [
+                ("event_type", pa.string()),
+                ("window_start", pa.int64()),
+                ("n_events", pa.int64()),
+                ("sum_value", pa.int64()),
+            ]
+        ),
     )
 
     def finish(df: pd.DataFrame) -> pd.DataFrame:
@@ -138,10 +164,12 @@ def events_sliding(sf_dir: str, n_windows: int = 3):
     """SLIDING window counts (3h windows advancing hourly): each event
     explodes into the n_windows hourly window-starts that cover it — the
     window assignment is vectorized per batch and pre-aggregated before the
-    (event_type, window_start) groupby, so the shuffle moves partial counts,
-    not exploded events."""
+    (event_type, window_start) bucketed combine, so the shuffle moves partial
+    counts, not exploded events."""
+    import pyarrow as pa
     import ray.data as rd
-    from ray.data.aggregate import Sum
+
+    from .common import bucketed_sum_combine
 
     ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "ts"])
 
@@ -160,15 +188,18 @@ def events_sliding(sf_dir: str, n_windows: int = 3):
         )
 
     partials = ds.map_batches(partial, batch_format="pandas")
-    agg = partials.groupby(["event_type", "window_start"]).aggregate(
-        Sum("n_events", alias_name="n_events")
+    return bucketed_sum_combine(
+        partials,
+        keys=["event_type", "window_start"],
+        sum_cols=["n_events"],
+        schema=pa.schema(
+            [
+                ("event_type", pa.string()),
+                ("window_start", pa.int64()),
+                ("n_events", pa.int64()),
+            ]
+        ),
     )
-
-    def finish(df: pd.DataFrame) -> pd.DataFrame:
-        df["n_events"] = df["n_events"].astype("int64")
-        return df
-
-    return agg.map_batches(finish, batch_format="pandas")
 
 
 def user_sessions(sf_dir: str, gap_minutes: int = 30,

@@ -202,6 +202,37 @@ def test_minhash_dedup_finds_known_near_dups(ray_session, tmp_path):
     assert (2, 3) not in got
 
 
+def test_minhash_verification_paths_parity(ray_session, tmp_path):
+    """The cost-based verification switch (broadcast vs two-shuffle) must be
+    value-identical: same planted corpus through both paths."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from rayld.pipelines.dedup import minhash_dedup
+
+    base = (
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa lam mu "
+        "nu xi omicron pi rho sigma tau upsilon phi chi psi omega extra"
+    )
+    texts = [base, base + " one", base + " two tokens appended here",
+             "completely different document content with other words",
+             "another unrelated piece of text about something else"]
+    tbl = pa.table({"doc_id": pa.array(range(5), pa.int64()),
+                    "text": pa.array(texts, pa.string())})
+    d = tmp_path / "mini"
+    d.mkdir()
+    pq.write_table(tbl, d / "documents.parquet")
+
+    def run(**kw):
+        out = minhash_dedup(str(d), threshold=0.5, num_partitions=2,
+                            **kw).to_pandas()
+        return sorted(zip(out["doc_a"], out["doc_b"]))
+
+    broadcast = run()                      # default: broadcast path
+    shuffled = run(broadcast_pairs_max=0)  # forced two-shuffle path
+    assert broadcast == shuffled
+    assert (0, 1) in broadcast
+
+
 def test_media_features_stub(ray_session):
     from rayld.pipelines.multimodal import MediaDecoder, media_features
 
