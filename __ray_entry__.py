@@ -34,6 +34,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ann,
         curation,
         dedup,
+        indexing,
         jsonld_ops,
         multimodal,
         prep,
@@ -141,6 +142,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "repetition_stats": curation.repetition_stats,
         "length_outlier_filter": curation.length_outlier_filter,
         "pack_sequences": curation.pack_sequences,
+        # corpus indexing / ordering
+        "token_postings": indexing.token_postings,
+        "shuffle_shards": indexing.shuffle_shards,
         # similarity search
         "ann_topk": ann.brute_force_topk,
         "ann_ivf_topk": ann.ivf_topk,
@@ -420,6 +424,25 @@ def oracle_sql() -> dict[str, str]:
             "   ON l.chunk = r.chunk AND l.rn = r.rn + 1)"
             " SELECT doc_id, (chunk * 128 + bin_local)::BIGINT AS bin_id,"
             " n AS n_tokens, (fill - n)::BIGINT AS token_offset FROM rec"
+        ),
+        "token_postings": (
+            "WITH tok AS (SELECT DISTINCT doc_id, t AS token FROM documents,"
+            " unnest(regexp_extract_all(text, '[A-Za-z0-9]+')) AS u(t))"
+            " SELECT token, doc_id,"
+            " row_number() OVER (PARTITION BY token ORDER BY doc_id)::BIGINT"
+            "   AS rank"
+            " FROM tok QUALIFY rank <= 20"
+        ),
+        "shuffle_shards": (
+            "WITH k AS (SELECT doc_id,"
+            "  md5('42:' || doc_id::VARCHAR) AS key FROM documents),"
+            " s AS (SELECT doc_id, key,"
+            "  (('0x' || substr(key, 1, 8))::BIGINT * 8 // 4294967296)::BIGINT"
+            "    AS shard_id FROM k)"
+            " SELECT doc_id, shard_id,"
+            " (row_number() OVER (PARTITION BY shard_id ORDER BY key, doc_id)"
+            "  - 1)::BIGINT AS pos"
+            " FROM s"
         ),
         # tf-idf: idf = ln((N+1)/(df+1)) + 1 over regex tokens; top term per
         # doc with ties broken by term; score half-up-rounded to 6dp on both

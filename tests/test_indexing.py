@@ -1,0 +1,62 @@
+"""Tests for corpus indexing / ordering operators
+(rayld/pipelines/indexing.py)."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+
+def _write_docs(tmp_path, texts, name="docs"):
+    d = tmp_path / name
+    d.mkdir()
+    pq.write_table(
+        pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                  "text": pa.array(texts, pa.string())}),
+        d / "documents.parquet",
+    )
+    return str(d)
+
+
+def test_token_postings_first_k(ray_session, tmp_path):
+    from rayld.pipelines.indexing import token_postings
+
+    sf = _write_docs(tmp_path, ["a b", "a c", "a b a", "b"])
+    out = token_postings(sf, k=2, num_partitions=2).to_pandas()
+    got = {
+        t: g.sort_values("rank")["doc_id"].tolist()
+        for t, g in out.groupby("token")
+    }
+    # first 2 ascending doc_ids per token; duplicates within a doc collapse
+    assert got == {"a": [0, 1], "b": [0, 2], "c": [1]}
+    assert set(out["rank"]) <= {1, 2}
+
+
+def test_shuffle_shards_deterministic_assignment(ray_session, tmp_path):
+    from rayld.pipelines.indexing import shuffle_shards
+
+    sf = _write_docs(tmp_path, [f"doc {i}" for i in range(24)])
+    out = shuffle_shards(sf, n_shards=4, seed=42).to_pandas()
+    assert sorted(out["doc_id"]) == list(range(24))
+    # shard id matches the md5-prefix range split, pos the in-shard key rank
+    keys = {i: hashlib.md5(f"42:{i}".encode()).hexdigest() for i in range(24)}
+    for i in range(24):
+        shard = int(keys[i][:8], 16) * 4 // (1 << 32)
+        assert out.set_index("doc_id").loc[i, "shard_id"] == shard
+    for s, g in out.groupby("shard_id"):
+        g = g.sort_values("pos")
+        assert g["pos"].tolist() == list(range(len(g)))
+        want = sorted(g["doc_id"], key=lambda i: (keys[i], i))
+        assert g["doc_id"].tolist() == want
+
+    # a different seed permutes; the same seed reproduces byte-identically
+    again = shuffle_shards(sf, n_shards=4, seed=42).to_pandas()
+    assert again.sort_values("doc_id").reset_index(drop=True).equals(
+        out.sort_values("doc_id").reset_index(drop=True)
+    )
+    other = shuffle_shards(sf, n_shards=4, seed=7).to_pandas()
+    assert not other.sort_values("doc_id").reset_index(drop=True).equals(
+        out.sort_values("doc_id").reset_index(drop=True)
+    )
