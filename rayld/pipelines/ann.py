@@ -373,8 +373,19 @@ def label_centroids(sf_dir: str, dim: int = 64):
         )
 
     partials = ds.map_batches(partial, batch_format="pyarrow")
-    agg = partials.groupby(["label", "dim"]).aggregate(
-        Sum("s", alias_name="s"), Sum("n", alias_name="n")
+    # labels x dims is bounded (hundreds of rows) -> the bucketed combine;
+    # float partial sums merge in a different order than Ray's aggregate
+    # would use, both far inside the 6dp half-up rounding
+    from .common import bucketed_sum_combine
+
+    agg = bucketed_sum_combine(
+        partials,
+        keys=["label", "dim"],
+        sum_cols=["s", "n"],
+        schema=pa.schema(
+            [("label", pa.int64()), ("dim", pa.int64()),
+             ("s", pa.float64()), ("n", pa.int64())]
+        ),
     )
 
     def finish(df: pd.DataFrame) -> pd.DataFrame:

@@ -84,8 +84,10 @@ def customer_nation_count(sf_dir: str):
     shipped once via ray.put; no shuffle join)."""
     import ray
     import ray.data as rd
+    import pyarrow as pa
     import pyarrow.parquet as pq
-    from ray.data.aggregate import Sum
+
+    from .common import bucketed_sum_combine
 
     nation = pq.read_table(
         f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
@@ -101,11 +103,17 @@ def customer_nation_count(sf_dir: str):
         lk = ray.get(ref)
         df = df.assign(n_name=df["c_nationkey"].map(lk))
         g = df.groupby("n_name", as_index=False).size()
-        return g.rename(columns={"size": "partial"})
+        return g.rename(columns={"size": "n_customers"})
 
     partials = ds.map_batches(partial, batch_format="pandas")
-    return partials.groupby("n_name").aggregate(
-        Sum("partial", alias_name="n_customers")
+    # 25 nations: bounded cardinality -> the bucketed combine
+    return bucketed_sum_combine(
+        partials,
+        keys=["n_name"],
+        sum_cols=["n_customers"],
+        schema=pa.schema(
+            [("n_name", pa.string()), ("n_customers", pa.int64())]
+        ),
     )
 
 
@@ -296,8 +304,10 @@ def event_props_extract(sf_dir: str):
     DuckDB json_extract)."""
     import json
 
+    import pyarrow as pa
     import ray.data as rd
-    from ray.data.aggregate import Sum
+
+    from .common import bucketed_sum_combine
 
     ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "props"])
 
@@ -305,12 +315,19 @@ def event_props_extract(sf_dir: str):
         ks = df["props"].map(lambda p: json.loads(p).get("k", 0) if p else 0)
         g = df.assign(k=ks.astype("int64")).groupby(
             "event_type", as_index=False
-        ).agg(sum_k=("k", "sum"), n=("k", "size"))
+        ).agg(sum_k=("k", "sum"), n_events=("k", "size"))
         return g
 
     partials = ds.map_batches(partial, batch_format="pandas")
-    return partials.groupby("event_type").aggregate(
-        Sum("sum_k", alias_name="sum_k"), Sum("n", alias_name="n_events")
+    # a handful of event types: bounded cardinality -> the bucketed combine
+    return bucketed_sum_combine(
+        partials,
+        keys=["event_type"],
+        sum_cols=["sum_k", "n_events"],
+        schema=pa.schema(
+            [("event_type", pa.string()), ("sum_k", pa.int64()),
+             ("n_events", pa.int64())]
+        ),
     )
 
 

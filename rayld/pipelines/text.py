@@ -281,7 +281,7 @@ def _token_length_histogram(sf_dir: str) -> tuple[np.ndarray, np.ndarray]:
     partials + one tiny groupby. Distinct lengths are bounded (≪ corpus size
     at any scale), so the returned (values, counts) pair is driver-sized.
     Shared by doc_length_percentiles and curation.length_outlier_filter."""
-    from ray.data.aggregate import Sum
+    from .common import bucketed_sum_combine
 
     def partial(df: pd.DataFrame) -> pa.Table:
         n = df["text"].str.findall(_TOKEN_RE).str.len()
@@ -291,13 +291,16 @@ def _token_length_histogram(sf_dir: str) -> tuple[np.ndarray, np.ndarray]:
                 "n_tokens": pa.array(
                     g.index.to_numpy(np.int64), pa.int64()
                 ),
-                "partial": pa.array(g.to_numpy(np.int64), pa.int64()),
+                "n": pa.array(g.to_numpy(np.int64), pa.int64()),
             }
         )
 
-    hist = documents(sf_dir).map_batches(
-        partial, batch_format="pandas"
-    ).groupby("n_tokens").aggregate(Sum("partial", alias_name="n")).to_pandas()
+    hist = bucketed_sum_combine(
+        documents(sf_dir).map_batches(partial, batch_format="pandas"),
+        keys=["n_tokens"],
+        sum_cols=["n"],
+        schema=pa.schema([("n_tokens", pa.int64()), ("n", pa.int64())]),
+    ).to_pandas()
     hist = hist.sort_values("n_tokens", kind="mergesort")
     return (
         hist["n_tokens"].to_numpy(np.int64),
@@ -353,19 +356,23 @@ def bigram_frequencies(sf_dir: str, top_n: int = 100):
 
 def doc_len_histogram(sf_dir: str, bucket_size: int = 16):
     """Document-length histogram (token-count buckets): the grouped-count
-    shape over a derived bucket key, pre-aggregated per batch."""
-    from ray.data.aggregate import Sum
+    shape over a derived bucket key, pre-aggregated per batch; bounded bucket
+    cardinality -> the bucketed combine."""
+    from .common import bucketed_sum_combine
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         n = df["text"].str.findall(_TOKEN_RE).str.len() // bucket_size
         g = n.value_counts().reset_index()
-        g.columns = ["bucket", "partial"]
+        g.columns = ["bucket", "n_docs"]
         g["bucket"] = g["bucket"].astype("int64")
         return g
 
     partials = documents(sf_dir).map_batches(partial, batch_format="pandas")
-    return partials.groupby("bucket").aggregate(
-        Sum("partial", alias_name="n_docs")
+    return bucketed_sum_combine(
+        partials,
+        keys=["bucket"],
+        sum_cols=["n_docs"],
+        schema=pa.schema([("bucket", pa.int64()), ("n_docs", pa.int64())]),
     )
 
 
@@ -375,7 +382,7 @@ def doc_expectations(sf_dir: str):
     global sum — the pattern for schema/invariant gating of a 100 TB ingest
     before expensive downstream stages run. Checks: the stored n_chars
     matches the text length, doc_id is unique, text is non-empty."""
-    from ray.data.aggregate import Sum
+    from .common import bucketed_sum_combine
 
     ds = documents(sf_dir, columns=("doc_id", "text", "n_chars"))
 
@@ -385,7 +392,7 @@ def doc_expectations(sf_dir: str):
             {
                 "check_name": ["n_chars_matches", "doc_id_unique",
                                "text_nonempty"],
-                "partial": [
+                "n_violations": [
                     int((df["n_chars"] != length).sum()),
                     int(len(df) - df["doc_id"].nunique()),
                     int((length == 0).sum()),
@@ -396,8 +403,13 @@ def doc_expectations(sf_dir: str):
     # NOTE: doc_id uniqueness within batches misses cross-batch duplicates;
     # count them exactly via the distinct-key aggregate below instead
     partials = ds.map_batches(partial, batch_format="pandas")
-    per_batch = partials.groupby("check_name").aggregate(
-        Sum("partial", alias_name="n_violations")
+    per_batch = bucketed_sum_combine(
+        partials,
+        keys=["check_name"],
+        sum_cols=["n_violations"],
+        schema=pa.schema(
+            [("check_name", pa.string()), ("n_violations", pa.int64())]
+        ),
     )
 
     def finish(df: pd.DataFrame) -> pd.DataFrame:
@@ -458,17 +470,23 @@ def lang_id(sf_dir: str, concurrency: int = 2):
 
 
 def lang_distribution(sf_dir: str):
-    """Grouped count over the lang column (pre-aggregate then tiny groupby)."""
-    from ray.data.aggregate import Sum
+    """Grouped count over the lang column (pre-aggregate, then the bounded
+    bucketed combine — a handful of languages)."""
+    from .common import bucketed_sum_combine
 
     ds = documents(sf_dir, columns=("doc_id", "lang"))
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         g = df.groupby("lang", as_index=False).size()
-        return g.rename(columns={"size": "partial"})
+        return g.rename(columns={"size": "n_docs"})
 
     partials = ds.map_batches(partial, batch_format="pandas")
-    return partials.groupby("lang").aggregate(Sum("partial", alias_name="n_docs"))
+    return bucketed_sum_combine(
+        partials,
+        keys=["lang"],
+        sum_cols=["n_docs"],
+        schema=pa.schema([("lang", pa.string()), ("n_docs", pa.int64())]),
+    )
 
 
 def quality_cols(text: pd.Series) -> tuple[pd.Series, np.ndarray]:
