@@ -142,6 +142,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "repetition_stats": curation.repetition_stats,
         "length_outlier_filter": curation.length_outlier_filter,
         "pack_sequences": curation.pack_sequences,
+        "chunk_documents": curation.chunk_documents,
         # corpus indexing / ordering
         "token_postings": indexing.token_postings,
         "shuffle_shards": indexing.shuffle_shards,
@@ -162,6 +163,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "asof_join_attribution": relational.asof_join_attribution,
         "range_join_signup_clicks": relational.range_join_signup_clicks,
         "supplier_account_rank": relational.supplier_account_rank,
+        "doc_embedding_features": relational.doc_embedding_features,
         # multimodal plumbing
         "media_byte_stats": multimodal.media_byte_stats,
         "media_resize": multimodal.media_resize,
@@ -424,6 +426,24 @@ def oracle_sql() -> dict[str, str]:
             "   ON l.chunk = r.chunk AND l.rn = r.rn + 1)"
             " SELECT doc_id, (chunk * 128 + bin_local)::BIGINT AS bin_id,"
             " n AS n_tokens, (fill - n)::BIGINT AS token_offset FROM rec"
+        ),
+        # overlapping token-window chunk geometry: every doc emits
+        # >= 1 chunk (empty docs emit one empty chunk)
+        "chunk_documents": (
+            "WITH lens AS (SELECT doc_id,"
+            "  len(regexp_extract_all(text, '[A-Za-z0-9]+'))::BIGINT AS n"
+            "  FROM documents)"
+            " SELECT doc_id, (s // 48)::BIGINT AS chunk_idx,"
+            " s::BIGINT AS chunk_start,"
+            " least(64, n - s)::BIGINT AS chunk_tokens"
+            " FROM lens, unnest(range(0, greatest(n, 1), 48)) AS u(s)"
+        ),
+        "doc_embedding_features": (
+            "SELECT d.doc_id, d.lang,"
+            " len(regexp_extract_all(d.text, '[A-Za-z0-9]+'))::BIGINT"
+            "   AS n_tokens,"
+            " e.label::BIGINT AS label"
+            " FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id"
         ),
         "token_postings": (
             "WITH tok AS (SELECT DISTINCT doc_id, t AS token FROM documents,"

@@ -415,3 +415,45 @@ def pack_sequences(
         .groupby("part")
         .map_groups(pack_part, batch_format="pandas")
     )
+
+
+_CHUNK_SCHEMA = pa.schema(
+    [
+        ("doc_id", pa.int64()),
+        ("chunk_idx", pa.int64()),
+        ("chunk_start", pa.int64()),
+        ("chunk_tokens", pa.int64()),
+    ]
+)
+
+
+def chunk_documents(sf_dir: str, chunk: int = 64, stride: int = 48):
+    """Overlapping token-window chunking (the embedding-pipeline prep step):
+    windows of ``chunk`` tokens starting every ``stride`` tokens; every
+    document emits at least one chunk (an empty doc emits one empty chunk,
+    keeping the coverage invariant 'every doc appears'). Embarrassingly
+    parallel — the window geometry is pure arithmetic on the vectorized
+    token count, expanded with np.repeat, no shuffle at all."""
+
+    def fn(df: pd.DataFrame) -> pa.Table:
+        n = df["text"].str.findall(_TOKEN_PAT).str.len().to_numpy(np.int64)
+        did = df["doc_id"].to_numpy(np.int64)
+        n_chunks = (np.maximum(n, 1) + stride - 1) // stride
+        doc_rep = np.repeat(did, n_chunks)
+        n_rep = np.repeat(n, n_chunks)
+        # chunk_idx restarts at 0 within each doc
+        ends = np.cumsum(n_chunks)
+        idx = np.arange(ends[-1] if len(ends) else 0, dtype=np.int64)
+        idx -= np.repeat(ends - n_chunks, n_chunks)
+        starts = idx * stride
+        toks = np.minimum(chunk, n_rep - starts)
+        return pa.table(
+            {
+                "doc_id": pa.array(doc_rep, pa.int64()),
+                "chunk_idx": pa.array(idx, pa.int64()),
+                "chunk_start": pa.array(starts, pa.int64()),
+                "chunk_tokens": pa.array(toks, pa.int64()),
+            }
+        )
+
+    return documents(sf_dir).map_batches(fn, batch_format="pandas")

@@ -515,3 +515,87 @@ def range_join_signup_clicks(sf_dir: str, window_minutes: int = 30,
     return ds.map_batches(tag_and_bucket, batch_format="pyarrow").groupby(
         "part"
     ).map_groups(count_in_window, batch_format="pandas")
+
+
+def doc_embedding_features(sf_dir: str, num_partitions: int | None = None):
+    """Feature attachment across tables: join documents (lang, token count)
+    with embeddings (label) on doc_id = vec_id — the 'bring the features to
+    the text' step of a training-prep pipeline. Large-large, so it rides the
+    engine's bucketed hash join (union + crc-bucket + in-task pandas merge;
+    the Dataset.join caveats in CLAUDE.md don't apply to it), each side
+    pruned to its key + payload columns before the exchange."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from .common import cluster_partitions
+    from .dedup import _bucketed_hash_join
+    from .text import _TOKEN_RE
+
+    if num_partitions is None:
+        num_partitions = cluster_partitions()
+
+    docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
+    )
+    emb = rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "label"]
+    )
+
+    def left(df: pd.DataFrame) -> pa.Table:
+        n = df["text"].str.findall(_TOKEN_RE).str.len().to_numpy(np.int64)
+        m = len(df)
+        return pa.table(
+            {
+                "doc_id": pa.array(df["doc_id"].to_numpy(np.int64)),
+                "lang": pa.array(df["lang"].astype(str), pa.string()),
+                "n_tokens": pa.array(n, pa.int64()),
+                "label": pa.nulls(m, pa.int64()),
+                "is_right": pa.array(np.zeros(m, np.int8), pa.int8()),
+            }
+        )
+
+    def right(df: pd.DataFrame) -> pa.Table:
+        m = len(df)
+        return pa.table(
+            {
+                "doc_id": pa.array(df["vec_id"].to_numpy(np.int64)),
+                "lang": pa.nulls(m, pa.string()),
+                "n_tokens": pa.nulls(m, pa.int64()),
+                "label": pa.array(df["label"].to_numpy(np.int64)),
+                "is_right": pa.array(np.ones(m, np.int8), pa.int8()),
+            }
+        )
+
+    schema = pa.schema(
+        [
+            ("doc_id", pa.int64()),
+            ("lang", pa.string()),
+            ("n_tokens", pa.int64()),
+            ("label", pa.int64()),
+        ]
+    )
+
+    def merge(df: pd.DataFrame) -> pa.Table:
+        if len(df) == 0:
+            return schema.empty_table()
+        l = df[df["is_right"] == 0][["doc_id", "lang", "n_tokens"]]
+        r = df[df["is_right"] == 1][["doc_id", "label"]]
+        out = l.merge(r, on="doc_id", how="inner")
+        return pa.table(
+            {
+                "doc_id": pa.array(out["doc_id"].to_numpy(np.int64)),
+                "lang": pa.array(out["lang"].astype(str), pa.string()),
+                "n_tokens": pa.array(
+                    out["n_tokens"].to_numpy(np.int64), pa.int64()
+                ),
+                "label": pa.array(out["label"].to_numpy(np.int64), pa.int64()),
+            }
+        )
+
+    return _bucketed_hash_join(
+        docs.map_batches(left, batch_format="pandas"),
+        emb.map_batches(right, batch_format="pandas"),
+        key="doc_id",
+        num_partitions=num_partitions,
+        merge_fn=merge,
+    )

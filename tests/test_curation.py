@@ -204,3 +204,23 @@ def test_pack_sequences_deterministic_across_partitionings(
         .to_pandas().sort_values("doc_id").reset_index(drop=True)
     )
     assert a.equals(b)
+
+
+def test_chunk_documents_geometry(ray_session, tmp_path):
+    from rayld.pipelines.curation import chunk_documents
+
+    lens = [0, 10, 48, 100]
+    sf = _write_docs(tmp_path, [("t " * n).strip() for n in lens])
+    out = chunk_documents(sf, chunk=64, stride=48).to_pandas()
+    got = {
+        i: g.sort_values("chunk_idx")[
+            ["chunk_start", "chunk_tokens"]
+        ].values.tolist()
+        for i, g in out.groupby("doc_id")
+    }
+    assert got == {
+        0: [[0, 0]],                       # empty doc -> one empty chunk
+        1: [[0, 10]],
+        2: [[0, 48]],
+        3: [[0, 64], [48, 52], [96, 4]],   # overlap of 16 tokens
+    }

@@ -60,3 +60,28 @@ def test_shuffle_shards_deterministic_assignment(ray_session, tmp_path):
     assert not other.sort_values("doc_id").reset_index(drop=True).equals(
         out.sort_values("doc_id").reset_index(drop=True)
     )
+
+
+def test_doc_embedding_features_join(ray_session, tmp_path):
+    from rayld.pipelines.relational import doc_embedding_features
+
+    d = tmp_path / "mini"
+    d.mkdir()
+    pq.write_table(
+        pa.table({"doc_id": pa.array([0, 1, 2], pa.int64()),
+                  "text": pa.array(["a b c", "d e", "f"], pa.string()),
+                  "lang": pa.array(["en", "de", "en"], pa.string())}),
+        d / "documents.parquet",
+    )
+    pq.write_table(
+        pa.table({"vec_id": pa.array([1, 2, 9], pa.int64()),
+                  "label": pa.array([7, 8, 9], pa.int64())}),
+        d / "embeddings.parquet",
+    )
+    out = doc_embedding_features(str(d), num_partitions=2).to_pandas()
+    out = out.sort_values("doc_id").reset_index(drop=True)
+    # inner join: doc 0 has no embedding, vec 9 has no doc
+    assert out["doc_id"].tolist() == [1, 2]
+    assert out["lang"].tolist() == ["de", "en"]
+    assert out["n_tokens"].tolist() == [2, 1]
+    assert out["label"].tolist() == [7, 8]
