@@ -118,6 +118,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tfidf_top_terms": text.tfidf_top_terms,
         "doc_length_percentiles": text.doc_length_percentiles,
         "bigram_frequencies": text.bigram_frequencies,
+        "source_quality_report": text.source_quality_report,
+        "top_quality_by_lang": text.top_quality_by_lang,
         # dedup family
         "dedup_exact": dedup.dedup_exact,
         "dedup_exact_normalized": dedup.dedup_exact_normalized,
@@ -152,6 +154,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_ivf_recall": ann.ivf_recall,
         "label_centroids": ann.label_centroids,
         "knn_label_vote": ann.knn_label_vote,
+        "embedding_quantize": ann.embedding_quantize,
         # relational / windowed
         "q1_pricing": relational.q1_pricing,
         "customer_nation_count": relational.customer_nation_count,
@@ -164,6 +167,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "range_join_signup_clicks": relational.range_join_signup_clicks,
         "supplier_account_rank": relational.supplier_account_rank,
         "doc_embedding_features": relational.doc_embedding_features,
+        "events_hourly_users": relational.events_hourly_users,
         # multimodal plumbing
         "media_byte_stats": multimodal.media_byte_stats,
         "media_resize": multimodal.media_resize,
@@ -485,6 +489,78 @@ def oracle_sql() -> dict[str, str]:
             " floor(score * 1e6 + 0.5) / 1e6 AS score FROM s"
             " QUALIFY row_number() OVER (PARTITION BY doc_id"
             "   ORDER BY score DESC, token) = 1"
+        ),
+        # quality carried as exact integer micro-units; the single final
+        # division is the only float op (identical IEEE divide both sides)
+        "source_quality_report": (
+            "WITH x AS ("
+            " SELECT source,"
+            "  greatest(length(text), 1) AS n_chars,"
+            "  len(regexp_extract_all(text, '[A-Za-z0-9]+'))::BIGINT"
+            "    AS n_tokens,"
+            "  greatest(len(regexp_extract_all(text, '[A-Za-z0-9]+')), 1)"
+            "    AS n_toks,"
+            "  len(list_filter(regexp_extract_all(text, '[A-Za-z0-9]+'),"
+            "      t -> lower(t) IN ('the','and','of','to','a','in','is',"
+            "      'it','for','with'))) AS stop,"
+            "  len(regexp_extract_all(text, '[.,;:!?]')) AS n_punct"
+            " FROM documents), q AS ("
+            " SELECT source, n_tokens,"
+            "  floor((0.4 * least(n_toks / 64.0, 1.0)"
+            "      + 0.3 * (1 - least(n_punct / n_chars::DOUBLE, 1.0))"
+            "      + 0.3 * least(stop / n_toks::DOUBLE, 1.0)) * 1e6 + 0.5)"
+            "    ::BIGINT AS micro"
+            " FROM x)"
+            " SELECT source, count(*)::BIGINT AS n_docs,"
+            " sum(n_tokens)::BIGINT AS total_tokens,"
+            " floor(sum(micro) / count(*)::DOUBLE + 0.5) / 1e6"
+            "   AS mean_quality"
+            " FROM q GROUP BY source"
+        ),
+        "top_quality_by_lang": (
+            "WITH x AS ("
+            " SELECT doc_id, lang,"
+            "  greatest(length(text), 1) AS n_chars,"
+            "  greatest(len(regexp_extract_all(text, '[A-Za-z0-9]+')), 1)"
+            "    AS n_toks,"
+            "  len(list_filter(regexp_extract_all(text, '[A-Za-z0-9]+'),"
+            "      t -> lower(t) IN ('the','and','of','to','a','in','is',"
+            "      'it','for','with'))) AS stop,"
+            "  len(regexp_extract_all(text, '[.,;:!?]')) AS n_punct"
+            " FROM documents), q AS ("
+            " SELECT doc_id, lang,"
+            "  floor((0.4 * least(n_toks / 64.0, 1.0)"
+            "      + 0.3 * (1 - least(n_punct / n_chars::DOUBLE, 1.0))"
+            "      + 0.3 * least(stop / n_toks::DOUBLE, 1.0)) * 1e6 + 0.5)"
+            "    / 1e6 AS quality"
+            " FROM x)"
+            " SELECT doc_id, lang, quality,"
+            " row_number() OVER (PARTITION BY lang"
+            "   ORDER BY quality DESC, doc_id)::BIGINT AS rank"
+            " FROM q QUALIFY rank <= 10"
+        ),
+        "events_hourly_users": (
+            "SELECT epoch(date_trunc('hour', ts))::BIGINT AS window_start,"
+            " count(DISTINCT user_id)::BIGINT AS n_users"
+            " FROM events GROUP BY 1"
+        ),
+        # float32 promotes exactly to double; every step is one identical
+        # IEEE op on both sides; codes are exact integers (order-free sum)
+        "embedding_quantize": (
+            "WITH x AS (SELECT vec_id,"
+            "  list_transform(embedding, v -> v::DOUBLE) AS e"
+            "  FROM embeddings),"
+            " m AS (SELECT vec_id, e,"
+            "  list_aggregate(e, 'min') AS mn,"
+            "  list_aggregate(e, 'max') AS mx FROM x)"
+            " SELECT vec_id,"
+            " floor(mn * 1e6 + 0.5) / 1e6 AS vmin,"
+            " floor(mx * 1e6 + 0.5) / 1e6 AS vmax,"
+            " floor((mx - mn) / 255.0 * 1e6 + 0.5) / 1e6 AS scale,"
+            " CASE WHEN mx = mn THEN 0 ELSE list_sum(list_transform(e,"
+            "  v -> floor((v - mn) / (mx - mn) * 255 + 0.5)))::BIGINT END"
+            "   AS code_sum"
+            " FROM m"
         ),
         "doc_length_percentiles": (
             "SELECT"

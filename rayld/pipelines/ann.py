@@ -428,3 +428,47 @@ def knn_label_vote(sf_dir: str, k: int = 10, query_ids=(0, 1, 2, 3)):
         {"query_id": best["query_id"].astype("int64"),
          "knn_label": best["label"].astype("int64")}
     )
+
+
+def embedding_quantize(sf_dir: str):
+    """Per-vector int8-style quantization summary (the vector-index
+    compression step): min, max, scale = (max-min)/255 and the quantized
+    code checksum. Embarrassingly parallel, fully vectorized per batch; the
+    float32 payload promotes exactly to float64, so every arithmetic step is
+    one identical IEEE op on both oracle sides (codes are exact integers —
+    their sum is order-independent)."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch["vec_id"].to_pylist(), dtype=np.int64)
+        mat = np.asarray(batch["embedding"].to_pylist(), dtype=np.float64)
+        if mat.size == 0:
+            mn = mx = np.zeros(0, np.float64)
+            code_sum = np.zeros(0, np.int64)
+        else:
+            mn = mat.min(axis=1)
+            mx = mat.max(axis=1)
+            rng = mx - mn
+            safe = np.where(rng == 0, 1.0, rng)
+            codes = np.floor(
+                (mat - mn[:, None]) / safe[:, None] * 255 + 0.5
+            )
+            code_sum = np.where(
+                rng == 0, 0, codes.sum(axis=1)
+            ).astype(np.int64)
+        r6 = lambda x: np.floor(x * 1e6 + 0.5) / 1e6  # noqa: E731
+        return pa.table(
+            {
+                "vec_id": pa.array(ids, pa.int64()),
+                "vmin": pa.array(r6(mn), pa.float64()),
+                "vmax": pa.array(r6(mx), pa.float64()),
+                "scale": pa.array(r6((mx - mn) / 255.0), pa.float64()),
+                "code_sum": pa.array(code_sum, pa.int64()),
+            }
+        )
+
+    import ray.data as rd
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    return ds.map_batches(fn, batch_format="pyarrow")

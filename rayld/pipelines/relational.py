@@ -599,3 +599,77 @@ def doc_embedding_features(sf_dir: str, num_partitions: int | None = None):
         num_partitions=num_partitions,
         merge_fn=merge,
     )
+
+
+def events_hourly_users(sf_dir: str, num_partitions: int | None = None):
+    """Distinct users per hourly window — the COUNT(DISTINCT) at scale
+    pattern: per-batch dedup of (window, user) pairs, ONE bucketed pair-key
+    exchange where each task drops cross-block duplicates and emits partial
+    per-window counts, then the tiny bounded-window combine. The raw event
+    stream never shuffles; the pair set (already batch-deduped) is the only
+    exchange payload."""
+    import zlib
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    from .common import bucketed_sum_combine, cluster_partitions
+
+    if num_partitions is None:
+        num_partitions = cluster_partitions()
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["ts", "user_id"])
+
+    def pairs(df: pd.DataFrame) -> pa.Table:
+        w = df["ts"].dt.floor("h").astype("datetime64[s]").astype("int64")
+        x = pd.DataFrame(
+            {"window_start": w, "user_id": df["user_id"]}
+        ).drop_duplicates()
+        parts = np.fromiter(
+            (
+                zlib.crc32(f"{a}:{b}".encode()) % num_partitions
+                for a, b in zip(x["window_start"], x["user_id"])
+            ),
+            dtype=np.int32, count=len(x),
+        )
+        return pa.table(
+            {
+                "window_start": pa.array(
+                    x["window_start"].to_numpy(np.int64), pa.int64()
+                ),
+                "user_id": pa.array(
+                    x["user_id"].to_numpy(np.int64), pa.int64()
+                ),
+                "part": pa.array(parts, pa.int32()),
+            }
+        )
+
+    def count_distinct(g: pd.DataFrame) -> pa.Table:
+        if len(g) == 0:
+            return pa.schema(
+                [("window_start", pa.int64()), ("n_users", pa.int64())]
+            ).empty_table()
+        d = g.drop_duplicates(["window_start", "user_id"])
+        c = d.groupby("window_start", as_index=False).size()
+        return pa.table(
+            {
+                "window_start": pa.array(
+                    c["window_start"].to_numpy(np.int64), pa.int64()
+                ),
+                "n_users": pa.array(c["size"].to_numpy(np.int64), pa.int64()),
+            }
+        )
+
+    partials = (
+        ds.map_batches(pairs, batch_format="pandas")
+        .groupby("part")
+        .map_groups(count_distinct, batch_format="pandas")
+    )
+    return bucketed_sum_combine(
+        partials,
+        keys=["window_start"],
+        sum_cols=["n_users"],
+        schema=pa.schema(
+            [("window_start", pa.int64()), ("n_users", pa.int64())]
+        ),
+    )

@@ -611,3 +611,101 @@ def corpus_summary(sf_dir: str):
             "n_langs": [pick("lang", "n")],
         }
     )
+
+
+def source_quality_report(sf_dir: str):
+    """Per-source corpus health report: doc count, total tokens, mean
+    quality — the dashboard a 100-TB ingest gates on per provider. Quality
+    is carried as EXACT integer micro-units (the 6dp-pinned score x 1e6), so
+    partial sums are order-independent int64s and the single final division
+    is the only float op — one identical IEEE divide on both oracle sides."""
+    from .common import bucketed_sum_combine
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        n_tokens, quality = quality_cols(df["text"])
+        micro = np.floor(quality * 1e6 + 0.5).astype(np.int64)
+        g = pd.DataFrame(
+            {"source": df["source"], "n_docs": 1,
+             "total_tokens": n_tokens.to_numpy(np.int64),
+             "quality_micro": micro}
+        ).groupby("source", as_index=False).sum()
+        return g
+
+    partials = documents(
+        sf_dir, columns=("doc_id", "text", "source")
+    ).map_batches(partial, batch_format="pandas")
+    agg = bucketed_sum_combine(
+        partials,
+        keys=["source"],
+        sum_cols=["n_docs", "total_tokens", "quality_micro"],
+        schema=pa.schema(
+            [("source", pa.string()), ("n_docs", pa.int64()),
+             ("total_tokens", pa.int64()), ("quality_micro", pa.int64())]
+        ),
+    )
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        mean_q = np.floor(
+            df["quality_micro"].to_numpy(np.float64)
+            / df["n_docs"].to_numpy(np.float64) + 0.5
+        ) / 1e6
+        return pd.DataFrame(
+            {"source": df["source"],
+             "n_docs": df["n_docs"].astype("int64"),
+             "total_tokens": df["total_tokens"].astype("int64"),
+             "mean_quality": mean_q}
+        )
+
+    return agg.map_batches(finish, batch_format="pandas")
+
+
+def top_quality_by_lang(sf_dir: str, k: int = 10):
+    """Grouped top-k by a COMPUTED metric: the k highest-quality docs per
+    language (ties broken by doc_id). Per-batch partial top-k before the
+    tiny lang merge — each block contributes at most k rows per lang to the
+    exchange, the stratified_sample shape keyed by quality instead of a
+    hash."""
+
+    def partial(df: pd.DataFrame) -> pa.Table:
+        _, quality = quality_cols(df["text"])
+        x = pd.DataFrame(
+            {"doc_id": df["doc_id"], "lang": df["lang"], "quality": quality}
+        )
+        x = (
+            x.sort_values(["quality", "doc_id"], ascending=[False, True],
+                          kind="mergesort")
+            .groupby("lang", as_index=False, sort=False)
+            .head(k)
+        )
+        return pa.table(
+            {
+                "lang": pa.array(x["lang"].astype(str), pa.string()),
+                "doc_id": pa.array(x["doc_id"].to_numpy(np.int64)),
+                "quality": pa.array(
+                    x["quality"].to_numpy(np.float64), pa.float64()
+                ),
+            }
+        )
+
+    def final(g: pd.DataFrame) -> pa.Table:
+        g = g.sort_values(["quality", "doc_id"], ascending=[False, True],
+                          kind="mergesort").head(k)
+        return pa.table(
+            {
+                "doc_id": pa.array(g["doc_id"].to_numpy(np.int64)),
+                "lang": pa.array(g["lang"].astype(str), pa.string()),
+                "quality": pa.array(
+                    g["quality"].to_numpy(np.float64), pa.float64()
+                ),
+                "rank": pa.array(
+                    np.arange(1, len(g) + 1, dtype=np.int64), pa.int64()
+                ),
+            }
+        )
+
+    return (
+        documents(sf_dir, columns=("doc_id", "text", "lang"))
+        .map_batches(partial, batch_format="pandas")
+        .groupby("lang")
+        .map_groups(final, batch_format="pandas")
+    )

@@ -224,3 +224,53 @@ def test_chunk_documents_geometry(ray_session, tmp_path):
         2: [[0, 48]],
         3: [[0, 64], [48, 52], [96, 4]],   # overlap of 16 tokens
     }
+
+
+def test_source_quality_report_exact_means(ray_session, tmp_path):
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from rayld.pipelines.text import quality_cols, source_quality_report
+
+    d = tmp_path / "mini"
+    d.mkdir()
+    texts = ["the and of to a in is it", "zz", "the the the", "x y"]
+    srcs = ["s1", "s1", "s2", "s2"]
+    pq.write_table(
+        pa.table({"doc_id": pa.array(range(4), pa.int64()),
+                  "text": pa.array(texts, pa.string()),
+                  "source": pa.array(srcs, pa.string())}),
+        d / "documents.parquet",
+    )
+    out = source_quality_report(str(d)).to_pandas().set_index("source")
+    import pandas as pd
+
+    n_toks, quality = quality_cols(pd.Series(texts))
+    for s, idxs in (("s1", [0, 1]), ("s2", [2, 3])):
+        assert out.loc[s, "n_docs"] == 2
+        assert out.loc[s, "total_tokens"] == int(n_toks[idxs].sum())
+        micro = np.floor(quality[idxs] * 1e6 + 0.5).sum()
+        assert out.loc[s, "mean_quality"] == np.floor(micro / 2 + 0.5) / 1e6
+
+
+def test_top_quality_by_lang(ray_session, tmp_path):
+    import pandas as pd
+
+    from rayld.pipelines.text import quality_cols, top_quality_by_lang
+
+    texts = [
+        "the and of to a in is it for with more words here now",
+        "zz",
+        "the quick brown fox jumps with the pack in a field of grass",
+        "a b",
+        "x",
+    ]
+    langs = ["en", "en", "en", "de", "de"]
+    sf = _write_docs(tmp_path, texts, langs=langs)
+    out = top_quality_by_lang(sf, k=2).to_pandas()
+    _, q = quality_cols(pd.Series(texts))
+    for lang, ids in (("en", [0, 1, 2]), ("de", [3, 4])):
+        want = sorted(ids, key=lambda i: (-q[i], i))[:2]
+        got = out[out["lang"] == lang].sort_values("rank")
+        assert got["doc_id"].tolist() == want
+        assert got["rank"].tolist() == [1, 2]

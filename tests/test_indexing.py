@@ -85,3 +85,50 @@ def test_doc_embedding_features_join(ray_session, tmp_path):
     assert out["lang"].tolist() == ["de", "en"]
     assert out["n_tokens"].tolist() == [2, 1]
     assert out["label"].tolist() == [7, 8]
+
+
+def test_events_hourly_users_distinct(ray_session, tmp_path):
+    import pandas as pd
+    from rayld.pipelines.relational import events_hourly_users
+
+    d = tmp_path / "mini"
+    d.mkdir()
+    ts = pd.to_datetime([
+        "2024-01-01 10:05", "2024-01-01 10:20", "2024-01-01 10:50",
+        "2024-01-01 11:05", "2024-01-01 11:10",
+    ])
+    pq.write_table(
+        pa.table({"ts": pa.array(ts),
+                  "user_id": pa.array([1, 1, 2, 1, 1], pa.int64())}),
+        d / "events.parquet",
+    )
+    out = events_hourly_users(str(d), num_partitions=2).to_pandas()
+    got = dict(zip(out["window_start"], out["n_users"]))
+    h10 = int(pd.Timestamp("2024-01-01 10:00").timestamp())
+    h11 = int(pd.Timestamp("2024-01-01 11:00").timestamp())
+    # hour 10: users {1, 2}; hour 11: user {1} (duplicates collapse)
+    assert got == {h10: 2, h11: 1}
+
+
+def test_embedding_quantize_known_vectors(ray_session, tmp_path):
+    from rayld.pipelines.ann import embedding_quantize
+
+    d = tmp_path / "mini"
+    d.mkdir()
+    pq.write_table(
+        pa.table({
+            "vec_id": pa.array([0, 1], pa.int64()),
+            "embedding": pa.array(
+                [[0.0, 1.0, 0.5], [2.0, 2.0, 2.0]],
+                pa.list_(pa.float32()),
+            ),
+        }),
+        d / "embeddings.parquet",
+    )
+    out = embedding_quantize(str(d)).to_pandas().set_index("vec_id")
+    assert out.loc[0, "vmin"] == 0.0 and out.loc[0, "vmax"] == 1.0
+    assert out.loc[0, "scale"] == round(1 / 255, 6)
+    # codes: 0, 255, round(0.5*255)=128 -> sum 383
+    assert out.loc[0, "code_sum"] == 383
+    # constant vector: zero range -> zero codes by contract
+    assert out.loc[1, "scale"] == 0.0 and out.loc[1, "code_sum"] == 0
