@@ -204,7 +204,8 @@ def conv_partition_to_triples(part: pd.DataFrame) -> pa.Table:
 
 def build_triples(transcripts_ds, gazetteer=None, link_concurrency=None,
                   num_partitions: int | None = None,
-                  late_expand: bool = False):
+                  late_expand: bool = False,
+                  link_tasks: bool = False):
     """transcripts Dataset -> triples Dataset (lazy; nothing materializes).
 
     The conv_id shuffle is bucketed: rows get a ``part = hash(conv_id) % P``
@@ -244,14 +245,25 @@ def build_triples(transcripts_ds, gazetteer=None, link_concurrency=None,
     # batch_size=None everywhere: the block structure (set at the source)
     # drives task granularity; re-bundling into big batches collapses
     # parallelism on small inputs
-    ds = transcripts_ds.map_batches(
-        MentionLinker,
-        batch_format="pyarrow",
-        batch_size=None,
-        concurrency=link_concurrency,
-        num_cpus=1,
-        fn_constructor_kwargs={"gazetteer_ref": gazetteer_ref},
-    )
+    if link_tasks:
+        # task-map linker: per-process memoized state, no actor spawn
+        # (A/B'd against the pool in BASELINE.md round-3 log)
+        from ..stages.linker import linker_task_fn
+
+        ds = transcripts_ds.map_batches(
+            linker_task_fn(gazetteer_ref),
+            batch_format="pyarrow",
+            batch_size=None,
+        )
+    else:
+        ds = transcripts_ds.map_batches(
+            MentionLinker,
+            batch_format="pyarrow",
+            batch_size=None,
+            concurrency=link_concurrency,
+            num_cpus=1,
+            fn_constructor_kwargs={"gazetteer_ref": gazetteer_ref},
+        )
     if not late_expand:
         ds = ds.map_batches(
             expand_turns, batch_format="pyarrow", batch_size=None

@@ -89,3 +89,28 @@ def compile_matcher(surfaces: list[str]) -> re.Pattern:
     ordered = sorted(surfaces, key=len, reverse=True)
     pattern = r"\b(?:" + "|".join(re.escape(s) for s in ordered) + r")\b"
     return re.compile(pattern)
+
+
+# task-map variant: the linker's state (dict + token index over ~1k
+# surfaces) builds in milliseconds, so a plain task map with a per-process
+# memo gets the same once-per-worker amortization as an actor pool WITHOUT
+# the per-execution actor-spawn cost (the minhash signature finding; see
+# BASELINE.md round-3 log). The memo keys on the broadcast ref so different
+# gazetteers coexist.
+_LINKER_MEMO: dict = {}
+
+
+def linker_task_fn(gazetteer_ref):
+    """Returns a map_batches FUNCTION equivalent to the MentionLinker actor:
+    the linker builds once per (worker process, gazetteer) and is reused by
+    every task the worker runs."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        key = gazetteer_ref.hex()
+        linker = _LINKER_MEMO.get(key)
+        if linker is None:
+            linker = MentionLinker(gazetteer_ref=gazetteer_ref)
+            _LINKER_MEMO[key] = linker
+        return linker(batch)
+
+    return fn

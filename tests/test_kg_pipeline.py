@@ -193,6 +193,11 @@ def test_late_expand_identical_triples(ray_session):
     a, b = key_set(early), key_set(late)
     assert a == b and len(a) > 1000
 
+    # the task-map linker (per-process memoized state, no actor pool) is
+    # also value-identical — it's the same MentionLinker behind a memo
+    tasks = build_triples(transcripts_dataset(30), link_tasks=True)
+    assert key_set(tasks) == a
+
 
 def test_pipeline_from_parquet_input(ray_session, tmp_path):
     """The contract input path: transcripts written to Parquet, read back
