@@ -145,6 +145,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "length_outlier_filter": curation.length_outlier_filter,
         "pack_sequences": curation.pack_sequences,
         "chunk_documents": curation.chunk_documents,
+        "mixture_sample": curation.mixture_sample,
         # corpus indexing / ordering
         "token_postings": indexing.token_postings,
         "shuffle_shards": indexing.shuffle_shards,
@@ -168,6 +169,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "supplier_account_rank": relational.supplier_account_rank,
         "doc_embedding_features": relational.doc_embedding_features,
         "events_hourly_users": relational.events_hourly_users,
+        "hll_users_gate": relational.hll_users_gate,
         # multimodal plumbing
         "media_byte_stats": multimodal.media_byte_stats,
         "media_resize": multimodal.media_resize,
@@ -543,6 +545,23 @@ def oracle_sql() -> dict[str, str]:
             "SELECT epoch(date_trunc('hour', ts))::BIGINT AS window_start,"
             " count(DISTINCT user_id)::BIGINT AS n_users"
             " FROM events GROUP BY 1"
+        ),
+        # HLL accuracy gate: exact count + constant 1 — a sketch regression
+        # flips hll_ok and fails the hash compare (recall-gate pattern)
+        "hll_users_gate": (
+            "SELECT epoch(date_trunc('hour', ts))::BIGINT AS window_start,"
+            " count(DISTINCT user_id)::BIGINT AS n_users,"
+            " 1::BIGINT AS hll_ok"
+            " FROM events GROUP BY 1"
+        ),
+        "mixture_sample": (
+            "WITH x AS (SELECT doc_id, source,"
+            "  ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 100"
+            "    AS bucket,"
+            "  20 + (coalesce(try_cast(regexp_extract(source, '([0-9]+)', 1)"
+            "    AS BIGINT), 0) * 7) % 60 AS pct"
+            " FROM documents)"
+            " SELECT doc_id, source, bucket, pct FROM x WHERE bucket < pct"
         ),
         # float32 promotes exactly to double; every step is one identical
         # IEEE op on both sides; codes are exact integers (order-free sum)

@@ -20,7 +20,8 @@ def cluster_partitions(minimum: int = 16) -> int:
 
 
 def bucketed_sum_combine(partials, keys, sum_cols, schema,
-                         num_partitions: int | None = None):
+                         num_partitions: int | None = None,
+                         how: str = "sum"):
     """Combine small pre-aggregated partials by key through ONE bucketed
     map_groups: crc32(key) % P bucket column, in-task pandas groupby-sum over
     the real keys, Arrow out with the caller's explicit ``schema``.
@@ -34,6 +35,9 @@ def bucketed_sum_combine(partials, keys, sum_cols, schema,
     so the choice holds at any scale where the group count is bounded.
     Unbounded keys (tokens, doc hashes) keep using Ray's aggregate, which
     spills; this helper assumes the in-task groups fit a worker's heap.
+
+    ``how`` is any associative pandas reduction ("sum", "max", "min") — max
+    is the HLL register-merge.
     """
     import zlib
 
@@ -61,7 +65,7 @@ def bucketed_sum_combine(partials, keys, sum_cols, schema,
     def combine(df: pd.DataFrame) -> pa.Table:
         if len(df) == 0:
             return schema.empty_table()
-        g = df.groupby(keys, as_index=False)[sum_cols].sum()
+        g = df.groupby(keys, as_index=False)[sum_cols].agg(how)
         return pa.Table.from_pandas(g, preserve_index=False).select(
             schema.names
         ).cast(schema)

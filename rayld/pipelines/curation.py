@@ -457,3 +457,34 @@ def chunk_documents(sf_dir: str, chunk: int = 64, stride: int = 48):
         )
 
     return documents(sf_dir).map_batches(fn, batch_format="pandas")
+
+
+def mixture_sample(sf_dir: str):
+    """Weighted data-mixing sampler: per-source keep-fractions (the 'mixture
+    weights' of a training-data recipe), applied as a deterministic md5
+    bucket test — keep a doc when bucket(doc_id) < pct(source), where
+    pct = 20 + 7*(source number) mod 60. Shuffle-free, append-stable, and
+    fully auditable in SQL. Returns (doc_id, source, bucket, pct)."""
+
+    def fn(df: pd.DataFrame) -> pa.Table:
+        b = _split_bucket(df["doc_id"])
+        srcnum = (
+            df["source"].str.extract(r"([0-9]+)", expand=False)
+            .fillna("0").astype(np.int64)
+        )
+        pct = 20 + (srcnum * 7) % 60
+        keep = b < pct.to_numpy(np.int64)
+        return pa.table(
+            {
+                "doc_id": pa.array(df["doc_id"].to_numpy(np.int64)[keep]),
+                "source": pa.array(
+                    df["source"].astype(str).to_numpy()[keep], pa.string()
+                ),
+                "bucket": pa.array(b[keep], pa.int64()),
+                "pct": pa.array(pct.to_numpy(np.int64)[keep], pa.int64()),
+            }
+        )
+
+    return documents(sf_dir, columns=("doc_id", "source")).map_batches(
+        fn, batch_format="pandas"
+    )

@@ -673,3 +673,139 @@ def events_hourly_users(sf_dir: str, num_partitions: int | None = None):
             [("window_start", pa.int64()), ("n_users", pa.int64())]
         ),
     )
+
+
+_HLL_P = 8                    # 2^8 = 256 registers
+_HLL_M = 1 << _HLL_P
+_HLL_ALPHA = 0.7213 / (1 + 1.079 / _HLL_M)
+
+
+def _hll_rows(windows: np.ndarray, users) -> pd.DataFrame:
+    """Non-zero HLL registers for (window, user) pairs: one md5 per DISTINCT
+    pair (the pairs are pre-deduped by the caller); register index = top 8
+    hash bits, rank = first-1-bit position of the remaining 56."""
+    import hashlib as _h
+
+    regs: dict[tuple[int, int], int] = {}
+    for w, u in zip(windows, users):
+        h = int(_h.md5(str(int(u)).encode()).hexdigest()[:16], 16)
+        idx = h >> 56
+        rest = h & ((1 << 56) - 1)
+        rank = 57 - rest.bit_length() if rest else 57
+        key = (int(w), idx)
+        if rank > regs.get(key, 0):
+            regs[key] = rank
+    if not regs:
+        return pd.DataFrame(
+            {"window_start": pd.Series([], dtype="int64"),
+             "reg_idx": pd.Series([], dtype="int64"),
+             "rank": pd.Series([], dtype="int64")}
+        )
+    ks = list(regs)
+    return pd.DataFrame(
+        {"window_start": pd.Series([k[0] for k in ks], dtype="int64"),
+         "reg_idx": pd.Series([k[1] for k in ks], dtype="int64"),
+         "rank": pd.Series(list(regs.values()), dtype="int64")}
+    )
+
+
+def hll_users_gate(sf_dir: str, max_rel_err: float = 0.25,
+                   num_partitions: int | None = None):
+    """Distributed HyperLogLog distinct-user sketch per hourly window,
+    accuracy-gated against the exact count (the recall-gate oracle pattern):
+    output (window_start, n_users, hll_ok) where n_users is exact and
+    hll_ok asserts |estimate - exact| <= max(3, max_rel_err * exact) — the
+    absolute floor covers tiny windows where linear counting is per-window
+    noisy, and 0.25 is ~3.8 sigma of HLL's 1.04/sqrt(m)=6.5% standard error,
+    so a correct sketch passes every window with high margin while an
+    implementation regression (wrong ranks, lost registers, bad merge)
+    blows straight through it.
+
+    The sketch is the 100-TB path: per-batch partial registers (<= 256 rows
+    per window per block, REGARDLESS of event count) merge by elementwise
+    max through one bucketed exchange — sketch rows, never events, cross the
+    wire, and sketches of disjoint shards merge associatively. The exact
+    count (events_hourly_users) exists independently; here it doubles as
+    the gate so a sketch regression fails CORRECTNESS, not just a tolerance
+    in a test."""
+    import pyarrow as pa
+    import ray
+    import ray.data as rd
+
+    from .common import bucketed_sum_combine, cluster_partitions
+
+    if num_partitions is None:
+        num_partitions = cluster_partitions()
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["ts", "user_id"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        w = df["ts"].dt.floor("h").astype("datetime64[s]").astype("int64")
+        x = pd.DataFrame(
+            {"window_start": w, "user_id": df["user_id"]}
+        ).drop_duplicates()
+        return _hll_rows(
+            x["window_start"].to_numpy(np.int64),
+            x["user_id"].to_numpy(np.int64),
+        )
+
+    merged = bucketed_sum_combine(
+        ds.map_batches(partial, batch_format="pandas"),
+        keys=["window_start", "reg_idx"],
+        sum_cols=["rank"],
+        schema=pa.schema(
+            [("window_start", pa.int64()), ("reg_idx", pa.int64()),
+             ("rank", pa.int64())]
+        ),
+        how="max",
+    )
+
+    exact = events_hourly_users(sf_dir, num_partitions=num_partitions)
+    exact_df = exact.to_pandas()  # bounded: one row per window
+    exact_ref = ray.put(dict(
+        zip(exact_df["window_start"].astype(int),
+            exact_df["n_users"].astype(int))
+    ))
+
+    def estimate(g: pd.DataFrame) -> pa.Table:
+        if len(g) == 0:
+            return pa.schema(
+                [("window_start", pa.int64()), ("n_users", pa.int64()),
+                 ("hll_ok", pa.int64())]
+            ).empty_table()
+        lk = ray.get(exact_ref)
+        out_w, out_n, out_ok = [], [], []
+        for w, grp in g.groupby("window_start"):
+            regs = np.zeros(_HLL_M, dtype=np.float64)
+            regs[grp["reg_idx"].to_numpy(np.int64)] = grp["rank"].to_numpy(
+                np.float64
+            )
+            est = _HLL_ALPHA * _HLL_M * _HLL_M / np.sum(
+                np.power(2.0, -regs)
+            )
+            zeros = int((regs == 0).sum())
+            if est <= 2.5 * _HLL_M and zeros:
+                est = _HLL_M * np.log(_HLL_M / zeros)
+            n = int(lk.get(int(w), 0))
+            ok = int(n > 0 and abs(est - n) <= max(3.0, max_rel_err * n))
+            out_w.append(int(w))
+            out_n.append(n)
+            out_ok.append(ok)
+        return pa.table(
+            {"window_start": pa.array(out_w, pa.int64()),
+             "n_users": pa.array(out_n, pa.int64()),
+             "hll_ok": pa.array(out_ok, pa.int64())}
+        )
+
+    def bucket_w(batch: pa.Table) -> pa.Table:
+        w = np.asarray(batch["window_start"].to_pylist(), dtype=np.int64)
+        return batch.append_column(
+            "wpart",
+            pa.array((w % num_partitions).astype(np.int32), pa.int32()),
+        )
+
+    return (
+        merged.map_batches(bucket_w, batch_format="pyarrow")
+        .groupby("wpart")
+        .map_groups(estimate, batch_format="pandas")
+    )

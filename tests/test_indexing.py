@@ -132,3 +132,50 @@ def test_embedding_quantize_known_vectors(ray_session, tmp_path):
     assert out.loc[0, "code_sum"] == 383
     # constant vector: zero range -> zero codes by contract
     assert out.loc[1, "scale"] == 0.0 and out.loc[1, "code_sum"] == 0
+
+
+def test_hll_users_gate_accuracy(ray_session, tmp_path):
+    """Planted high-cardinality window: the distributed register-max merge
+    must land within the gate; a tiny window hits the linear-counting path."""
+    import pandas as pd
+    from rayld.pipelines.relational import hll_users_gate
+
+    d = tmp_path / "mini"
+    d.mkdir()
+    base = pd.Timestamp("2024-01-01 10:30")
+    ts = [base] * 2000 + [pd.Timestamp("2024-01-01 11:30")] * 3
+    users = list(range(2000)) + [7, 7, 8]
+    pq.write_table(
+        pa.table({"ts": pa.array(pd.to_datetime(ts)),
+                  "user_id": pa.array(users, pa.int64())}),
+        d / "events.parquet",
+    )
+    out = hll_users_gate(str(d), num_partitions=4).to_pandas()
+    got = {int(w): (int(n), int(ok))
+           for w, n, ok in zip(out["window_start"], out["n_users"],
+                               out["hll_ok"])}
+    h10 = int(pd.Timestamp("2024-01-01 10:00").timestamp())
+    h11 = int(pd.Timestamp("2024-01-01 11:00").timestamp())
+    assert got[h10] == (2000, 1)   # sketch within 25% on 2000 distinct
+    assert got[h11] == (2, 1)      # linear-counting path, abs-3 floor
+
+
+def test_mixture_sample_weights(ray_session, tmp_path):
+    import hashlib
+
+    from rayld.pipelines.curation import mixture_sample
+
+    d = tmp_path / "mini"
+    d.mkdir()
+    srcs = ["src0", "src5", "src10"] * 20   # pct 20, 55, 30
+    pq.write_table(
+        pa.table({"doc_id": pa.array(range(60), pa.int64()),
+                  "source": pa.array(srcs, pa.string())}),
+        d / "documents.parquet",
+    )
+    out = mixture_sample(str(d)).to_pandas()
+    pcts = {"src0": 20, "src5": 55, "src10": 30}  # 20 + (n*7) % 60
+    for i in range(60):
+        b = int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16) % 100
+        kept = i in set(out["doc_id"])
+        assert kept == (b < pcts[srcs[i]]), (i, b, srcs[i])
