@@ -347,7 +347,6 @@ def label_centroids(sf_dir: str, dim: int = 64):
     the SQL oracle bit-for-bit. The classic pre-aggregate-before-shuffle
     shape for training-set class prototypes / cluster seeding."""
     import ray.data as rd
-    from ray.data.aggregate import Sum
 
     ds = rd.read_parquet(
         f"{sf_dir}/embeddings.parquet", columns=["label", "embedding"]
