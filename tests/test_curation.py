@@ -274,3 +274,37 @@ def test_top_quality_by_lang(ray_session, tmp_path):
         got = out[out["lang"] == lang].sort_values("rank")
         assert got["doc_id"].tolist() == want
         assert got["rank"].tolist() == [1, 2]
+
+
+def test_write_curated_corpus_resume(ray_session, tmp_path):
+    """The documents-side resumable sink: a re-run after losing one bucket
+    rewrites ONLY that bucket and reports the others skipped; the final
+    corpus equals a direct corpus_clean run."""
+    import shutil
+
+    import pyarrow.parquet as pq
+
+    from rayld.pipelines.prep import corpus_clean, write_curated_corpus
+
+    sf = "/root/testdata/sf0.001"
+    out = str(tmp_path / "corpus")
+    r1 = write_curated_corpus(sf, out, num_buckets=4)
+    assert r1["buckets_skipped"] == 0 and r1["rows"] > 0
+
+    # read-back equals the direct pipeline output
+    import pandas as pd
+
+    direct = corpus_clean(sf).to_pandas().sort_values("doc_id")
+    back = pq.read_table(out).to_pandas().sort_values("doc_id")
+    assert back["doc_id"].tolist() == direct["doc_id"].tolist()
+
+    # lose one bucket (data + manifest) -> only it is rebuilt
+    shutil.rmtree(f"{out}/bucket=2")
+    import os
+
+    os.remove(f"{out}/_manifest_bucket_2.json")
+    r2 = write_curated_corpus(sf, out, num_buckets=4)
+    assert r2["buckets_skipped"] == 3
+    assert r2["rows"] == r1["rows"]
+    back2 = pq.read_table(out).to_pandas().sort_values("doc_id")
+    assert back2["doc_id"].tolist() == direct["doc_id"].tolist()
