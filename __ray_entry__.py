@@ -170,6 +170,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_embedding_features": relational.doc_embedding_features,
         "events_hourly_users": relational.events_hourly_users,
         "hll_users_gate": relational.hll_users_gate,
+        "q3_shipping_priority": relational.q3_shipping_priority,
+        "inactive_customers": relational.inactive_customers,
+        "latest_event_per_user": relational.latest_event_per_user,
+        "events_quarantine": relational.events_quarantine,
         # multimodal plumbing
         "media_byte_stats": multimodal.media_byte_stats,
         "media_resize": multimodal.media_resize,
@@ -699,6 +703,47 @@ def oracle_sql() -> dict[str, str]:
         "supplier_account_rank": (
             "SELECT s_suppkey FROM supplier"
             " ORDER BY s_acctbal DESC, s_suppkey LIMIT 10"
+        ),
+        # TPC-H Q3-style three-table join + global top-N; revenue ordered in
+        # integer cents so ties at the LIMIT boundary break identically
+        "q3_shipping_priority": (
+            "WITH r AS ("
+            "  SELECT l_orderkey,"
+            "   sum(floor(l_extendedprice * (1 - l_discount) * 100"
+            "       + 0.5)::BIGINT) AS rev_c,"
+            "   epoch_us(o_orderdate)::BIGINT AS order_date_us,"
+            "   o_orderpriority"
+            "  FROM customer"
+            "  JOIN orders ON c_custkey = o_custkey"
+            "  JOIN lineitem ON l_orderkey = o_orderkey"
+            "  WHERE c_mktsegment = 'BUILDING'"
+            "   AND o_orderdate < TIMESTAMP '1998-01-01'"
+            "   AND l_shipdate > TIMESTAMP '1998-01-01'"
+            "  GROUP BY l_orderkey, o_orderdate, o_orderpriority"
+            ") SELECT l_orderkey, rev_c / 100.0 AS revenue, order_date_us,"
+            " o_orderpriority FROM r"
+            " ORDER BY rev_c DESC, l_orderkey LIMIT 10"
+        ),
+        # distributed anti-join
+        "inactive_customers": (
+            "SELECT c_custkey, c_mktsegment FROM customer"
+            " WHERE c_custkey NOT IN ("
+            "  SELECT o_custkey FROM orders"
+            "  WHERE o_orderdate >= TIMESTAMP '2001-01-01')"
+        ),
+        # temporal keep-latest dedup: max ts per user, ties -> max event_id
+        "latest_event_per_user": (
+            "SELECT user_id, event_id, epoch_us(ts)::BIGINT AS ts_us,"
+            " event_type, value FROM events"
+            " QUALIFY row_number() OVER (PARTITION BY user_id"
+            "  ORDER BY ts DESC, event_id DESC) = 1"
+        ),
+        # row validation with quarantine side-output; first failing rule wins
+        "events_quarantine": (
+            "SELECT event_id,"
+            " CASE WHEN event_type = 'error' THEN 'error_event'"
+            "  ELSE 'value_out_of_range' END AS reason"
+            " FROM events WHERE event_type = 'error' OR value > 100.0"
         ),
         "order_revenue_by_status": (
             "SELECT o_orderstatus,"

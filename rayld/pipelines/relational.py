@@ -809,3 +809,323 @@ def hll_users_gate(sf_dir: str, max_rel_err: float = 0.25,
         .groupby("wpart")
         .map_groups(estimate, batch_format="pandas")
     )
+
+
+def q3_shipping_priority(sf_dir: str, segment: str = "BUILDING",
+                         cutoff: str = "1998-01-01", top_n: int = 10,
+                         num_partitions: int | None = None):
+    """TPC-H Q3-style shipping priority: three-table join + global top-N.
+
+    Shuffle-minimizing plan (SURVEY.md §4):
+    - every read is column- AND predicate-pruned (only the filter survivors
+      leave the scan);
+    - lineitem pre-aggregates revenue to one row per orderkey per batch
+      BEFORE any shuffle, so the join moves ~|orders| rows, not ~|lineitem|;
+    - customer⋈orders is a bucketed semi-join on hash(custkey) % P and
+      orders⋈revenue a bucketed hash join on hash(orderkey) % P — the
+      union+bucket+in-task-merge pattern that is safe chained (Ray's
+      JoinOperator is not, per CLAUDE.md);
+    - each bucket emits only its LOCAL top-N, so the final global sort sees
+      ≤ P·N rows regardless of corpus size.
+    """
+    import pyarrow as pa
+    import ray.data as rd
+
+    from .common import cluster_partitions
+
+    if num_partitions is None:
+        num_partitions = cluster_partitions()
+    cutoff_ts = pd.Timestamp(cutoff)
+
+    # side 1: customers in the segment (keys only)
+    cust = rd.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+    )
+
+    def cust_keys(df: pd.DataFrame) -> pa.Table:
+        keys = df.loc[df["c_mktsegment"] == segment, "c_custkey"]
+        return pa.table({
+            "custkey": pa.array(keys.to_numpy(np.int64), pa.int64()),
+            "is_order": pa.array(np.zeros(len(keys), np.int8), pa.int8()),
+            "o_orderkey": pa.array(np.zeros(len(keys), np.int64), pa.int64()),
+            "date_us": pa.array(np.zeros(len(keys), np.int64), pa.int64()),
+            "o_orderpriority": pa.array([""] * len(keys), pa.string()),
+        })
+
+    # side 2: orders before the cutoff
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"],
+    )
+
+    def order_rows(df: pd.DataFrame) -> pa.Table:
+        df = df[df["o_orderdate"] < cutoff_ts]
+        return pa.table({
+            "custkey": pa.array(df["o_custkey"].to_numpy(np.int64)),
+            "is_order": pa.array(np.ones(len(df), np.int8), pa.int8()),
+            "o_orderkey": pa.array(df["o_orderkey"].to_numpy(np.int64)),
+            "date_us": pa.array(
+                df["o_orderdate"].astype("datetime64[us]")
+                .astype("int64").to_numpy()
+            ),
+            "o_orderpriority": pa.array(
+                df["o_orderpriority"].tolist(), pa.string()
+            ),
+        })
+
+    def bucket_cust(batch: pa.Table) -> pa.Table:
+        k = np.asarray(batch["custkey"].to_pylist(), dtype=np.int64)
+        parts = (k % num_partitions).astype(np.int32)
+        return batch.append_column("part", pa.array(parts, pa.int32()))
+
+    def semi(df: pd.DataFrame) -> pa.Table:
+        sch = pa.schema([
+            ("o_orderkey", pa.int64()), ("date_us", pa.int64()),
+            ("o_orderpriority", pa.string()),
+        ])
+        if len(df) == 0:
+            return sch.empty_table()
+        in_seg = set(df.loc[df["is_order"] == 0, "custkey"])
+        hits = df[(df["is_order"] == 1) & df["custkey"].isin(in_seg)]
+        return pa.table({
+            "o_orderkey": pa.array(hits["o_orderkey"].to_numpy(np.int64)),
+            "date_us": pa.array(hits["date_us"].to_numpy(np.int64)),
+            "o_orderpriority": pa.array(
+                hits["o_orderpriority"].tolist(), pa.string()
+            ),
+        })
+
+    seg_orders = (
+        cust.map_batches(cust_keys, batch_format="pandas")
+        .union(orders.map_batches(order_rows, batch_format="pandas"))
+        .map_batches(bucket_cust, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(semi, batch_format="pandas")
+    )
+
+    # side 3: lineitem revenue partials per orderkey (post-cutoff shipments)
+    lineitem = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"],
+    )
+
+    def rev_partial(df: pd.DataFrame) -> pa.Table:
+        df = df[df["l_shipdate"] > cutoff_ts]
+        rev = money_cents(df["l_extendedprice"] * (1 - df["l_discount"]))
+        g = df.assign(rev_c=rev).groupby("l_orderkey", as_index=False).agg(
+            rev_c=("rev_c", "sum")
+        )
+        return pa.table({
+            "o_orderkey": pa.array(g["l_orderkey"].to_numpy(np.int64)),
+            "rev_c": pa.array(g["rev_c"].to_numpy(np.int64)),
+            "is_rev": pa.array(np.ones(len(g), np.int8), pa.int8()),
+            "date_us": pa.array(np.zeros(len(g), np.int64)),
+            "o_orderpriority": pa.array([""] * len(g), pa.string()),
+        })
+
+    def order_side(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return batch.append_column(
+            "rev_c", pa.array(np.zeros(n, np.int64))
+        ).append_column("is_rev", pa.array(np.zeros(n, np.int8), pa.int8()))
+
+    def bucket_order(batch: pa.Table) -> pa.Table:
+        k = np.asarray(batch["o_orderkey"].to_pylist(), dtype=np.int64)
+        parts = ((k // 7) % num_partitions).astype(np.int32)
+        return batch.append_column("part2", pa.array(parts, pa.int32()))
+
+    def join_topk(df: pd.DataFrame) -> pa.Table:
+        sch = pa.schema([
+            ("l_orderkey", pa.int64()), ("rev_c", pa.int64()),
+            ("order_date_us", pa.int64()), ("o_orderpriority", pa.string()),
+        ])
+        if len(df) == 0 or "is_rev" not in df.columns:
+            return sch.empty_table()
+        left = df[df["is_rev"] == 0][
+            ["o_orderkey", "date_us", "o_orderpriority"]
+        ]
+        right = df[df["is_rev"] == 1].groupby(
+            "o_orderkey", as_index=False
+        ).agg(rev_c=("rev_c", "sum"))
+        m = left.merge(right, on="o_orderkey")
+        # all lineitems of an orderkey land in this bucket, so rev_c is the
+        # complete revenue: the bucket-local top-N is safe to take here
+        m = m.sort_values(
+            ["rev_c", "o_orderkey"], ascending=[False, True]
+        ).head(top_n)
+        return pa.table({
+            "l_orderkey": pa.array(m["o_orderkey"].to_numpy(np.int64)),
+            "rev_c": pa.array(m["rev_c"].to_numpy(np.int64)),
+            "order_date_us": pa.array(m["date_us"].to_numpy(np.int64)),
+            "o_orderpriority": pa.array(
+                m["o_orderpriority"].tolist(), pa.string()
+            ),
+        })
+
+    merged = (
+        seg_orders.map_batches(order_side, batch_format="pyarrow")
+        .union(lineitem.map_batches(rev_partial, batch_format="pandas"))
+        .map_batches(bucket_order, batch_format="pyarrow")
+        .groupby("part2")
+        .map_groups(join_topk, batch_format="pandas")
+    )
+    top = merged.sort(
+        ["rev_c", "l_orderkey"], descending=[True, False]
+    ).limit(top_n)
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "l_orderkey": df["l_orderkey"].astype("int64"),
+            "revenue": df["rev_c"].astype("int64") / 100.0,
+            "order_date_us": df["order_date_us"].astype("int64"),
+            "o_orderpriority": df["o_orderpriority"],
+        })
+
+    return top.map_batches(finish, batch_format="pandas")
+
+
+def inactive_customers(sf_dir: str, cutoff: str = "2001-01-01",
+                       num_partitions: int | None = None):
+    """Distributed ANTI-join: customers with no order since ``cutoff``.
+
+    The orders side collapses to per-batch DISTINCT custkey partials before
+    the one bucketed shuffle (hash(custkey) % P), and the anti-semantics run
+    as a vectorized isin inside each bucket task — same data movement as a
+    shuffle join, output only the non-matching left rows."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from .common import cluster_partitions
+
+    if num_partitions is None:
+        num_partitions = cluster_partitions()
+    cutoff_ts = pd.Timestamp(cutoff)
+
+    cust = rd.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+    )
+
+    def cust_rows(df: pd.DataFrame) -> pa.Table:
+        return pa.table({
+            "custkey": pa.array(df["c_custkey"].to_numpy(np.int64)),
+            "c_mktsegment": pa.array(df["c_mktsegment"].tolist(), pa.string()),
+            "is_order": pa.array(np.zeros(len(df), np.int8), pa.int8()),
+        })
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_orderdate"]
+    )
+
+    def order_keys(df: pd.DataFrame) -> pa.Table:
+        keys = df.loc[df["o_orderdate"] >= cutoff_ts, "o_custkey"].unique()
+        return pa.table({
+            "custkey": pa.array(keys.astype(np.int64)),
+            "c_mktsegment": pa.array([""] * len(keys), pa.string()),
+            "is_order": pa.array(np.ones(len(keys), np.int8), pa.int8()),
+        })
+
+    def bucket(batch: pa.Table) -> pa.Table:
+        k = np.asarray(batch["custkey"].to_pylist(), dtype=np.int64)
+        parts = (k % num_partitions).astype(np.int32)
+        return batch.append_column("part", pa.array(parts, pa.int32()))
+
+    def anti(df: pd.DataFrame) -> pa.Table:
+        sch = pa.schema([
+            ("c_custkey", pa.int64()), ("c_mktsegment", pa.string()),
+        ])
+        if len(df) == 0 or "is_order" not in df.columns:
+            return sch.empty_table()
+        active = set(df.loc[df["is_order"] == 1, "custkey"])
+        keep = df[(df["is_order"] == 0) & ~df["custkey"].isin(active)]
+        return pa.table({
+            "c_custkey": pa.array(keep["custkey"].to_numpy(np.int64)),
+            "c_mktsegment": pa.array(
+                keep["c_mktsegment"].tolist(), pa.string()
+            ),
+        })
+
+    return (
+        cust.map_batches(cust_rows, batch_format="pandas")
+        .union(orders.map_batches(order_keys, batch_format="pandas"))
+        .map_batches(bucket, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(anti, batch_format="pandas")
+    )
+
+
+def latest_event_per_user(sf_dir: str, num_partitions: int | None = None):
+    """Temporal keep-latest dedup: one surviving row per user_id (max ts,
+    ties broken by max event_id). One bucketed hash(user_id) % P shuffle; the
+    per-user argmax runs as a vectorized sort + groupby-tail inside each
+    bucket task (the user_sessions pattern applied to dedup)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from .common import cluster_partitions
+
+    if num_partitions is None:
+        num_partitions = cluster_partitions()
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "user_id", "event_type", "value"],
+    )
+
+    def bucket(batch: pa.Table) -> pa.Table:
+        k = np.asarray(batch["user_id"].to_pylist(), dtype=np.int64)
+        parts = (k % num_partitions).astype(np.int32)
+        return batch.append_column("part", pa.array(parts, pa.int32()))
+
+    def keep_latest(df: pd.DataFrame) -> pa.Table:
+        sch = pa.schema([
+            ("user_id", pa.int64()), ("event_id", pa.int64()),
+            ("ts_us", pa.int64()), ("event_type", pa.string()),
+            ("value", pa.float64()),
+        ])
+        if len(df) == 0:
+            return sch.empty_table()
+        df = df.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        last = df.groupby("user_id", as_index=False).tail(1)
+        return pa.table({
+            "user_id": pa.array(last["user_id"].to_numpy(np.int64)),
+            "event_id": pa.array(last["event_id"].to_numpy(np.int64)),
+            "ts_us": pa.array(
+                last["ts"].astype("datetime64[us]").astype("int64").to_numpy()
+            ),
+            "event_type": pa.array(last["event_type"].tolist(), pa.string()),
+            "value": pa.array(last["value"].to_numpy(np.float64)),
+        })
+
+    return (
+        ds.map_batches(bucket, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(keep_latest, batch_format="pandas")
+    )
+
+
+def events_quarantine(sf_dir: str):
+    """Row-level validation with a quarantine side-output (SURVEY.md §2.8
+    error model: bad rows route to a typed side table instead of failing the
+    job). Rules evaluate in priority order, each row lands under its FIRST
+    failing rule: error_event (event_type = 'error'), then value_out_of_range
+    (value > 100). Output: the quarantined rows' (event_id, reason) —
+    embarrassingly parallel, no shuffle at all."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "event_type", "value"],
+    )
+
+    def route(df: pd.DataFrame) -> pa.Table:
+        is_err = (df["event_type"] == "error").to_numpy()
+        is_big = df["value"].to_numpy() > 100.0
+        reason = np.where(is_err, "error_event",
+                          np.where(is_big, "value_out_of_range", "ok"))
+        bad = reason != "ok"
+        return pa.table({
+            "event_id": pa.array(df["event_id"].to_numpy(np.int64)[bad]),
+            "reason": pa.array(reason[bad].tolist(), pa.string()),
+        })
+
+    return ds.map_batches(route, batch_format="pandas")

@@ -743,3 +743,119 @@ def test_range_join_signup_clicks(ray_session):
         )
         pd.testing.assert_frame_equal(got.astype("int64"), want.astype("int64"))
     assert (want["n_clicks"] == 0).any()  # the zero-count path is exercised
+
+
+def test_q3_shipping_priority(ray_session):
+    """Bucketed two-stage join + bucket-local top-N == DuckDB's Q3; the
+    partition count never changes the global top-10."""
+    import duckdb
+    from rayld.pipelines.relational import q3_shipping_priority
+
+    con = duckdb.connect()
+    for t in ("customer", "orders", "lineitem"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet("
+            f"'{SF}/{t}.parquet')"
+        )
+    want = con.execute(
+        "WITH r AS ("
+        " SELECT l_orderkey,"
+        "  sum(floor(l_extendedprice * (1 - l_discount) * 100"
+        "      + 0.5)::BIGINT) AS rev_c,"
+        "  epoch_us(o_orderdate)::BIGINT AS order_date_us, o_orderpriority"
+        " FROM customer JOIN orders ON c_custkey = o_custkey"
+        " JOIN lineitem ON l_orderkey = o_orderkey"
+        " WHERE c_mktsegment = 'BUILDING'"
+        "  AND o_orderdate < TIMESTAMP '1998-01-01'"
+        "  AND l_shipdate > TIMESTAMP '1998-01-01'"
+        " GROUP BY l_orderkey, o_orderdate, o_orderpriority"
+        ") SELECT l_orderkey, rev_c / 100.0 AS revenue, order_date_us,"
+        " o_orderpriority FROM r ORDER BY rev_c DESC, l_orderkey LIMIT 10"
+    ).df().reset_index(drop=True)
+
+    for p in (4, 3):
+        got = (
+            q3_shipping_priority(SF, num_partitions=p)
+            .to_pandas()
+            .reset_index(drop=True)[want.columns.tolist()]
+        )
+        pd.testing.assert_frame_equal(got, want)
+
+
+def test_inactive_customers_anti_join(ray_session):
+    """Bucketed anti-join == NOT IN subquery; partition-count invariant."""
+    import duckdb
+    from rayld.pipelines.relational import inactive_customers
+
+    con = duckdb.connect()
+    for t in ("customer", "orders"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet("
+            f"'{SF}/{t}.parquet')"
+        )
+    want = con.execute(
+        "SELECT c_custkey, c_mktsegment FROM customer"
+        " WHERE c_custkey NOT IN (SELECT o_custkey FROM orders"
+        "  WHERE o_orderdate >= TIMESTAMP '2001-01-01')"
+        " ORDER BY c_custkey"
+    ).df().reset_index(drop=True)
+    assert 0 < len(want)  # non-trivial on the fixture
+
+    for p in (4, 3):
+        got = (
+            inactive_customers(SF, num_partitions=p)
+            .to_pandas()
+            .sort_values("c_custkey")
+            .reset_index(drop=True)[want.columns.tolist()]
+        )
+        pd.testing.assert_frame_equal(got, want)
+    n_cust = con.execute("SELECT count(*) FROM customer").fetchone()[0]
+    assert len(want) < n_cust  # some customers ARE active
+
+
+def test_latest_event_per_user(ray_session):
+    """Keep-latest dedup == row_number()=1 over (ts DESC, event_id DESC)."""
+    import duckdb
+    from rayld.pipelines.relational import latest_event_per_user
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM read_parquet("
+        f"'{SF}/events.parquet')"
+    )
+    want = con.execute(
+        "SELECT user_id, event_id, epoch_us(ts)::BIGINT AS ts_us,"
+        " event_type, value FROM events"
+        " QUALIFY row_number() OVER (PARTITION BY user_id"
+        "  ORDER BY ts DESC, event_id DESC) = 1 ORDER BY user_id"
+    ).df().reset_index(drop=True)
+
+    got = (
+        latest_event_per_user(SF, num_partitions=4)
+        .to_pandas()
+        .sort_values("user_id")
+        .reset_index(drop=True)[want.columns.tolist()]
+    )
+    pd.testing.assert_frame_equal(got, want)
+    # exactly one row per user
+    n_users = con.execute(
+        "SELECT count(DISTINCT user_id) FROM events"
+    ).fetchone()[0]
+    assert len(got) == n_users
+
+
+def test_events_quarantine_routing(ray_session):
+    """First-failing-rule routing: every 'error' row lands under
+    error_event even when its value also exceeds 100."""
+    from rayld.pipelines.relational import events_quarantine
+
+    got = events_quarantine(SF).to_pandas()
+    ev = pd.read_parquet(f"{SF}/events.parquet",
+                         columns=["event_id", "event_type", "value"])
+    err_ids = set(ev.loc[ev["event_type"] == "error", "event_id"])
+    big_ids = set(ev.loc[(ev["event_type"] != "error")
+                         & (ev["value"] > 100.0), "event_id"])
+    by_reason = {r: set(g["event_id"]) for r, g in got.groupby("reason")}
+    assert by_reason.get("error_event", set()) == err_ids
+    assert by_reason.get("value_out_of_range", set()) == big_ids
+    assert len(got) == len(err_ids) + len(big_ids)
