@@ -78,6 +78,29 @@ def queries() -> dict[str, Callable[[str], Any]]:
             Count(alias_name="_n")
         ).drop_columns(["_n"])
 
+    def kg_entity_degree(sf_dir: str):
+        """Degree histogram of the constructed KG (graph analytics over the
+        flagship output)."""
+        from rayld.pipelines.graph import degree_histogram
+
+        n = max(50, jsonld_ops.n_conversations_for(sf_dir) // 5)
+        return degree_histogram(build_triples(transcripts_dataset(n)))
+
+    def kg_pagerank(sf_dir: str):
+        """Damped PageRank over the KG entity graph (iterative weighted
+        propagation on the connected_components shuffle shape)."""
+        from rayld.pipelines.graph import pagerank, triples_to_edges
+
+        n = max(50, jsonld_ops.n_conversations_for(sf_dir) // 5)
+        edges = triples_to_edges(build_triples(transcripts_dataset(n)))
+        return pagerank(edges, n_iter=5)
+
+    def kg_pagerank_gate(sf_dir: str):
+        from rayld.pipelines.graph import pagerank_check
+
+        n = min(150, max(30, jsonld_ops.n_conversations_for(sf_dir) // 10))
+        return pagerank_check(n)
+
     def kg_parity(sf_dir: str):
         """Flagship gate: distributed pipeline == single-process kernel on a
         bounded conversation sample (P/R = 1.0 on canonicalized quads)."""
@@ -93,6 +116,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_triples_global_dedup": kg_triples_global_dedup,
         "kg_documents_fromrdf": kg_documents_fromrdf,
         "kg_parity_check": kg_parity,
+        "kg_entity_degree": kg_entity_degree,
+        "kg_pagerank": kg_pagerank,
+        "kg_pagerank_check": kg_pagerank_gate,
         # JSON-LD API surface A1-A7 + S1/S2 (non-SQL)
         "jsonld_expand": jsonld_ops.op_expand,
         "jsonld_compact_roundtrip": jsonld_ops.op_compact_roundtrip,
@@ -118,6 +144,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tfidf_top_terms": text.tfidf_top_terms,
         "doc_length_percentiles": text.doc_length_percentiles,
         "bigram_frequencies": text.bigram_frequencies,
+        "top_tokens_sketch": text.top_tokens_sketch,
         "source_quality_report": text.source_quality_report,
         "top_quality_by_lang": text.top_quality_by_lang,
         # dedup family
@@ -133,6 +160,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash": dedup.simhash,
         "simhash_neardup": dedup.simhash_neardup,
         "simhash_neardup_recall": dedup.simhash_neardup_recall,
+        "duplicate_ngram_spans": dedup.duplicate_ngram_spans,
         "embedding_neardup": dedup.embedding_neardup,
         "embedding_neardup_recall": dedup.embedding_neardup_recall,
         "corpus_clean": prep.corpus_clean,
@@ -174,6 +202,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "inactive_customers": relational.inactive_customers,
         "latest_event_per_user": relational.latest_event_per_user,
         "events_quarantine": relational.events_quarantine,
+        "funnel_conversion": relational.funnel_conversion,
         # multimodal plumbing
         "media_byte_stats": multimodal.media_byte_stats,
         "media_resize": multimodal.media_resize,
@@ -245,6 +274,11 @@ def oracle_sql() -> dict[str, str]:
         "kg_parity_check": (
             "SELECT 0::BIGINT AS missing, 0::BIGINT AS extra,"
             " 1::BIGINT AS parity_ok"
+        ),
+        # PageRank parity gate: distributed == single-process numpy on the
+        # same sampled edge list
+        "kg_pagerank_check": (
+            "SELECT 1::BIGINT AS parity_ok, 1::BIGINT AS rank_sums_to_one"
         ),
         "token_count": (
             "SELECT doc_id, len(regexp_extract_all(text, '[A-Za-z0-9]+'))::BIGINT"
@@ -611,6 +645,12 @@ def oracle_sql() -> dict[str, str]:
             " unnest(regexp_extract_all(text, '[A-Za-z0-9]+')) AS u(t)"
             " GROUP BY t ORDER BY n DESC, token LIMIT 100"
         ),
+        # heavy-hitter pruned EXACT top-k (the sketch only prunes candidates)
+        "top_tokens_sketch": (
+            "SELECT t AS token, count(*)::BIGINT AS n FROM documents,"
+            " unnest(regexp_extract_all(text, '[A-Za-z0-9]+')) AS u(t)"
+            " GROUP BY t ORDER BY n DESC, token LIMIT 20"
+        ),
         "doc_len_histogram": (
             "SELECT (len(regexp_extract_all(text, '[A-Za-z0-9]+')) // 16)"
             "::BIGINT AS bucket, count(*)::BIGINT AS n_docs"
@@ -704,6 +744,29 @@ def oracle_sql() -> dict[str, str]:
             "SELECT s_suppkey FROM supplier"
             " ORDER BY s_acctbal DESC, s_suppkey LIMIT 10"
         ),
+        # exact substring duplication (Lee et al. 2022): a window position is
+        # duplicated when its 8-token n-gram occurs >= 2 times in the corpus
+        "duplicate_ngram_spans": (
+            "WITH t AS (SELECT doc_id,"
+            "  regexp_extract_all(text, '[A-Za-z0-9]+') AS toks"
+            "  FROM documents),"
+            " w AS (SELECT doc_id, greatest(len(toks) - 7, 0)::BIGINT"
+            "  AS n_windows, toks FROM t),"
+            " i AS (SELECT doc_id, toks,"
+            "  unnest(generate_series(1, len(toks) - 7)) AS i"
+            "  FROM w WHERE len(toks) >= 8),"
+            " p AS (SELECT doc_id, array_to_string(toks[i:i+7], ' ') AS ng"
+            "  FROM i),"
+            " c AS (SELECT ng, count(*) AS tot FROM p GROUP BY ng),"
+            " d AS (SELECT doc_id, count(*)::BIGINT AS n_dup FROM p"
+            "  JOIN c USING (ng) WHERE tot > 1 GROUP BY doc_id)"
+            " SELECT w.doc_id, w.n_windows,"
+            " coalesce(d.n_dup, 0)::BIGINT AS n_dup_positions,"
+            " CASE WHEN w.n_windows > 0 THEN"
+            "  coalesce(d.n_dup, 0) / w.n_windows::DOUBLE ELSE 0.0 END"
+            "  AS dup_fraction"
+            " FROM w LEFT JOIN d USING (doc_id)"
+        ),
         # TPC-H Q3-style three-table join + global top-N; revenue ordered in
         # integer cents so ties at the LIMIT boundary break identically
         "q3_shipping_priority": (
@@ -737,6 +800,21 @@ def oracle_sql() -> dict[str, str]:
             " event_type, value FROM events"
             " QUALIFY row_number() OVER (PARTITION BY user_id"
             "  ORDER BY ts DESC, event_id DESC) = 1"
+        ),
+        # signup -> purchase funnel per signup day (7-day window)
+        "funnel_conversion": (
+            "WITH s AS (SELECT event_id, user_id, ts FROM events"
+            "  WHERE event_type = 'signup'),"
+            " p AS (SELECT user_id, ts FROM events"
+            "  WHERE event_type = 'purchase'),"
+            " flags AS (SELECT s.event_id, s.ts,"
+            "  CASE WHEN count(p.user_id) > 0 THEN 1 ELSE 0 END AS conv"
+            "  FROM s LEFT JOIN p ON p.user_id = s.user_id"
+            "   AND p.ts >= s.ts AND p.ts < s.ts + INTERVAL 7 DAY"
+            "  GROUP BY s.event_id, s.ts)"
+            " SELECT epoch(date_trunc('day', ts))::BIGINT AS day_start,"
+            " count(*)::BIGINT AS n_signups, sum(conv)::BIGINT AS n_converted"
+            " FROM flags GROUP BY 1"
         ),
         # row validation with quarantine side-output; first failing rule wins
         "events_quarantine": (

@@ -1279,3 +1279,141 @@ def ngram_jaccard_dedup(sf_dir: str, threshold: float = 0.5, window: int = 8,
     return documents(sf_dir).map_batches(
         fp_and_bucket, batch_format="pandas"
     ).groupby("part").map_groups(bucket_pairs, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# exact substring-duplication stats (duplicate n-gram spans)
+# ---------------------------------------------------------------------------
+
+def duplicate_ngram_spans(sf_dir: str, window: int = 8,
+                          num_partitions: int | None = None):
+    """Exact substring-duplication stats, the training-data dedup measure of
+    Lee et al., "Deduplicating Training Data Makes Language Models Better"
+    (ACL 2022, public): a window POSITION is duplicated when its exact
+    ``window``-token n-gram occurs at >= 2 positions anywhere in the corpus
+    (other docs or elsewhere in the same doc). Per-doc output:
+    (doc_id, n_windows, n_dup_positions, dup_fraction).
+
+    Scale shape — one tokenize pass, two bucketed exchanges:
+    1. map: each batch reduces to (ngram, doc_id, occ) partials via
+       per-doc Counter (value counts, never one row per position when a
+       doc repeats itself), plus one (doc_id, n_windows) row per doc so
+       zero-dup docs survive to the output;
+    2. exchange A keys pair rows by crc32(ngram) % P (doc rows ride along
+       on crc32(doc_id) % P and pass through): each bucket totals corpus
+       occurrences per ngram exactly (the STRING is the group key — the
+       hash only buckets; at 100 TB you would swap in the 64-bit roll and
+       accept its collision rate, same plumbing) and emits per-doc
+       duplicated-position partials;
+    3. exchange B combines per doc_id (bucketed_sum_combine) and a final
+       stateless map computes the fraction.
+    """
+    import zlib
+    from collections import Counter
+
+    from .common import bucketed_sum_combine, cluster_partitions
+    from .text import documents
+
+    if num_partitions is None:
+        num_partitions = cluster_partitions()
+
+    _mixed_schema = pa.schema([
+        ("ngram", pa.string()), ("doc_id", pa.int64()),
+        ("occ", pa.int64()), ("n_windows", pa.int64()),
+        ("is_doc", pa.int8()), ("part", pa.int32()),
+    ])
+
+    def partials(df: pd.DataFrame) -> pa.Table:
+        ngrams: list[str] = []
+        doc_ids: list[int] = []
+        occs: list[int] = []
+        d_ids = df["doc_id"].astype("int64").tolist()
+        win_counts: list[int] = []
+        for doc_id, text in zip(d_ids, df["text"]):
+            toks = _TOKEN_RE.findall(text)
+            n_win = max(0, len(toks) - window + 1)
+            win_counts.append(n_win)
+            if n_win == 0:
+                continue
+            counts = Counter(
+                " ".join(toks[i:i + window]) for i in range(n_win)
+            )
+            ngrams.extend(counts.keys())
+            occs.extend(counts.values())
+            doc_ids.extend([doc_id] * len(counts))
+        pair_parts = np.fromiter(
+            (zlib.crc32(g.encode()) % num_partitions for g in ngrams),
+            dtype=np.int32, count=len(ngrams),
+        )
+        doc_parts = np.fromiter(
+            (zlib.crc32(str(d).encode()) % num_partitions for d in d_ids),
+            dtype=np.int32, count=len(d_ids),
+        )
+        n_p, n_d = len(ngrams), len(d_ids)
+        return pa.table({
+            "ngram": pa.array(ngrams + [""] * n_d, pa.string()),
+            "doc_id": pa.array(doc_ids + d_ids, pa.int64()),
+            "occ": pa.array(occs + [0] * n_d, pa.int64()),
+            "n_windows": pa.array([0] * n_p + win_counts, pa.int64()),
+            "is_doc": pa.array(
+                np.concatenate([np.zeros(n_p, np.int8),
+                                np.ones(n_d, np.int8)]), pa.int8()),
+            "part": pa.array(np.concatenate([pair_parts, doc_parts]),
+                             pa.int32()),
+        }, schema=_mixed_schema)
+
+    _part_schema = pa.schema([
+        ("doc_id", pa.int64()), ("n_windows", pa.int64()),
+        ("n_dup", pa.int64()),
+    ])
+
+    def count_dups(df: pd.DataFrame) -> pa.Table:
+        if len(df) == 0:
+            return _part_schema.empty_table()
+        docs = df[df["is_doc"] == 1]
+        pairs = df[df["is_doc"] == 0]
+        out = [pa.table({
+            "doc_id": pa.array(docs["doc_id"].to_numpy(np.int64)),
+            "n_windows": pa.array(docs["n_windows"].to_numpy(np.int64)),
+            "n_dup": pa.array(np.zeros(len(docs), np.int64)),
+        }, schema=_part_schema)]
+        if len(pairs):
+            tot = pairs.groupby("ngram")["occ"].transform("sum")
+            dup = pairs[tot > 1]
+            g = dup.groupby("doc_id", as_index=False)["occ"].sum()
+            out.append(pa.table({
+                "doc_id": pa.array(g["doc_id"].to_numpy(np.int64)),
+                "n_windows": pa.array(np.zeros(len(g), np.int64)),
+                "n_dup": pa.array(g["occ"].to_numpy(np.int64)),
+            }, schema=_part_schema))
+        return pa.concat_tables(out)
+
+    per_doc = bucketed_sum_combine(
+        documents(sf_dir).map_batches(partials, batch_format="pandas")
+        .groupby("part").map_groups(count_dups, batch_format="pandas"),
+        keys=["doc_id"], sum_cols=["n_windows", "n_dup"],
+        schema=pa.schema([
+            ("doc_id", pa.int64()), ("n_windows", pa.int64()),
+            ("n_dup", pa.int64()),
+        ]),
+        num_partitions=num_partitions,
+    )
+
+    def finish(df: pd.DataFrame) -> pa.Table:
+        if len(df) == 0:
+            return pa.schema([
+                ("doc_id", pa.int64()), ("n_windows", pa.int64()),
+                ("n_dup_positions", pa.int64()),
+                ("dup_fraction", pa.float64()),
+            ]).empty_table()
+        n_win = df["n_windows"].to_numpy(np.int64)
+        n_dup = df["n_dup"].to_numpy(np.int64)
+        frac = np.where(n_win > 0, n_dup / np.maximum(n_win, 1), 0.0)
+        return pa.table({
+            "doc_id": pa.array(df["doc_id"].to_numpy(np.int64)),
+            "n_windows": pa.array(n_win),
+            "n_dup_positions": pa.array(n_dup),
+            "dup_fraction": pa.array(frac, pa.float64()),
+        })
+
+    return per_doc.map_batches(finish, batch_format="pandas")

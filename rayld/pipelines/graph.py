@@ -1,0 +1,467 @@
+"""Graph analytics over the constructed knowledge graph.
+
+Operates on the flagship triples Dataset (kg.build_triples output): entities
+are IRIs plus conversation-qualified blank nodes (bnode labels are c14n-
+scoped PER conversation, so cross-conversation label collisions must not
+merge graph nodes).
+
+- entity_degrees / degree_histogram: in/out-degree per entity + the degree
+  histogram (one unbounded-key aggregate, then a bounded-key combine).
+- pagerank: damped PageRank with dangling-mass redistribution, COST-BASED
+  like dedup.minhash_dedup's verification: when the node count fits the
+  broadcast threshold, each iteration is ONE map over the materialized edge
+  list with the rank vector broadcast via ray.put plus one bucketed combine
+  of the per-dst partials (the driver holds only the node-sized rank
+  vector); beyond the threshold it switches to the fully distributed
+  rank-join path (two bucketed exchanges per iteration, the
+  connected_components shuffle shape — nothing node-sized ever reaches the
+  driver). Both paths are value-identical (parity-tested).
+  DETERMINISM: every float sum runs over a frame sorted by all grouping
+  columns first, so identical value multisets fold in one order regardless
+  of block arrival — retries are value-identical (CLAUDE.md contract).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+def _qualify(subj_col, conv_col) -> np.ndarray:
+    """Blank-node labels are conversation-scoped: qualify them with conv_id
+    so '_:c14n0' in two conversations stays two graph nodes."""
+    subj = np.asarray(subj_col, dtype=object)
+    conv = np.asarray(conv_col, dtype=object)
+    is_bnode = np.char.startswith(subj.astype(str), "_:")
+    out = subj.copy()
+    if is_bnode.any():
+        out[is_bnode] = conv[is_bnode] + "|" + subj[is_bnode]
+    return out
+
+
+def triples_to_edges(triples_ds):
+    """Entity->entity edge list from a triples Dataset: subject -> object
+    for node-valued objects (IRI / blank node), quarantine graph excluded."""
+
+    def edges(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        keep = pc.and_(
+            pc.is_in(batch["obj_kind"],
+                     value_set=pa.array(["IRI", "blank node"])),
+            pc.not_equal(batch["graph"], "@error"),
+        )
+        batch = batch.filter(keep)
+        conv = batch["conv_id"].to_pylist()
+        src = _qualify(batch["subj"].to_pylist(), conv)
+        dst = _qualify(batch["obj_value"].to_pylist(), conv)
+        return pa.table({
+            "src": pa.array(src, pa.string()),
+            "dst": pa.array(dst, pa.string()),
+        })
+
+    return triples_ds.map_batches(edges, batch_format="pyarrow")
+
+
+def entity_degrees(triples_ds):
+    """(entity, out_degree, in_degree) over the KG edge list. Entities are
+    unbounded keys, so the one exchange is Ray's hash aggregate (it spills);
+    per-batch value_counts pre-aggregate first, so the shuffle moves one row
+    per distinct entity per block."""
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        out = df["src"].value_counts()
+        inn = df["dst"].value_counts()
+        g = pd.concat(
+            [out.rename("out_p"), inn.rename("in_p")], axis=1
+        ).fillna(0).reset_index(names="entity")
+        return pa.table({
+            "entity": pa.array(g["entity"].astype(str), pa.string()),
+            "out_p": pa.array(g["out_p"].astype("int64"), pa.int64()),
+            "in_p": pa.array(g["in_p"].astype("int64"), pa.int64()),
+        })
+
+    partials = triples_to_edges(triples_ds).map_batches(
+        partial, batch_format="pyarrow"
+    )
+    return partials.groupby("entity").aggregate(
+        Sum("out_p", alias_name="out_degree"),
+        Sum("in_p", alias_name="in_degree"),
+    )
+
+
+def degree_histogram(triples_ds, num_partitions: int | None = None):
+    """(degree, n_entities) histogram of total degree — bounded cardinality,
+    so the second exchange is the bucketed combine."""
+    from .common import bucketed_sum_combine
+
+    def hist_partial(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        deg = (df["out_degree"] + df["in_degree"]).astype("int64")
+        g = deg.value_counts().reset_index()
+        g.columns = ["degree", "n_entities"]
+        return pa.table({
+            "degree": pa.array(g["degree"].astype("int64"), pa.int64()),
+            "n_entities": pa.array(
+                g["n_entities"].astype("int64"), pa.int64()
+            ),
+        })
+
+    partials = entity_degrees(triples_ds).map_batches(
+        hist_partial, batch_format="pyarrow"
+    )
+    return bucketed_sum_combine(
+        partials, keys=["degree"], sum_cols=["n_entities"],
+        schema=pa.schema(
+            [("degree", pa.int64()), ("n_entities", pa.int64())]
+        ),
+        num_partitions=num_partitions,
+    )
+
+
+# ---------------------------------------------------------------------------
+# PageRank
+# ---------------------------------------------------------------------------
+
+_RANK_SCHEMA = pa.schema([
+    ("node", pa.string()), ("rank", pa.float64()), ("out_deg", pa.int64()),
+])
+_CONTRIB_SCHEMA = pa.schema([
+    ("node", pa.string()), ("contrib", pa.float64()), ("part", pa.int32()),
+])
+
+
+def _crc32_bucketer(P: int):
+    import zlib
+
+    def bucket_str(vals) -> np.ndarray:
+        return np.fromiter(
+            (zlib.crc32(v.encode()) % P for v in vals),
+            dtype=np.int32, count=len(vals),
+        )
+
+    return bucket_str
+
+
+def pagerank(edges_ds, damping: float = 0.85, n_iter: int = 10,
+             num_partitions: int | None = None,
+             broadcast_threshold: int = 2_000_000,
+             force_path: str | None = None):
+    """Damped PageRank over a (src, dst) string edge Dataset, dangling mass
+    redistributed uniformly. Returns (node, rank) with sum(rank) == 1.
+    Path selection is cost-based on the (already materialized, free-to-
+    count) node table; ``force_path`` ("broadcast" | "join") pins it for
+    parity tests."""
+    from .common import cluster_partitions
+
+    if num_partitions is None:
+        num_partitions = cluster_partitions(minimum=8)
+    P = num_partitions
+    bucket_str = _crc32_bucketer(P)
+
+    edges = edges_ds.materialize()
+
+    # node table with out-degrees (dangling nodes keep out_deg = 0)
+    def node_partials(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        out = df["src"].value_counts().rename("out_p")
+        inn = df["dst"].value_counts().rename("in_p")
+        g = pd.concat([out, inn], axis=1).fillna(0).reset_index(names="node")
+        return pa.table({
+            "node": pa.array(g["node"].astype(str), pa.string()),
+            "out_p": pa.array(g["out_p"].astype("int64"), pa.int64()),
+            "part": pa.array(bucket_str(g["node"].tolist()), pa.int32()),
+        })
+
+    def node_merge(df: pd.DataFrame) -> pa.Table:
+        sch = pa.schema([("node", pa.string()), ("out_deg", pa.int64())])
+        if len(df) == 0:
+            return sch.empty_table()
+        g = df.groupby("node", as_index=False)["out_p"].sum()
+        return pa.table({
+            "node": pa.array(g["node"].astype(str), pa.string()),
+            "out_deg": pa.array(g["out_p"].astype("int64"), pa.int64()),
+        }, schema=sch)
+
+    nodes = (
+        edges.map_batches(node_partials, batch_format="pyarrow")
+        .groupby("part").map_groups(node_merge, batch_format="pandas")
+        .materialize()
+    )
+    n_nodes = nodes.count()
+    if n_nodes == 0:
+        return pa.table({"node": pa.array([], pa.string()),
+                         "rank": pa.array([], pa.float64())})
+
+    path = force_path or (
+        "broadcast" if n_nodes <= broadcast_threshold else "join"
+    )
+    if path == "broadcast":
+        return _pagerank_broadcast(
+            edges, nodes, n_nodes, damping, n_iter, P, bucket_str
+        )
+    return _pagerank_join(
+        edges, nodes, n_nodes, damping, n_iter, P, bucket_str
+    )
+
+
+def _pagerank_broadcast(edges, nodes, n_nodes, damping, n_iter, P,
+                        bucket_str):
+    """One exchange per iteration: rank/out_deg weights broadcast via
+    ray.put, the per-edge-block contribution partials fold through one
+    bucketed crc32(dst) combine, and the node-sized result returns to the
+    driver for the next broadcast. Valid exactly when the rank vector fits
+    driver memory (the caller's threshold)."""
+    import ray
+    import ray.data as rd
+
+    node_df = nodes.to_pandas().sort_values("node").reset_index(drop=True)
+    rank = np.full(n_nodes, 1.0 / n_nodes)
+    out_deg = node_df["out_deg"].to_numpy(np.int64)
+    pos = pd.Series(np.arange(n_nodes), index=node_df["node"])
+    base = (1.0 - damping) / n_nodes
+
+    def combine(df: pd.DataFrame) -> pa.Table:
+        sch = pa.schema([("node", pa.string()), ("contrib", pa.float64())])
+        if len(df) == 0:
+            return sch.empty_table()
+        df = df.sort_values(["node", "contrib"], kind="mergesort")
+        g = df.groupby("node", as_index=False)["contrib"].sum()
+        return pa.table({
+            "node": pa.array(g["node"].astype(str), pa.string()),
+            "contrib": pa.array(g["contrib"].to_numpy(np.float64)),
+        }, schema=sch)
+
+    for _ in range(n_iter):
+        w = pd.Series(
+            np.where(out_deg > 0, rank / np.maximum(out_deg, 1), 0.0),
+            index=node_df["node"],
+        )
+        ref = ray.put(w)
+
+        def contrib_partial(df: pd.DataFrame) -> pa.Table:
+            wts = ray.get(ref)
+            df = df.assign(val=df["src"].map(wts).to_numpy(np.float64))
+            df = df.sort_values(["dst", "src"], kind="mergesort")
+            g = df.groupby("dst", as_index=False)["val"].sum()
+            return pa.table({
+                "node": pa.array(g["dst"].astype(str), pa.string()),
+                "contrib": pa.array(g["val"].to_numpy(np.float64)),
+                "part": pa.array(bucket_str(g["dst"].tolist()), pa.int32()),
+            }, schema=_CONTRIB_SCHEMA)
+
+        got = (
+            edges.map_batches(contrib_partial, batch_format="pandas")
+            .groupby("part")
+            .map_groups(combine, batch_format="pandas")
+            .to_pandas()
+        )
+        contrib = np.zeros(n_nodes)
+        if "node" in got.columns and len(got):
+            contrib[pos[got["node"]].to_numpy()] = got["contrib"].to_numpy()
+        dangling = float(rank[out_deg == 0].sum())
+        rank = base + damping * (contrib + dangling / n_nodes)
+
+    return rd.from_pandas(
+        pd.DataFrame({"node": node_df["node"], "rank": rank})
+    )
+
+
+def _pagerank_join(edges, nodes, n_nodes, damping, n_iter, P, bucket_str):
+    """Fully distributed path: per iteration, ONE bucketed crc32(src)
+    exchange joins the rank table to the pre-bucketed edge list and emits
+    per-dst contribution partials; ONE bucketed crc32(node) exchange folds
+    partials with the static node table into the next rank vector. The rank
+    table is node-sized and materialized per round (lineage cut); the
+    driver sees only the dangling-mass scalar."""
+
+    def tag_static_edges(t: pa.Table) -> pa.Table:
+        src = t["src"].to_pylist()
+        return pa.table({
+            "key": t["src"].cast(pa.string()),
+            "dst": t["dst"].cast(pa.string()),
+            "val": pa.array(np.zeros(t.num_rows, np.float64)),
+            "is_rank": pa.array(np.zeros(t.num_rows, np.int8)),
+            "part": pa.array(bucket_str(src), pa.int32()),
+        })
+
+    tagged_edges = edges.map_batches(
+        tag_static_edges, batch_format="pyarrow"
+    ).materialize()
+
+    def init_ranks(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        return pa.table({
+            "node": t["node"],
+            "rank": pa.array(np.full(n, 1.0 / n_nodes)),
+            "out_deg": t["out_deg"].cast(pa.int64()),
+        }, schema=_RANK_SCHEMA)
+
+    ranks = nodes.map_batches(
+        init_ranks, batch_format="pyarrow"
+    ).materialize()
+    base = (1.0 - damping) / n_nodes
+
+    def tag_ranks(t: pa.Table) -> pa.Table:
+        """Rank rows keyed by node for the edge join; dangling nodes (no
+        outgoing edges) contribute nothing here — their mass is the
+        scalar."""
+        import pyarrow.compute as pc
+
+        t = t.filter(pc.greater(t["out_deg"], 0))
+        node = t["node"].to_pylist()
+        contrib = (
+            np.asarray(t["rank"].to_numpy(zero_copy_only=False))
+            / np.asarray(t["out_deg"].to_numpy(zero_copy_only=False))
+        )
+        return pa.table({
+            "key": pa.array(node, pa.string()),
+            "dst": pa.array([""] * len(node), pa.string()),
+            "val": pa.array(contrib, pa.float64()),
+            "is_rank": pa.array(np.ones(len(node), np.int8)),
+            "part": pa.array(bucket_str(node), pa.int32()),
+        })
+
+    _contrib_plain = pa.schema([
+        ("node", pa.string()), ("contrib", pa.float64()),
+    ])
+
+    def contribute(df: pd.DataFrame) -> pa.Table:
+        if len(df) == 0 or "is_rank" not in df.columns:
+            return _contrib_plain.empty_table()
+        r = df[df["is_rank"] == 1][["key", "val"]]
+        e = df[df["is_rank"] == 0][["key", "dst"]]
+        m = e.merge(r, on="key")
+        if len(m) == 0:
+            return _contrib_plain.empty_table()
+        # deterministic float sums: sort before grouping
+        m = m.sort_values(["dst", "key"], kind="mergesort")
+        g = m.groupby("dst", as_index=False)["val"].sum()
+        return pa.table({
+            "node": pa.array(g["dst"].astype(str), pa.string()),
+            "contrib": pa.array(g["val"].to_numpy(np.float64)),
+        }, schema=_contrib_plain)
+
+    def tag_nodes(t: pa.Table) -> pa.Table:
+        """Static node rows ride the second exchange so every node gets a
+        next-round rank even with zero inbound contributions. -1 SENTINELS
+        (not nulls) in unused cells: a nullable int64 converts to float64
+        in pandas and rounds ids above 2^53 (the connected_components
+        finding)."""
+        node = t["node"].to_pylist()
+        return pa.table({
+            "node": pa.array(node, pa.string()),
+            "contrib": pa.array(np.zeros(len(node), np.float64)),
+            "out_deg": t["out_deg"].cast(pa.int64()),
+            "is_node": pa.array(np.ones(len(node), np.int8)),
+            "part": pa.array(bucket_str(node), pa.int32()),
+        })
+
+    def tag_contribs(t: pa.Table) -> pa.Table:
+        node = t["node"].to_pylist()
+        return pa.table({
+            "node": pa.array(node, pa.string()),
+            "contrib": t["contrib"].cast(pa.float64()),
+            "out_deg": pa.array(np.full(len(node), -1, np.int64)),
+            "is_node": pa.array(np.zeros(len(node), np.int8)),
+            "part": pa.array(bucket_str(node), pa.int32()),
+        })
+
+    for _ in range(n_iter):
+        # dangling mass: scalar streamed from the node-sized rank table
+        dang_df = ranks.map_batches(
+            lambda df: pd.DataFrame({
+                "d": [float(df.loc[df["out_deg"] == 0, "rank"].sum())]
+            }),
+            batch_format="pandas",
+        ).to_pandas()
+        dangling = float(dang_df["d"].sum()) if "d" in dang_df.columns else 0.0
+        add = base + damping * dangling / n_nodes
+
+        contribs = (
+            tagged_edges.union(
+                ranks.map_batches(tag_ranks, batch_format="pyarrow")
+            )
+            .groupby("part")
+            .map_groups(contribute, batch_format="pandas")
+        )
+
+        def next_rank(df: pd.DataFrame, _add=add) -> pa.Table:
+            if len(df) == 0 or "is_node" not in df.columns:
+                return _RANK_SCHEMA.empty_table()
+            df = df.sort_values(["node", "contrib"], kind="mergesort")
+            g = df.groupby("node", as_index=False).agg(
+                contrib=("contrib", "sum"), out_deg=("out_deg", "max")
+            )
+            return pa.table({
+                "node": pa.array(g["node"].astype(str), pa.string()),
+                "rank": pa.array(
+                    _add + damping * g["contrib"].to_numpy(np.float64)
+                ),
+                "out_deg": pa.array(
+                    g["out_deg"].astype("int64"), pa.int64()
+                ),
+            }, schema=_RANK_SCHEMA)
+
+        ranks = (
+            nodes.map_batches(tag_nodes, batch_format="pyarrow")
+            .union(
+                contribs.map_batches(tag_contribs, batch_format="pyarrow")
+            )
+            .groupby("part")
+            .map_groups(next_rank, batch_format="pandas")
+            .materialize()
+        )
+
+    return ranks.drop_columns(["out_deg"])
+
+
+def pagerank_reference(edges: pd.DataFrame, damping: float = 0.85,
+                       n_iter: int = 10) -> pd.DataFrame:
+    """Single-process numpy PageRank (the parity oracle for the gate)."""
+    nodes = pd.Index(
+        pd.unique(pd.concat([edges["src"], edges["dst"]], ignore_index=True))
+    ).sort_values()
+    idx = {n: i for i, n in enumerate(nodes)}
+    n = len(nodes)
+    src = edges["src"].map(idx).to_numpy(np.int64)
+    dst = edges["dst"].map(idx).to_numpy(np.int64)
+    out_deg = np.bincount(src, minlength=n).astype(np.float64)
+    rank = np.full(n, 1.0 / n)
+    for _ in range(n_iter):
+        dangling = rank[out_deg == 0].sum()
+        contrib = np.zeros(n)
+        np.add.at(contrib, dst, rank[src] / out_deg[src])
+        rank = (1 - damping) / n + damping * (contrib + dangling / n)
+    return pd.DataFrame({"node": nodes, "rank": rank})
+
+
+def pagerank_check(n_conversations: int = 100, damping: float = 0.85,
+                   n_iter: int = 5) -> pd.DataFrame:
+    """Gate: distributed PageRank == single-process numpy PageRank on the
+    same bounded conversation sample (same shape as kg.kg_parity_check —
+    a spot-check harness, not a data path; the driver holds O(sample)
+    edges only). Emits typed flags a constant SQL oracle pins."""
+    from .kg import build_triples
+    from ..sources.transcripts import transcripts_dataset
+
+    triples = build_triples(transcripts_dataset(n_conversations))
+    edges_ds = triples_to_edges(triples).materialize()
+    got = pagerank(
+        edges_ds, damping=damping, n_iter=n_iter
+    ).to_pandas().sort_values("node").reset_index(drop=True)
+    want = pagerank_reference(
+        edges_ds.to_pandas(), damping=damping, n_iter=n_iter
+    ).sort_values("node").reset_index(drop=True)
+    max_diff = float(np.abs(got["rank"].to_numpy()
+                            - want["rank"].to_numpy()).max()) \
+        if len(got) == len(want) else float("inf")
+    return pd.DataFrame({
+        "parity_ok": [int(len(got) == len(want) and max_diff < 1e-9)],
+        "rank_sums_to_one": [
+            int(abs(float(got["rank"].sum()) - 1.0) < 1e-9)
+        ],
+    })

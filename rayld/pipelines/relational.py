@@ -1129,3 +1129,90 @@ def events_quarantine(sf_dir: str):
         })
 
     return ds.map_batches(route, batch_format="pandas")
+
+
+def funnel_conversion(sf_dir: str, window_minutes: int = 7 * 24 * 60,
+                      num_partitions: int | None = None):
+    """Signup -> purchase funnel: per signup DAY, how many signups saw a
+    purchase by the same user within ``window_minutes``.
+
+    Same scale shape as range_join_signup_clicks — one bucketed
+    hash(user_id) % P exchange of the two filtered event streams, per-user
+    vectorized searchsorted (existence, never a pair expansion) inside each
+    bucket — then the bounded day-level partials fold through
+    bucketed_sum_combine (days are bounded cardinality; Ray's aggregate
+    would pay its fixed setup for nothing)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from .common import bucketed_sum_combine, cluster_partitions
+
+    if num_partitions is None:
+        num_partitions = cluster_partitions()
+    win_us = window_minutes * 60_000_000
+    day_us = 86_400_000_000
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["ts", "user_id", "event_type"],
+    )
+
+    def tag_and_bucket(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        keep = pc.is_in(
+            batch["event_type"], value_set=pa.array(["signup", "purchase"])
+        )
+        batch = batch.filter(keep)
+        side = pc.equal(batch["event_type"], "signup")
+        parts = crc32_buckets(batch["user_id"].to_pylist(), num_partitions)
+        return pa.table({
+            "ts_us": batch["ts"].cast(pa.timestamp("us")).cast(pa.int64()),
+            "user_id": batch["user_id"].cast(pa.int64()),
+            "is_left": side.cast(pa.bool_()),
+            "part": pa.array(parts, pa.int32()),
+        })
+
+    _part_schema = pa.schema([
+        ("day_start", pa.int64()), ("n_signups", pa.int64()),
+        ("n_converted", pa.int64()),
+    ])
+
+    def convert_partials(df: pd.DataFrame) -> pa.Table:
+        if len(df) == 0:
+            return _part_schema.empty_table()
+        days, convs = [], []
+        for _, g in df.groupby("user_id", sort=False):
+            s = g[g["is_left"]]
+            if len(s) == 0:
+                continue
+            buys = np.sort(g[~g["is_left"]]["ts_us"].to_numpy(np.int64))
+            ts = s["ts_us"].to_numpy(np.int64)
+            hit = (
+                np.searchsorted(buys, ts + win_us, side="left")
+                - np.searchsorted(buys, ts, side="left")
+            ) > 0
+            days.append(ts // day_us * 86_400)
+            convs.append(hit.astype(np.int64))
+        if not days:
+            return _part_schema.empty_table()
+        part = pd.DataFrame({
+            "day_start": np.concatenate(days),
+            "conv": np.concatenate(convs),
+        }).groupby("day_start", as_index=False).agg(
+            n_signups=("conv", "size"), n_converted=("conv", "sum")
+        )
+        return pa.table({
+            "day_start": pa.array(part["day_start"].to_numpy(np.int64)),
+            "n_signups": pa.array(part["n_signups"].to_numpy(np.int64)),
+            "n_converted": pa.array(part["n_converted"].to_numpy(np.int64)),
+        }, schema=_part_schema)
+
+    partials = (
+        ds.map_batches(tag_and_bucket, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(convert_partials, batch_format="pandas")
+    )
+    return bucketed_sum_combine(
+        partials, keys=["day_start"], sum_cols=["n_signups", "n_converted"],
+        schema=_part_schema, num_partitions=num_partitions,
+    )

@@ -709,3 +709,84 @@ def top_quality_by_lang(sf_dir: str, k: int = 10):
         .groupby("lang")
         .map_groups(final, batch_format="pandas")
     )
+
+
+def top_tokens_sketch(sf_dir: str, k: int = 20, capacity: int = 4096,
+                      num_partitions: int | None = None):
+    """EXACT corpus top-k tokens via heavy-hitter candidate pruning
+    (Misra-Gries / space-saving family, public classics): pass 1 keeps each
+    batch's local top-``capacity`` tokens only — any token with corpus
+    frequency > N/(capacity+1) is in some batch's local top-``capacity``
+    (pigeonhole), so the union of local candidates is a superset of every
+    heavy hitter; the candidates dedup through one crc32(token) % P exchange
+    and broadcast via ray.put; pass 2 recounts ONLY candidates exactly and
+    folds the bounded partials through bucketed_sum_combine.
+
+    vs token_frequencies: that op's exchange moves one row per distinct
+    token per block (vocabulary-sized); this one's moves <= capacity rows
+    per block then <= |candidates| partials — the sketch is what survives
+    at 100 TB. Output (token, n) is EXACT whenever the true k-th count
+    exceeds N/(capacity+1) (guaranteed for zipfian text at these settings;
+    the test asserts equality against the exact path)."""
+    import zlib
+
+    import ray
+    import pyarrow as pa
+
+    from .common import bucketed_sum_combine, cluster_partitions
+
+    if num_partitions is None:
+        num_partitions = cluster_partitions()
+
+    def local_top(df: pd.DataFrame) -> pa.Table:
+        toks = df["text"].str.findall(_TOKEN_RE).explode().dropna()
+        top = toks.value_counts().head(capacity)
+        parts = np.fromiter(
+            (zlib.crc32(t.encode()) % num_partitions for t in top.index),
+            dtype=np.int32, count=len(top),
+        )
+        return pa.table({
+            "token": pa.array(top.index.astype(str), pa.string()),
+            "part": pa.array(parts, pa.int32()),
+        })
+
+    def distinct(df: pd.DataFrame) -> pa.Table:
+        u = df["token"].unique() if "token" in df.columns else []
+        return pa.table({"token": pa.array(list(u), pa.string())})
+
+    candidates = (
+        documents(sf_dir).map_batches(local_top, batch_format="pandas")
+        .groupby("part").map_groups(distinct, batch_format="pandas")
+        .materialize()  # bounded: <= capacity x blocks, zipf-tiny in practice
+    )
+    cand_df = candidates.to_pandas()
+    cand_set = (set(cand_df["token"]) if "token" in cand_df.columns
+                else set())
+    ref = ray.put(cand_set)
+
+    def recount(df: pd.DataFrame) -> pa.Table:
+        cands = ray.get(ref)
+        toks = df["text"].str.findall(_TOKEN_RE).explode().dropna()
+        toks = toks[toks.isin(cands)]
+        g = toks.value_counts().reset_index()
+        g.columns = ["token", "partial"]
+        return pa.table({
+            "token": pa.array(g["token"].astype(str), pa.string()),
+            "partial": pa.array(g["partial"].astype("int64"), pa.int64()),
+        })
+
+    counts = bucketed_sum_combine(
+        documents(sf_dir).map_batches(recount, batch_format="pandas"),
+        keys=["token"], sum_cols=["partial"],
+        schema=pa.schema([("token", pa.string()), ("partial", pa.int64())]),
+        num_partitions=num_partitions,
+    )
+
+    def rename(t: pa.Table) -> pa.Table:
+        return t.rename_columns(["token", "n"])
+
+    return (
+        counts.map_batches(rename, batch_format="pyarrow")
+        .sort(["n", "token"], descending=[True, False])
+        .limit(k)
+    )

@@ -859,3 +859,186 @@ def test_events_quarantine_routing(ray_session):
     assert by_reason.get("error_event", set()) == err_ids
     assert by_reason.get("value_out_of_range", set()) == big_ids
     assert len(got) == len(err_ids) + len(big_ids)
+
+
+def test_duplicate_ngram_spans(ray_session):
+    """Exact substring-duplication stats == the DuckDB full-expansion oracle,
+    partition-count invariant; short docs report zero windows."""
+    import duckdb
+    from rayld.pipelines.dedup import duplicate_ngram_spans
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM read_parquet("
+        f"'{SF}/documents.parquet')"
+    )
+    want = con.execute(
+        "WITH t AS (SELECT doc_id,"
+        "  regexp_extract_all(text, '[A-Za-z0-9]+') AS toks FROM documents),"
+        " w AS (SELECT doc_id, greatest(len(toks) - 7, 0)::BIGINT"
+        "  AS n_windows, toks FROM t),"
+        " i AS (SELECT doc_id, toks,"
+        "  unnest(generate_series(1, len(toks) - 7)) AS i"
+        "  FROM w WHERE len(toks) >= 8),"
+        " p AS (SELECT doc_id, array_to_string(toks[i:i+7], ' ') AS ng"
+        "  FROM i),"
+        " c AS (SELECT ng, count(*) AS tot FROM p GROUP BY ng),"
+        " d AS (SELECT doc_id, count(*)::BIGINT AS n_dup FROM p"
+        "  JOIN c USING (ng) WHERE tot > 1 GROUP BY doc_id)"
+        " SELECT w.doc_id, w.n_windows,"
+        " coalesce(d.n_dup, 0)::BIGINT AS n_dup_positions,"
+        " CASE WHEN w.n_windows > 0 THEN"
+        "  coalesce(d.n_dup, 0) / w.n_windows::DOUBLE ELSE 0.0 END"
+        "  AS dup_fraction"
+        " FROM w LEFT JOIN d USING (doc_id) ORDER BY doc_id"
+    ).df().reset_index(drop=True)
+
+    for p in (4, 3):
+        got = (
+            duplicate_ngram_spans(SF, num_partitions=p)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)[want.columns.tolist()]
+        )
+        pd.testing.assert_frame_equal(got, want)
+    # the fixture corpus contains real repeated 8-gram spans
+    assert (want["n_dup_positions"] > 0).any()
+    assert ((want["dup_fraction"] >= 0) & (want["dup_fraction"] <= 1)).all()
+
+
+def test_funnel_conversion(ray_session):
+    """Windowed funnel == DuckDB LEFT JOIN existence oracle; bucket count
+    never changes the result; conversions are a strict subset of signups."""
+    import duckdb
+    from rayld.pipelines.relational import funnel_conversion
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM read_parquet("
+        f"'{SF}/events.parquet')"
+    )
+    want = con.execute(
+        "WITH s AS (SELECT event_id, user_id, ts FROM events"
+        "  WHERE event_type = 'signup'),"
+        " p AS (SELECT user_id, ts FROM events"
+        "  WHERE event_type = 'purchase'),"
+        " flags AS (SELECT s.event_id, s.ts,"
+        "  CASE WHEN count(p.user_id) > 0 THEN 1 ELSE 0 END AS conv"
+        "  FROM s LEFT JOIN p ON p.user_id = s.user_id"
+        "   AND p.ts >= s.ts AND p.ts < s.ts + INTERVAL 7 DAY"
+        "  GROUP BY s.event_id, s.ts)"
+        " SELECT epoch(date_trunc('day', ts))::BIGINT AS day_start,"
+        " count(*)::BIGINT AS n_signups, sum(conv)::BIGINT AS n_converted"
+        " FROM flags GROUP BY 1 ORDER BY 1"
+    ).df().reset_index(drop=True)
+
+    for p in (4, 3):
+        got = (
+            funnel_conversion(SF, num_partitions=p)
+            .to_pandas()
+            .sort_values("day_start")
+            .reset_index(drop=True)[want.columns.tolist()]
+        )
+        pd.testing.assert_frame_equal(got, want)
+    assert (want["n_converted"] <= want["n_signups"]).all()
+    assert want["n_converted"].sum() > 0  # the window actually converts
+
+
+def test_top_tokens_sketch_exact(ray_session):
+    """Heavy-hitter pruned top-k == the exact full-vocabulary path, and the
+    pruning guarantee holds: the k-th count exceeds N/(capacity+1). A tiny
+    capacity still yields a candidate SUPERSET of the true heavy hitters."""
+    from rayld.pipelines.text import token_count, token_frequencies, top_tokens_sketch
+
+    exact = token_frequencies(SF, top_n=20).to_pandas().reset_index(drop=True)
+    got = top_tokens_sketch(SF, k=20).to_pandas().reset_index(drop=True)
+    pd.testing.assert_frame_equal(got[["token", "n"]], exact[["token", "n"]])
+
+    n_total = int(token_count(SF).to_pandas()["n_tokens"].sum())
+    assert got["n"].min() > n_total / (4096 + 1)
+
+    # small capacity: per-batch top-64 must still capture tokens with corpus
+    # frequency > N/65 (pigeonhole superset property)
+    small = top_tokens_sketch(SF, k=5, capacity=64).to_pandas()
+    heavy = exact[exact["n"] > n_total / 65]
+    assert set(heavy["token"].head(5)) <= set(small["token"])
+
+
+def _toy_edges_ds():
+    import ray.data as rd
+
+    # two communities + a dangling sink + a multi-edge
+    df = pd.DataFrame({
+        "src": ["a", "b", "c", "a", "d", "e", "e", "a"],
+        "dst": ["b", "c", "a", "c", "e", "d", "f", "b"],
+    })
+    return rd.from_pandas(df)
+
+
+def test_pagerank_paths_parity(ray_session):
+    """Broadcast and join paths are value-identical to each other and to the
+    single-process numpy reference (dangling node f redistributes mass)."""
+    from rayld.pipelines.graph import pagerank, pagerank_reference
+
+    edges = _toy_edges_ds().materialize()
+    want = pagerank_reference(
+        edges.to_pandas(), n_iter=8
+    ).sort_values("node").reset_index(drop=True)
+    for path in ("broadcast", "join"):
+        got = (
+            pagerank(edges, n_iter=8, num_partitions=3, force_path=path)
+            .to_pandas().sort_values("node").reset_index(drop=True)
+        )
+        assert got["node"].tolist() == want["node"].tolist(), path
+        np.testing.assert_allclose(
+            got["rank"].to_numpy(), want["rank"].to_numpy(),
+            rtol=0, atol=1e-12, err_msg=path,
+        )
+        assert abs(got["rank"].sum() - 1.0) < 1e-12
+
+
+def test_entity_degrees_and_histogram(ray_session):
+    """Degrees over the KG edge list match a pandas recount; bnode entities
+    stay conversation-scoped (qualified labels)."""
+    from rayld.pipelines.graph import (
+        degree_histogram,
+        entity_degrees,
+        triples_to_edges,
+    )
+    from rayld.pipelines.kg import build_triples
+    from rayld.sources.transcripts import transcripts_dataset
+
+    triples = build_triples(transcripts_dataset(30)).materialize()
+    edges = triples_to_edges(triples).to_pandas()
+    got = entity_degrees(triples).to_pandas().set_index("entity")
+
+    out = edges["src"].value_counts()
+    inn = edges["dst"].value_counts()
+    want = pd.concat(
+        [out.rename("out_degree"), inn.rename("in_degree")], axis=1
+    ).fillna(0).astype("int64")
+    assert len(got) == len(want)
+    got = got.sort_index()
+    want = want.sort_index()
+    assert (got["out_degree"].to_numpy()
+            == want["out_degree"].to_numpy()).all()
+    assert (got["in_degree"].to_numpy()
+            == want["in_degree"].to_numpy()).all()
+
+    hist = degree_histogram(triples).to_pandas()
+    assert hist["n_entities"].sum() == len(want)
+    total = (want["out_degree"] + want["in_degree"]).value_counts()
+    hw = hist.set_index("degree")["n_entities"].sort_index()
+    assert (hw == total.sort_index()).all()
+
+    # conversation scoping: any bnode entity carries its conv qualifier
+    bnodes = [e for e in want.index if "_:" in e]
+    assert all("|_:" in e for e in bnodes)
+
+
+def test_kg_pagerank_gate(ray_session):
+    from rayld.pipelines.graph import pagerank_check
+
+    out = pagerank_check(n_conversations=40)
+    assert out["parity_ok"].iloc[0] == 1
+    assert out["rank_sums_to_one"].iloc[0] == 1
