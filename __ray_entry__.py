@@ -101,6 +101,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         n = min(150, max(30, jsonld_ops.n_conversations_for(sf_dir) // 10))
         return pagerank_check(n)
 
+    def kg_jsonld_roundtrip(sf_dir: str):
+        """Sink/source gate: NDJSON JSON-LD export -> line-sharded read-back
+        reproduces the triples."""
+        from rayld.pipelines.kg import jsonld_sink_roundtrip_check
+
+        n = min(100, max(20, jsonld_ops.n_conversations_for(sf_dir) // 10))
+        return jsonld_sink_roundtrip_check(n)
+
     def kg_parity(sf_dir: str):
         """Flagship gate: distributed pipeline == single-process kernel on a
         bounded conversation sample (P/R = 1.0 on canonicalized quads)."""
@@ -119,6 +127,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_entity_degree": kg_entity_degree,
         "kg_pagerank": kg_pagerank,
         "kg_pagerank_check": kg_pagerank_gate,
+        "kg_jsonld_roundtrip_check": kg_jsonld_roundtrip,
         # JSON-LD API surface A1-A7 + S1/S2 (non-SQL)
         "jsonld_expand": jsonld_ops.op_expand,
         "jsonld_compact_roundtrip": jsonld_ops.op_compact_roundtrip,
@@ -279,6 +288,11 @@ def oracle_sql() -> dict[str, str]:
         # same sampled edge list
         "kg_pagerank_check": (
             "SELECT 1::BIGINT AS parity_ok, 1::BIGINT AS rank_sums_to_one"
+        ),
+        # JSON-LD document sink/source roundtrip gate
+        "kg_jsonld_roundtrip_check": (
+            "SELECT 1::BIGINT AS ground_parity_ok, 1::BIGINT AS counts_match,"
+            " 1::BIGINT AS bnode_counts_match"
         ),
         "token_count": (
             "SELECT doc_id, len(regexp_extract_all(text, '[A-Za-z0-9]+'))::BIGINT"

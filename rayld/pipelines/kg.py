@@ -704,3 +704,98 @@ def kg_parity_check(n_conversations: int = 50, link_concurrency=None):
             "parity_ok": pd.Series([ok], dtype="int64"),
         }
     )
+
+
+def export_jsonld(docs_ds, out_dir: str, num_buckets: int = 16):
+    """(conv_id, document) Dataset -> bucketed NDJSON .jsonl shards + a
+    manifest Dataset (bucket, path, n_documents).
+
+    The export_turtle contract on the document path: every hash(conv_id)
+    bucket task writes ONE shard from inside the task (document text never
+    flows through the driver), shard content is deterministic (sorted by
+    conv_id), and the bucketed layout makes re-runs resumable. Shards read
+    back with sources.rdf_files.read_jsonld_lines, which line-scopes blank
+    nodes so documents never share anonymous nodes."""
+    os.makedirs(out_dir, exist_ok=True)
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        parts = crc32_buckets(batch["conv_id"].to_pylist(), num_buckets)
+        return batch.append_column("bucket", pa.array(parts, pa.int32()))
+
+    def write_shard(part: pd.DataFrame) -> pa.Table:
+        sch = pa.schema([
+            ("bucket", pa.int32()), ("path", pa.string()),
+            ("n_documents", pa.int64()),
+        ])
+        if len(part) == 0:
+            return sch.empty_table()
+        bucket = int(part["bucket"].iloc[0])
+        part = part.sort_values("conv_id", kind="mergesort")
+        path = os.path.join(out_dir, f"part-{bucket:05d}.jsonl")
+        with open(path, "w", encoding="utf-8") as f:
+            for doc in part["document"]:
+                f.write(doc)
+                f.write("\n")
+        return pa.table({
+            "bucket": pa.array([bucket], pa.int32()),
+            "path": pa.array([path], pa.string()),
+            "n_documents": pa.array([len(part)], pa.int64()),
+        }, schema=sch)
+
+    return docs_ds.map_batches(
+        add_bucket, batch_format="pyarrow"
+    ).groupby("bucket").map_groups(write_shard, batch_format="pandas")
+
+
+def jsonld_sink_roundtrip_check(n_conversations: int = 40) -> "pd.DataFrame":
+    """Gate: export_jsonld -> read_jsonld_lines reproduces the KG triples
+    (ground triples as an exact set, bnode-touching triples by count — the
+    labels are line-scoped on the way back in). Bounded spot-check like
+    kg_parity_check; shards go to a pid-scoped tmp dir (never a shared
+    mutable path — the jsonld_ops symlink lesson) and are removed after."""
+    import shutil
+    import tempfile
+
+    from ..sources.rdf_files import read_jsonld_lines
+    from ..sources.transcripts import transcripts_dataset
+
+    out_dir = tempfile.mkdtemp(prefix=f"rayld_jsonld_rt_{os.getpid()}_")
+    try:
+        triples = build_triples(
+            transcripts_dataset(n_conversations)
+        ).materialize()
+        manifest = export_jsonld(
+            triples_to_documents(triples), out_dir, num_buckets=4
+        ).to_pandas()
+        back = read_jsonld_lines(
+            sorted(manifest["path"].tolist())
+        ).to_pandas()
+        orig = triples.to_pandas()
+        orig = orig[orig["graph"] != "@error"]
+        back = back[back["graph"] != "@error"]
+
+        def is_bnode_row(df):
+            return (
+                df["subj"].str.startswith("_:")
+                | df["graph"].str.startswith("_:")
+                | ((df["obj_kind"] != "literal")
+                   & df["obj_value"].str.startswith("_:"))
+            )
+
+        cols = ["graph", "subj", "pred", "obj_kind", "obj_value",
+                "obj_datatype", "obj_lang"]
+        g_orig = orig[~is_bnode_row(orig)]
+        g_back = back[~is_bnode_row(back)]
+        ground_ok = (
+            set(map(tuple, g_orig[cols].itertuples(index=False)))
+            == set(map(tuple, g_back[cols].itertuples(index=False)))
+        )
+        return pd.DataFrame({
+            "ground_parity_ok": [int(ground_ok)],
+            "counts_match": [int(len(back) == len(orig))],
+            "bnode_counts_match": [
+                int(is_bnode_row(back).sum() == is_bnode_row(orig).sum())
+            ],
+        })
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)

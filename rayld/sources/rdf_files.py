@@ -164,3 +164,64 @@ def read_jsonld(paths, options=None):
         return pa.Table.from_pydict(cols, schema=RDF_ROWS_SCHEMA)
 
     return ds.map_batches(parse, batch_format="numpy")
+
+
+def read_jsonld_lines(paths, options=None):
+    """NDJSON JSON-LD corpus (one document per line, the export_jsonld sink
+    layout) -> triples Dataset. Lines shard across blocks like N-Quads, so
+    a 100-TB corpus parallelizes by line range, not by file count.
+
+    Blank-node labels are DOCUMENT-scoped per the spec, and one file holds
+    many documents, so each line's fresh ``_:bN`` labels are rewritten to
+    ``_:<md5(path + line)>-N`` — two anonymous nodes from different lines
+    can never collide (byte-identical lines in one corpus share a scope,
+    matching the reference's per-document dedup semantics,
+    RDFDatasetUtils.cs:686-691)."""
+    import hashlib
+    import json as _json
+
+    import ray.data as rd
+
+    from ..kernel import JsonLdError, JsonLdOptions, to_rdf
+
+    ds = rd.read_text(paths, include_paths=True)
+
+    def parse(batch: pa.Table) -> pa.Table:
+        cols = {f.name: [] for f in RDF_ROWS_SCHEMA}
+        for path, line in zip(
+            batch["path"].to_pylist(), batch["text"].to_pylist()
+        ):
+            if not line.strip():
+                continue
+            scope = hashlib.md5(
+                (path + "\x00" + line).encode()
+            ).hexdigest()[:16]
+
+            def requalify(term: str) -> str:
+                return f"_:{scope}-{term[2:]}" if term.startswith("_:") else term
+
+            try:
+                doc = _json.loads(line)
+                dataset = to_rdf(doc, options or JsonLdOptions(""))
+                rows = _dataset_to_rows(dataset, path)
+                for i in range(len(rows["subj"])):
+                    rows["subj"][i] = requalify(rows["subj"][i])
+                    rows["graph"][i] = requalify(rows["graph"][i])
+                    if rows["obj_kind"][i] != "literal":
+                        rows["obj_value"][i] = requalify(rows["obj_value"][i])
+                for k, v in rows.items():
+                    cols[k].extend(v)
+            except (JsonLdError, ValueError) as err:
+                cols["source"].append(path)
+                cols["graph"].append("@error")
+                cols["subj"].append(f"{path}#{scope}")
+                cols["pred"].append("https://rayld.dev/vocab#processingError")
+                cols["obj_kind"].append("literal")
+                cols["obj_value"].append(str(err))
+                cols["obj_datatype"].append(
+                    "http://www.w3.org/2001/XMLSchema#string"
+                )
+                cols["obj_lang"].append("")
+        return pa.Table.from_pydict(cols, schema=RDF_ROWS_SCHEMA)
+
+    return ds.map_batches(parse, batch_format="pyarrow")

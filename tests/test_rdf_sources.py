@@ -102,3 +102,77 @@ def test_read_jsonld_over_w3c_fixtures(ray_session):
                        JsonLdOptions(""))
     n_kernel = sum(len(v) for v in kernel_ds.values() if isinstance(v, list))
     assert (out["source"] == first).sum() == n_kernel
+
+
+def test_export_jsonld_roundtrip(ray_session, tmp_path):
+    """Documents sink + NDJSON source roundtrip: export the per-conversation
+    expanded documents, read them back line-sharded, and the triple multiset
+    matches the original KG output (ground triples exactly; bnode-touching
+    triples by count — labels are line-scoped on the way back in)."""
+    from rayld.pipelines.kg import (
+        build_triples,
+        export_jsonld,
+        triples_to_documents,
+    )
+    from rayld.sources.rdf_files import read_jsonld_lines
+    from rayld.sources.transcripts import transcripts_dataset
+
+    triples = build_triples(transcripts_dataset(20)).materialize()
+    docs = triples_to_documents(triples)
+    manifest = export_jsonld(
+        docs, str(tmp_path / "out"), num_buckets=4
+    ).to_pandas()
+    assert manifest["n_documents"].sum() == 20
+    assert all((tmp_path / "out" / f"part-{b:05d}.jsonl").exists()
+               for b in manifest["bucket"])
+
+    back = read_jsonld_lines(
+        [str(tmp_path / "out" / p.name) for p in (tmp_path / "out").iterdir()]
+    ).to_pandas()
+    orig = triples.to_pandas()
+    orig = orig[orig["graph"] != "@error"]
+    back = back[back["graph"] != "@error"]
+    assert len(back) == len(orig)
+
+    def is_bnode_row(df):
+        return (
+            df["subj"].str.startswith("_:")
+            | df["graph"].str.startswith("_:")
+            | ((df["obj_kind"] != "literal")
+               & df["obj_value"].str.startswith("_:"))
+        )
+
+    cols = ["graph", "subj", "pred", "obj_kind", "obj_value",
+            "obj_datatype", "obj_lang"]
+    ground_orig = orig[~is_bnode_row(orig)]
+    ground_back = back[~is_bnode_row(back)]
+    assert (
+        set(map(tuple, ground_orig[cols].itertuples(index=False)))
+        == set(map(tuple, ground_back[cols].itertuples(index=False)))
+    )
+    # bnode-touching triples survive with the same shape
+    assert is_bnode_row(back).sum() == is_bnode_row(orig).sum()
+
+
+def test_read_jsonld_lines_scopes_bnodes_per_line(ray_session, tmp_path):
+    """Two structurally identical documents on different lines must not
+    share anonymous nodes; malformed lines quarantine instead of failing."""
+    import json
+
+    from rayld.sources.rdf_files import read_jsonld_lines
+
+    doc = {"@context": {"name": "http://schema.org/name"},
+           "name": "anon"}  # no @id -> fresh blank node
+    f = tmp_path / "docs.jsonl"
+    f.write_text(
+        json.dumps(doc) + "\n"
+        + json.dumps({**doc, "name": "other"}) + "\n"
+        + "{not json\n"
+    )
+    out = read_jsonld_lines(str(f)).to_pandas()
+    good = out[out["graph"] != "@error"]
+    assert len(good) == 2
+    assert good["subj"].str.startswith("_:").all()
+    assert good["subj"].nunique() == 2  # line-scoped, no collision
+    errs = out[out["graph"] == "@error"]
+    assert len(errs) == 1 and "processingError" in errs["pred"].iloc[0]
