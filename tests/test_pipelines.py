@@ -1042,3 +1042,18 @@ def test_kg_pagerank_gate(ray_session):
     out = pagerank_check(n_conversations=40)
     assert out["parity_ok"].iloc[0] == 1
     assert out["rank_sums_to_one"].iloc[0] == 1
+
+
+def test_vocab_coverage(ray_session):
+    """Coverage equals the exact top-V mass over the exact total; a larger
+    vocabulary never lowers coverage."""
+    from rayld.pipelines.text import token_count, token_frequencies, vocab_coverage
+
+    out = vocab_coverage(SF, vocab_size=100)
+    total = int(token_count(SF).to_pandas()["n_tokens"].sum())
+    top = token_frequencies(SF, top_n=100).to_pandas()
+    assert out["total_tokens"].iloc[0] == total
+    assert out["covered"].iloc[0] == int(top["n"].sum())
+    big = vocab_coverage(SF, vocab_size=500)
+    assert big["coverage"].iloc[0] >= out["coverage"].iloc[0]
+    assert 0 < out["coverage"].iloc[0] <= 1
