@@ -157,6 +157,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_quality_report": text.source_quality_report,
         "top_quality_by_lang": text.top_quality_by_lang,
         "vocab_coverage": text.vocab_coverage,
+        "doc_surprisal": text.doc_surprisal,
         # dedup family
         "dedup_exact": dedup.dedup_exact,
         "dedup_exact_normalized": dedup.dedup_exact_normalized,
@@ -214,6 +215,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "latest_event_per_user": relational.latest_event_per_user,
         "events_quarantine": relational.events_quarantine,
         "funnel_conversion": relational.funnel_conversion,
+        "events_anomaly": relational.events_anomaly,
         # multimodal plumbing
         "media_byte_stats": multimodal.media_byte_stats,
         "media_resize": multimodal.media_resize,
@@ -433,6 +435,22 @@ def oracle_sql() -> dict[str, str]:
             " row_number() OVER (ORDER BY ln(u) / w DESC, doc_id)::BIGINT"
             "  AS sample_rank"
             " FROM x ORDER BY sample_rank LIMIT 64"
+        ),
+        # unigram-LM surprisal in micro-nats (integer contract: the per-token
+        # surprisal rounds half-up once; every sum after that is int-exact)
+        "doc_surprisal": (
+            "WITH tok AS (SELECT doc_id, unnest(regexp_extract_all(text,"
+            " '[A-Za-z0-9]+')) AS t FROM documents),"
+            " tot AS (SELECT count(*)::DOUBLE AS n FROM tok),"
+            " c AS (SELECT t, count(*) AS n_tok FROM tok GROUP BY t),"
+            " s AS (SELECT t, floor(-ln(n_tok / (SELECT n FROM tot))"
+            "  * 1000000 + 0.5)::BIGINT AS sur FROM c),"
+            " p AS (SELECT doc_id, t, count(*) AS cnt FROM tok"
+            "  GROUP BY doc_id, t)"
+            " SELECT p.doc_id,"
+            " sum(p.cnt * s.sur)::BIGINT AS surprisal_micro_nats,"
+            " sum(p.cnt)::BIGINT AS n_tokens"
+            " FROM p JOIN s USING (t) GROUP BY p.doc_id"
         ),
         "vocab_coverage": (
             "WITH tok AS (SELECT unnest(regexp_extract_all(text,"
@@ -852,6 +870,20 @@ def oracle_sql() -> dict[str, str]:
             " SELECT epoch(date_trunc('day', ts))::BIGINT AS day_start,"
             " count(*)::BIGINT AS n_signups, sum(conv)::BIGINT AS n_converted"
             " FROM flags GROUP BY 1"
+        ),
+        # per-type z-score outliers; moments in exact integer cents, the
+        # z-test in the same cross-multiplied double form as the Ray side
+        "events_anomaly": (
+            "WITH m AS (SELECT event_type,"
+            "  sum(floor(value * 100 + 0.5)::BIGINT)::DOUBLE AS s,"
+            "  sum((floor(value * 100 + 0.5)::BIGINT)"
+            "      * (floor(value * 100 + 0.5)::BIGINT))::DOUBLE AS ss,"
+            "  count(*)::DOUBLE AS n"
+            " FROM events GROUP BY event_type)"
+            " SELECT e.event_id, e.event_type, e.value"
+            " FROM events e JOIN m USING (event_type)"
+            " WHERE pow(m.n * floor(e.value * 100 + 0.5)::BIGINT - m.s, 2)"
+            "  > 9.0 * (m.n * m.ss - m.s * m.s)"
         ),
         # row validation with quarantine side-output; first failing rule wins
         "events_quarantine": (

@@ -1216,3 +1216,67 @@ def funnel_conversion(sf_dir: str, window_minutes: int = 7 * 24 * 60,
         partials, keys=["day_start"], sum_cols=["n_signups", "n_converted"],
         schema=_part_schema, num_partitions=num_partitions,
     )
+
+
+def events_anomaly(sf_dir: str, z_threshold: float = 3.0):
+    """Per-event-type z-score outliers: rows whose value sits more than
+    ``z_threshold`` sigmas from their type's mean. Two streaming passes:
+    (1) per-type moments as INTEGER-CENTS partials (sum and sum-of-squares
+    in int64 — exact, summation-order-free) through one bounded combine;
+    (2) the tiny moment table broadcast via ray.put, flags computed per
+    batch. The z-test itself is the all-integer cross-multiplied form
+    evaluated in double — (n*value_c - sum_c)^2 > z^2 * (n*sumsq_c -
+    sum_c^2) — so both this and the SQL oracle derive identical doubles
+    from identical integers (no accumulated float drift)."""
+    import pyarrow as pa
+    import ray
+    import ray.data as rd
+
+    from .common import bucketed_sum_combine
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "event_type", "value"],
+    )
+
+    def moment_partial(df: pd.DataFrame) -> pd.DataFrame:
+        vc = money_cents(df["value"])
+        g = df.assign(sum_c=vc, sumsq_c=vc * vc, n=1).groupby(
+            "event_type", as_index=False
+        ).agg(sum_c=("sum_c", "sum"), sumsq_c=("sumsq_c", "sum"),
+              n=("n", "sum"))
+        return g
+
+    moments = bucketed_sum_combine(
+        ds.map_batches(moment_partial, batch_format="pandas"),
+        keys=["event_type"], sum_cols=["sum_c", "sumsq_c", "n"],
+        schema=pa.schema([
+            ("event_type", pa.string()), ("sum_c", pa.int64()),
+            ("sumsq_c", pa.int64()), ("n", pa.int64()),
+        ]),
+    ).to_pandas().set_index("event_type")
+    ref = ray.put(moments)
+    z2 = z_threshold * z_threshold
+
+    def flag(df: pd.DataFrame) -> pa.Table:
+        m = ray.get(ref)
+        vc = np.asarray(money_cents(df["value"]), dtype=np.int64)
+        n = m["n"].reindex(df["event_type"]).to_numpy(np.float64)
+        s = m["sum_c"].reindex(df["event_type"]).to_numpy(np.float64)
+        ss = m["sumsq_c"].reindex(df["event_type"]).to_numpy(np.float64)
+        # ((v - mean)/sigma)^2 > z^2 cross-multiplied by n^2 sigma^2:
+        # (n*v - s)^2 > z^2 * (n*ss - s^2); one algebraic shape on both
+        # sides so the doubles agree bit-for-bit
+        lhs = (n * vc - s) ** 2
+        rhs = z2 * (n * ss - s * s)
+        out = lhs > rhs
+        return pa.table({
+            "event_id": pa.array(df["event_id"].to_numpy(np.int64)[out]),
+            "event_type": pa.array(
+                df["event_type"].to_numpy(dtype=object)[out].tolist(),
+                pa.string(),
+            ),
+            "value": pa.array(df["value"].to_numpy(np.float64)[out]),
+        })
+
+    return ds.map_batches(flag, batch_format="pandas")

@@ -818,3 +818,85 @@ def vocab_coverage(sf_dir: str, vocab_size: int = 1000):
             [covered / total if total else 0.0], dtype="float64"
         ),
     })
+
+
+def doc_surprisal(sf_dir: str, num_partitions: int | None = None):
+    """Unigram-LM surprisal per document (the classic LM-quality signal:
+    high mean surprisal = rare-token-heavy / noisy text). p(token) is the
+    corpus unigram MLE; each doc reports sum over tokens of
+    -ln p(token), in MICRO-NATS as int64 — the per-token surprisal is
+    rounded half-up ONCE, so all downstream sums are integer-exact and
+    summation-order-free (the integer-cents contract, CLAUDE.md).
+
+    Fully distributed with NO vocabulary broadcast and no driver-side
+    model: (token, doc_id, cnt) pair partials materialize once (object
+    store, spillable — the accepted pipeline breaker); the total-token
+    scalar streams off them; then ONE crc32(token) exchange sees every
+    row of each token in one bucket, so the GLOBAL count and the per-doc
+    contributions come out of the same task; ONE crc32(doc_id) combine
+    folds the partials."""
+    import zlib
+
+    from .common import bucketed_sum_combine, cluster_partitions
+
+    if num_partitions is None:
+        num_partitions = cluster_partitions()
+
+    _pair_schema = pa.schema([
+        ("token", pa.string()), ("doc_id", pa.int64()),
+        ("cnt", pa.int64()), ("part", pa.int32()),
+    ])
+
+    def pair_partials(df: pd.DataFrame) -> pa.Table:
+        toks = df["text"].str.findall(_TOKEN_RE)
+        g = pd.DataFrame({
+            "doc_id": df["doc_id"].to_numpy(np.int64).repeat(
+                toks.str.len().to_numpy()
+            ),
+            "token": np.concatenate(
+                [np.asarray(t, dtype=object) for t in toks]
+            ) if len(df) else np.array([], dtype=object),
+        }).groupby(["token", "doc_id"], as_index=False).size()
+        parts = np.fromiter(
+            (zlib.crc32(t.encode()) % num_partitions for t in g["token"]),
+            dtype=np.int32, count=len(g),
+        )
+        return pa.table({
+            "token": pa.array(g["token"].astype(str), pa.string()),
+            "doc_id": pa.array(g["doc_id"].to_numpy(np.int64)),
+            "cnt": pa.array(g["size"].astype("int64"), pa.int64()),
+            "part": pa.array(parts, pa.int32()),
+        }, schema=_pair_schema)
+
+    pairs = documents(sf_dir).map_batches(
+        pair_partials, batch_format="pandas"
+    ).materialize()
+    total = int(pairs.sum("cnt"))
+
+    _doc_schema = pa.schema([
+        ("doc_id", pa.int64()), ("surprisal_micro_nats", pa.int64()),
+        ("n_tokens", pa.int64()),
+    ])
+
+    def score(df: pd.DataFrame) -> pa.Table:
+        if len(df) == 0:
+            return _doc_schema.empty_table()
+        n_tok = df.groupby("token")["cnt"].transform("sum")
+        sur = np.floor(
+            -np.log(n_tok.to_numpy(np.float64) / total) * 1_000_000 + 0.5
+        ).astype(np.int64)
+        g = df.assign(s=sur * df["cnt"].to_numpy(np.int64)).groupby(
+            "doc_id", as_index=False
+        ).agg(surprisal_micro_nats=("s", "sum"), n_tokens=("cnt", "sum"))
+        return pa.Table.from_pandas(
+            g, preserve_index=False
+        ).select(_doc_schema.names).cast(_doc_schema)
+
+    partials = pairs.groupby("part").map_groups(
+        score, batch_format="pandas"
+    )
+    return bucketed_sum_combine(
+        partials, keys=["doc_id"],
+        sum_cols=["surprisal_micro_nats", "n_tokens"],
+        schema=_doc_schema, num_partitions=num_partitions,
+    )

@@ -1057,3 +1057,63 @@ def test_vocab_coverage(ray_session):
     big = vocab_coverage(SF, vocab_size=500)
     assert big["coverage"].iloc[0] >= out["coverage"].iloc[0]
     assert 0 < out["coverage"].iloc[0] <= 1
+
+
+def test_doc_surprisal(ray_session):
+    """Distributed unigram surprisal == a direct single-process recount;
+    partition-count invariant (the integer micro-nat contract makes sums
+    order-free); rare-token docs score higher mean surprisal."""
+    from rayld.pipelines.text import doc_surprisal
+
+    docs = pd.read_parquet(f"{SF}/documents.parquet",
+                           columns=["doc_id", "text"])
+    import re as _re
+
+    tok_re = _re.compile(r"[A-Za-z0-9]+")
+    all_toks = docs["text"].map(tok_re.findall)
+    from collections import Counter
+
+    corpus = Counter()
+    for ts in all_toks:
+        corpus.update(ts)
+    total = sum(corpus.values())
+    sur = {t: int(np.floor(-np.log(n / total) * 1_000_000 + 0.5))
+           for t, n in corpus.items()}
+    want = {}
+    for d, ts in zip(docs["doc_id"], all_toks):
+        if ts:
+            want[int(d)] = (sum(sur[t] for t in ts), len(ts))
+
+    for p in (4, 3):
+        got = doc_surprisal(SF, num_partitions=p).to_pandas()
+        assert len(got) == len(want)
+        for _, r in got.iterrows():
+            w = want[int(r["doc_id"])]
+            assert (int(r["surprisal_micro_nats"]), int(r["n_tokens"])) == w
+
+
+def test_events_anomaly(ray_session):
+    """Z-score flags match a single-process integer-cents recount, and every
+    flagged value really is > 3 sigma from its type mean."""
+    from rayld.pipelines.relational import events_anomaly
+
+    ev = pd.read_parquet(f"{SF}/events.parquet",
+                         columns=["event_id", "event_type", "value"])
+    vc = np.floor(ev["value"] * 100 + 0.5).astype("int64")
+    ev = ev.assign(vc=vc)
+    flags = []
+    for t, g in ev.groupby("event_type"):
+        n = float(len(g)); s = float(g["vc"].sum())
+        ss = float((g["vc"] * g["vc"]).sum())
+        lhs = (n * g["vc"].to_numpy(np.int64) - s) ** 2
+        flags.append(g[lhs > 9.0 * (n * ss - s * s)])
+    want = pd.concat(flags).sort_values("event_id")
+
+    got = events_anomaly(SF).to_pandas().sort_values("event_id")
+    assert got["event_id"].tolist() == want["event_id"].tolist()
+    assert len(got) > 0
+    # semantic check against plain float z-scores (tolerant band)
+    z = ev.groupby("event_type")["value"].transform(
+        lambda v: (v - v.mean()) / v.std(ddof=0)
+    )
+    assert (z[ev["event_id"].isin(got["event_id"])].abs() > 2.9).all()
