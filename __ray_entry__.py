@@ -196,6 +196,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "label_centroids": ann.label_centroids,
         "knn_label_vote": ann.knn_label_vote,
         "embedding_quantize": ann.embedding_quantize,
+        "kmeans_train": ann.kmeans_train,
+        "kmeans_check": ann.kmeans_check,
         # relational / windowed
         "q1_pricing": relational.q1_pricing,
         "customer_nation_count": relational.customer_nation_count,
@@ -292,6 +294,11 @@ def oracle_sql() -> dict[str, str]:
         # same sampled edge list
         "kg_pagerank_check": (
             "SELECT 1::BIGINT AS parity_ok, 1::BIGINT AS rank_sums_to_one"
+        ),
+        # distributed Lloyd's == single-process Lloyd's from the same init
+        "kmeans_check": (
+            "SELECT 1::BIGINT AS parity_ok, 1::BIGINT AS counts_ok,"
+            " 1::BIGINT AS all_points_assigned"
         ),
         # JSON-LD document sink/source roundtrip gate
         "kg_jsonld_roundtrip_check": (

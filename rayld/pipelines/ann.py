@@ -471,3 +471,207 @@ def embedding_quantize(sf_dir: str):
         f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
     )
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# distributed Lloyd's k-means (iterative training loop)
+# ---------------------------------------------------------------------------
+
+def _kmeans_seeds(sf_dir: str, n_clusters: int) -> np.ndarray:
+    """Seedless scattered init: the embeddings of the n_clusters vec_ids
+    with smallest md5(vec_id) — deterministic, order-free, and unbiased by
+    file layout (the ivf prefix-sample lesson). One per-batch local top-k
+    partial -> tiny global merge."""
+    import hashlib
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ids = batch["vec_id"].to_pylist()
+        keys = [hashlib.md5(str(i).encode()).hexdigest() for i in ids]
+        order = np.argsort(np.asarray(keys, dtype=object))[:n_clusters]
+        return pa.table({
+            "md5key": pa.array([keys[i] for i in order], pa.string()),
+            "vec_id": pa.array([ids[i] for i in order], pa.int64()),
+            "embedding": pa.array(
+                [batch["embedding"][int(i)].as_py() for i in order]
+            ),
+        })
+
+    top = (
+        _embeddings(sf_dir)
+        .map_batches(partial, batch_format="pyarrow")
+        .sort("md5key")
+        .limit(n_clusters)
+        .to_pandas()
+    )
+    return np.stack(
+        [np.asarray(e, dtype=np.float64) for e in top["embedding"]]
+    )
+
+
+def _assign_clusters(X: np.ndarray, cents: np.ndarray) -> np.ndarray:
+    """Argmin over per-cluster elementwise distances. Deliberately NOT a
+    matmul: dgemm's blocking changes dot-product summation order with the
+    row count, so batch-shaped and corpus-shaped evaluations could disagree
+    in the last ulp and flip near-ties; the elementwise form reduces along
+    the fixed dim axis only, so every row scores identically regardless of
+    batch shape (the parity gate depends on this)."""
+    d2 = np.empty((len(X), len(cents)))
+    for j, c in enumerate(cents):
+        d2[:, j] = ((X - c) ** 2).sum(axis=1)
+    return d2.argmin(axis=1)
+
+
+def kmeans_train(sf_dir: str, n_clusters: int = 8, n_iter: int = 5,
+                 num_partitions: int | None = None) -> pd.DataFrame:
+    """Distributed Lloyd's k-means over the embeddings table. Per iteration:
+    centroids broadcast via ray.put; each batch assigns vectors and
+    pre-aggregates (cluster, dim, partial-sum) + counts — k x (dim+1) rows
+    per block, never the vectors; ONE bounded-key bucketed exchange folds
+    the partials with a SORTED in-task sum (order-free floats, CLAUDE.md
+    determinism contract); the driver holds only the k x dim centroid
+    matrix. Empty clusters keep their previous centroid.
+
+    Output (long form): (cluster, dim_idx, value, n_points)."""
+    import zlib
+
+    import ray
+
+    from .common import cluster_partitions
+
+    if num_partitions is None:
+        num_partitions = cluster_partitions(minimum=8)
+    cents = _kmeans_seeds(sf_dir, n_clusters)
+    dim = cents.shape[1]
+    ds = _embeddings(sf_dir).materialize()  # reused every iteration
+
+    _part_schema = pa.schema([
+        ("cluster", pa.int64()), ("dim_idx", pa.int64()),
+        ("val", pa.float64()), ("part", pa.int32()),
+    ])
+
+    def combine(df: pd.DataFrame) -> pa.Table:
+        sch = pa.schema([
+            ("cluster", pa.int64()), ("dim_idx", pa.int64()),
+            ("val", pa.float64()),
+        ])
+        if len(df) == 0:
+            return sch.empty_table()
+        df = df.sort_values(["cluster", "dim_idx", "val"], kind="mergesort")
+        g = df.groupby(["cluster", "dim_idx"], as_index=False)["val"].sum()
+        return pa.Table.from_pandas(
+            g, preserve_index=False
+        ).select(sch.names).cast(sch)
+
+    counts = np.zeros(n_clusters, dtype=np.int64)
+    for _ in range(n_iter):
+        ref = ray.put(cents)
+
+        def partials(batch: pa.Table, _k=n_clusters, _d=dim) -> pa.Table:
+            C = ray.get(ref)
+            X = np.stack([
+                np.asarray(e, dtype=np.float64)
+                for e in batch["embedding"].to_pylist()
+            ]) if batch.num_rows else np.zeros((0, _d))
+            a = _assign_clusters(X, C)
+            sums = np.zeros((_k, _d))
+            np.add.at(sums, a, X)
+            n = np.bincount(a, minlength=_k).astype(np.float64)
+            # long form: dim_idx -1 carries the count
+            cl = np.repeat(np.arange(_k, dtype=np.int64), _d + 1)
+            di = np.tile(
+                np.concatenate([[-1], np.arange(_d, dtype=np.int64)]), _k
+            )
+            val = np.concatenate(
+                [np.concatenate([[n[j]], sums[j]]) for j in range(_k)]
+            )
+            keep = val != 0.0  # sparse blocks ship only touched cells
+            cl, di, val = cl[keep], di[keep], val[keep]
+            parts = np.fromiter(
+                (zlib.crc32(f"{c}:{d}".encode()) % num_partitions
+                 for c, d in zip(cl, di)),
+                dtype=np.int32, count=len(cl),
+            )
+            return pa.table({
+                "cluster": pa.array(cl), "dim_idx": pa.array(di),
+                "val": pa.array(val), "part": pa.array(parts, pa.int32()),
+            }, schema=_part_schema)
+
+        folded = (
+            ds.map_batches(partials, batch_format="pyarrow")
+            .groupby("part")
+            .map_groups(combine, batch_format="pandas")
+            .to_pandas()
+        )
+        counts = np.zeros(n_clusters, dtype=np.int64)
+        new = cents.copy()  # empty clusters keep their centroid
+        if len(folded):
+            cnt = folded[folded["dim_idx"] == -1]
+            counts[cnt["cluster"].to_numpy(np.int64)] = (
+                cnt["val"].to_numpy(np.float64).astype(np.int64)
+            )
+            sums = folded[folded["dim_idx"] >= 0]
+            nonzero = counts > 0
+            mat = np.zeros((n_clusters, dim))
+            mat[sums["cluster"].to_numpy(np.int64),
+                sums["dim_idx"].to_numpy(np.int64)] = (
+                sums["val"].to_numpy(np.float64)
+            )
+            new[nonzero] = mat[nonzero] / counts[nonzero, None]
+        cents = new
+
+    rows = []
+    for j in range(n_clusters):
+        for d_i in range(dim):
+            rows.append((j, d_i, cents[j, d_i], int(counts[j])))
+    return pd.DataFrame(
+        rows, columns=["cluster", "dim_idx", "value", "n_points"]
+    )
+
+
+def kmeans_reference(X: np.ndarray, seeds: np.ndarray,
+                     n_iter: int = 5) -> tuple:
+    """Single-process Lloyd's with the identical assignment formula (the
+    parity oracle)."""
+    cents = seeds.copy()
+    k = len(seeds)
+    counts = np.zeros(k, dtype=np.int64)
+    for _ in range(n_iter):
+        a = _assign_clusters(X, cents)
+        counts = np.bincount(a, minlength=k)
+        new = cents.copy()
+        for j in range(k):
+            if counts[j]:
+                # sum/count with one division, like the distributed fold
+                new[j] = X[a == j].sum(axis=0) / counts[j]
+        cents = new
+    return cents, counts
+
+
+def kmeans_check(sf_dir: str, n_clusters: int = 8,
+                 n_iter: int = 5) -> pd.DataFrame:
+    """Gate: distributed k-means == single-process Lloyd's from the same
+    seedless init (spot-check harness; the driver holds the sf-scale
+    matrix only here, never in the training path)."""
+    got = kmeans_train(sf_dir, n_clusters=n_clusters, n_iter=n_iter)
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                        columns=["vec_id", "embedding"]).to_pandas()
+    tbl = tbl.sort_values("vec_id")
+    X = np.stack([np.asarray(e, dtype=np.float64)
+                  for e in tbl["embedding"]])
+    seeds = _kmeans_seeds(sf_dir, n_clusters)
+    want_c, want_n = kmeans_reference(X, seeds, n_iter=n_iter)
+    k, dim = want_c.shape
+    got_c = np.zeros((k, dim))
+    got_c[got["cluster"].to_numpy(np.int64),
+          got["dim_idx"].to_numpy(np.int64)] = got["value"].to_numpy()
+    got_n = np.zeros(k, dtype=np.int64)
+    got_n[got.drop_duplicates("cluster")["cluster"].to_numpy(np.int64)] = (
+        got.drop_duplicates("cluster")["n_points"].to_numpy(np.int64)
+    )
+    return pd.DataFrame({
+        "parity_ok": [int(np.abs(got_c - want_c).max() < 1e-9)],
+        "counts_ok": [int((got_n == want_n).all())],
+        "all_points_assigned": [int(got_n.sum() == len(X))],
+    })

@@ -1117,3 +1117,42 @@ def test_events_anomaly(ray_session):
         lambda v: (v - v.mean()) / v.std(ddof=0)
     )
     assert (z[ev["event_id"].isin(got["event_id"])].abs() > 2.9).all()
+
+
+def test_kmeans_train_parity_and_inertia(ray_session):
+    """Distributed Lloyd's == single-process Lloyd's from the same seedless
+    init; inertia is non-increasing across iterations; partition count never
+    changes the result."""
+    from rayld.pipelines.ann import (
+        _assign_clusters,
+        _kmeans_seeds,
+        kmeans_check,
+        kmeans_train,
+    )
+
+    out = kmeans_check(SF, n_clusters=6, n_iter=4)
+    assert out["parity_ok"].iloc[0] == 1
+    assert out["counts_ok"].iloc[0] == 1
+    assert out["all_points_assigned"].iloc[0] == 1
+
+    a = kmeans_train(SF, n_clusters=6, n_iter=4, num_partitions=4)
+    b = kmeans_train(SF, n_clusters=6, n_iter=4, num_partitions=3)
+    pd.testing.assert_frame_equal(a, b)
+
+    # inertia decreases with more Lloyd's iterations
+    emb = pd.read_parquet(f"{SF}/embeddings.parquet", columns=["embedding"])
+    X = np.stack([np.asarray(e, dtype=np.float64) for e in emb["embedding"]])
+
+    def inertia(res, k=6):
+        dim = res["dim_idx"].max() + 1
+        C = np.zeros((k, dim))
+        C[res["cluster"].to_numpy(np.int64),
+          res["dim_idx"].to_numpy(np.int64)] = res["value"].to_numpy()
+        asg = _assign_clusters(X, C)
+        return float(((X - C[asg]) ** 2).sum())
+
+    i1 = inertia(kmeans_train(SF, n_clusters=6, n_iter=1))
+    i4 = inertia(a)
+    assert i4 <= i1 + 1e-9
+    seeds = _kmeans_seeds(SF, 6)
+    assert seeds.shape[0] == 6
