@@ -101,6 +101,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         n = min(150, max(30, jsonld_ops.n_conversations_for(sf_dir) // 10))
         return pagerank_check(n)
 
+    def kg_bgp_user_mentions(sf_dir: str):
+        """SPARQL-lite BGP over the KG: entities mentioned by user turns
+        ({?t a rayld:Turn . ?t rayld:role 'user' . ?t schema:about ?e})."""
+        from rayld.pipelines.graph import kg_user_turn_mentions
+
+        n = max(50, jsonld_ops.n_conversations_for(sf_dir) // 5)
+        return kg_user_turn_mentions(build_triples(transcripts_dataset(n)))
+
     def kg_jsonld_roundtrip(sf_dir: str):
         """Sink/source gate: NDJSON JSON-LD export -> line-sharded read-back
         reproduces the triples."""
@@ -128,6 +136,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_pagerank": kg_pagerank,
         "kg_pagerank_check": kg_pagerank_gate,
         "kg_jsonld_roundtrip_check": kg_jsonld_roundtrip,
+        "kg_bgp_user_mentions": kg_bgp_user_mentions,
         # JSON-LD API surface A1-A7 + S1/S2 (non-SQL)
         "jsonld_expand": jsonld_ops.op_expand,
         "jsonld_compact_roundtrip": jsonld_ops.op_compact_roundtrip,

@@ -465,3 +465,109 @@ def pagerank_check(n_conversations: int = 100, damping: float = 0.85,
             int(abs(float(got["rank"].sum()) - 1.0) < 1e-9)
         ],
     })
+
+
+# ---------------------------------------------------------------------------
+# Basic graph pattern (SPARQL-lite) matching over the triples table
+# ---------------------------------------------------------------------------
+
+def bgp_match(triples_ds, patterns, num_partitions: int | None = None):
+    """Subject-shared basic-graph-pattern join (the SPARQL BGP core): every
+    pattern is {"pred": IRI, "obj": constant-or-None, "capture":
+    column-name-or-None}; a subject matches when ALL patterns hold, and
+    each capture pattern contributes its object values (cartesian per
+    subject across capture legs, standard BGP semantics). Output:
+    (conv_id, subj, <capture columns...>).
+
+    Scale shape: ONE map prunes the triples to pattern-relevant rows
+    (predicate + constant-object filters applied batch-local, so only
+    matching legs leave the scan) and buckets by crc32(subj) % P; the
+    multi-way join runs as in-task pandas merges per bucket — no per-key
+    Ray groups, no repeated exchanges for extra patterns."""
+    import zlib
+
+    from .common import cluster_partitions
+
+    if num_partitions is None:
+        num_partitions = cluster_partitions()
+    captures = [p["capture"] for p in patterns if p.get("capture")]
+
+    _leg_schema = pa.schema([
+        ("conv_id", pa.string()), ("subj", pa.string()),
+        ("leg", pa.int8()), ("obj_value", pa.string()),
+        ("part", pa.int32()),
+    ])
+
+    def legs(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        outs = []
+        for i, p in enumerate(patterns):
+            keep = pc.equal(batch["pred"], p["pred"])
+            if p.get("obj") is not None:
+                keep = pc.and_(keep, pc.equal(batch["obj_value"], p["obj"]))
+            t = batch.filter(keep)
+            subj = t["subj"].to_pylist()
+            parts = np.fromiter(
+                (zlib.crc32(s.encode()) % num_partitions for s in subj),
+                dtype=np.int32, count=len(subj),
+            )
+            outs.append(pa.table({
+                "conv_id": t["conv_id"].cast(pa.string()),
+                "subj": pa.array(subj, pa.string()),
+                "leg": pa.array(np.full(len(subj), i, np.int8)),
+                "obj_value": t["obj_value"].cast(pa.string()),
+                "part": pa.array(parts, pa.int32()),
+            }, schema=_leg_schema))
+        return pa.concat_tables(outs)
+
+    out_fields = [("conv_id", pa.string()), ("subj", pa.string())] + [
+        (c, pa.string()) for c in captures
+    ]
+    _out_schema = pa.schema(out_fields)
+
+    def join_legs(df: pd.DataFrame) -> pa.Table:
+        if len(df) == 0 or "leg" not in df.columns:
+            return _out_schema.empty_table()
+        base = None
+        for i, p in enumerate(patterns):
+            li = df[df["leg"] == i]
+            if p.get("capture"):
+                li = li[["conv_id", "subj", "obj_value"]].rename(
+                    columns={"obj_value": p["capture"]}
+                )
+            else:
+                li = li[["conv_id", "subj"]].drop_duplicates()
+            base = li if base is None else base.merge(
+                li, on=["conv_id", "subj"]
+            )
+        if base is None or len(base) == 0:
+            return _out_schema.empty_table()
+        base = base.sort_values(list(base.columns), kind="mergesort")
+        return pa.Table.from_pandas(
+            base, preserve_index=False
+        ).select(_out_schema.names).cast(_out_schema)
+
+    return (
+        triples_ds.map_batches(legs, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(join_legs, batch_format="pandas")
+    )
+
+
+_RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+
+
+def kg_user_turn_mentions(triples_ds, num_partitions: int | None = None):
+    """Concrete BGP: every entity a USER turn mentions —
+    { ?t rdf:type rayld:Turn . ?t rayld:role "user" . ?t schema:about ?e }
+    -> (conv_id, turn, entity)."""
+    out = bgp_match(triples_ds, [
+        {"pred": _RDF_TYPE, "obj": "https://rayld.dev/vocab#Turn"},
+        {"pred": "https://rayld.dev/vocab#role", "obj": "user"},
+        {"pred": "http://schema.org/about", "capture": "entity"},
+    ], num_partitions=num_partitions)
+    return out.map_batches(
+        lambda t: t.rename_columns(["conv_id", "turn", "entity"]),
+        batch_format="pyarrow",
+    )

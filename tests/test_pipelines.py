@@ -1156,3 +1156,49 @@ def test_kmeans_train_parity_and_inertia(ray_session):
     assert i4 <= i1 + 1e-9
     seeds = _kmeans_seeds(SF, 6)
     assert seeds.shape[0] == 6
+
+
+def test_bgp_match_user_mentions(ray_session):
+    """BGP join == a pandas recount of the same pattern on the same triples;
+    partition-count invariant; capture cartesian semantics hold (a turn with
+    two mentions yields two rows)."""
+    from rayld.pipelines.graph import bgp_match, kg_user_turn_mentions
+    from rayld.pipelines.kg import build_triples
+    from rayld.sources.transcripts import transcripts_dataset
+
+    triples = build_triples(transcripts_dataset(40)).materialize()
+    df = triples.to_pandas()
+    typ = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+    turns = set(df.loc[
+        (df["pred"] == typ)
+        & (df["obj_value"] == "https://rayld.dev/vocab#Turn"), "subj"
+    ])
+    users = set(df.loc[
+        (df["pred"] == "https://rayld.dev/vocab#role")
+        & (df["obj_value"] == "user"), "subj"
+    ])
+    about = df[df["pred"] == "http://schema.org/about"]
+    want = about[about["subj"].isin(turns & users)][
+        ["conv_id", "subj", "obj_value"]
+    ].rename(columns={"subj": "turn", "obj_value": "entity"})
+    want = want.sort_values(list(want.columns)).reset_index(drop=True)
+    assert len(want) > 0
+
+    for p in (4, 3):
+        got = (
+            kg_user_turn_mentions(triples, num_partitions=p)
+            .to_pandas()
+            .sort_values(["conv_id", "turn", "entity"])
+            .reset_index(drop=True)[want.columns.tolist()]
+        )
+        pd.testing.assert_frame_equal(got, want)
+
+    # a turn with >1 mention produces one row per mention (cartesian leg)
+    per_turn = want.groupby("turn").size()
+    assert (per_turn > 1).any()
+
+    # generic matcher: constant-object pattern alone selects exact subjects
+    only_turns = bgp_match(triples, [
+        {"pred": typ, "obj": "https://rayld.dev/vocab#Turn"},
+    ]).to_pandas()
+    assert set(only_turns["subj"]) == turns
