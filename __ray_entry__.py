@@ -231,6 +231,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_byte_stats": multimodal.media_byte_stats,
         "media_resize": multimodal.media_resize,
         "media_frame_sample": multimodal.media_frame_sample,
+        "media_ppm_features": multimodal.media_ppm_features,
     }
 
 
@@ -451,6 +452,17 @@ def oracle_sql() -> dict[str, str]:
             " row_number() OVER (ORDER BY ln(u) / w DESC, doc_id)::BIGINT"
             "  AS sample_rank"
             " FROM x ORDER BY sample_rank LIMIT 64"
+        ),
+        # REAL P6 PPM decode: the synthesized images' channel means are
+        # analytic in doc_id, so plain arithmetic verifies the byte-level
+        # decode (header parse, stride, channel order) exactly
+        "media_ppm_features": (
+            "SELECT doc_id AS media_id, 32::BIGINT AS width,"
+            " 24::BIGINT AS height,"
+            " (doc_id % 256) * 1000000 AS mean_r_micro,"
+            " 15500000::BIGINT AS mean_g_micro,"
+            " ((doc_id * 7) % 256) * 1000000 AS mean_b_micro"
+            " FROM documents"
         ),
         # unigram-LM surprisal in micro-nats (integer contract: the per-token
         # surprisal rounds half-up once; every sum after that is int-exact)

@@ -186,3 +186,131 @@ def media_frame_sample(sf_dir: str, frame_bytes: int = 64, stride: int = 2):
         )
 
     return ds.map_batches(explode, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# REAL decode path: P6 PPM (pure numpy, no codec libs needed)
+# ---------------------------------------------------------------------------
+
+_PPM_W, _PPM_H = 32, 24
+
+
+def ppm_media_dataset(sf_dir: str):
+    """Deterministic P6 PPM images synthesized from doc_id (one per doc):
+    R = doc_id % 256 (constant), G = column index (0..31 gradient),
+    B = (doc_id * 7) % 256 (constant). The channel MEANS are therefore
+    analytic functions of doc_id alone — which lets a plain-SQL oracle
+    verify the real byte-level decode end-to-end (a wrong header parse,
+    stride, or channel order shifts the means)."""
+    import numpy as np
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    header = f"P6\n{_PPM_W} {_PPM_H}\n255\n".encode()
+
+    def encode(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        payloads = []
+        g = np.tile(
+            np.arange(_PPM_W, dtype=np.uint8), (_PPM_H, 1)
+        )  # column gradient
+        for i in ids:
+            img = np.empty((_PPM_H, _PPM_W, 3), dtype=np.uint8)
+            img[:, :, 0] = i % 256
+            img[:, :, 1] = g
+            img[:, :, 2] = (i * 7) % 256
+            payloads.append(header + img.tobytes())
+        return pa.table({
+            "media_id": pa.array(ids, pa.int64()),
+            "payload": pa.array(payloads, pa.binary()),
+            "media_type": pa.array(["image/x-portable-pixmap"] * len(ids),
+                                   pa.string()),
+        })
+
+    return ds.map_batches(encode, batch_format="pyarrow")
+
+
+class PpmDecoder:
+    """Actor-pool stage with a REAL decode kernel: parses the P6 header,
+    np.frombuffer's the raw RGB plane (zero-copy over the payload bytes),
+    and reduces each channel with INTEGER sums (mean in exact micro units,
+    order-free). Header regex compiled once per actor in __init__ — the
+    stateful-stage contract."""
+
+    def __init__(self):
+        import re
+
+        self._header = re.compile(
+            rb"^P6\s+(\d+)\s+(\d+)\s+(\d+)\s", re.S
+        )
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        ids, ws, hs, mr, mg, mb = [], [], [], [], [], []
+        bad_ids, bad_errs = [], []
+        for media_id, payload in zip(
+            batch["media_id"].to_pylist(), batch["payload"].to_pylist()
+        ):
+            m = self._header.match(payload)
+            if not m:
+                bad_ids.append(media_id)
+                bad_errs.append("not a P6 ppm")
+                continue
+            w, h, maxval = (int(m.group(k)) for k in (1, 2, 3))
+            pix = np.frombuffer(payload, dtype=np.uint8, offset=m.end())
+            if maxval != 255 or len(pix) != w * h * 3:
+                bad_ids.append(media_id)
+                bad_errs.append("truncated or non-8-bit ppm")
+                continue
+            img = pix.reshape(h, w, 3)
+            npix = w * h
+            sums = img.astype(np.int64).sum(axis=(0, 1))  # exact int
+            ids.append(media_id)
+            ws.append(w)
+            hs.append(h)
+            mr.append(int(sums[0]) * 1_000_000 // npix)
+            mg.append(int(sums[1]) * 1_000_000 // npix)
+            mb.append(int(sums[2]) * 1_000_000 // npix)
+        ok = pa.table({
+            "media_id": pa.array(ids, pa.int64()),
+            "width": pa.array(ws, pa.int64()),
+            "height": pa.array(hs, pa.int64()),
+            "mean_r_micro": pa.array(mr, pa.int64()),
+            "mean_g_micro": pa.array(mg, pa.int64()),
+            "mean_b_micro": pa.array(mb, pa.int64()),
+            "decode_error": pa.array([""] * len(ids), pa.string()),
+        })
+        bad = pa.table({
+            "media_id": pa.array(bad_ids, pa.int64()),
+            "width": pa.array([0] * len(bad_ids), pa.int64()),
+            "height": pa.array([0] * len(bad_ids), pa.int64()),
+            "mean_r_micro": pa.array([0] * len(bad_ids), pa.int64()),
+            "mean_g_micro": pa.array([0] * len(bad_ids), pa.int64()),
+            "mean_b_micro": pa.array([0] * len(bad_ids), pa.int64()),
+            "decode_error": pa.array(bad_errs, pa.string()),
+        })
+        return pa.concat_tables([ok, bad])
+
+
+def media_ppm_features(sf_dir: str, concurrency=None):
+    """Per-image channel statistics through the REAL PPM decode actor pool
+    (small batches: payload x concurrency must fit the worker heap — the
+    multimodal sizing rule). Embarrassingly parallel, no shuffle."""
+    import ray
+
+    if concurrency is None:
+        ncpu = int(ray.cluster_resources().get("CPU", 8))
+        concurrency = (2, max(2, ncpu))
+    def keep_ok(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return batch.filter(
+            pc.equal(batch["decode_error"], "")
+        ).drop_columns(["decode_error"])
+
+    ds = ppm_media_dataset(sf_dir)
+    return ds.map_batches(
+        PpmDecoder, concurrency=concurrency, batch_size=64,
+        batch_format="pyarrow",
+    ).map_batches(keep_ok, batch_format="pyarrow")

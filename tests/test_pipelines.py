@@ -1202,3 +1202,45 @@ def test_bgp_match_user_mentions(ray_session):
         {"pred": typ, "obj": "https://rayld.dev/vocab#Turn"},
     ]).to_pandas()
     assert set(only_turns["subj"]) == turns
+
+
+def test_ppm_decode_real(ray_session):
+    """The PPM path performs a REAL byte-level decode: features match a
+    direct numpy decode of the same payloads; malformed payloads route to
+    the decode_error side instead of failing the stage."""
+    import pyarrow as pa
+    from rayld.pipelines.multimodal import (
+        PpmDecoder,
+        media_ppm_features,
+        ppm_media_dataset,
+    )
+
+    got = media_ppm_features(SF).to_pandas().sort_values("media_id")
+    raw = ppm_media_dataset(SF).to_pandas()
+    assert len(got) == len(raw)
+    # direct decode of one payload
+    row = raw.iloc[7]
+    payload = bytes(row["payload"])
+    assert payload.startswith(b"P6\n32 24\n255\n")
+    img = np.frombuffer(
+        payload, dtype=np.uint8, offset=len(b"P6\n32 24\n255\n")
+    ).reshape(24, 32, 3)
+    want_r = int(img[:, :, 0].astype(np.int64).sum()) * 1_000_000 // (32 * 24)
+    g = got[got["media_id"] == row["media_id"]].iloc[0]
+    assert int(g["mean_r_micro"]) == want_r
+    assert int(g["width"]) == 32 and int(g["height"]) == 24
+    assert int(g["mean_g_micro"]) == 15_500_000  # analytic gradient mean
+
+    # malformed payloads quarantine
+    dec = PpmDecoder()
+    out = dec(pa.table({
+        "media_id": pa.array([1, 2, 3], pa.int64()),
+        "payload": pa.array(
+            [b"nonsense", b"P6\n2 2\n255\n" + b"\x00" * 12,
+             b"P6\n2 2\n255\n" + b"\x00" * 5],  # truncated
+            pa.binary()),
+        "media_type": pa.array(["x"] * 3, pa.string()),
+    })).to_pandas()
+    assert out.set_index("media_id")["decode_error"].to_dict() == {
+        1: "not a P6 ppm", 2: "", 3: "truncated or non-8-bit ppm",
+    }
