@@ -232,6 +232,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_resize": multimodal.media_resize,
         "media_frame_sample": multimodal.media_frame_sample,
         "media_ppm_features": multimodal.media_ppm_features,
+        "media_wav_features": multimodal.media_wav_features,
     }
 
 
@@ -462,6 +463,17 @@ def oracle_sql() -> dict[str, str]:
             " (doc_id % 256) * 1000000 AS mean_r_micro,"
             " 15500000::BIGINT AS mean_g_micro,"
             " ((doc_id * 7) % 256) * 1000000 AS mean_b_micro"
+            " FROM documents"
+        ),
+        # REAL PCM WAV decode: sample[n] = dc + (n % 256), dc = (doc_id %
+        # 1000)*16 over 4 full cycles -> mean and energy are closed-form
+        "media_wav_features": (
+            "SELECT doc_id AS media_id, 1024::BIGINT AS n_samples,"
+            " 8000::BIGINT AS sample_rate,"
+            " ((doc_id % 1000) * 16 * 1000 + 127500)::BIGINT AS mean_milli,"
+            " ((256 * ((doc_id % 1000) * 16) * ((doc_id % 1000) * 16)"
+            "   + 2 * ((doc_id % 1000) * 16) * 32640 + 5559680)"
+            "  * 1000 // 256)::BIGINT AS energy_milli"
             " FROM documents"
         ),
         # unigram-LM surprisal in micro-nats (integer contract: the per-token

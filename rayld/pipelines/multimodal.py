@@ -314,3 +314,131 @@ def media_ppm_features(sf_dir: str, concurrency=None):
         PpmDecoder, concurrency=concurrency, batch_size=64,
         batch_format="pyarrow",
     ).map_batches(keep_ok, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# REAL audio decode path: PCM WAV (RIFF chunk walk, no codec libs)
+# ---------------------------------------------------------------------------
+
+_WAV_RATE = 8000
+_WAV_N = 1024  # 4 full sawtooth cycles
+
+
+def wav_media_dataset(sf_dir: str):
+    """Deterministic 16-bit mono PCM WAVs from doc_id: sample[n] =
+    dc + (n % 256) with dc = (doc_id % 1000) * 16 — a DC offset plus a
+    sawtooth. Over full cycles both the MEAN (dc + 127.5) and the ENERGY
+    (per-cycle sum of squares) are closed-form in doc_id, so a plain-SQL
+    oracle verifies the real RIFF/data-chunk decode exactly."""
+    import struct
+
+    import numpy as np
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    saw = np.tile(np.arange(256, dtype=np.int32), _WAV_N // 256)
+
+    def encode(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        payloads = []
+        for i in ids:
+            dc = (i % 1000) * 16
+            pcm = (dc + saw).astype("<i2").tobytes()
+            hdr = (
+                b"RIFF" + struct.pack("<I", 36 + len(pcm)) + b"WAVE"
+                + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, _WAV_RATE,
+                                        _WAV_RATE * 2, 2, 16)
+                + b"data" + struct.pack("<I", len(pcm))
+            )
+            payloads.append(hdr + pcm)
+        return pa.table({
+            "media_id": pa.array(ids, pa.int64()),
+            "payload": pa.array(payloads, pa.binary()),
+            "media_type": pa.array(["audio/wav"] * len(ids), pa.string()),
+        })
+
+    return ds.map_batches(encode, batch_format="pyarrow")
+
+
+class WavDecoder:
+    """Real RIFF walk: verifies RIFF/WAVE magic, iterates chunks to find
+    fmt (PCM, 16-bit) and data, frombuffer's the samples. Integer-exact
+    reductions: mean and energy in milli units via int64 sums."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import struct
+
+        import numpy as np
+
+        ids, ns, rates, means, energies = [], [], [], [], []
+        bad_ids, bad_errs = [], []
+        for media_id, payload in zip(
+            batch["media_id"].to_pylist(), batch["payload"].to_pylist()
+        ):
+            try:
+                if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+                    raise ValueError("not a RIFF/WAVE file")
+                pos, rate, bits, data = 12, None, None, None
+                while pos + 8 <= len(payload):
+                    cid = payload[pos:pos + 4]
+                    sz = struct.unpack("<I", payload[pos + 4:pos + 8])[0]
+                    body = payload[pos + 8:pos + 8 + sz]
+                    if cid == b"fmt ":
+                        fmt, _ch, rate, _br, _ba, bits = struct.unpack(
+                            "<HHIIHH", body[:16]
+                        )[0:6]
+                        if fmt != 1:
+                            raise ValueError("not PCM")
+                    elif cid == b"data":
+                        data = body
+                    pos += 8 + sz + (sz & 1)
+                if rate is None or data is None or bits != 16:
+                    raise ValueError("missing fmt/data or non-16-bit")
+                pcm = np.frombuffer(data, dtype="<i2").astype(np.int64)
+                n = len(pcm)
+                ids.append(media_id)
+                ns.append(n)
+                rates.append(int(rate))
+                means.append(int(pcm.sum()) * 1000 // n)
+                energies.append(int((pcm * pcm).sum()) * 1000 // n)
+            except (ValueError, struct.error) as err:
+                bad_ids.append(media_id)
+                bad_errs.append(str(err))
+        ok = pa.table({
+            "media_id": pa.array(ids, pa.int64()),
+            "n_samples": pa.array(ns, pa.int64()),
+            "sample_rate": pa.array(rates, pa.int64()),
+            "mean_milli": pa.array(means, pa.int64()),
+            "energy_milli": pa.array(energies, pa.int64()),
+            "decode_error": pa.array([""] * len(ids), pa.string()),
+        })
+        bad = pa.table({
+            "media_id": pa.array(bad_ids, pa.int64()),
+            "n_samples": pa.array([0] * len(bad_ids), pa.int64()),
+            "sample_rate": pa.array([0] * len(bad_ids), pa.int64()),
+            "mean_milli": pa.array([0] * len(bad_ids), pa.int64()),
+            "energy_milli": pa.array([0] * len(bad_ids), pa.int64()),
+            "decode_error": pa.array(bad_errs, pa.string()),
+        })
+        return pa.concat_tables([ok, bad])
+
+
+def media_wav_features(sf_dir: str, concurrency=None):
+    """Per-clip statistics through the REAL WAV decode actor pool."""
+    import ray
+
+    if concurrency is None:
+        ncpu = int(ray.cluster_resources().get("CPU", 8))
+        concurrency = (2, max(2, ncpu))
+
+    def keep_ok(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return batch.filter(
+            pc.equal(batch["decode_error"], "")
+        ).drop_columns(["decode_error"])
+
+    return wav_media_dataset(sf_dir).map_batches(
+        WavDecoder, concurrency=concurrency, batch_size=64,
+        batch_format="pyarrow",
+    ).map_batches(keep_ok, batch_format="pyarrow")

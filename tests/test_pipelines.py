@@ -1244,3 +1244,39 @@ def test_ppm_decode_real(ray_session):
     assert out.set_index("media_id")["decode_error"].to_dict() == {
         1: "not a P6 ppm", 2: "", 3: "truncated or non-8-bit ppm",
     }
+
+
+def test_wav_decode_real(ray_session):
+    """The WAV path walks real RIFF chunks: features match the stdlib wave
+    module's read of the same payloads; malformed payloads quarantine."""
+    import io
+    import wave
+
+    import pyarrow as pa
+    from rayld.pipelines.multimodal import (
+        WavDecoder,
+        media_wav_features,
+        wav_media_dataset,
+    )
+
+    got = media_wav_features(SF).to_pandas().sort_values("media_id")
+    raw = wav_media_dataset(SF).to_pandas()
+    assert len(got) == len(raw)
+    row = raw.iloc[3]
+    with wave.open(io.BytesIO(bytes(row["payload"]))) as w:
+        assert w.getframerate() == 8000
+        assert w.getnchannels() == 1 and w.getsampwidth() == 2
+        pcm = np.frombuffer(w.readframes(w.getnframes()), dtype="<i2")
+    g = got[got["media_id"] == row["media_id"]].iloc[0]
+    assert int(g["n_samples"]) == len(pcm) == 1024
+    assert int(g["mean_milli"]) == int(pcm.astype(np.int64).sum()) * 1000 // len(pcm)
+
+    dec = WavDecoder()
+    out = dec(pa.table({
+        "media_id": pa.array([1, 2], pa.int64()),
+        "payload": pa.array([b"RIFFxxxxNOPE", bytes(raw.iloc[0]["payload"])],
+                            pa.binary()),
+        "media_type": pa.array(["x", "x"], pa.string()),
+    })).to_pandas().set_index("media_id")
+    assert out.loc[1, "decode_error"] != ""
+    assert out.loc[2, "decode_error"] == ""
