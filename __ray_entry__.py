@@ -227,6 +227,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_quarantine": relational.events_quarantine,
         "funnel_conversion": relational.funnel_conversion,
         "events_anomaly": relational.events_anomaly,
+        "events_rollup": relational.events_rollup,
+        "user_running_value": relational.user_running_value,
         # multimodal plumbing
         "media_byte_stats": multimodal.media_byte_stats,
         "media_resize": multimodal.media_resize,
@@ -910,6 +912,28 @@ def oracle_sql() -> dict[str, str]:
             " SELECT epoch(date_trunc('day', ts))::BIGINT AS day_start,"
             " count(*)::BIGINT AS n_signups, sum(conv)::BIGINT AS n_converted"
             " FROM flags GROUP BY 1"
+        ),
+        # one-pass ROLLUP (3 grouping levels); '' / -1 stand for NULL keys
+        "events_rollup": (
+            "SELECT (CASE WHEN event_type IS NULL AND window_start IS NULL"
+            "   THEN 2 WHEN window_start IS NULL THEN 1 ELSE 0 END)::BIGINT"
+            "   AS level,"
+            " coalesce(event_type, '') AS event_type,"
+            " coalesce(window_start, -1)::BIGINT AS window_start,"
+            " n_events, sum_value FROM ("
+            "  SELECT event_type,"
+            "   epoch(date_trunc('hour', ts))::BIGINT AS window_start,"
+            "   count(*)::BIGINT AS n_events,"
+            "   sum(floor(value * 100 + 0.5)::BIGINT) / 100.0 AS sum_value"
+            "  FROM events GROUP BY ROLLUP (event_type, window_start))"
+        ),
+        # running total per user (SUM OVER), exact in integer cents
+        "user_running_value": (
+            "SELECT event_id, user_id,"
+            " (sum(floor(value * 100 + 0.5)::BIGINT) OVER ("
+            "   PARTITION BY user_id ORDER BY ts, event_id"
+            "   ROWS UNBOUNDED PRECEDING)) / 100.0 AS running_value"
+            " FROM events"
         ),
         # per-type z-score outliers; moments in exact integer cents, the
         # z-test in the same cross-multiplied double form as the Ray side

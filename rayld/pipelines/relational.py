@@ -1280,3 +1280,112 @@ def events_anomaly(sf_dir: str, z_threshold: float = 3.0):
         })
 
     return ds.map_batches(flag, batch_format="pandas")
+
+
+def events_rollup(sf_dir: str):
+    """ROLLUP-style multi-level aggregate in ONE pass: counts and
+    integer-cents value sums at (event_type, hour), (event_type) and ()
+    grouping levels, every level pre-aggregated inside the batch before a
+    single bounded combine (levels are tagged, so the exchange moves
+    3-level partials, not three scans). NULL group keys follow SQL ROLLUP
+    ('' stands for NULL at rolled-up levels for a type-stable compare)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from .common import bucketed_sum_combine
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "ts", "value"]
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        hour = df["ts"].dt.floor("h").astype("datetime64[s]").astype("int64")
+        base = pd.DataFrame({
+            "event_type": df["event_type"],
+            "window_start": hour,
+            "value_c": money_cents(df["value"]),
+            "n": 1,
+        })
+        lv0 = base.groupby(["event_type", "window_start"], as_index=False)
+        lv0 = lv0.agg(n_events=("n", "sum"), sum_c=("value_c", "sum"))
+        lv0.insert(0, "level", 0)
+        lv1 = base.groupby(["event_type"], as_index=False).agg(
+            n_events=("n", "sum"), sum_c=("value_c", "sum")
+        )
+        lv1.insert(0, "level", 1)
+        lv1["window_start"] = -1
+        lv2 = pd.DataFrame({
+            "level": [2], "event_type": [""], "window_start": [-1],
+            "n_events": [int(base["n"].sum())],
+            "sum_c": [int(base["value_c"].sum())],
+        })
+        return pd.concat([lv0, lv1, lv2], ignore_index=True)[
+            ["level", "event_type", "window_start", "n_events", "sum_c"]
+        ]
+
+    agg = bucketed_sum_combine(
+        ds.map_batches(partial, batch_format="pandas"),
+        keys=["level", "event_type", "window_start"],
+        sum_cols=["n_events", "sum_c"],
+        schema=pa.schema([
+            ("level", pa.int64()), ("event_type", pa.string()),
+            ("window_start", pa.int64()), ("n_events", pa.int64()),
+            ("sum_c", pa.int64()),
+        ]),
+    )
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        df["sum_value"] = df["sum_c"].astype("int64") / 100.0
+        return df[["level", "event_type", "window_start", "n_events",
+                   "sum_value"]]
+
+    return agg.map_batches(finish, batch_format="pandas")
+
+
+def user_running_value(sf_dir: str, num_partitions: int | None = None):
+    """Windowed running total per user (SUM OVER PARTITION BY user ORDER BY
+    ts ROWS UNBOUNDED PRECEDING), in integer cents so the cumulative sums
+    are exact. One bucketed hash(user_id) exchange; the cumsum is a
+    vectorized sort + groupby-cumsum inside each bucket task."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from .common import cluster_partitions
+
+    if num_partitions is None:
+        num_partitions = cluster_partitions()
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "user_id", "value"],
+    )
+
+    def bucket(batch: pa.Table) -> pa.Table:
+        k = np.asarray(batch["user_id"].to_pylist(), dtype=np.int64)
+        return batch.append_column(
+            "part", pa.array((k % num_partitions).astype(np.int32))
+        )
+
+    def running(df: pd.DataFrame) -> pa.Table:
+        sch = pa.schema([
+            ("event_id", pa.int64()), ("user_id", pa.int64()),
+            ("running_value", pa.float64()),
+        ])
+        if len(df) == 0:
+            return sch.empty_table()
+        df = df.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        cum = df.assign(vc=money_cents(df["value"])).groupby("user_id")[
+            "vc"
+        ].cumsum()
+        return pa.table({
+            "event_id": pa.array(df["event_id"].to_numpy(np.int64)),
+            "user_id": pa.array(df["user_id"].to_numpy(np.int64)),
+            "running_value": pa.array(
+                cum.to_numpy(np.int64) / 100.0, pa.float64()
+            ),
+        }, schema=sch)
+
+    return (
+        ds.map_batches(bucket, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(running, batch_format="pandas")
+    )

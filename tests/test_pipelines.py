@@ -1280,3 +1280,40 @@ def test_wav_decode_real(ray_session):
     })).to_pandas().set_index("media_id")
     assert out.loc[1, "decode_error"] != ""
     assert out.loc[2, "decode_error"] == ""
+
+
+def test_events_rollup_levels(ray_session):
+    """ROLLUP invariants: each level's totals agree, and level-2 equals the
+    full row count."""
+    from rayld.pipelines.relational import events_rollup
+
+    out = events_rollup(SF).to_pandas()
+    ev = pd.read_parquet(f"{SF}/events.parquet", columns=["event_type"])
+    l0, l1, l2 = (out[out["level"] == k] for k in (0, 1, 2))
+    assert l2["n_events"].iloc[0] == len(ev)
+    assert l0["n_events"].sum() == l1["n_events"].sum() == len(ev)
+    assert abs(l0["sum_value"].sum() - l2["sum_value"].iloc[0]) < 1e-6
+    assert set(l1["event_type"]) == set(ev["event_type"].unique())
+    assert (l1["window_start"] == -1).all() and (l2["event_type"] == "").all()
+
+
+def test_user_running_value(ray_session):
+    """Running totals match a pandas window recount exactly (integer
+    cents); the last running value per user equals the user's total."""
+    from rayld.pipelines.relational import user_running_value
+
+    got = user_running_value(SF, num_partitions=4).to_pandas()
+    ev = pd.read_parquet(
+        f"{SF}/events.parquet",
+        columns=["event_id", "ts", "user_id", "value"],
+    ).sort_values(["user_id", "ts", "event_id"])
+    vc = np.floor(ev["value"] * 100 + 0.5).astype("int64")
+    want = ev.assign(rv=vc.groupby(ev["user_id"]).cumsum() / 100.0)
+    m = got.set_index("event_id")["running_value"]
+    assert np.allclose(
+        m.reindex(want["event_id"]).to_numpy(), want["rv"].to_numpy(),
+        rtol=0, atol=0,
+    )
+    last = want.groupby("user_id").tail(1)
+    total = vc.groupby(ev["user_id"]).sum() / 100.0
+    assert np.allclose(last.set_index("user_id")["rv"], total, rtol=0, atol=0)
