@@ -229,6 +229,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_anomaly": relational.events_anomaly,
         "events_rollup": relational.events_rollup,
         "user_running_value": relational.user_running_value,
+        "events_lead_lag": relational.events_lead_lag,
+        "user_event_pivot": relational.user_event_pivot,
+        "grouped_median": relational.grouped_median,
+        "user_spend_rank": relational.user_spend_rank,
         # multimodal plumbing
         "media_byte_stats": multimodal.media_byte_stats,
         "media_resize": multimodal.media_resize,
@@ -926,6 +930,48 @@ def oracle_sql() -> dict[str, str]:
             "   count(*)::BIGINT AS n_events,"
             "   sum(floor(value * 100 + 0.5)::BIGINT) / 100.0 AS sum_value"
             "  FROM events GROUP BY ROLLUP (event_type, window_start))"
+        ),
+        # LAG window per user: exact microsecond gap + integer-cents delta
+        "events_lead_lag": (
+            "SELECT event_id, user_id,"
+            " coalesce(epoch_us(ts) - lag(epoch_us(ts)) OVER w, -1)::BIGINT"
+            "   AS gap_us,"
+            " coalesce(floor(value * 100 + 0.5)::BIGINT"
+            "   - lag(floor(value * 100 + 0.5)::BIGINT) OVER w, 0) / 100.0"
+            "   AS value_delta"
+            " FROM events WINDOW w AS ("
+            "   PARTITION BY user_id ORDER BY ts, event_id)"
+        ),
+        # conditional-aggregation pivot: one count column per event type
+        "user_event_pivot": (
+            "SELECT user_id,"
+            + "".join(
+                f" count(*) FILTER (event_type = '{t}')::BIGINT AS n_{t},"
+                for t in ("click", "error", "purchase", "signup", "view")
+            )
+            + " sum(floor(value * 100 + 0.5)::BIGINT) / 100.0 AS total_value"
+            " FROM events GROUP BY 1"
+        ),
+        # exact percentile_disc over integer cents (median + p90 per type)
+        "grouped_median": (
+            "SELECT event_type, count(*)::BIGINT AS n_events,"
+            " (percentile_disc(0.5) WITHIN GROUP ("
+            "   ORDER BY floor(value * 100 + 0.5)::BIGINT)) / 100.0"
+            "   AS median_value,"
+            " (percentile_disc(0.9) WITHIN GROUP ("
+            "   ORDER BY floor(value * 100 + 0.5)::BIGINT)) / 100.0"
+            "   AS p90_value"
+            " FROM events GROUP BY 1"
+        ),
+        # global RANK + CUME_DIST of per-user spend (exact integer cents)
+        "user_spend_rank": (
+            "WITH u AS (SELECT user_id,"
+            "   sum(floor(value * 100 + 0.5)::BIGINT) AS spend_c"
+            "  FROM events GROUP BY 1)"
+            " SELECT user_id, spend_c / 100.0 AS spend,"
+            "  rank() OVER (ORDER BY spend_c)::BIGINT AS spend_rank,"
+            "  cume_dist() OVER (ORDER BY spend_c) AS spend_cume"
+            " FROM u"
         ),
         # running total per user (SUM OVER), exact in integer cents
         "user_running_value": (

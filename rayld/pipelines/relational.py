@@ -1389,3 +1389,282 @@ def user_running_value(sf_dir: str, num_partitions: int | None = None):
         .groupby("part")
         .map_groups(running, batch_format="pandas")
     )
+
+
+def events_lead_lag(sf_dir: str, num_partitions: int | None = None):
+    """LAG window per user: for each event, microseconds since the user's
+    previous event (-1 for the first) and the exact integer-cents value
+    delta (0 for the first). One bucketed hash(user_id) exchange; the lag
+    itself is a vectorized in-task sort + groupby.shift — the same single-
+    shuffle plan as ``user_running_value``, so it holds at any user count."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from .common import cluster_partitions
+
+    if num_partitions is None:
+        num_partitions = cluster_partitions()
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "user_id", "value"],
+    )
+
+    def bucket(batch: pa.Table) -> pa.Table:
+        k = np.asarray(batch["user_id"].to_pylist(), dtype=np.int64)
+        return batch.append_column(
+            "part", pa.array((k % num_partitions).astype(np.int32))
+        )
+
+    sch = pa.schema([
+        ("event_id", pa.int64()), ("user_id", pa.int64()),
+        ("gap_us", pa.int64()), ("value_delta", pa.float64()),
+    ])
+
+    def lag(df: pd.DataFrame) -> pa.Table:
+        if len(df) == 0:
+            return sch.empty_table()
+        df = df.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        # parquet timestamps are microsecond-resolution; diff in int64 us
+        # so the gap is exact (no float seconds)
+        ts_us = df["ts"].astype("datetime64[us]").astype("int64")
+        vc = pd.Series(money_cents(df["value"]), index=df.index)
+        prev_ts = ts_us.groupby(df["user_id"]).shift()
+        prev_vc = vc.groupby(df["user_id"]).shift()
+        gap = (ts_us - prev_ts).fillna(-1).astype("int64")
+        delta = (vc - prev_vc).fillna(0).astype("int64")
+        return pa.table({
+            "event_id": pa.array(df["event_id"].to_numpy(np.int64)),
+            "user_id": pa.array(df["user_id"].to_numpy(np.int64)),
+            "gap_us": pa.array(gap.to_numpy(np.int64)),
+            "value_delta": pa.array(
+                delta.to_numpy(np.int64) / 100.0, pa.float64()
+            ),
+        }, schema=sch)
+
+    return (
+        ds.map_batches(bucket, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(lag, batch_format="pandas")
+    )
+
+
+# the synthetic event stream's closed type vocabulary; the pivot asserts it
+# so a new type fails loudly instead of silently dropping a column
+_EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def user_event_pivot(sf_dir: str):
+    """Per-user feature matrix: event counts pivoted into one column per
+    event type plus an exact integer-cents total. Classic conditional-
+    aggregation pivot: the per-batch crosstab pre-aggregates to (users-in-
+    batch x 6) partial rows, so the single bucketed combine moves bounded
+    partials, never raw events. The type vocabulary is closed (asserted);
+    an open vocabulary would make this a two-pass plan (distinct pass to
+    pick columns, then the same pivot)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from .common import bucketed_sum_combine
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "event_type", "value"],
+    )
+    cols = [f"n_{t}" for t in _EVENT_TYPES]
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        unknown = set(df["event_type"].unique()) - set(_EVENT_TYPES)
+        if unknown:
+            raise ValueError(f"unknown event types: {sorted(unknown)}")
+        out = df.assign(n=1).pivot_table(
+            index="user_id", columns="event_type", values="n",
+            aggfunc="sum", fill_value=0,
+        )
+        for t in _EVENT_TYPES:
+            if t not in out.columns:
+                out[t] = 0
+        out = out[list(_EVENT_TYPES)].astype("int64")
+        out.columns = cols
+        out["spend_c"] = pd.Series(
+            money_cents(df["value"]), index=df.index
+        ).groupby(df["user_id"]).sum().astype("int64")
+        return out.reset_index()
+
+    agg = bucketed_sum_combine(
+        ds.map_batches(partial, batch_format="pandas"),
+        keys=["user_id"],
+        sum_cols=cols + ["spend_c"],
+        schema=pa.schema(
+            [("user_id", pa.int64())]
+            + [(c, pa.int64()) for c in cols]
+            + [("spend_c", pa.int64())]
+        ),
+    )
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        df["total_value"] = df["spend_c"].astype("int64") / 100.0
+        return df[["user_id"] + cols + ["total_value"]]
+
+    return agg.map_batches(finish, batch_format="pandas")
+
+
+def grouped_median(sf_dir: str):
+    """Exact per-type value percentiles (median + p90, percentile_disc
+    semantics) WITHOUT a distributed sort: values are integer cents, so the
+    per-batch partial is a (event_type, value_c) -> count histogram and the
+    single bucketed combine moves one row per distinct (type, cents) pair —
+    bounded by the value RANGE, not the event count, at any corpus size.
+    The final per-type scan of the merged histogram picks the first value
+    whose cumulative count reaches q*N, compared by integer cross-
+    multiplication (den*cum >= num*N) so there is no float threshold."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from .common import bucketed_sum_combine
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "value"]
+    )
+
+    def partial(df: pd.DataFrame) -> pa.Table:
+        g = df.assign(value_c=money_cents(df["value"]), n=1).groupby(
+            ["event_type", "value_c"], as_index=False
+        )["n"].sum()
+        return pa.table({
+            "event_type": pa.array(g["event_type"].astype(str), pa.string()),
+            "value_c": pa.array(g["value_c"].to_numpy(np.int64)),
+            "n": pa.array(g["n"].to_numpy(np.int64)),
+        })
+
+    hist = bucketed_sum_combine(
+        ds.map_batches(partial, batch_format="pandas"),
+        keys=["event_type", "value_c"],
+        sum_cols=["n"],
+        schema=pa.schema([
+            ("event_type", pa.string()), ("value_c", pa.int64()),
+            ("n", pa.int64()),
+        ]),
+    )
+
+    sch = pa.schema([
+        ("event_type", pa.string()), ("n_events", pa.int64()),
+        ("median_value", pa.float64()), ("p90_value", pa.float64()),
+    ])
+
+    def pick(df: pd.DataFrame) -> pa.Table:
+        if len(df) == 0:
+            return sch.empty_table()
+        df = df.sort_values("value_c")
+        cum = df["n"].cumsum().to_numpy(np.int64)
+        vals = df["value_c"].to_numpy(np.int64)
+        total = int(cum[-1])
+
+        def disc(num: int, den: int) -> float:
+            # first value with cume_dist >= num/den, exactly
+            idx = int(np.searchsorted(den * cum, num * total, side="left"))
+            return vals[idx] / 100.0
+
+        return pa.table({
+            "event_type": pa.array([str(df["event_type"].iloc[0])]),
+            "n_events": pa.array([total], pa.int64()),
+            "median_value": pa.array([disc(1, 2)], pa.float64()),
+            "p90_value": pa.array([disc(9, 10)], pa.float64()),
+        }, schema=sch)
+
+    # the histogram is tiny (distinct cents x 5 types); one group per type
+    return hist.groupby("event_type").map_groups(pick, batch_format="pandas")
+
+
+def user_spend_rank(sf_dir: str, range_shift: int = 16):
+    """Exact global RANK and CUME_DIST of per-user total spend WITHOUT a
+    global sort: the classic range-bucket + offset-broadcast plan.
+
+      1. per-user exact integer-cents totals (partial sums -> one bucketed
+         combine), materialized once as the pipeline breaker;
+      2. coarse range bucket rb = spend_c >> range_shift; the per-rb count
+         table is tiny (bounded by the spend RANGE / 2^shift, not the user
+         count), so the driver cumsums it into per-bucket rank offsets;
+      3. one bucketed shuffle on rb; each task sorts only its value range
+         and emits rank = offset + local strictly-less count + 1 and
+         cume_dist = (offset + local less-or-equal count) / N.
+
+    Ties land in the same rb by construction, so both counts are exact.
+    A skewed spend distribution concentrates users in few rb buckets —
+    lower range_shift (finer buckets) to spread them."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from .common import bucketed_sum_combine
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "value"]
+    )
+
+    def partial(df: pd.DataFrame) -> pa.Table:
+        g = pd.Series(money_cents(df["value"]), index=df.index).groupby(
+            df["user_id"]
+        ).sum()
+        return pa.table({
+            "user_id": pa.array(g.index.to_numpy(np.int64)),
+            "spend_c": pa.array(g.to_numpy(np.int64)),
+        })
+
+    users = bucketed_sum_combine(
+        ds.map_batches(partial, batch_format="pandas"),
+        keys=["user_id"],
+        sum_cols=["spend_c"],
+        schema=pa.schema([
+            ("user_id", pa.int64()), ("spend_c", pa.int64()),
+        ]),
+    ).materialize()
+
+    def rb_counts(batch: pa.Table) -> pa.Table:
+        rb = np.asarray(batch["spend_c"].to_pylist(), dtype=np.int64)
+        rb >>= range_shift
+        u, c = np.unique(rb, return_counts=True)
+        return pa.table({
+            "rb": pa.array(u), "n": pa.array(c.astype(np.int64)),
+        })
+
+    counts = bucketed_sum_combine(
+        users.map_batches(rb_counts, batch_format="pyarrow"),
+        keys=["rb"], sum_cols=["n"],
+        schema=pa.schema([("rb", pa.int64()), ("n", pa.int64())]),
+    ).to_pandas().sort_values("rb")
+    total = int(counts["n"].sum())
+    cum = counts["n"].cumsum().to_numpy(np.int64)
+    offsets = dict(zip(
+        counts["rb"].to_numpy(np.int64).tolist(), (cum - counts["n"].to_numpy(np.int64)).tolist(),
+    ))
+
+    sch = pa.schema([
+        ("user_id", pa.int64()), ("spend", pa.float64()),
+        ("spend_rank", pa.int64()), ("spend_cume", pa.float64()),
+    ])
+
+    def rank(df: pd.DataFrame) -> pa.Table:
+        if len(df) == 0:
+            return sch.empty_table()
+        spend = df["spend_c"].to_numpy(np.int64)
+        off = offsets[int(spend[0]) >> range_shift]
+        order = np.sort(spend)
+        left = np.searchsorted(order, spend, side="left")
+        right = np.searchsorted(order, spend, side="right")
+        return pa.table({
+            "user_id": pa.array(df["user_id"].to_numpy(np.int64)),
+            "spend": pa.array(spend / 100.0, pa.float64()),
+            "spend_rank": pa.array(off + left + 1),
+            "spend_cume": pa.array((off + right) / total, pa.float64()),
+        }, schema=sch)
+
+    def add_rb(batch: pa.Table) -> pa.Table:
+        rb = np.asarray(batch["spend_c"].to_pylist(), dtype=np.int64)
+        return batch.append_column(
+            "rb", pa.array((rb >> range_shift).astype(np.int64))
+        )
+
+    return (
+        users.map_batches(add_rb, batch_format="pyarrow")
+        .groupby("rb")
+        .map_groups(rank, batch_format="pandas")
+    )

@@ -1317,3 +1317,106 @@ def test_user_running_value(ray_session):
     last = want.groupby("user_id").tail(1)
     total = vc.groupby(ev["user_id"]).sum() / 100.0
     assert np.allclose(last.set_index("user_id")["rv"], total, rtol=0, atol=0)
+
+
+def test_events_lead_lag(ray_session):
+    """Per-user LAG matches a pandas shift recount; first event per user is
+    sentinel-flagged and gaps are non-negative."""
+    from rayld.pipelines.relational import events_lead_lag
+
+    got = events_lead_lag(SF, num_partitions=4).to_pandas()
+    ev = pd.read_parquet(
+        f"{SF}/events.parquet",
+        columns=["event_id", "ts", "user_id", "value"],
+    ).sort_values(["user_id", "ts", "event_id"])
+    ts_us = ev["ts"].astype("datetime64[us]").astype("int64")
+    vc = pd.Series(
+        np.floor(ev["value"] * 100 + 0.5).astype("int64"), index=ev.index
+    )
+    want = pd.DataFrame({
+        "event_id": ev["event_id"],
+        "gap_us": (ts_us - ts_us.groupby(ev["user_id"]).shift())
+        .fillna(-1).astype("int64"),
+        "value_delta": (vc - vc.groupby(ev["user_id"]).shift())
+        .fillna(0).astype("int64") / 100.0,
+    })
+    m = got.set_index("event_id").reindex(want["event_id"])
+    assert (m["gap_us"].to_numpy() == want["gap_us"].to_numpy()).all()
+    assert np.allclose(
+        m["value_delta"].to_numpy(), want["value_delta"].to_numpy(),
+        rtol=0, atol=0,
+    )
+    firsts = got[got["gap_us"] == -1]
+    assert len(firsts) == ev["user_id"].nunique()
+    assert (got["gap_us"] >= -1).all()
+
+
+def test_user_event_pivot(ray_session):
+    """Pivot row sums equal per-user event counts; column sums equal the
+    corpus type distribution; totals are exact cents."""
+    from rayld.pipelines.relational import user_event_pivot, _EVENT_TYPES
+
+    got = user_event_pivot(SF).to_pandas().set_index("user_id")
+    ev = pd.read_parquet(
+        f"{SF}/events.parquet", columns=["user_id", "event_type", "value"]
+    )
+    cols = [f"n_{t}" for t in _EVENT_TYPES]
+    assert got[cols].sum(axis=1).equals(
+        ev.groupby("user_id").size().reindex(got.index)
+    )
+    by_type = ev.groupby("event_type").size()
+    for t in _EVENT_TYPES:
+        assert got[f"n_{t}"].sum() == by_type.get(t, 0)
+    vc = np.floor(ev["value"] * 100 + 0.5).astype("int64")
+    want_total = vc.groupby(ev["user_id"]).sum() / 100.0
+    assert np.allclose(
+        got["total_value"].sort_index(), want_total.sort_index(),
+        rtol=0, atol=0,
+    )
+
+
+def test_grouped_median(ray_session):
+    """Exact percentile_disc parity with DuckDB per event type."""
+    import duckdb
+
+    from rayld.pipelines.relational import grouped_median
+
+    got = grouped_median(SF).to_pandas().set_index("event_type").sort_index()
+    want = duckdb.sql(
+        "SELECT event_type, count(*)::BIGINT AS n_events,"
+        " (percentile_disc(0.5) WITHIN GROUP ("
+        "   ORDER BY floor(value*100+0.5)::BIGINT))/100.0 AS median_value,"
+        " (percentile_disc(0.9) WITHIN GROUP ("
+        "   ORDER BY floor(value*100+0.5)::BIGINT))/100.0 AS p90_value"
+        f" FROM '{SF}/events.parquet' GROUP BY 1 ORDER BY 1"
+    ).df().set_index("event_type")
+    assert (got["n_events"] == want["n_events"]).all()
+    assert np.allclose(got["median_value"], want["median_value"], rtol=0,
+                       atol=0)
+    assert np.allclose(got["p90_value"], want["p90_value"], rtol=0, atol=0)
+
+
+def test_user_spend_rank(ray_session):
+    """Distributed range-bucket rank equals a single-process recount (RANK
+    and CUME_DIST semantics, ties share both), at a shift that forces many
+    range buckets."""
+    from rayld.pipelines.relational import user_spend_rank
+
+    got = user_spend_rank(SF, range_shift=12).to_pandas()
+    ev = pd.read_parquet(f"{SF}/events.parquet",
+                         columns=["user_id", "value"])
+    vc = np.floor(ev["value"] * 100 + 0.5).astype("int64")
+    spend = vc.groupby(ev["user_id"]).sum()
+    order = np.sort(spend.to_numpy())
+    left = np.searchsorted(order, spend.to_numpy(), side="left")
+    right = np.searchsorted(order, spend.to_numpy(), side="right")
+    want = pd.DataFrame({
+        "user_id": spend.index,
+        "spend_rank": left + 1,
+        "spend_cume": right / len(order),
+    }).set_index("user_id")
+    m = got.set_index("user_id").reindex(want.index)
+    assert (m["spend_rank"].to_numpy() == want["spend_rank"].to_numpy()).all()
+    assert np.allclose(m["spend_cume"], want["spend_cume"], rtol=0, atol=0)
+    # the shift must actually have split the spend range
+    assert len(got) == len(want)
