@@ -233,6 +233,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_event_pivot": relational.user_event_pivot,
         "grouped_median": relational.grouped_median,
         "user_spend_rank": relational.user_spend_rank,
+        "segment_active_customers": relational.segment_active_customers,
+        "clickers_no_purchase": relational.clickers_no_purchase,
+        "power_users": relational.power_users,
         # multimodal plumbing
         "media_byte_stats": multimodal.media_byte_stats,
         "media_resize": multimodal.media_resize,
@@ -930,6 +933,29 @@ def oracle_sql() -> dict[str, str]:
             "   count(*)::BIGINT AS n_events,"
             "   sum(floor(value * 100 + 0.5)::BIGINT) / 100.0 AS sum_value"
             "  FROM events GROUP BY ROLLUP (event_type, window_start))"
+        ),
+        # SEMI-join (EXISTS): customers with >=1 order, per segment
+        "segment_active_customers": (
+            "SELECT c_mktsegment, count(*)::BIGINT AS n_customers"
+            " FROM customer c WHERE EXISTS ("
+            "   SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)"
+            " GROUP BY 1"
+        ),
+        # EXCEPT set op: (user, day) pairs that clicked but never purchased
+        "clickers_no_purchase": (
+            "SELECT user_id, epoch(date_trunc('day', ts))::BIGINT AS"
+            "   day_start FROM events WHERE event_type = 'click'"
+            " EXCEPT"
+            " SELECT user_id, epoch(date_trunc('day', ts))::BIGINT"
+            "  FROM events WHERE event_type = 'purchase'"
+        ),
+        # HAVING: users filtered by their own aggregates
+        "power_users": (
+            "SELECT user_id, count(*)::BIGINT AS n_events,"
+            " sum(floor(value * 100 + 0.5)::BIGINT) / 100.0 AS spend"
+            " FROM events GROUP BY 1"
+            " HAVING count(*) >= 50"
+            "  AND sum(floor(value * 100 + 0.5)::BIGINT) >= 10000"
         ),
         # LAG window per user: exact microsecond gap + integer-cents delta
         "events_lead_lag": (

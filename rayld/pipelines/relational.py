@@ -1668,3 +1668,179 @@ def user_spend_rank(sf_dir: str, range_shift: int = 16):
         .groupby("rb")
         .map_groups(rank, batch_format="pandas")
     )
+
+
+def segment_active_customers(sf_dir: str, num_partitions: int | None = None):
+    """Distributed SEMI-join (SQL EXISTS): customers with at least one
+    order, counted per market segment. Same union + bucketed-shuffle plan
+    as the anti-join in ``inactive_customers`` — the orders side collapses
+    to per-batch DISTINCT custkey partials first — but keeps the MATCHING
+    left rows; the per-segment count then rides one tiny bounded combine."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from .common import bucketed_sum_combine, cluster_partitions
+
+    if num_partitions is None:
+        num_partitions = cluster_partitions()
+
+    cust = rd.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+    )
+
+    def cust_rows(df: pd.DataFrame) -> pa.Table:
+        return pa.table({
+            "custkey": pa.array(df["c_custkey"].to_numpy(np.int64)),
+            "c_mktsegment": pa.array(df["c_mktsegment"].tolist(), pa.string()),
+            "is_order": pa.array(np.zeros(len(df), np.int8), pa.int8()),
+        })
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey"]
+    )
+
+    def order_keys(df: pd.DataFrame) -> pa.Table:
+        keys = df["o_custkey"].unique()
+        return pa.table({
+            "custkey": pa.array(keys.astype(np.int64)),
+            "c_mktsegment": pa.array([""] * len(keys), pa.string()),
+            "is_order": pa.array(np.ones(len(keys), np.int8), pa.int8()),
+        })
+
+    def bucket(batch: pa.Table) -> pa.Table:
+        k = np.asarray(batch["custkey"].to_pylist(), dtype=np.int64)
+        return batch.append_column(
+            "part", pa.array((k % num_partitions).astype(np.int32))
+        )
+
+    def semi(df: pd.DataFrame) -> pa.Table:
+        have = set(df.loc[df["is_order"] == 1, "custkey"].unique())
+        left = df[df["is_order"] == 0]
+        kept = left[left["custkey"].isin(have)]
+        g = kept.groupby("c_mktsegment", as_index=False).size()
+        return pa.table({
+            "c_mktsegment": pa.array(g["c_mktsegment"].astype(str),
+                                     pa.string()),
+            "n_customers": pa.array(g["size"].to_numpy(np.int64)),
+        })
+
+    unioned = (
+        cust.map_batches(cust_rows, batch_format="pandas")
+        .union(orders.map_batches(order_keys, batch_format="pandas"))
+        .map_batches(bucket, batch_format="pyarrow")
+    )
+    partials = unioned.groupby("part").map_groups(semi, batch_format="pandas")
+    return bucketed_sum_combine(
+        partials, keys=["c_mktsegment"], sum_cols=["n_customers"],
+        schema=pa.schema([
+            ("c_mktsegment", pa.string()), ("n_customers", pa.int64()),
+        ]),
+    )
+
+
+def clickers_no_purchase(sf_dir: str):
+    """SQL EXCEPT as ONE scan: (user, day) pairs that saw a click but no
+    purchase. Instead of the oracle's two distinct scans + set difference,
+    every batch emits per-(user, day) (has_click, has_purchase) 0/1
+    partials and a single max-combine + filter resolves the set op — one
+    pass over the events table, one bucketed exchange of pair-level
+    flags."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from .common import bucketed_sum_combine
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_type"]
+    )
+
+    def partial(df: pd.DataFrame) -> pa.Table:
+        day = (
+            df["ts"].dt.floor("d").astype("datetime64[s]").astype("int64")
+        )
+        flags = pd.DataFrame({
+            "user_id": df["user_id"],
+            "day_start": day,
+            "has_click": (df["event_type"] == "click").astype("int64"),
+            "has_purchase": (df["event_type"] == "purchase").astype("int64"),
+        }).groupby(["user_id", "day_start"], as_index=False).max()
+        return pa.table({
+            "user_id": pa.array(flags["user_id"].to_numpy(np.int64)),
+            "day_start": pa.array(flags["day_start"].to_numpy(np.int64)),
+            "has_click": pa.array(flags["has_click"].to_numpy(np.int64)),
+            "has_purchase": pa.array(
+                flags["has_purchase"].to_numpy(np.int64)
+            ),
+        })
+
+    agg = bucketed_sum_combine(
+        ds.map_batches(partial, batch_format="pandas"),
+        keys=["user_id", "day_start"],
+        sum_cols=["has_click", "has_purchase"],
+        schema=pa.schema([
+            ("user_id", pa.int64()), ("day_start", pa.int64()),
+            ("has_click", pa.int64()), ("has_purchase", pa.int64()),
+        ]),
+        how="max",
+    )
+
+    def keep(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        out = df[(df["has_click"] == 1) & (df["has_purchase"] == 0)]
+        return pa.table({
+            "user_id": pa.array(out["user_id"].to_numpy(np.int64)),
+            "day_start": pa.array(out["day_start"].to_numpy(np.int64)),
+        })
+
+    return agg.map_batches(keep, batch_format="pyarrow")
+
+
+def power_users(sf_dir: str, min_events: int = 50, min_spend: float = 100.0):
+    """SQL HAVING: users filtered by their own aggregates (event count >=
+    min_events AND exact integer-cents spend >= min_spend). Per-batch
+    partials -> one bucketed combine -> vectorized post-filter; the filter
+    runs where the aggregate lands, so nothing re-shuffles."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from .common import bucketed_sum_combine
+
+    min_spend_c = int(round(min_spend * 100))
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "value"]
+    )
+
+    def partial(df: pd.DataFrame) -> pa.Table:
+        g = pd.DataFrame({
+            "user_id": df["user_id"],
+            "n_events": 1,
+            "spend_c": money_cents(df["value"]),
+        }).groupby("user_id", as_index=False).sum()
+        return pa.table({
+            "user_id": pa.array(g["user_id"].to_numpy(np.int64)),
+            "n_events": pa.array(g["n_events"].to_numpy(np.int64)),
+            "spend_c": pa.array(g["spend_c"].to_numpy(np.int64)),
+        })
+
+    agg = bucketed_sum_combine(
+        ds.map_batches(partial, batch_format="pandas"),
+        keys=["user_id"], sum_cols=["n_events", "spend_c"],
+        schema=pa.schema([
+            ("user_id", pa.int64()), ("n_events", pa.int64()),
+            ("spend_c", pa.int64()),
+        ]),
+    )
+
+    def having(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df = df[(df["n_events"] >= min_events)
+                & (df["spend_c"] >= min_spend_c)]
+        return pa.table({
+            "user_id": pa.array(df["user_id"].to_numpy(np.int64)),
+            "n_events": pa.array(df["n_events"].to_numpy(np.int64)),
+            "spend": pa.array(
+                df["spend_c"].to_numpy(np.int64) / 100.0, pa.float64()
+            ),
+        })
+
+    return agg.map_batches(having, batch_format="pyarrow")

@@ -1420,3 +1420,62 @@ def test_user_spend_rank(ray_session):
     assert np.allclose(m["spend_cume"], want["spend_cume"], rtol=0, atol=0)
     # the shift must actually have split the spend range
     assert len(got) == len(want)
+
+
+def test_segment_active_customers(ray_session):
+    """Semi-join counts equal a pandas isin recount and never exceed the
+    per-segment customer counts."""
+    from rayld.pipelines.relational import segment_active_customers
+
+    got = segment_active_customers(SF, num_partitions=4).to_pandas()
+    cust = pd.read_parquet(f"{SF}/customer.parquet",
+                           columns=["c_custkey", "c_mktsegment"])
+    okeys = pd.read_parquet(f"{SF}/orders.parquet",
+                            columns=["o_custkey"])["o_custkey"].unique()
+    want = (
+        cust[cust["c_custkey"].isin(okeys)]
+        .groupby("c_mktsegment").size()
+    )
+    m = got.set_index("c_mktsegment")["n_customers"]
+    assert m.sort_index().equals(want.sort_index().astype("int64"))
+    totals = cust.groupby("c_mktsegment").size()
+    assert (m <= totals.reindex(m.index)).all()
+
+
+def test_clickers_no_purchase(ray_session):
+    """One-scan EXCEPT equals the two-scan set difference."""
+    from rayld.pipelines.relational import clickers_no_purchase
+
+    got = clickers_no_purchase(SF).to_pandas()
+    ev = pd.read_parquet(f"{SF}/events.parquet",
+                         columns=["user_id", "ts", "event_type"])
+    day = ev["ts"].dt.floor("d").astype("datetime64[s]").astype("int64")
+    key = list(zip(ev["user_id"], day))
+    clicks = {k for k, t in zip(key, ev["event_type"]) if t == "click"}
+    buys = {k for k, t in zip(key, ev["event_type"]) if t == "purchase"}
+    want = clicks - buys
+    assert set(zip(got["user_id"], got["day_start"])) == want
+    assert len(got) == len(want)  # no duplicate pairs
+
+
+def test_power_users(ray_session):
+    """HAVING filter matches a pandas recount at a non-trivial threshold
+    (some users kept, some dropped)."""
+    from rayld.pipelines.relational import power_users
+
+    got = power_users(SF, min_events=60, min_spend=100.0).to_pandas()
+    ev = pd.read_parquet(f"{SF}/events.parquet",
+                         columns=["user_id", "value"])
+    vc = np.floor(ev["value"] * 100 + 0.5).astype("int64")
+    agg = pd.DataFrame({"user_id": ev["user_id"], "vc": vc}).groupby(
+        "user_id"
+    ).agg(n_events=("vc", "size"), spend_c=("vc", "sum"))
+    want = agg[(agg["n_events"] >= 60) & (agg["spend_c"] >= 10000)]
+    assert 0 < len(want) < len(agg)
+    m = got.set_index("user_id").sort_index()
+    assert (m.index == want.sort_index().index).all()
+    assert (m["n_events"].to_numpy()
+            == want.sort_index()["n_events"].to_numpy()).all()
+    assert np.allclose(
+        m["spend"], want.sort_index()["spend_c"] / 100.0, rtol=0, atol=0
+    )
