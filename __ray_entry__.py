@@ -149,6 +149,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # text analysis
         "token_count": text.token_count,
         "token_frequencies": text.token_frequencies,
+        "token_cms_gate": text.token_cms_gate,
         "doc_len_histogram": text.doc_len_histogram,
         "doc_expectations": text.doc_expectations,
         "corpus_summary": text.corpus_summary,
@@ -748,6 +749,14 @@ def oracle_sql() -> dict[str, str]:
             "SELECT t AS token, count(*)::BIGINT AS n FROM documents,"
             " unnest(regexp_extract_all(text, '[A-Za-z0-9]+')) AS u(t)"
             " GROUP BY t ORDER BY n DESC, token LIMIT 100"
+        ),
+        # Count-Min Sketch accuracy gate: exact top-20 counts + a typed
+        # flag asserting the CMS bound held (constant-1 on correct merges)
+        "token_cms_gate": (
+            "SELECT t AS token, count(*)::BIGINT AS n, 1::BIGINT AS cms_ok"
+            " FROM documents,"
+            " unnest(regexp_extract_all(text, '[A-Za-z0-9]+')) AS u(t)"
+            " GROUP BY t ORDER BY n DESC, token LIMIT 20"
         ),
         # heavy-hitter pruned EXACT top-k (the sketch only prunes candidates)
         "top_tokens_sketch": (

@@ -900,3 +900,130 @@ def doc_surprisal(sf_dir: str, num_partitions: int | None = None):
         sum_cols=["surprisal_micro_nats", "n_tokens"],
         schema=_doc_schema, num_partitions=num_partitions,
     )
+
+
+# Count-Min Sketch geometry: d=4 hash rows x w=2048 columns. Columns come
+# from a multiply-mix over the per-token crc32 (the repo's token-hash
+# convention), one odd 64-bit constant pair per row.
+_CMS_D = 4
+_CMS_W = 2048
+_CMS_MIX = np.array(
+    [(0x9E3779B97F4A7C15, 0xBF58476D1CE4E5B9),
+     (0x94D049BB133111EB, 0xD6E8FEB86659FD93),
+     (0xC2B2AE3D27D4EB4F, 0x165667B19E3779F9),
+     (0x27D4EB2F165667C5, 0x85EBCA77C2B2AE63)],
+    dtype=np.uint64,
+)
+
+
+def _cms_cols(token_hashes: np.ndarray) -> np.ndarray:
+    """(d, n) column indices for uint64 token hashes: one multiply-mix +
+    top-bits take per sketch row (vectorized, no per-token Python)."""
+    h = token_hashes.astype(np.uint64)
+    cols = np.empty((_CMS_D, len(h)), dtype=np.int64)
+    shift = np.uint64(64 - 11)  # log2(_CMS_W) = 11
+    for i in range(_CMS_D):
+        a, b = _CMS_MIX[i]
+        m = (h * a + b)  # uint64 wraps mod 2^64
+        m ^= m >> np.uint64(29)
+        m *= np.uint64(0xBF58476D1CE4E5B9)
+        cols[i] = (m >> shift).astype(np.int64)
+    return cols
+
+
+def _cms_partial(df: pd.DataFrame) -> pa.Table:
+    """Per-batch CMS partial: exact in-batch token counts splatted into the
+    d x w cell grid, emitted sparse as (row, col, cnt) — <= d*w rows per
+    block regardless of token count."""
+    import zlib
+
+    toks = df["text"].str.findall(_TOKEN_RE).explode().dropna()
+    counts = toks.value_counts()
+    if len(counts) == 0:
+        return pa.table({
+            "row": pa.array([], pa.int64()),
+            "col": pa.array([], pa.int64()),
+            "cnt": pa.array([], pa.int64()),
+        })
+    hashes = np.fromiter(
+        (zlib.crc32(t.encode()) for t in counts.index),
+        dtype=np.uint64, count=len(counts),
+    )
+    cols = _cms_cols(hashes)
+    cvals = counts.to_numpy(np.int64)
+    rows_out, cols_out, cnt_out = [], [], []
+    for i in range(_CMS_D):
+        cells = np.zeros(_CMS_W, dtype=np.int64)
+        np.add.at(cells, cols[i], cvals)
+        nz = np.nonzero(cells)[0]
+        rows_out.append(np.full(len(nz), i, dtype=np.int64))
+        cols_out.append(nz)
+        cnt_out.append(cells[nz])
+    return pa.table({
+        "row": pa.array(np.concatenate(rows_out)),
+        "col": pa.array(np.concatenate(cols_out)),
+        "cnt": pa.array(np.concatenate(cnt_out)),
+    })
+
+
+def _cms_merged_cells(partials) -> np.ndarray:
+    """Merge (row, col, cnt) sketch partials through one bucketed exchange
+    and densify to the (d, w) cell matrix on the driver (bounded: <= d*w
+    cells regardless of corpus size)."""
+    import pyarrow as pa
+
+    from .common import bucketed_sum_combine
+
+    sketch = bucketed_sum_combine(
+        partials,
+        keys=["row", "col"], sum_cols=["cnt"],
+        schema=pa.schema([
+            ("row", pa.int64()), ("col", pa.int64()), ("cnt", pa.int64()),
+        ]),
+    ).to_pandas()
+    cells = np.zeros((_CMS_D, _CMS_W), dtype=np.int64)
+    cells[sketch["row"].to_numpy(np.int64),
+          sketch["col"].to_numpy(np.int64)] = sketch["cnt"].to_numpy(
+        np.int64
+    )
+    return cells
+
+
+def token_cms_gate(sf_dir: str, top_n: int = 20, err_margin: float = 3.0):
+    """Count-Min Sketch over corpus token frequencies, accuracy-gated
+    against the exact counts (the HLL-gate oracle pattern): output
+    (token, n, cms_ok) for the exact top-n tokens, where n is the exact
+    count and cms_ok asserts the CMS guarantee — estimate >= exact always
+    (a lost partial breaks this), and estimate <= exact +
+    err_margin * (e/w) * N_total (a double-count or bad merge blows it).
+
+    The sketch is the 100-TB path: each block's partial is <= d*w = 8192
+    (row, col, count) cells REGARDLESS of token count, partials merge by
+    cell-wise sum through one bucketed exchange, and the merged sketch is
+    bounded, so the driver-side lookup table never grows with the corpus.
+    Exact top-n counts come from the existing distributed
+    ``token_frequencies`` path."""
+    import zlib
+
+    cells = _cms_merged_cells(
+        documents(sf_dir).map_batches(_cms_partial, batch_format="pandas")
+    )
+    n_total = int(cells[0].sum())  # every row sums to the token count
+
+    top = token_frequencies(sf_dir, top_n=top_n).to_pandas()
+    hashes = np.fromiter(
+        (zlib.crc32(t.encode()) for t in top["token"]),
+        dtype=np.uint64, count=len(top),
+    )
+    cols = _cms_cols(hashes)
+    est = np.min(
+        cells[np.arange(_CMS_D)[:, None], cols], axis=0
+    )
+    exact = top["n"].to_numpy(np.int64)
+    bound = exact + np.ceil(err_margin * (np.e / _CMS_W) * n_total)
+    ok = ((est >= exact) & (est <= bound)).astype("int64")
+    return pd.DataFrame({
+        "token": top["token"].astype(str),
+        "n": exact,
+        "cms_ok": pd.Series(ok, dtype="int64"),
+    })

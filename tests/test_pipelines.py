@@ -1479,3 +1479,40 @@ def test_power_users(ray_session):
     assert np.allclose(
         m["spend"], want.sort_index()["spend_c"] / 100.0, rtol=0, atol=0
     )
+
+
+def test_token_cms_gate(ray_session):
+    """Distributed CMS merge is value-identical to a single-process sketch
+    over the whole corpus (merge parity), the guarantee holds for EVERY
+    token (not just the gated top-20), and all gate flags pass."""
+    from rayld.pipelines.text import (
+        _TOKEN_RE, _cms_cols, _cms_merged_cells, _cms_partial,
+        documents, token_cms_gate,
+    )
+    import zlib
+
+    got = token_cms_gate(SF)
+    assert (got["cms_ok"] == 1).all() and len(got) == 20
+
+    docs = pd.read_parquet(f"{SF}/documents.parquet", columns=["text"])
+    local = _cms_partial(docs).to_pandas()
+    lcells = np.zeros((4, 2048), dtype=np.int64)
+    lcells[local["row"], local["col"]] = local["cnt"]
+
+    dist = _cms_merged_cells(
+        documents(SF).map_batches(_cms_partial, batch_format="pandas")
+    )
+    assert (dist == lcells).all()
+
+    toks = docs["text"].str.findall(_TOKEN_RE).explode().dropna()
+    counts = toks.value_counts()
+    hashes = np.fromiter(
+        (zlib.crc32(t.encode()) for t in counts.index),
+        dtype=np.uint64, count=len(counts),
+    )
+    cols = _cms_cols(hashes)
+    est = np.min(dist[np.arange(4)[:, None], cols], axis=0)
+    exact = counts.to_numpy(np.int64)
+    assert (est >= exact).all()  # CMS never underestimates
+    n_total = int(exact.sum())
+    assert (est <= exact + np.ceil(3 * np.e / 2048 * n_total)).all()
