@@ -101,6 +101,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         n = min(150, max(30, jsonld_ops.n_conversations_for(sf_dir) // 10))
         return pagerank_check(n)
 
+    def kg_entity_cooccurrence(sf_dir: str):
+        """Entity co-occurrence network over the KG: conversations jointly
+        mentioning each unordered entity pair (bounded pair vocabulary)."""
+        from rayld.pipelines.graph import entity_cooccurrence
+
+        n = max(50, jsonld_ops.n_conversations_for(sf_dir) // 5)
+        return entity_cooccurrence(build_triples(transcripts_dataset(n)))
+
     def kg_bgp_user_mentions(sf_dir: str):
         """SPARQL-lite BGP over the KG: entities mentioned by user turns
         ({?t a rayld:Turn . ?t rayld:role 'user' . ?t schema:about ?e})."""
@@ -137,6 +145,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_pagerank_check": kg_pagerank_gate,
         "kg_jsonld_roundtrip_check": kg_jsonld_roundtrip,
         "kg_bgp_user_mentions": kg_bgp_user_mentions,
+        "kg_entity_cooccurrence": kg_entity_cooccurrence,
         # JSON-LD API surface A1-A7 + S1/S2 (non-SQL)
         "jsonld_expand": jsonld_ops.op_expand,
         "jsonld_compact_roundtrip": jsonld_ops.op_compact_roundtrip,

@@ -571,3 +571,75 @@ def kg_user_turn_mentions(triples_ds, num_partitions: int | None = None):
         lambda t: t.rename_columns(["conv_id", "turn", "entity"]),
         batch_format="pyarrow",
     )
+
+
+def entity_cooccurrence(triples_ds, num_partitions: int | None = None,
+                        max_entities_per_conv: int = 512):
+    """Entity co-occurrence network: for every unordered pair of entities
+    mentioned (schema:about) in the same conversation, the number of
+    conversations mentioning both.
+
+    Plan (two bucketed exchanges, both bounded):
+      1. prune to mention triples at the scan, bucket on hash(conv_id); the
+         in-task pandas pass dedups (conv, entity) and emits each
+         conversation's sorted within-conv pairs — pair fan-out is capped at
+         max_entities_per_conv choose 2 per conversation (capped convs are
+         counted in a log line, the embedding_neardup pattern);
+      2. pair-count partials ride one bucketed combine keyed (e1, e2) —
+         the pair vocabulary is gazetteer-bounded, not corpus-bounded, so
+         the combine's in-task groups stay small at any corpus size."""
+    from .common import bucketed_sum_combine, cluster_partitions
+
+    if num_partitions is None:
+        num_partitions = cluster_partitions()
+    bucket_str = _crc32_bucketer(num_partitions)
+
+    def mentions(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        keep = pc.and_(
+            pc.equal(batch["pred"], "http://schema.org/about"),
+            pc.equal(batch["obj_kind"], "IRI"),
+        )
+        batch = batch.filter(keep)
+        return pa.table({
+            "conv_id": batch["conv_id"].cast(pa.string()),
+            "entity": batch["obj_value"].cast(pa.string()),
+            "part": pa.array(bucket_str(batch["conv_id"].to_pylist()),
+                             pa.int32()),
+        })
+
+    pair_schema = pa.schema([
+        ("e1", pa.string()), ("e2", pa.string()), ("n_convs", pa.int64()),
+    ])
+
+    def conv_pairs(df: pd.DataFrame) -> pa.Table:
+        if len(df) == 0:
+            return pair_schema.empty_table()
+        df = df[["conv_id", "entity"]].drop_duplicates()
+        sizes = df.groupby("conv_id")["entity"].transform("size")
+        n_capped = df.loc[sizes > max_entities_per_conv, "conv_id"].nunique()
+        if n_capped:
+            print(  # no silent caps (the simhash_neardup pattern)
+                f"entity_cooccurrence: {n_capped} conversations over "
+                f"{max_entities_per_conv} entities dropped from pairing"
+            )
+        df = df[sizes <= max_entities_per_conv]
+        m = df.merge(df, on="conv_id", suffixes=("_1", "_2"))
+        m = m[m["entity_1"] < m["entity_2"]]
+        g = m.groupby(["entity_1", "entity_2"], as_index=False).size()
+        return pa.table({
+            "e1": pa.array(g["entity_1"].astype(str), pa.string()),
+            "e2": pa.array(g["entity_2"].astype(str), pa.string()),
+            "n_convs": pa.array(g["size"].to_numpy(np.int64)),
+        }, schema=pair_schema)
+
+    partials = (
+        triples_ds.map_batches(mentions, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(conv_pairs, batch_format="pandas")
+    )
+    return bucketed_sum_combine(
+        partials, keys=["e1", "e2"], sum_cols=["n_convs"],
+        schema=pair_schema,
+    )

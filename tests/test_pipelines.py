@@ -1516,3 +1516,30 @@ def test_token_cms_gate(ray_session):
     assert (est >= exact).all()  # CMS never underestimates
     n_total = int(exact.sum())
     assert (est <= exact + np.ceil(3 * np.e / 2048 * n_total)).all()
+
+
+def test_entity_cooccurrence(ray_session):
+    """Distributed co-occurrence equals a single-process pandas recount
+    over the same triples, and weights are symmetric-by-construction
+    (e1 < e2, each unordered pair exactly once)."""
+    from rayld.pipelines.graph import entity_cooccurrence
+    from rayld.pipelines.kg import build_triples
+    from rayld.sources.transcripts import transcripts_dataset
+
+    triples = build_triples(transcripts_dataset(40)).materialize()
+    got = entity_cooccurrence(triples, num_partitions=4).to_pandas()
+
+    t = triples.to_pandas()
+    m = t[(t["pred"] == "http://schema.org/about")
+          & (t["obj_kind"] == "IRI")][["conv_id", "obj_value"]]
+    m = m.drop_duplicates()
+    j = m.merge(m, on="conv_id", suffixes=("_1", "_2"))
+    j = j[j["obj_value_1"] < j["obj_value_2"]]
+    want = j.groupby(["obj_value_1", "obj_value_2"]).size()
+
+    assert len(got) == len(want) > 0
+    assert (got["e1"] < got["e2"]).all()
+    got_map = got.set_index(["e1", "e2"])["n_convs"]
+    assert got_map.sort_index().equals(
+        want.sort_index().astype("int64")
+    )
