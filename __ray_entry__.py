@@ -243,6 +243,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_event_pivot": relational.user_event_pivot,
         "grouped_median": relational.grouped_median,
         "user_spend_rank": relational.user_spend_rank,
+        "value_quantile_sketch": relational.value_quantile_sketch,
         "segment_active_customers": relational.segment_active_customers,
         "clickers_no_purchase": relational.clickers_no_purchase,
         "power_users": relational.power_users,
@@ -951,6 +952,14 @@ def oracle_sql() -> dict[str, str]:
             "   count(*)::BIGINT AS n_events,"
             "   sum(floor(value * 100 + 0.5)::BIGINT) / 100.0 AS sum_value"
             "  FROM events GROUP BY ROLLUP (event_type, window_start))"
+        ),
+        # bottom-k quantile sketch accuracy gate (constant-1 on a correct
+        # sample/merge; n_total pins the exact pass)
+        "value_quantile_sketch": (
+            "SELECT q_milli::BIGINT AS q_milli,"
+            " (SELECT count(*) FROM events)::BIGINT AS n_total,"
+            " 1::BIGINT AS rank_ok"
+            " FROM (VALUES (250), (500), (900), (990)) t(q_milli)"
         ),
         # SEMI-join (EXISTS): customers with >=1 order, per segment
         "segment_active_customers": (

@@ -1844,3 +1844,108 @@ def power_users(sf_dir: str, min_events: int = 50, min_spend: float = 100.0):
         })
 
     return agg.map_batches(having, batch_format="pyarrow")
+
+
+def value_quantile_sketch(sf_dir: str, k: int = 4096,
+                          qs=(250, 500, 900, 990), n_sigma: float = 4.0):
+    """Quantile sketch for an UNBOUNDED value domain (the bounded-domain
+    exact path is ``grouped_median``'s cents histogram): a deterministic
+    bottom-k sample — every row gets a uniform uint64 priority from a
+    multiply-mixed hash of its event_id, each block keeps its k smallest
+    (priority, value) pairs, and bottom-k is re-applied at the merge, which
+    makes the sketch mergeable and the final sample an exact uniform
+    k-sample without replacement. Quantile estimates read off the sorted
+    sample; a second exact pass counts rank(value <= estimate) and gates
+    |rank/N - q| <= n_sigma * sqrt(q(1-q)/k) (the HLL/CMS gate pattern —
+    a sampling or merge regression blows through a 4-sigma band).
+
+    Output is the SQL-checkable projection (q_milli, n_total, rank_ok);
+    the estimate itself is data-dependent and rides the gate instead."""
+    import pyarrow as pa
+    import ray
+    import ray.data as rd
+
+    from .common import bucketed_sum_combine
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "value"]
+    )
+
+    def bottom_k(batch: pa.Table) -> pa.Table:
+        h = np.asarray(batch["event_id"].to_pylist(), dtype=np.uint64)
+        with np.errstate(over="ignore"):
+            h ^= h >> np.uint64(33)
+            h *= np.uint64(0xFF51AFD7ED558CCD)
+            h ^= h >> np.uint64(33)
+            h *= np.uint64(0xC4CEB9FE1A85EC53)
+            h ^= h >> np.uint64(33)
+        vals = np.asarray(batch["value"].to_pylist(), dtype=np.float64)
+        if len(h) > k:
+            idx = np.argpartition(h, k)[:k]
+            h, vals = h[idx], vals[idx]
+        return pa.table({
+            "priority": pa.array(h.view(np.int64)),
+            "value": pa.array(vals, pa.float64()),
+        })
+
+    # merge = global bottom-k over <= k x blocks partial rows (tiny); the
+    # int64 view keeps priority ordering because the top bit is uniform —
+    # sort on the uint64 meaning via two-key trick: sign splits the range
+    partials = ds.map_batches(bottom_k, batch_format="pyarrow")
+
+    def view_u64(batch: pa.Table) -> pa.Table:
+        p = np.asarray(batch["priority"].to_pylist(), dtype=np.int64)
+        # order uint64 priorities with an int64 sort key: flip the top bit
+        key = (p.view(np.uint64) ^ np.uint64(1 << 63)).view(np.int64)
+        return batch.append_column("sort_key", pa.array(key))
+
+    sample = (
+        partials.map_batches(view_u64, batch_format="pyarrow")
+        .sort("sort_key").limit(k).to_pandas()
+    )
+    svals = np.sort(sample["value"].to_numpy(np.float64))
+    k_eff = len(svals)
+
+    # one exact pass: per-q count of value <= estimate, plus the total
+    ests = {q: float(svals[min(k_eff - 1, int(np.ceil(q / 1000 * k_eff)))])
+            for q in qs}
+    ests_ref = ray.put(ests)
+
+    def rank_partial(batch: pa.Table) -> pa.Table:
+        e = ray.get(ests_ref)
+        vals = np.asarray(batch["value"].to_pylist(), dtype=np.float64)
+        return pa.table({
+            "q_milli": pa.array(sorted(e), pa.int64()),
+            "n_le": pa.array(
+                [int((vals <= e[q]).sum()) for q in sorted(e)], pa.int64()
+            ),
+            "n_rows": pa.array(
+                [len(vals)] * len(e), pa.int64()
+            ),
+        })
+
+    agg = bucketed_sum_combine(
+        ds.map_batches(rank_partial, batch_format="pyarrow"),
+        keys=["q_milli"], sum_cols=["n_le", "n_rows"],
+        schema=pa.schema([
+            ("q_milli", pa.int64()), ("n_le", pa.int64()),
+            ("n_rows", pa.int64()),
+        ]),
+    )
+
+    def gate(df: pd.DataFrame) -> pd.DataFrame:
+        q = df["q_milli"].to_numpy(np.int64) / 1000.0
+        n = df["n_rows"].to_numpy(np.int64)
+        rank = df["n_le"].to_numpy(np.int64) / n
+        # the sampling band, floored at the rank RESOLUTION: the estimate
+        # is one order statistic, so rank is only defined to ~1/N (ties at
+        # the boundary add a little more)
+        tol = np.maximum(n_sigma * np.sqrt(q * (1 - q) / k_eff), 3.0 / n)
+        ok = (np.abs(rank - q) <= tol).astype("int64")
+        return pd.DataFrame({
+            "q_milli": df["q_milli"].astype("int64"),
+            "n_total": df["n_rows"].astype("int64"),
+            "rank_ok": pd.Series(ok, dtype="int64"),
+        })
+
+    return agg.map_batches(gate, batch_format="pandas")

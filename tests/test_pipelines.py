@@ -1543,3 +1543,26 @@ def test_entity_cooccurrence(ray_session):
     assert got_map.sort_index().equals(
         want.sort_index().astype("int64")
     )
+
+
+def test_value_quantile_sketch(ray_session):
+    """All gate flags pass at default k; with k = corpus size the sample is
+    the whole table so the estimate's rank must be within 1/N of q (exact
+    up to the <= / < boundary), proving the bottom-k merge loses nothing."""
+    from rayld.pipelines.relational import value_quantile_sketch
+
+    got = value_quantile_sketch(SF).to_pandas()
+    assert (got["rank_ok"] == 1).all() and len(got) == 4
+    ev = pd.read_parquet(f"{SF}/events.parquet", columns=["value"])
+    assert (got["n_total"] == len(ev)).all()
+
+    # with the full table as the sample the estimate's rank is within a few
+    # 1/N of q, so a 0.2-sigma band (~10/N here) must pass — it would not
+    # survive any real sampling or merge loss
+    full = value_quantile_sketch(SF, k=len(ev), n_sigma=0.2).to_pandas()
+    assert (full["rank_ok"] == 1).all()
+    vals = np.sort(ev["value"].to_numpy(np.float64))
+    for q in (250, 500, 900, 990):
+        est = vals[min(len(vals) - 1, int(np.ceil(q / 1000 * len(vals))))]
+        rank = (ev["value"] <= est).sum() / len(ev)
+        assert abs(rank - q / 1000) <= 2 / len(ev) + 1e-12
