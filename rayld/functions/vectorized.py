@@ -54,3 +54,15 @@ def l2_normalize_rows(mat: np.ndarray) -> np.ndarray:
     norms = np.linalg.norm(mat, axis=1)
     norms[norms == 0] = 1.0
     return mat / norms[:, None]
+
+
+def append_mod_part(batch: pa.Table, col: str, num_partitions: int,
+                    out: str = "part") -> pa.Table:
+    """Append the int-key shuffle bucket column batch[col] % num_partitions
+    (int32, non-negative for non-negative keys) — the standard pre-shuffle
+    step for integer keys (user_id, custkey); crc32_buckets is the string
+    twin."""
+    k = np.asarray(batch[col].to_pylist(), dtype=np.int64)
+    return batch.append_column(
+        out, pa.array((k % num_partitions).astype(np.int32), pa.int32())
+    )

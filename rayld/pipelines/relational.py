@@ -11,7 +11,8 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 
-from ..functions.vectorized import crc32_buckets, money_cents
+from ..functions.vectorized import (append_mod_part, crc32_buckets,
+                                    money_cents)
 
 
 def q1_pricing(sf_dir: str):
@@ -1359,11 +1360,6 @@ def user_running_value(sf_dir: str, num_partitions: int | None = None):
         columns=["event_id", "ts", "user_id", "value"],
     )
 
-    def bucket(batch: pa.Table) -> pa.Table:
-        k = np.asarray(batch["user_id"].to_pylist(), dtype=np.int64)
-        return batch.append_column(
-            "part", pa.array((k % num_partitions).astype(np.int32))
-        )
 
     def running(df: pd.DataFrame) -> pa.Table:
         sch = pa.schema([
@@ -1385,7 +1381,10 @@ def user_running_value(sf_dir: str, num_partitions: int | None = None):
         }, schema=sch)
 
     return (
-        ds.map_batches(bucket, batch_format="pyarrow")
+        ds.map_batches(
+            append_mod_part, batch_format="pyarrow",
+            fn_args=("user_id", num_partitions),
+        )
         .groupby("part")
         .map_groups(running, batch_format="pandas")
     )
@@ -1409,11 +1408,6 @@ def events_lead_lag(sf_dir: str, num_partitions: int | None = None):
         columns=["event_id", "ts", "user_id", "value"],
     )
 
-    def bucket(batch: pa.Table) -> pa.Table:
-        k = np.asarray(batch["user_id"].to_pylist(), dtype=np.int64)
-        return batch.append_column(
-            "part", pa.array((k % num_partitions).astype(np.int32))
-        )
 
     sch = pa.schema([
         ("event_id", pa.int64()), ("user_id", pa.int64()),
@@ -1442,7 +1436,10 @@ def events_lead_lag(sf_dir: str, num_partitions: int | None = None):
         }, schema=sch)
 
     return (
-        ds.map_batches(bucket, batch_format="pyarrow")
+        ds.map_batches(
+            append_mod_part, batch_format="pyarrow",
+            fn_args=("user_id", num_partitions),
+        )
         .groupby("part")
         .map_groups(lag, batch_format="pandas")
     )
@@ -1575,13 +1572,16 @@ def grouped_median(sf_dir: str):
     return hist.groupby("event_type").map_groups(pick, batch_format="pandas")
 
 
-def user_spend_rank(sf_dir: str, range_shift: int = 16):
+def user_spend_rank(sf_dir: str, range_shift: int | None = None):
     """Exact global RANK and CUME_DIST of per-user total spend WITHOUT a
     global sort: the classic range-bucket + offset-broadcast plan.
 
       1. per-user exact integer-cents totals (partial sums -> one bucketed
          combine), materialized once as the pipeline breaker;
-      2. coarse range bucket rb = spend_c >> range_shift; the per-rb count
+      2. coarse range bucket rb = spend_c >> range_shift, with the shift
+         DERIVED from the materialized max spend (~128 buckets over the
+         observed range) unless pinned by the caller — a fixed shift
+         collapses small ranges into one serial bucket; the per-rb count
          table is tiny (bounded by the spend RANGE / 2^shift, not the user
          count), so the driver cumsums it into per-bucket rank offsets;
       3. one bucketed shuffle on rb; each task sorts only its value range
@@ -1618,9 +1618,17 @@ def user_spend_rank(sf_dir: str, range_shift: int = 16):
         ]),
     ).materialize()
 
+    if range_shift is None:
+        # ~128 range buckets over the observed spend range; the max() runs
+        # over the already-materialized user table, so it's one cheap scan
+        max_spend = int(users.max("spend_c") or 0)
+        range_shift = max(0, max_spend.bit_length() - 7)
+
+    def _rb(spend_c: np.ndarray) -> np.ndarray:
+        return spend_c >> range_shift
+
     def rb_counts(batch: pa.Table) -> pa.Table:
-        rb = np.asarray(batch["spend_c"].to_pylist(), dtype=np.int64)
-        rb >>= range_shift
+        rb = _rb(np.asarray(batch["spend_c"].to_pylist(), dtype=np.int64))
         u, c = np.unique(rb, return_counts=True)
         return pa.table({
             "rb": pa.array(u), "n": pa.array(c.astype(np.int64)),
@@ -1646,7 +1654,7 @@ def user_spend_rank(sf_dir: str, range_shift: int = 16):
         if len(df) == 0:
             return sch.empty_table()
         spend = df["spend_c"].to_numpy(np.int64)
-        off = offsets[int(spend[0]) >> range_shift]
+        off = offsets[int(_rb(spend[:1])[0])]
         order = np.sort(spend)
         left = np.searchsorted(order, spend, side="left")
         right = np.searchsorted(order, spend, side="right")
@@ -1658,10 +1666,8 @@ def user_spend_rank(sf_dir: str, range_shift: int = 16):
         }, schema=sch)
 
     def add_rb(batch: pa.Table) -> pa.Table:
-        rb = np.asarray(batch["spend_c"].to_pylist(), dtype=np.int64)
-        return batch.append_column(
-            "rb", pa.array((rb >> range_shift).astype(np.int64))
-        )
+        rb = _rb(np.asarray(batch["spend_c"].to_pylist(), dtype=np.int64))
+        return batch.append_column("rb", pa.array(rb.astype(np.int64)))
 
     return (
         users.map_batches(add_rb, batch_format="pyarrow")
@@ -1707,12 +1713,6 @@ def segment_active_customers(sf_dir: str, num_partitions: int | None = None):
             "is_order": pa.array(np.ones(len(keys), np.int8), pa.int8()),
         })
 
-    def bucket(batch: pa.Table) -> pa.Table:
-        k = np.asarray(batch["custkey"].to_pylist(), dtype=np.int64)
-        return batch.append_column(
-            "part", pa.array((k % num_partitions).astype(np.int32))
-        )
-
     def semi(df: pd.DataFrame) -> pa.Table:
         have = set(df.loc[df["is_order"] == 1, "custkey"].unique())
         left = df[df["is_order"] == 0]
@@ -1727,7 +1727,8 @@ def segment_active_customers(sf_dir: str, num_partitions: int | None = None):
     unioned = (
         cust.map_batches(cust_rows, batch_format="pandas")
         .union(orders.map_batches(order_keys, batch_format="pandas"))
-        .map_batches(bucket, batch_format="pyarrow")
+        .map_batches(append_mod_part, batch_format="pyarrow",
+                     fn_args=("custkey", num_partitions))
     )
     partials = unioned.groupby("part").map_groups(semi, batch_format="pandas")
     return bucketed_sum_combine(
@@ -1862,7 +1863,6 @@ def value_quantile_sketch(sf_dir: str, k: int = 4096,
     Output is the SQL-checkable projection (q_milli, n_total, rank_ok);
     the estimate itself is data-dependent and rides the gate instead."""
     import pyarrow as pa
-    import ray
     import ray.data as rd
 
     from .common import bucketed_sum_combine
@@ -1907,12 +1907,14 @@ def value_quantile_sketch(sf_dir: str, k: int = 4096,
     k_eff = len(svals)
 
     # one exact pass: per-q count of value <= estimate, plus the total
-    ests = {q: float(svals[min(k_eff - 1, int(np.ceil(q / 1000 * k_eff)))])
-            for q in qs}
-    ests_ref = ray.put(ests)
+    # percentile_disc position: 1-indexed ceil(q*k) -> 0-indexed - 1
+    ests = {
+        q: float(svals[min(k_eff - 1,
+                           max(0, int(np.ceil(q / 1000 * k_eff)) - 1))])
+        for q in qs
+    }
 
-    def rank_partial(batch: pa.Table) -> pa.Table:
-        e = ray.get(ests_ref)
+    def rank_partial(batch: pa.Table, e=ests) -> pa.Table:
         vals = np.asarray(batch["value"].to_pylist(), dtype=np.float64)
         return pa.table({
             "q_milli": pa.array(sorted(e), pa.int64()),

@@ -1421,6 +1421,15 @@ def test_user_spend_rank(ray_session):
     # the shift must actually have split the spend range
     assert len(got) == len(want)
 
+    # the DEFAULT data-derived shift (~128 buckets over the observed max)
+    # must give identical ranks — and actually split the range
+    dflt = user_spend_rank(SF).to_pandas().set_index("user_id")
+    dflt = dflt.reindex(want.index)
+    assert (dflt["spend_rank"].to_numpy()
+            == want["spend_rank"].to_numpy()).all()
+    shift = max(0, int(spend.max()).bit_length() - 7)
+    assert (spend.to_numpy() >> shift).max() > 0  # >1 range bucket
+
 
 def test_segment_active_customers(ray_session):
     """Semi-join counts equal a pandas isin recount and never exceed the
@@ -1563,6 +1572,6 @@ def test_value_quantile_sketch(ray_session):
     assert (full["rank_ok"] == 1).all()
     vals = np.sort(ev["value"].to_numpy(np.float64))
     for q in (250, 500, 900, 990):
-        est = vals[min(len(vals) - 1, int(np.ceil(q / 1000 * len(vals))))]
-        rank = (ev["value"] <= est).sum() / len(ev)
+        i = min(len(vals) - 1, max(0, int(np.ceil(q / 1000 * len(vals))) - 1))
+        rank = (ev["value"] <= vals[i]).sum() / len(ev)
         assert abs(rank - q / 1000) <= 2 / len(ev) + 1e-12
