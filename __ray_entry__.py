@@ -159,6 +159,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_count": text.token_count,
         "token_frequencies": text.token_frequencies,
         "token_cms_gate": text.token_cms_gate,
+        "grouped_corr": text.grouped_corr,
         "doc_len_histogram": text.doc_len_histogram,
         "doc_expectations": text.doc_expectations,
         "corpus_summary": text.corpus_summary,
@@ -759,6 +760,26 @@ def oracle_sql() -> dict[str, str]:
             "SELECT t AS token, count(*)::BIGINT AS n FROM documents,"
             " unnest(regexp_extract_all(text, '[A-Za-z0-9]+')) AS u(t)"
             " GROUP BY t ORDER BY n DESC, token LIMIT 100"
+        ),
+        # per-lang Pearson r + OLS line from EXACT integer moment sums; the
+        # closed form runs on identical integers on both sides
+        "grouped_corr": (
+            "WITH m AS (SELECT lang, count(*)::BIGINT AS n,"
+            "  sum(x)::HUGEINT AS sx, sum(y)::HUGEINT AS sy,"
+            "  sum(x*x)::HUGEINT AS sxx, sum(y*y)::HUGEINT AS syy,"
+            "  sum(x*y)::HUGEINT AS sxy FROM ("
+            "   SELECT lang, length(text)::BIGINT AS x,"
+            "    len(regexp_extract_all(text, '[A-Za-z0-9]+'))::BIGINT AS y"
+            "   FROM documents) GROUP BY 1)"
+            " SELECT lang, n AS n_docs,"
+            "  (n*sxy - sx*sy)::DOUBLE"
+            "   / sqrt(((n*sxx - sx*sx) * (n*syy - sy*sy))::DOUBLE)"
+            "   AS corr_r,"
+            "  (n*sxy - sx*sy)::DOUBLE / (n*sxx - sx*sx)::DOUBLE AS slope,"
+            "  (sy::DOUBLE - ((n*sxy - sx*sy)::DOUBLE"
+            "    / (n*sxx - sx*sx)::DOUBLE) * sx::DOUBLE) / n::DOUBLE"
+            "   AS intercept"
+            " FROM m"
         ),
         # Count-Min Sketch accuracy gate: exact top-20 counts + a typed
         # flag asserting the CMS bound held (constant-1 on correct merges)

@@ -1027,3 +1027,55 @@ def token_cms_gate(sf_dir: str, top_n: int = 20, err_margin: float = 3.0):
         "n": exact,
         "cms_ok": pd.Series(ok, dtype="int64"),
     })
+
+
+def grouped_corr(sf_dir: str):
+    """Per-language two-variable statistics between document char length
+    and token count: Pearson r, OLS slope and intercept — all derived from
+    EXACT integer moment sums (n, sx, sy, sxx, syy, sxy), so the result is
+    identical regardless of block order or parallelism (the events_anomaly
+    moments contract, extended to two variables). Per-batch partials are
+    one row per language; one bounded combine; the closed-form division /
+    sqrt runs on the same exact integers on both the Ray and SQL sides, so
+    even the floats compare bit-for-bit."""
+    from .common import bucketed_sum_combine
+
+    def partial(df: pd.DataFrame) -> pa.Table:
+        x = df["text"].str.len().astype("int64")
+        y = df["text"].str.findall(_TOKEN_RE).str.len().astype("int64")
+        g = pd.DataFrame({
+            "lang": df["lang"], "n": 1, "sx": x, "sy": y,
+            "sxx": x * x, "syy": y * y, "sxy": x * y,
+        }).groupby("lang", as_index=False).sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    moments = bucketed_sum_combine(
+        documents(sf_dir, columns=("text", "lang")).map_batches(
+            partial, batch_format="pandas"
+        ),
+        keys=["lang"],
+        sum_cols=["n", "sx", "sy", "sxx", "syy", "sxy"],
+        schema=pa.schema([
+            ("lang", pa.string()), ("n", pa.int64()), ("sx", pa.int64()),
+            ("sy", pa.int64()), ("sxx", pa.int64()), ("syy", pa.int64()),
+            ("sxy", pa.int64()),
+        ]),
+    )
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        n = df["n"].to_numpy(np.float64)
+        sx = df["sx"].to_numpy(np.float64)
+        sy = df["sy"].to_numpy(np.float64)
+        cov_n = df["sxy"].to_numpy(np.float64) * n - sx * sy
+        var_x = df["sxx"].to_numpy(np.float64) * n - sx * sx
+        var_y = df["syy"].to_numpy(np.float64) * n - sy * sy
+        r = cov_n / np.sqrt(var_x * var_y)
+        slope = cov_n / var_x
+        intercept = (sy - slope * sx) / n
+        return pd.DataFrame({
+            "lang": df["lang"].astype(str),
+            "n_docs": df["n"].astype("int64"),
+            "corr_r": r, "slope": slope, "intercept": intercept,
+        })
+
+    return moments.map_batches(finish, batch_format="pandas")

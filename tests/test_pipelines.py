@@ -1575,3 +1575,23 @@ def test_value_quantile_sketch(ray_session):
         i = min(len(vals) - 1, max(0, int(np.ceil(q / 1000 * len(vals))) - 1))
         rank = (ev["value"] <= vals[i]).sum() / len(ev)
         assert abs(rank - q / 1000) <= 2 / len(ev) + 1e-12
+
+
+def test_grouped_corr(ray_session):
+    """Exact-moment correlation/regression matches numpy's corrcoef/polyfit
+    per language, and r is within [-1, 1]."""
+    from rayld.pipelines.text import grouped_corr
+
+    got = grouped_corr(SF).to_pandas().set_index("lang")
+    docs = pd.read_parquet(f"{SF}/documents.parquet",
+                           columns=["text", "lang"])
+    x = docs["text"].str.len().astype("int64")
+    y = docs["text"].str.findall(r"[A-Za-z0-9]+").str.len().astype("int64")
+    assert (got["corr_r"].abs() <= 1).all()
+    for lang, g in docs.assign(x=x, y=y).groupby("lang"):
+        want_r = np.corrcoef(g["x"], g["y"])[0, 1]
+        slope, intercept = np.polyfit(g["x"], g["y"], 1)
+        assert abs(got.loc[lang, "corr_r"] - want_r) < 1e-9
+        assert abs(got.loc[lang, "slope"] - slope) < 1e-9
+        assert abs(got.loc[lang, "intercept"] - intercept) < 1e-6
+        assert got.loc[lang, "n_docs"] == len(g)
