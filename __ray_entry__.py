@@ -865,13 +865,21 @@ def oracle_sql() -> dict[str, str]:
         ),
         # as-of join: DuckDB's native ASOF JOIN is the oracle; timestamps
         # compare as epoch-microsecond BIGINTs on both sides
+        # ASOF JOIN semantics with the tie-break PINNED (DuckDB's ASOF
+        # picks an arbitrary row among right rows sharing (user_id, ts);
+        # this window form picks max event_id, matching the Ray side)
         "asof_join_attribution": (
-            "SELECT p.event_id AS purchase_id, p.user_id,"
-            " epoch_us(p.ts)::BIGINT AS purchase_us,"
-            " c.event_id AS click_id, epoch_us(c.ts)::BIGINT AS click_us"
-            " FROM (SELECT * FROM events WHERE event_type = 'purchase') p"
-            " ASOF JOIN (SELECT * FROM events WHERE event_type = 'click') c"
-            " ON p.user_id = c.user_id AND p.ts >= c.ts"
+            "SELECT purchase_id, user_id, purchase_us, click_id, click_us"
+            " FROM ("
+            "  SELECT p.event_id AS purchase_id, p.user_id,"
+            "   epoch_us(p.ts)::BIGINT AS purchase_us,"
+            "   c.event_id AS click_id, epoch_us(c.ts)::BIGINT AS click_us,"
+            "   row_number() OVER (PARTITION BY p.event_id"
+            "     ORDER BY c.ts DESC, c.event_id DESC) AS rk"
+            "  FROM (SELECT * FROM events WHERE event_type = 'purchase') p"
+            "  JOIN (SELECT * FROM events WHERE event_type = 'click') c"
+            "    ON p.user_id = c.user_id AND p.ts >= c.ts)"
+            " WHERE rk = 1"
         ),
         # range join: per-signup click count in the following 30 minutes;
         # LEFT JOIN keeps zero-click signups as n_clicks = 0 (nullable-free)

@@ -110,6 +110,17 @@ def _kmeans_lite(mat: np.ndarray, n_clusters: int, seed: int = 42,
 _SAMPLE_MIX = np.uint64(0x9E3779B97F4A7C15)
 
 
+def _sample_threshold(n_rows: int, sample_size: int) -> np.uint64:
+    """Keep-probability threshold for the 32-bit scatter hash: the exact
+    big-int ratio (sample/n_rows) * 2^32, floored at 1 so it never
+    collapses to 0 — the old ((1 << 32) // n_rows) factor hit 0 above 2^32
+    rows, which would empty the sample on the very tables the scatter
+    exists for."""
+    return np.uint64(max(
+        1, (min(n_rows, max(1, sample_size)) << 32) // max(1, n_rows)
+    ))
+
+
 def _ivf_training_sample(sf_dir: str, sample_size: int) -> np.ndarray:
     """Deterministic SCATTERED sample for centroid training: keep a row when
     a multiply-mix hash of its vec_id lands under sample_size/n_rows — the
@@ -121,9 +132,7 @@ def _ivf_training_sample(sf_dir: str, sample_size: int) -> np.ndarray:
     n_rows = pq.ParquetFile(
         f"{sf_dir}/embeddings.parquet"
     ).metadata.num_rows
-    threshold = np.uint64(
-        min(n_rows, max(1, sample_size)) * ((1 << 32) // max(1, n_rows))
-    )
+    threshold = _sample_threshold(n_rows, sample_size)
 
     def keep(batch: pa.Table) -> pa.Table:
         ids = np.asarray(batch["vec_id"].to_pylist(), dtype=np.uint64)

@@ -306,18 +306,9 @@ def length_outlier_filter(sf_dir: str, lo_q: float = 0.01, hi_q: float = 0.99):
     the thresholds come from the tiny distributed length histogram (distinct
     lengths ≪ corpus at any scale), then one embarrassingly-parallel filter;
     the thresholds ship in the task closure, not a join."""
-    from .text import _token_length_histogram
+    from .text import _token_length_histogram, histogram_percentile_disc
 
-    values, counts = _token_length_histogram(sf_dir)
-    total = counts.sum()
-    cum = np.cumsum(counts)
-
-    def disc(q: float) -> int:
-        if total == 0:
-            return 0
-        idx = int(np.searchsorted(cum, q * total, side="left"))
-        return int(values[min(idx, len(values) - 1)])
-
+    disc = histogram_percentile_disc(*_token_length_histogram(sf_dir))
     lo, hi = disc(lo_q), disc(hi_q)
 
     def fn(df: pd.DataFrame) -> pa.Table:
@@ -394,7 +385,11 @@ def pack_sequences(
         for i in range(len(g)):
             if chunks[i] != cur_chunk:
                 cur_chunk, local, fill = chunks[i], 0, 0
-            if fill > 0 and fill + ns[i] > capacity:
+            # the oracle's recurrence: any NON-FIRST doc that does not fit
+            # opens a bin — including when fill == 0 (all-empty docs so
+            # far) and the doc alone exceeds capacity; the first doc of a
+            # chunk always lands in bin 0 whatever its size
+            elif fill + ns[i] > capacity:
                 local += 1
                 fill = 0
             offs[i] = fill

@@ -100,7 +100,12 @@ def dedup_exact(sf_dir: str):
     return kept.select_columns(["doc_id"])
 
 
-_WS_RE = re.compile(r"\s+")
+# ASCII-only whitespace class + space-only strip: Python's \s and
+# str.strip() are Unicode-aware, but the pinned DuckDB oracle uses
+# RE2's ASCII \s+ and space-only trim() — a \xa0 in a document would
+# otherwise hash differently on the two sides (the pii_redact
+# RE2-parity contract applies here too)
+_WS_RE = re.compile(r"[ \t\n\r\f\v]+")
 
 
 def dedup_exact_normalized(sf_dir: str):
@@ -115,7 +120,7 @@ def dedup_exact_normalized(sf_dir: str):
     def add_hash(batch: pa.Table) -> pa.Table:
         hs = [
             hashlib.md5(
-                _WS_RE.sub(" ", t.lower()).strip().encode("utf-8")
+                _WS_RE.sub(" ", t.lower()).strip(" ").encode("utf-8")
             ).hexdigest()
             for t in batch["text"].to_pylist()
         ]

@@ -193,8 +193,14 @@ def pagerank(edges_ds, damping: float = 0.85, n_iter: int = 10,
     )
     n_nodes = nodes.count()
     if n_nodes == 0:
-        return pa.table({"node": pa.array([], pa.string()),
-                         "rank": pa.array([], pa.float64())})
+        import ray.data as rd
+
+        # a Dataset like every other path, not a bare pa.Table — callers
+        # use Dataset-only APIs (.count/.materialize) on the result
+        return rd.from_arrow(pa.table({
+            "node": pa.array([], pa.string()),
+            "rank": pa.array([], pa.float64()),
+        }))
 
     path = force_path or (
         "broadcast" if n_nodes <= broadcast_threshold else "join"

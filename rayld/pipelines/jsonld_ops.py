@@ -50,6 +50,30 @@ TOOLDOC_ROOT = "/tmp/rayld_tooldocs"
 TOOLDOC_CURRENT = os.path.join(TOOLDOC_ROOT, f"current-{os.getpid()}")
 
 
+def _reap_stale_links() -> None:
+    """Unlink current-<pid> symlinks whose owning process is gone, so
+    long-lived hosts don't accumulate one dead link per past driver run.
+    Best-effort: racing reapers / permission errors are ignored."""
+    import glob
+
+    for link in glob.glob(os.path.join(TOOLDOC_ROOT, "current-*")):
+        try:
+            pid = int(link.rsplit("-", 1)[1])
+        except ValueError:
+            continue
+        if pid == os.getpid():
+            continue
+        try:
+            os.kill(pid, 0)
+        except ProcessLookupError:
+            try:
+                os.unlink(link)
+            except OSError:
+                pass
+        except OSError:
+            pass
+
+
 def n_conversations_for(sf_dir: str) -> int:
     """Deterministic conversation count scaled to the sf directory size."""
     import pyarrow.parquet as pq
@@ -120,6 +144,7 @@ def tool_docs_parquet(sf_dir: str) -> str:
     except OSError:
         if os.path.islink(tmp_link):
             os.unlink(tmp_link)
+    _reap_stale_links()
     return final
 
 

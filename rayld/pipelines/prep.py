@@ -51,7 +51,7 @@ def corpus_clean(
         quality = quality[keep]
         hs = [
             hashlib.md5(
-                _WS_RE.sub(" ", t.lower()).strip().encode("utf-8")
+                _WS_RE.sub(" ", t.lower()).strip(" ").encode("utf-8")
             ).hexdigest()
             for t in df["text"]
         ]

@@ -15,6 +15,37 @@ from ..functions.vectorized import (append_mod_part, crc32_buckets,
                                     money_cents)
 
 
+def _two_type_tag_and_bucket(left_type: str, right_type: str,
+                             num_partitions: int, with_event_id=True):
+    """Shared pre-shuffle stage for the time-series join family (as-of,
+    range, funnel): filter the two event types at the scan, tag is_left,
+    cast ts to epoch-us int64, and bucket on hash(user_id) % P."""
+
+    def tag_and_bucket(batch):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        keep = pc.is_in(
+            batch["event_type"],
+            value_set=pa.array([left_type, right_type]),
+        )
+        batch = batch.filter(keep)
+        side = pc.equal(batch["event_type"], left_type)  # True = left
+        parts = crc32_buckets(batch["user_id"].to_pylist(), num_partitions)
+        cols = {}
+        if with_event_id:
+            cols["event_id"] = batch["event_id"].cast(pa.int64())
+        cols.update({
+            "ts_us": batch["ts"].cast(pa.timestamp("us")).cast(pa.int64()),
+            "user_id": batch["user_id"].cast(pa.int64()),
+            "is_left": side.cast(pa.bool_()),
+            "part": pa.array(parts, pa.int32()),
+        })
+        return pa.table(cols)
+
+    return tag_and_bucket
+
+
 def q1_pricing(sf_dir: str):
     """TPC-H Q1-style pricing summary. Partial sums per batch -> ONE bucketed
     combine over the six (flag, status) groups (bounded cardinality, so
@@ -377,29 +408,22 @@ def asof_join_attribution(sf_dir: str, left_type: str = "purchase",
         columns=["event_id", "ts", "user_id", "event_type"],
     )
 
-    def tag_and_bucket(batch: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-
-        keep = pc.is_in(
-            batch["event_type"],
-            value_set=pa.array([left_type, right_type]),
-        )
-        batch = batch.filter(keep)
-        side = pc.equal(batch["event_type"], left_type)  # True = left
-        parts = crc32_buckets(batch["user_id"].to_pylist(), num_partitions)
-        return pa.table(
-            {
-                "event_id": batch["event_id"].cast(pa.int64()),
-                "ts_us": batch["ts"].cast(pa.timestamp("us")).cast(pa.int64()),
-                "user_id": batch["user_id"].cast(pa.int64()),
-                "is_left": side.cast(pa.bool_()),
-                "part": pa.array(parts, pa.int32()),
-            }
-        )
+    tag_and_bucket = _two_type_tag_and_bucket(
+        left_type, right_type, num_partitions
+    )
 
     def asof_partition(df: pd.DataFrame) -> pa.Table:
-        left = df[df["is_left"]].sort_values("ts_us", kind="mergesort")
-        right = df[~df["is_left"]].sort_values("ts_us", kind="mergesort")
+        # tie-break PINNED: among right rows sharing (user_id, ts) the
+        # match is the max event_id — merge_asof backward takes the last
+        # row, so the secondary event_id sort key decides ties
+        # deterministically (block-order-independent); the SQL oracle pins
+        # the same rule via ORDER BY c.ts DESC, c.event_id DESC
+        left = df[df["is_left"]].sort_values(
+            ["ts_us", "event_id"], kind="mergesort"
+        )
+        right = df[~df["is_left"]].sort_values(
+            ["ts_us", "event_id"], kind="mergesort"
+        )
         # merge_asof keeps only the LEFT on-key; carry the right timestamp
         # through an explicit copy
         right = right.assign(r_ts=right["ts_us"])
@@ -470,24 +494,9 @@ def range_join_signup_clicks(sf_dir: str, window_minutes: int = 30,
         columns=["event_id", "ts", "user_id", "event_type"],
     )
 
-    def tag_and_bucket(batch: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-
-        keep = pc.is_in(
-            batch["event_type"], value_set=pa.array(["signup", "click"])
-        )
-        batch = batch.filter(keep)
-        side = pc.equal(batch["event_type"], "signup")
-        parts = crc32_buckets(batch["user_id"].to_pylist(), num_partitions)
-        return pa.table(
-            {
-                "event_id": batch["event_id"].cast(pa.int64()),
-                "ts_us": batch["ts"].cast(pa.timestamp("us")).cast(pa.int64()),
-                "user_id": batch["user_id"].cast(pa.int64()),
-                "is_left": side.cast(pa.bool_()),
-                "part": pa.array(parts, pa.int32()),
-            }
-        )
+    tag_and_bucket = _two_type_tag_and_bucket(
+        "signup", "click", num_partitions
+    )
 
     def count_in_window(df: pd.DataFrame) -> pa.Table:
         out_id, out_user, out_n = [], [], []
@@ -1157,21 +1166,9 @@ def funnel_conversion(sf_dir: str, window_minutes: int = 7 * 24 * 60,
         columns=["ts", "user_id", "event_type"],
     )
 
-    def tag_and_bucket(batch: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-
-        keep = pc.is_in(
-            batch["event_type"], value_set=pa.array(["signup", "purchase"])
-        )
-        batch = batch.filter(keep)
-        side = pc.equal(batch["event_type"], "signup")
-        parts = crc32_buckets(batch["user_id"].to_pylist(), num_partitions)
-        return pa.table({
-            "ts_us": batch["ts"].cast(pa.timestamp("us")).cast(pa.int64()),
-            "user_id": batch["user_id"].cast(pa.int64()),
-            "is_left": side.cast(pa.bool_()),
-            "part": pa.array(parts, pa.int32()),
-        })
+    tag_and_bucket = _two_type_tag_and_bucket(
+        "signup", "purchase", num_partitions, with_event_id=False
+    )
 
     _part_schema = pa.schema([
         ("day_start", pa.int64()), ("n_signups", pa.int64()),

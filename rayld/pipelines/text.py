@@ -308,11 +308,12 @@ def _token_length_histogram(sf_dir: str) -> tuple[np.ndarray, np.ndarray]:
     )
 
 
-def doc_length_percentiles(sf_dir: str):
-    """Exact p50/p90/p99 of per-document token counts, percentile_disc
-    semantics (smallest value whose cumulative share >= q): the distributed
-    length histogram + an exact O(distinct lengths) driver-side walk."""
-    values, counts = _token_length_histogram(sf_dir)
+def histogram_percentile_disc(values: np.ndarray, counts: np.ndarray):
+    """percentile_disc(q) over a (values, counts) histogram: returns a
+    disc(q) callable picking the smallest value whose cumulative share
+    >= q (clamped to the last value; 0 on an empty histogram). Shared by
+    doc_length_percentiles and curation.length_outlier_filter so the
+    semantics cannot drift."""
     total = counts.sum()
     cum = np.cumsum(counts)
 
@@ -321,6 +322,15 @@ def doc_length_percentiles(sf_dir: str):
             return 0
         idx = int(np.searchsorted(cum, q * total, side="left"))
         return int(values[min(idx, len(values) - 1)])
+
+    return disc
+
+
+def doc_length_percentiles(sf_dir: str):
+    """Exact p50/p90/p99 of per-document token counts, percentile_disc
+    semantics (smallest value whose cumulative share >= q): the distributed
+    length histogram + an exact O(distinct lengths) driver-side walk."""
+    disc = histogram_percentile_disc(*_token_length_histogram(sf_dir))
 
     return pd.DataFrame(
         {

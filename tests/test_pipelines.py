@@ -3,8 +3,11 @@ multimodal plumbing, relational/windowed ops."""
 
 from __future__ import annotations
 
+from pathlib import Path
+
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 import pytest
 
 SF = "/root/testdata/sf0.001"
@@ -1595,3 +1598,135 @@ def test_grouped_corr(ray_session):
         assert abs(got.loc[lang, "slope"] - slope) < 1e-9
         assert abs(got.loc[lang, "intercept"] - intercept) < 1e-6
         assert got.loc[lang, "n_docs"] == len(g)
+
+
+def _write_docs(tmpdir: str, texts: list, start_id: int = 0) -> str:
+    """Write a minimal documents.parquet a pipeline + its DuckDB oracle can
+    both read (edge-case fixtures the synthetic corpus doesn't contain)."""
+    import pyarrow.parquet as pq
+
+    t = pa.table({
+        "doc_id": pa.array(range(start_id, start_id + len(texts)),
+                           pa.int64()),
+        "text": pa.array(texts, pa.string()),
+        "lang": pa.array(["en"] * len(texts), pa.string()),
+        "source": pa.array(["s0"] * len(texts), pa.string()),
+        "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+    })
+    pq.write_table(t, f"{tmpdir}/documents.parquet")
+    return tmpdir
+
+
+def _oracle_on_dir(name: str, sf_dir: str) -> pd.DataFrame:
+    """Run a registered oracle_sql() entry against one directory's tables
+    (the check_queries harness in miniature)."""
+    import importlib.util
+
+    import duckdb
+
+    spec = importlib.util.spec_from_file_location(
+        "__ray_entry__", str(Path(__file__).resolve().parents[1]
+                             / "__ray_entry__.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS"
+        f" SELECT * FROM '{sf_dir}/documents.parquet'"
+    )
+    return con.execute(mod.oracle_sql()[name]).df()
+
+
+def test_pack_sequences_zero_token_edge(ray_session, tmp_path):
+    """The packing recurrence matches the oracle on the inputs the fixtures
+    lack: a zero-token doc at a chunk start followed by an oversize doc
+    (which must open a NEW bin, like the oracle's recurrence), plus an
+    oversize FIRST doc (which must stay in bin 0)."""
+    from rayld.pipelines.curation import pack_sequences
+
+    texts = ["", " ".join(f"t{i}" for i in range(300)),
+             " ".join(f"u{i}" for i in range(300)), "small doc here"]
+    d = _write_docs(str(tmp_path), texts)
+    got = pack_sequences(d).to_pandas().sort_values("doc_id")
+    want = _oracle_on_dir("pack_sequences", d).sort_values("doc_id")
+    got = got.reset_index(drop=True)
+    want = want.reset_index(drop=True)
+    for c in ["doc_id", "bin_id", "n_tokens", "token_offset"]:
+        assert (got[c].to_numpy() == want[c].to_numpy()).all(), c
+    # doc 0 (0 tokens) shares chunk 0 bin 0; doc 1 (300 tokens, does not
+    # fit) opens bin 1 exactly as the oracle's recurrence does
+    assert got.loc[0, "bin_id"] == 0 and got.loc[1, "bin_id"] == 1
+
+
+def test_normalized_dedup_unicode_ws_parity(ray_session, tmp_path):
+    """ASCII-only whitespace contract: \\xa0 must NOT collapse (RE2 \\s
+    parity), so the Ray-side hash matches the DuckDB oracle on non-ASCII
+    whitespace the fixtures lack."""
+    from rayld.pipelines.dedup import dedup_exact_normalized
+
+    texts = ["hello\xa0world", "hello world", "hello  world",
+             " hello world "]
+    d = _write_docs(str(tmp_path), texts)
+    got = set(dedup_exact_normalized(d).to_pandas()["doc_id"])
+    want = set(_oracle_on_dir("dedup_exact_normalized", d)["doc_id"])
+    assert got == want
+    # ASCII-normalized variants (1,2,3) collapse to survivor 1; the \xa0
+    # doc does NOT collapse with them (RE2 \s parity) and survives alone
+    assert got == {0, 1}
+
+
+def test_ivf_sample_threshold_scale():
+    """The scatter threshold never collapses to zero — including above
+    2^32 rows, where the old integer-division order emptied the sample."""
+    from rayld.pipelines.ann import _sample_threshold
+
+    assert int(_sample_threshold(10**10, 2048)) >= 1
+    assert int(_sample_threshold(1 << 40, 2048)) >= 1
+    # and it still approximates sample/n * 2^32 at moderate sizes
+    t = int(_sample_threshold(10**6, 2048))
+    assert abs(t - 2048 / 10**6 * (1 << 32)) < 2
+    # full-table sampling keeps everything
+    assert int(_sample_threshold(100, 2048)) == 1 << 32
+
+
+def test_asof_tie_break_pinned(ray_session, tmp_path):
+    """Two clicks sharing (user_id, ts): the attribution must pick the max
+    event_id on both the Ray side and the (window-form) oracle — the tie
+    the fixtures never contain."""
+    import duckdb
+    import importlib.util
+    import pyarrow.parquet as pq
+
+    from rayld.pipelines.relational import asof_join_attribution
+
+    ts = pd.Timestamp("2024-01-01 12:00:00")
+    ev = pa.table({
+        "event_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "ts": pa.array([ts, ts, ts + pd.Timedelta(minutes=5),
+                        ts - pd.Timedelta(minutes=1)],
+                       pa.timestamp("us")),
+        "user_id": pa.array([7, 7, 7, 7], pa.int64()),
+        "event_type": pa.array(
+            ["click", "click", "purchase", "click"], pa.string()
+        ),
+        "value": pa.array([1.0, 1.0, 5.0, 1.0], pa.float64()),
+        "props": pa.array(["{}"] * 4, pa.string()),
+    })
+    pq.write_table(ev, f"{tmp_path}/events.parquet")
+
+    got = asof_join_attribution(str(tmp_path)).to_pandas()
+    assert len(got) == 1
+    assert got.loc[0, "click_id"] == 2  # max event_id among the ts ties
+
+    spec = importlib.util.spec_from_file_location(
+        "__ray_entry__", str(Path(__file__).resolve().parents[1]
+                             / "__ray_entry__.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS"
+                f" SELECT * FROM '{tmp_path}/events.parquet'")
+    want = con.execute(mod.oracle_sql()["asof_join_attribution"]).df()
+    assert len(want) == 1 and want.loc[0, "click_id"] == 2
