@@ -1730,3 +1730,68 @@ def test_asof_tie_break_pinned(ray_session, tmp_path):
                 f" SELECT * FROM '{tmp_path}/events.parquet'")
     want = con.execute(mod.oracle_sql()["asof_join_attribution"]).df()
     assert len(want) == 1 and want.loc[0, "click_id"] == 2
+
+
+def test_pack_sequences_randomized_oracle_parity(ray_session, tmp_path):
+    """Seeded randomized packing inputs rich in the hard classes (zero-token
+    docs, exactly-capacity docs, oversize docs) must match the recursive-CTE
+    oracle doc-for-doc across multiple draws."""
+    from rayld.pipelines.curation import pack_sequences
+
+    pool = [0, 0, 1, 3, 50, 100, 200, 255, 256, 257, 300, 520]
+    for seed in (1, 2, 3):
+        rng = np.random.default_rng(seed)
+        ns = rng.choice(pool, size=150)
+        texts = [" ".join(f"w{j}" for j in range(n)) for n in ns]
+        d = str(tmp_path / f"s{seed}")
+        import os
+        os.makedirs(d, exist_ok=True)
+        _write_docs(d, texts)
+        got = pack_sequences(d).to_pandas().sort_values("doc_id")
+        want = _oracle_on_dir("pack_sequences", d).sort_values("doc_id")
+        for c in ["bin_id", "n_tokens", "token_offset"]:
+            assert (got[c].to_numpy() == want[c].to_numpy()).all(), (
+                seed, c
+            )
+
+
+def test_user_spend_rank_heavy_ties(ray_session, tmp_path):
+    """RANK/CUME_DIST with many exact spend ties across users (every tie
+    class shares both outputs), recounted locally."""
+    import pyarrow.parquet as pq
+
+    from rayld.pipelines.relational import user_spend_rank
+
+    rng = np.random.default_rng(7)
+    n_users, per_user = 60, 5
+    # draw per-event values from a tiny set so many USERS tie on totals
+    vals = rng.choice([1.0, 2.0], size=n_users * per_user)
+    ev = pa.table({
+        "event_id": pa.array(range(n_users * per_user), pa.int64()),
+        "ts": pa.array(
+            pd.date_range("2024-01-01", periods=n_users * per_user,
+                          freq="min"),
+            pa.timestamp("us"),
+        ),
+        "user_id": pa.array(
+            np.repeat(np.arange(n_users, dtype=np.int64), per_user)
+        ),
+        "event_type": pa.array(["click"] * (n_users * per_user),
+                               pa.string()),
+        "value": pa.array(vals, pa.float64()),
+        "props": pa.array(["{}"] * (n_users * per_user), pa.string()),
+    })
+    pq.write_table(ev, f"{tmp_path}/events.parquet")
+
+    got = user_spend_rank(str(tmp_path)).to_pandas().set_index("user_id")
+    spend = pd.Series(
+        np.floor(vals * 100 + 0.5).astype("int64")
+    ).groupby(np.repeat(np.arange(n_users), per_user)).sum()
+    order = np.sort(spend.to_numpy())
+    want_rank = np.searchsorted(order, spend.to_numpy(), "left") + 1
+    want_cume = np.searchsorted(order, spend.to_numpy(), "right") / n_users
+    got = got.reindex(spend.index)
+    assert (got["spend_rank"].to_numpy() == want_rank).all()
+    assert np.allclose(got["spend_cume"], want_cume, rtol=0, atol=0)
+    # ties exist by construction and share rank
+    assert spend.duplicated().any()
