@@ -123,7 +123,14 @@ def to_nquad(triple: dict, graph_name: Optional[str],
     else:
         quad += '"' + escape(o["value"]) + '"'
         if o.get("datatype") == consts.RDF_LANGSTRING:
-            quad += "@" + o.get("language", "")
+            lang = o.get("language", "")
+            if lang:
+                quad += "@" + lang
+            else:
+                # ill-formed langString with no tag: a bare '"v"@ ' fails
+                # this module's own _QUAD regex on re-parse, so emit the
+                # datatype explicitly (valid N-Quads, info-preserving)
+                quad += "^^<" + escape(consts.RDF_LANGSTRING) + ">"
         elif o.get("datatype") != consts.XSD_STRING:
             quad += "^^<" + escape(o["datatype"]) + ">"
     if graph_name is not None:

@@ -144,13 +144,18 @@ class _State:
         while self.line != "":
             m = COMMENT_OR_WS.match(self.line)
             if m is not None and len(m.group(0)) > 0:
-                newlines = re.findall(_EOLN, m.group(0))
-                end = 0
+                ws_len = len(m.group(0))
+                end = None
                 for em in re.finditer(_EOLN, m.group(0)):
                     self.line_number += 1
                     end = em.end()
-                self.line_position = len(m.group(0)) - end
-                self.line = self.line[len(m.group(0)):]
+                if end is None:
+                    # no newline in the skipped run: the column ADVANCES
+                    # (overwriting it reported wrong error positions)
+                    self.line_position += ws_len
+                else:
+                    self.line_position = ws_len - end
+                self.line = self.line[ws_len:]
             else:
                 break
         if self.line == "" and not (self.cur_subject is None and not self.stack):
@@ -366,14 +371,18 @@ def parse_turtle(input_: object) -> RDFDataset:
             state.advance_line_position(1)
             collection_closed = True
         expect_dot_or_pred = False
-        # match end of bnode
-        if state.line.startswith("]"):
+        # match end of bnode(s) — a WHILE, not an if: directly nested
+        # property lists close with "] ]", which the single-close version
+        # rejected (the writer emits that shape for list nodes carrying
+        # extra predicates, so the parser must accept it)
+        while state.line.startswith("]"):
             bnode = state.cur_subject
             state.pop()
             state.advance_line_position(1)
             if state.cur_subject is None:
                 state.cur_subject = bnode
                 expect_dot_or_pred = True
+                break
         # list separator
         if not expect_dot_or_pred and state.line.startswith(","):
             state.advance_line_position(1)
@@ -420,12 +429,53 @@ def parse_turtle(input_: object) -> RDFDataset:
 _MAX_LINE_LENGTH = 160
 _TAB_SPACES = 4
 _COLS_KEY = "..cols.."
+_PN_LOCAL_FULL = re.compile(_PN_LOCAL)
+
+
+def _bnode_cycle_members(adj: dict) -> set:
+    """Nodes of the bnode reference graph that sit on a directed cycle
+    (iterative three-color DFS; self-loops count). Small per-dataset
+    graphs — conversations reference a handful of bnodes."""
+    WHITE, GRAY, BLACK = 0, 1, 2
+    color = {u: WHITE for u in adj}
+    on_cycle: set = set()
+    for root in adj:
+        if color[root] != WHITE:
+            continue
+        stack = [(root, iter(sorted(adj.get(root, ()))))]
+        color[root] = GRAY
+        path = [root]
+        while stack:
+            u, it = stack[-1]
+            advanced = False
+            for v in it:
+                if v not in adj and v not in color:
+                    continue  # leaf bnode with no outgoing refs
+                c = color.get(v, WHITE)
+                if c == GRAY:
+                    # back edge: everything from v on the current path
+                    # (inclusive) is on a cycle
+                    i = path.index(v)
+                    on_cycle.update(path[i:])
+                elif c == WHITE:
+                    color[v] = GRAY
+                    stack.append((v, iter(sorted(adj.get(v, ())))))
+                    path.append(v)
+                    advanced = True
+                    break
+            if not advanced:
+                color[u] = BLACK
+                stack.pop()
+                path.pop()
+        # path bookkeeping: loop ends with empty stack/path per root
+    return on_cycle
 
 
 class _TurtleWriter:
     def __init__(self):
         self.available_namespaces: dict = {}
         self.used_namespaces: set = set()
+        self._labeled_bnodes: set = set()
 
     def call(self, dataset: RDFDataset) -> str:
         for ns, prefix in dataset.get_namespaces().items():
@@ -433,6 +483,7 @@ class _TurtleWriter:
         self.used_namespaces = set()
         refs: dict = {}
         ttl: dict = {}
+        bnode_adj: dict = {}  # bnode subject -> referenced bnodes
         for graph_name in dataset.keys():
             triples = dataset.get_quads(graph_name)
             for triple in triples:
@@ -447,6 +498,8 @@ class _TurtleWriter:
                     o = obj["value"]
                     if o.startswith("_:"):
                         refs.setdefault(o, []).append(this_predicate)
+                        if subject.startswith("_:"):
+                            bnode_adj.setdefault(subject, set()).add(o)
                     this_predicate.append(o)
         # multiply-referenced bnodes must keep their LABEL (see below); a
         # first/rest chain that starts at — or runs through — such a node
@@ -458,6 +511,11 @@ class _TurtleWriter:
         self._labeled_bnodes = {
             id_ for id_, r in refs.items() if len(r) > 1
         }
+        # bnodes on a REFERENCE CYCLE must also keep their labels: the
+        # inline walk would otherwise pop every cycle member into a
+        # structure reachable only from refs and emit NOTHING (silent
+        # triple loss on e.g. _:a <p> _:b . _:b <p> _:a .)
+        self._labeled_bnodes |= _bnode_cycle_members(bnode_adj)
         collections: dict = {}
         for subj in list(ttl.keys()):
             preds = ttl.get(subj)
@@ -491,7 +549,7 @@ class _TurtleWriter:
         # other references — like the escaping fix above, we deviate from the
         # reference writer to emit valid, identity-preserving Turtle)
         for id_ in list(refs.keys()):
-            if len(refs[id_]) > 1:
+            if len(refs[id_]) > 1 or id_ in self._labeled_bnodes:
                 continue
             obj = ttl.pop(id_, None)
             if obj is None:
@@ -509,7 +567,7 @@ class _TurtleWriter:
             subj_1.setdefault(_COLS_KEY, []).append(col)
         output = self._generate_turtle(ttl, 0, 0, False)
         prefixes = ""
-        for prefix in self.used_namespaces:
+        for prefix in sorted(self.used_namespaces):
             name = self.available_namespaces[prefix]
             prefixes += f"@prefix {name}: <{prefix}> .\n"
         return ("" if prefixes == "" else prefixes + "\n") + output
@@ -523,7 +581,12 @@ class _TurtleWriter:
         """
         preds = ttl[subj]
         visited = {subj}
+        chain_keys = {consts.RDF_FIRST, consts.RDF_REST}
         while True:
+            if set(preds.keys()) - chain_keys:
+                # a chain node carrying OTHER predicates cannot collapse
+                # into "( ... )" without dropping those triples
+                return False
             rest = preds.get(consts.RDF_REST)
             if not rest:
                 return False
@@ -539,7 +602,9 @@ class _TurtleWriter:
             visited.add(next_)
             preds = ttl.get(next_)
             if preds is None:
-                return True  # consumed/absent -> collapse walk stops there
+                # rest target has no triples: collapsing would silently
+                # rewrite it to rdf:nil — keep explicit first/rest
+                return False
             if consts.RDF_FIRST not in preds:
                 return False
 
@@ -548,8 +613,14 @@ class _TurtleWriter:
             return uri
         for prefix in self.available_namespaces.keys():
             if uri.startswith(prefix):
+                local = uri[len(prefix):]
+                # only emit a prefixed name the module's own parser accepts
+                # (PN_LOCAL); anything else falls back to <IRI> — the
+                # reference writer emits invalid names like ex:a/b(1)
+                if local != "" and _PN_LOCAL_FULL.fullmatch(local) is None:
+                    continue
                 self.used_namespaces.add(prefix)
-                return self.available_namespaces[prefix] + ":" + uri[len(prefix):]
+                return self.available_namespaces[prefix] + ":" + local
         return "<" + uri + ">"
 
     def _generate_object(self, obj_in, sep: str, has_next: bool,
@@ -610,9 +681,7 @@ class _TurtleWriter:
             subjval = ttl[subject]
             has_open_bnode_bracket = False
             if subject.startswith("_:"):
-                if not is_object and subject in getattr(
-                    self, "_labeled_bnodes", ()
-                ):
+                if not is_object and subject in self._labeled_bnodes:
                     rval += subject + " "
                     line_length += len(subject) + 1
                 elif _COLS_KEY not in subjval:

@@ -223,3 +223,115 @@ def test_turtle_writer_roundtrip_property():
         assert ground(ds) == ground(ds2)
 
     prop()
+
+
+def _roundtrip_quads(ds):
+    out = to_turtle(ds)
+    return out, parse_turtle(out).get_quads("@default")
+
+
+def test_bnode_cycle_keeps_all_triples():
+    """Singly-referenced blank-node cycles must keep their labels: the
+    inline walk used to pop every cycle member into an unreachable
+    structure and emit NOTHING."""
+    from rayld.kernel.rdf import RDFDataset
+
+    ds = RDFDataset()
+    ds.add_triple("_:a", "http://ex.org/p", "_:b")
+    ds.add_triple("_:b", "http://ex.org/p", "_:a")
+    out, quads = _roundtrip_quads(ds)
+    assert len(quads) == 2
+    subs = {q["subject"]["value"] for q in quads}
+    objs = {q["object"]["value"] for q in quads}
+    assert len(subs) == 2 and subs == objs  # the cycle survives intact
+
+    ds = RDFDataset()
+    ds.add_triple("_:a", "http://ex.org/p", "_:a")  # self-loop
+    out, quads = _roundtrip_quads(ds)
+    assert len(quads) == 1
+    assert quads[0]["subject"]["value"] == quads[0]["object"]["value"]
+
+
+def test_list_node_extra_predicates_not_dropped():
+    """A first/rest chain node carrying OTHER predicates cannot collapse to
+    '( ... )': the extra triples used to vanish silently."""
+    from rayld.kernel import consts
+    from rayld.kernel.rdf import RDFDataset
+
+    for extra_on in ("_:h", "_:t"):  # head and interior node
+        ds = RDFDataset()
+        ds.add_triple("http://ex.org/s", "http://ex.org/p", "_:h")
+        ds.add_triple("_:h", consts.RDF_FIRST, "a", is_literal=True)
+        ds.add_triple("_:h", consts.RDF_REST, "_:t")
+        ds.add_triple("_:t", consts.RDF_FIRST, "b", is_literal=True)
+        ds.add_triple("_:t", consts.RDF_REST, consts.RDF_NIL)
+        ds.add_triple(extra_on, "http://ex.org/q", "http://ex.org/o")
+        out, quads = _roundtrip_quads(ds)
+        assert len(quads) == 6, (extra_on, out)
+        assert any(
+            q["predicate"]["value"] == "http://ex.org/q" for q in quads
+        ), extra_on
+
+
+def test_dangling_rest_target_not_rewritten_to_nil():
+    """rdf:rest pointing at a node with no triples must stay explicit —
+    collapsing rewrote it to rdf:nil (a triple lost AND replaced)."""
+    from rayld.kernel import consts
+    from rayld.kernel.rdf import RDFDataset
+
+    ds = RDFDataset()
+    ds.add_triple("http://ex.org/s", "http://ex.org/p", "_:h")
+    ds.add_triple("_:h", consts.RDF_FIRST, "a", is_literal=True)
+    ds.add_triple("_:h", consts.RDF_REST, "http://ex.org/not-a-list")
+    out, quads = _roundtrip_quads(ds)
+    rests = [q for q in quads if q["predicate"]["value"] == consts.RDF_REST]
+    assert len(rests) == 1
+    assert rests[0]["object"]["value"] == "http://ex.org/not-a-list"
+
+
+def test_prefix_block_sorted_deterministic():
+    """@prefix lines are emitted in sorted order (set iteration order is
+    process-dependent, which broke byte-identical retries)."""
+    from rayld.kernel.rdf import RDFDataset
+
+    ds = RDFDataset()
+    ds.set_namespace("z", "http://zzz.example/")
+    ds.set_namespace("a", "http://aaa.example/")
+    ds.set_namespace("m", "http://mmm.example/")
+    ds.add_triple("http://zzz.example/s", "http://mmm.example/p",
+                  "http://aaa.example/o")
+    out = to_turtle(ds)
+    lines = [ln for ln in out.splitlines() if ln.startswith("@prefix")]
+    assert lines == sorted(lines) and len(lines) == 3
+
+
+def test_invalid_pn_local_falls_back_to_iri():
+    """A namespace hit whose local part is not a valid PN_LOCAL must fall
+    back to <IRI> (the prefixed form used to emit Turtle the module's own
+    parser rejects)."""
+    from rayld.kernel.rdf import RDFDataset
+
+    ds = RDFDataset()
+    ds.set_namespace("ex", "http://ex.org/")
+    ds.add_triple("http://ex.org/a/b(1)", "http://ex.org/p", "v",
+                  is_literal=True)
+    out, quads = _roundtrip_quads(ds)  # must re-parse cleanly
+    assert len(quads) == 1
+    assert quads[0]["subject"]["value"] == "http://ex.org/a/b(1)"
+
+
+def test_langstring_without_tag_emits_parseable_nquad():
+    """A langString literal missing its tag must not emit the bare '\"v\"@ '
+    form this module's own parser rejects."""
+    from rayld.kernel import consts
+    from rayld.kernel.nquads import parse_nquads, to_nquad
+    from rayld.kernel.rdf import make_quad, iri, literal, node_for_id
+
+    q = make_quad(
+        node_for_id("http://ex.org/s"), iri("http://ex.org/p"),
+        literal("v", consts.RDF_LANGSTRING, None), "@default",
+    )
+    line = to_nquad(q, None)
+    ds = parse_nquads(line)  # must not raise
+    (got,) = ds.get_quads("@default")
+    assert got["object"]["value"] == "v"
