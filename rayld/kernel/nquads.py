@@ -192,6 +192,71 @@ def _assert_absolute_iri(iri_str: str) -> None:
         )
 
 
+def _decode_quad_groups(g, line_number: int = 0):
+    """Matched _QUAD groups -> (subject, predicate, obj, graph_name) node
+    dicts. Shared by the RDFDataset parser and the row-level fast path."""
+    # groups: 1 subj-iri, 2 subj-bnode, 3 pred-iri, 4 obj-iri, 5 obj-bnode,
+    #         6 literal, 7 datatype, 8 language, 9 graph-iri, 10 graph-bnode
+    if g[0] is not None:
+        subject_iri = unescape(g[0])
+        _assert_absolute_iri(subject_iri)
+        subject = iri(subject_iri)
+    else:
+        subject = blank_node(unescape(g[1]))
+    predicate_iri = unescape(g[2])
+    _assert_absolute_iri(predicate_iri)
+    predicate = iri(predicate_iri)
+    if g[3] is not None:
+        object_iri = unescape(g[3])
+        _assert_absolute_iri(object_iri)
+        obj = iri(object_iri)
+    elif g[4] is not None:
+        obj = blank_node(unescape(g[4]))
+    else:
+        language = unescape(g[7])
+        if g[6] is not None:
+            datatype = unescape(g[6])
+        elif g[7] is not None:
+            datatype = consts.RDF_LANGSTRING
+        else:
+            datatype = consts.XSD_STRING
+        _assert_absolute_iri(datatype)
+        obj = literal(unescape(g[5]), datatype, language)
+    name = "@default"
+    if g[8] is not None:
+        name = unescape(g[8])
+        _assert_absolute_iri(name)
+    elif g[9] is not None:
+        name = unescape(g[9])
+    return subject, predicate, obj, name
+
+
+def parse_nquad_line(line: str):
+    """One N-Quads line -> (graph, subj, pred, obj_kind, obj_value,
+    obj_datatype, obj_lang) row tuple, or None for an empty/comment line.
+    Raises SYNTAX_ERROR on an invalid quad. The row-level fast path for
+    distributed line-sharded readers — no per-line RDFDataset allocation."""
+    if _EMPTY_OR_COMMENT.match(line):
+        return None
+    match = _QUAD.match(line)
+    if match is None:
+        raise JsonLdError(
+            JsonLdError.SYNTAX_ERROR,
+            "Error while parsing N-Quads; invalid quad.",
+        )
+    subject, _predicate, obj, name = _decode_quad_groups(match.groups())
+    kind = obj["type"]
+    return (
+        name,
+        subject["value"],
+        _predicate["value"],
+        kind,
+        obj["value"],
+        obj.get("datatype", "") if kind == "literal" else "",
+        obj.get("language") or "",
+    )
+
+
 def parse_nquads(input_: str) -> RDFDataset:
     dataset = RDFDataset()
     seen: dict = {}
@@ -204,40 +269,9 @@ def parse_nquads(input_: str) -> RDFDataset:
                 JsonLdError.SYNTAX_ERROR,
                 "Error while parsing N-Quads; invalid quad. line:" + str(line_number),
             )
-        g = match.groups()
-        # groups: 1 subj-iri, 2 subj-bnode, 3 pred-iri, 4 obj-iri, 5 obj-bnode,
-        #         6 literal, 7 datatype, 8 language, 9 graph-iri, 10 graph-bnode
-        if g[0] is not None:
-            subject_iri = unescape(g[0])
-            _assert_absolute_iri(subject_iri)
-            subject = iri(subject_iri)
-        else:
-            subject = blank_node(unescape(g[1]))
-        predicate_iri = unescape(g[2])
-        _assert_absolute_iri(predicate_iri)
-        predicate = iri(predicate_iri)
-        if g[3] is not None:
-            object_iri = unescape(g[3])
-            _assert_absolute_iri(object_iri)
-            obj = iri(object_iri)
-        elif g[4] is not None:
-            obj = blank_node(unescape(g[4]))
-        else:
-            language = unescape(g[7])
-            if g[6] is not None:
-                datatype = unescape(g[6])
-            elif g[7] is not None:
-                datatype = consts.RDF_LANGSTRING
-            else:
-                datatype = consts.XSD_STRING
-            _assert_absolute_iri(datatype)
-            obj = literal(unescape(g[5]), datatype, language)
-        name = "@default"
-        if g[8] is not None:
-            name = unescape(g[8])
-            _assert_absolute_iri(name)
-        elif g[9] is not None:
-            name = unescape(g[9])
+        subject, predicate, obj, name = _decode_quad_groups(
+            match.groups(), line_number
+        )
         triple = make_quad(subject, predicate, obj, name)
         # per-graph exact dedup (value semantics; RDFDatasetUtils.cs:686-691)
         key = quad_key(triple)

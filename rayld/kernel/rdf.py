@@ -270,3 +270,27 @@ class _FallbackCounter:
         bnid = f"_:b{self.n}"
         self.n += 1
         return bnid
+
+
+def dataset_to_columns(dataset: "RDFDataset") -> dict:
+    """RDFDataset -> columnar quad rows (graph, subj, pred, obj_kind,
+    obj_value, obj_datatype, obj_lang) as python lists. The shared
+    dataset-export core of the distributed readers and the KG stages —
+    callers prepend their own lineage column (source path / conv_id)."""
+    cols: dict = {
+        "graph": [], "subj": [], "pred": [], "obj_kind": [],
+        "obj_value": [], "obj_datatype": [], "obj_lang": [],
+    }
+    for graph_name in dataset.graph_names():
+        for quad in dataset.get_quads(graph_name):
+            o = quad["object"]
+            cols["graph"].append(graph_name)
+            cols["subj"].append(quad["subject"]["value"])
+            cols["pred"].append(quad["predicate"]["value"])
+            cols["obj_kind"].append(o["type"])
+            cols["obj_value"].append(o["value"])
+            cols["obj_datatype"].append(
+                o.get("datatype", "") if o["type"] == "literal" else ""
+            )
+            cols["obj_lang"].append(o.get("language") or "")
+    return cols

@@ -122,9 +122,11 @@ def tool_docs_parquet(sf_dir: str) -> str:
     This is the shared input file of the jsonld_* oracle rows: DuckDB reads
     TOOLDOC_CURRENT/*.parquet and recomputes the expected metrics
     structurally, so Ray op and oracle see byte-identical inputs."""
+    from ..sources.transcripts import CORPUS_REV
+
     n = n_conversations_for(sf_dir)
-    final = os.path.join(TOOLDOC_ROOT, f"n{n}")
-    done = os.path.join(TOOLDOC_ROOT, f"n{n}.done")
+    final = os.path.join(TOOLDOC_ROOT, f"n{n}-r{CORPUS_REV}")
+    done = os.path.join(TOOLDOC_ROOT, f"n{n}-r{CORPUS_REV}.done")
     os.makedirs(TOOLDOC_ROOT, exist_ok=True)
     if not os.path.exists(done):
         tmp = os.path.join(TOOLDOC_ROOT, f".tmp-n{n}-{os.getpid()}")

@@ -1,12 +1,23 @@
 """Distributed RDF text sources: N-Quads and Turtle files -> triples Dataset.
 
 - N-Quads is line-delimited: `read_text` shards lines across blocks and a
-  stateless map_batches parses each line with the kernel quad regex — the
-  per-graph dedup of the reference's ParseNQuads becomes a downstream
-  groupby when exactness is required (dedup=True).
+  stateless map_batches decodes each line with the kernel's row-level fast
+  path (`parse_nquad_line` — no per-line RDFDataset allocation). Malformed
+  lines quarantine into the @error graph like the JSON-LD readers, so one
+  corrupt line never kills a multi-TB read (set ``on_error="raise"`` for
+  strict mode). The per-graph dedup of the reference's ParseNQuads becomes
+  a downstream groupby when exactness is required (dedup=True).
 - Turtle is NOT line-splittable (statements span lines, prefixes are
   document-scoped), so each FILE is the unit of parallelism:
   `read_binary_files` + a per-file kernel parse.
+
+BLANK-NODE SCOPING (``scope_bnodes=True``, the default): bnode labels are
+document-scoped per the spec, so label-identical bnodes from DIFFERENT
+files are distinct nodes. The readers rewrite every ``_:label`` to
+``_:f<md5(path)>-label`` so a unioned multi-file Dataset never conflates
+them (read_jsonld_lines scopes per LINE — one line is one document there).
+Pass ``scope_bnodes=False`` to keep raw labels (single-file reads, or when
+the caller scopes by the ``source`` column itself).
 
 Output schema matches the pipeline triples table minus conv_id:
 (graph, subj, pred, obj_kind, obj_value, obj_datatype, obj_lang) plus
@@ -14,6 +25,8 @@ Output schema matches the pipeline triples table minus conv_id:
 """
 
 from __future__ import annotations
+
+import hashlib
 
 import pyarrow as pa
 
@@ -30,45 +43,97 @@ RDF_ROWS_SCHEMA = pa.schema(
     ]
 )
 
+_ERROR_PRED = "https://rayld.dev/vocab#processingError"
+_XSD_STRING = "http://www.w3.org/2001/XMLSchema#string"
+
 
 def _dataset_to_rows(dataset, source: str) -> dict:
-    cols = {f.name: [] for f in RDF_ROWS_SCHEMA}
-    for graph_name in dataset.graph_names():
-        for quad in dataset.get_quads(graph_name):
-            o = quad["object"]
-            cols["source"].append(source)
-            cols["graph"].append(graph_name)
-            cols["subj"].append(quad["subject"]["value"])
-            cols["pred"].append(quad["predicate"]["value"])
-            cols["obj_kind"].append(o["type"])
-            cols["obj_value"].append(o["value"])
-            cols["obj_datatype"].append(
-                o.get("datatype", "") if o["type"] == "literal" else ""
-            )
-            cols["obj_lang"].append(o.get("language") or "")
+    from ..kernel.rdf import dataset_to_columns
+
+    cols = dataset_to_columns(dataset)
+    cols["source"] = [source] * len(cols["graph"])
     return cols
 
 
-def read_nquads(paths, dedup: bool = True):
-    """N-Quads files -> triples Dataset. Lines parse independently per
-    batch; with dedup=True exact duplicate quads collapse globally
-    (hash-key aggregate — the distributed form of ParseNQuads' per-graph
-    Contains check, RDFDatasetUtils.cs:686-691)."""
+def _file_scope(path: str) -> str:
+    return hashlib.md5(path.encode()).hexdigest()[:12]
+
+
+def _requalify_rows(rows: dict, scope: str) -> None:
+    """Rewrite document-scoped ``_:label`` -> ``_:f<scope>-label`` in place
+    (subjects, graph names, node objects — literal text is never touched)."""
+    pre = f"_:f{scope}-"
+    for i in range(len(rows["subj"])):
+        if rows["subj"][i].startswith("_:"):
+            rows["subj"][i] = pre + rows["subj"][i][2:]
+        if rows["graph"][i].startswith("_:"):
+            rows["graph"][i] = pre + rows["graph"][i][2:]
+        if rows["obj_kind"][i] != "literal" and rows["obj_value"][i].startswith(
+            "_:"
+        ):
+            rows["obj_value"][i] = pre + rows["obj_value"][i][2:]
+
+
+def _error_row(cols: dict, path: str, subj: str, err: str) -> None:
+    cols["source"].append(path)
+    cols["graph"].append("@error")
+    cols["subj"].append(subj)
+    cols["pred"].append(_ERROR_PRED)
+    cols["obj_kind"].append("literal")
+    cols["obj_value"].append(err)
+    cols["obj_datatype"].append(_XSD_STRING)
+    cols["obj_lang"].append("")
+
+
+def read_nquads(paths, dedup: bool = True, scope_bnodes: bool = True,
+                on_error: str = "quarantine"):
+    """N-Quads files -> triples Dataset. Lines decode independently per
+    batch through the kernel's row-level fast path; with dedup=True exact
+    duplicate quads collapse globally (hash-key aggregate — the distributed
+    form of ParseNQuads' per-graph Contains check,
+    RDFDatasetUtils.cs:686-691). Bnode labels are file-scoped (see module
+    docstring); malformed lines quarantine into @error unless
+    ``on_error="raise"``."""
     import ray.data as rd
 
-    from ..kernel.nquads import parse_nquads
+    from ..kernel import JsonLdError
+    from ..kernel.nquads import parse_nquad_line
 
     ds = rd.read_text(paths, include_paths=True)
 
     def parse(batch: pa.Table) -> pa.Table:
         cols = {f.name: [] for f in RDF_ROWS_SCHEMA}
-        for path, line in zip(batch["path"].to_pylist(), batch["text"].to_pylist()):
-            if not line.strip() or line.lstrip().startswith("#"):
+        scopes: dict = {}
+        for path, line in zip(batch["path"].to_pylist(),
+                              batch["text"].to_pylist()):
+            try:
+                row = parse_nquad_line(line)
+            except JsonLdError as err:
+                if on_error == "raise":
+                    raise
+                _error_row(cols, path, path, f"{err}: {line[:200]}")
                 continue
-            parsed = parse_nquads(line)
-            rows = _dataset_to_rows(parsed, path)
-            for k, v in rows.items():
-                cols[k].extend(v)
+            if row is None:
+                continue
+            graph, subj, pred, kind, value, dtype, lang = row
+            if scope_bnodes:
+                scope = scopes.get(path)
+                if scope is None:
+                    scope = scopes[path] = f"_:f{_file_scope(path)}-"
+                if subj.startswith("_:"):
+                    subj = scope + subj[2:]
+                if graph.startswith("_:"):
+                    graph = scope + graph[2:]
+                if kind != "literal" and value.startswith("_:"):
+                    value = scope + value[2:]
+            cols["source"].append(path)
+            cols["graph"].append(graph)
+            cols["subj"].append(subj)
+            cols["pred"].append(pred)
+            cols["obj_kind"].append(kind)
+            cols["obj_value"].append(value)
+            cols["obj_datatype"].append(dtype)
+            cols["obj_lang"].append(lang)
         return pa.Table.from_pydict(cols, schema=RDF_ROWS_SCHEMA)
 
     rows = ds.map_batches(parse, batch_format="pyarrow")
@@ -80,11 +145,19 @@ def read_nquads(paths, dedup: bool = True):
     cols = [f.name for f in RDF_ROWS_SCHEMA]
     key_cols = [c for c in cols if c != "source"]
 
+    if scope_bnodes:
+        # labels are file-unique after requalification, so the quad fields
+        # alone are the dedup key: bnode quads from different files differ
+        # textually, ground quads collapse globally
+        agg = rows.groupby(key_cols).aggregate(
+            Min("source", alias_name="source")
+        )
+        return agg.select_columns(cols)
+
     def add_scope(batch: pa.Table) -> pa.Table:
-        """Blank-node labels are DOCUMENT-scoped (the reference's ParseNQuads
-        dedup is per-document, RDFDatasetUtils.cs:686-691), so a quad touching
-        a blank node only collapses within its own file: its dedup scope is
-        the source path. Ground quads (no bnodes) dedup globally (scope '')."""
+        """Raw labels (scope_bnodes=False): a quad touching a blank node
+        only collapses within its own file — its dedup scope is the source
+        path. Ground quads (no bnodes) dedup globally (scope '')."""
         import pyarrow.compute as pc
 
         bnode_subj = pc.starts_with(batch["subj"], "_:")
@@ -106,9 +179,10 @@ def read_nquads(paths, dedup: bool = True):
     return agg.drop_columns(["scope"]).select_columns(cols)
 
 
-def read_turtle(paths):
+def read_turtle(paths, scope_bnodes: bool = True):
     """Turtle files -> triples Dataset; one kernel parse per file (Turtle
-    statements are document-scoped, so the file is the parallelism unit)."""
+    statements are document-scoped, so the file is the parallelism unit).
+    Bnode labels are file-scoped by default (see module docstring)."""
     import ray.data as rd
 
     from ..kernel.turtle import parse_turtle
@@ -121,6 +195,8 @@ def read_turtle(paths):
             text = bytes(data).decode("utf-8-sig")
             parsed = parse_turtle(text)
             rows = _dataset_to_rows(parsed, path)
+            if scope_bnodes:
+                _requalify_rows(rows, _file_scope(path))
             for k, v in rows.items():
                 cols[k].extend(v)
         return pa.Table.from_pydict(cols, schema=RDF_ROWS_SCHEMA)
@@ -128,11 +204,12 @@ def read_turtle(paths):
     return ds.map_batches(parse, batch_format="numpy")
 
 
-def read_jsonld(paths, options=None):
+def read_jsonld(paths, options=None, scope_bnodes: bool = True):
     """JSON-LD document files -> triples Dataset: per-file kernel
     expand -> toRDF (A1+A5 distributed over a document corpus). Documents
     that fail processing quarantine into the @error graph with the typed
-    error string instead of failing the job."""
+    error string instead of failing the job. Bnode labels are file-scoped
+    by default (see module docstring)."""
     import json as _json
 
     import ray.data as rd
@@ -148,19 +225,12 @@ def read_jsonld(paths, options=None):
                 doc = _json.loads(bytes(data).decode("utf-8-sig"))
                 dataset = to_rdf(doc, options or JsonLdOptions(""))
                 rows = _dataset_to_rows(dataset, path)
+                if scope_bnodes:
+                    _requalify_rows(rows, _file_scope(path))
                 for k, v in rows.items():
                     cols[k].extend(v)
             except (JsonLdError, ValueError) as err:
-                cols["source"].append(path)
-                cols["graph"].append("@error")
-                cols["subj"].append(path)
-                cols["pred"].append("https://rayld.dev/vocab#processingError")
-                cols["obj_kind"].append("literal")
-                cols["obj_value"].append(str(err))
-                cols["obj_datatype"].append(
-                    "http://www.w3.org/2001/XMLSchema#string"
-                )
-                cols["obj_lang"].append("")
+                _error_row(cols, path, path, str(err))
         return pa.Table.from_pydict(cols, schema=RDF_ROWS_SCHEMA)
 
     return ds.map_batches(parse, batch_format="numpy")
@@ -177,7 +247,6 @@ def read_jsonld_lines(paths, options=None):
     can never collide (byte-identical lines in one corpus share a scope,
     matching the reference's per-document dedup semantics,
     RDFDatasetUtils.cs:686-691)."""
-    import hashlib
     import json as _json
 
     import ray.data as rd
@@ -212,16 +281,7 @@ def read_jsonld_lines(paths, options=None):
                 for k, v in rows.items():
                     cols[k].extend(v)
             except (JsonLdError, ValueError) as err:
-                cols["source"].append(path)
-                cols["graph"].append("@error")
-                cols["subj"].append(f"{path}#{scope}")
-                cols["pred"].append("https://rayld.dev/vocab#processingError")
-                cols["obj_kind"].append("literal")
-                cols["obj_value"].append(str(err))
-                cols["obj_datatype"].append(
-                    "http://www.w3.org/2001/XMLSchema#string"
-                )
-                cols["obj_lang"].append("")
+                _error_row(cols, path, f"{path}#{scope}", str(err))
         return pa.Table.from_pydict(cols, schema=RDF_ROWS_SCHEMA)
 
     return ds.map_batches(parse, batch_format="pyarrow")

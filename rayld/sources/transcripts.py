@@ -36,6 +36,11 @@ TRANSCRIPTS_SCHEMA = pa.schema(
 
 _BASE_EPOCH_US = 1_767_225_600_000_000  # 2026-01-01T00:00:00Z, fixed (no wall clock)
 
+# bump when the deterministic generator's OUTPUT changes (cache keys for
+# materialized derivatives — e.g. the jsonld_ops tool-doc parquet — include
+# this, so stale caches from an older corpus are never reused)
+CORPUS_REV = 2
+
 _ROLES = ["user", "assistant", "tool"]
 
 _TEXT_TEMPLATES = [
@@ -106,9 +111,13 @@ def _make_tool_payload(rng: np.random.Generator, entities: list[str],
         doc = {
             "@context": _TOOL_CONTEXT,
             "@graph": [
-                {"@id": "_:obs", "name": f"observation-{turn_idx}",
+                # per-TURN label: the conversation expands as ONE JSON-LD
+                # document, so a fixed "_:obs" would conflate every kind-2
+                # observation in the conversation into a single node
+                {"@id": f"_:obs-{turn_idx}",
+                 "name": f"observation-{turn_idx}",
                  "mentions": mention},
-                {"@id": doc_id, "partner": {"@id": "_:obs"},
+                {"@id": doc_id, "partner": {"@id": f"_:obs-{turn_idx}"},
                  "value": int(rng.integers(0, 100))},
             ],
         }
@@ -131,7 +140,9 @@ def generate_conversation(seed: int, conv_index: int,
     cols = {k: [] for k in ("conv_id", "turn_idx", "role", "text", "tool", "ts")}
     t0 = _BASE_EPOCH_US + conv_index * 60_000_000
     for turn_idx in range(n_turns):
-        role = _ROLES[turn_idx % 3] if n_turns >= 3 else _ROLES[turn_idx % 2]
+        # n_turns = min(2 + zipf, max_turns) >= 3 always (zipf >= 1), so the
+        # 3-role rotation is unconditional
+        role = _ROLES[turn_idx % 3]
         template = _TEXT_TEMPLATES[int(rng.integers(0, len(_TEXT_TEMPLATES)))]
         e0 = gazetteer_surfaces[int(rng.integers(0, len(gazetteer_surfaces)))]
         e1 = gazetteer_surfaces[int(rng.integers(0, len(gazetteer_surfaces)))]
@@ -202,7 +213,7 @@ def write_transcripts_parquet(path: str, num_conversations: int,
     transcripts_dataset(num_conversations, seed).write_parquet(path)
 
 
-def read_transcripts(path: str, conversations_per_block: int = 128):
+def read_transcripts(path: str):
     """Read a transcripts Parquet directory/file as the pipeline input.
 
     Column-pruned to the contract schema; block count follows the Parquet

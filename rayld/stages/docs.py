@@ -39,11 +39,14 @@ _CHILD_CONTEXT_CACHE: dict = {}  # per-process memo for in-tree tool contexts
 
 
 def get_parsed_context(options: Optional[JsonLdOptions] = None) -> Context:
-    """Per-process parsed-context cache (built once, reused per batch)."""
-    key = "default"
+    """Per-process parsed-context cache (built once per distinct options,
+    reused per batch). The key covers the option fields context parsing
+    actually reads — a fixed key silently served the FIRST caller's options
+    to every later caller with a different base."""
+    opts = options or JsonLdOptions("")
+    key = (opts.base, getattr(opts, "processing_mode", None))
     ctx = _PARSED_CONTEXT_CACHE.get(key)
     if ctx is None:
-        opts = options or JsonLdOptions("")
         ctx = Context(opts).parse(RAYLD_CONTEXT)
         _PARSED_CONTEXT_CACHE[key] = ctx
     return ctx
@@ -83,7 +86,7 @@ def build_turn_doc(conv_id: str, turn_idx: int, role: str, text: str,
         payload = None
         try:
             payload = json.loads(tool)
-        except (json.JSONDecodeError, ValueError):
+        except ValueError:  # JSONDecodeError is a ValueError
             payload = None
         if isinstance(payload, dict) and (
             "@context" in payload or "@id" in payload or "@graph" in payload
@@ -145,24 +148,12 @@ def conversation_expanded(conv_id: str, turns: list[dict],
 
 
 def triples_rows_from_dataset(conv_id: str, dataset) -> dict:
-    """RDFDataset -> columnar triple rows (FIXTURES.md §2 schema)."""
-    cols = {
-        "conv_id": [], "graph": [], "subj": [], "pred": [],
-        "obj_kind": [], "obj_value": [], "obj_datatype": [], "obj_lang": [],
-    }
-    for graph_name in dataset.graph_names():
-        for quad in dataset.get_quads(graph_name):
-            o = quad["object"]
-            cols["conv_id"].append(conv_id)
-            cols["graph"].append(graph_name)
-            cols["subj"].append(quad["subject"]["value"])
-            cols["pred"].append(quad["predicate"]["value"])
-            cols["obj_kind"].append(o["type"])
-            cols["obj_value"].append(o["value"])
-            cols["obj_datatype"].append(
-                o.get("datatype", "") if o["type"] == "literal" else ""
-            )
-            cols["obj_lang"].append(o.get("language") or "")
+    """RDFDataset -> columnar triple rows (FIXTURES.md §2 schema); the
+    dataset-export core is shared with the rdf_files readers."""
+    from ..kernel.rdf import dataset_to_columns
+
+    cols = dataset_to_columns(dataset)
+    cols = {"conv_id": [conv_id] * len(cols["graph"]), **cols}
     return cols
 
 

@@ -47,7 +47,16 @@ def test_read_nquads_bnode_quads_stay_file_scoped(ray_session, tmp_path):
     ).to_pandas()
     # 1 ground quad (global dedup) + 2 bnode quads (one per file)
     assert len(out) == 3
-    assert (out["subj"] == "_:b0").sum() == 2
+    # default scoping rewrites labels per file, so the two _:b0 nodes are
+    # DISTINCT subjects a consumer can no longer conflate
+    bn = out[out["subj"].str.startswith("_:")]
+    assert len(bn) == 2 and bn["subj"].nunique() == 2
+    assert (bn["subj"].str.endswith("-b0")).all()
+    # raw labels remain available for single-file/self-scoped callers
+    raw = read_nquads(
+        [str(tmp_path / f"f{i}.nq") for i in range(2)], scope_bnodes=False
+    ).to_pandas()
+    assert (raw["subj"] == "_:b0").sum() == 2 and len(raw) == 3
     # a literal whose text starts with "_:" is NOT treated as a bnode
     lit = tmp_path / "lit.nq"
     lit.write_text('<http://ex/s> <http://ex/p> "_:b0" .\n')
@@ -176,3 +185,27 @@ def test_read_jsonld_lines_scopes_bnodes_per_line(ray_session, tmp_path):
     assert good["subj"].nunique() == 2  # line-scoped, no collision
     errs = out[out["graph"] == "@error"]
     assert len(errs) == 1 and "processingError" in errs["pred"].iloc[0]
+
+
+def test_read_nquads_quarantines_bad_lines(ray_session, tmp_path):
+    """One corrupt line must not kill a corpus read: it lands in the
+    @error graph with its source path; strict mode still raises."""
+    import pytest
+
+    from rayld.kernel import JsonLdError
+    from rayld.sources.rdf_files import read_nquads
+
+    f = tmp_path / "mixed.nq"
+    f.write_text(
+        '<http://ex/s> <http://ex/p> "ok" .\n'
+        'THIS IS NOT A QUAD\n'
+        '<http://ex/s2> <http://ex/p> "ok2" .\n'
+    )
+    out = read_nquads([str(f)]).to_pandas()
+    good = out[out["graph"] != "@error"]
+    errs = out[out["graph"] == "@error"]
+    assert len(good) == 2 and len(errs) == 1
+    assert "NOT A QUAD" in errs["obj_value"].iloc[0]
+
+    with pytest.raises((JsonLdError, Exception)):
+        read_nquads([str(f)], on_error="raise").to_pandas()
