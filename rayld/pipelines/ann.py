@@ -189,8 +189,23 @@ def ivf_build(sf_dir: str, index_dir: str, n_clusters: int = 16,
     if _valid(index_dir):
         return index_dir
     if os.path.isdir(index_dir):
-        # stale params or a partial legacy build — rebuild from scratch
-        shutil.rmtree(index_dir)
+        # stale params or a partial legacy build. NEVER rmtree in place —
+        # a concurrent builder may have renamed a finished index in after
+        # our _valid() read. Atomically CLAIM the dir first, inspect what
+        # we actually grabbed, and put it back if it turned out valid.
+        trash = f"{index_dir}.stale.{os.getpid()}"
+        try:
+            os.rename(index_dir, trash)
+        except OSError:
+            pass  # someone else claimed/replaced it; fall through
+        else:
+            if _valid(trash):
+                try:
+                    os.rename(trash, index_dir)
+                    return index_dir
+                except OSError:
+                    pass  # another valid index appeared meanwhile
+            shutil.rmtree(trash, ignore_errors=True)
 
     tmp_dir = f"{index_dir}.build.{os.getpid()}"
     if os.path.isdir(tmp_dir):
@@ -348,7 +363,7 @@ def ivf_recall(sf_dir: str, k: int = 10, query_ids=(0, 1, 2, 3),
 # Per-label centroids (distributed vector aggregate)
 # ---------------------------------------------------------------------------
 
-def label_centroids(sf_dir: str, dim: int = 64):
+def label_centroids(sf_dir: str):
     """Per-label mean embedding as a distributed VECTOR aggregate: each batch
     reduces to (label, dim, partial_sum, partial_n) rows (10 labels x 64 dims
     regardless of batch size), a tiny (label, dim) groupby sums the partials,
@@ -364,6 +379,7 @@ def label_centroids(sf_dir: str, dim: int = 64):
     def partial(batch: pa.Table) -> pa.Table:
         labels = np.asarray(batch["label"].to_pylist(), dtype=np.int64)
         mat = np.asarray(batch["embedding"].to_pylist(), dtype=np.float64)
+        dim = mat.shape[1]  # from the data — a parameter could disagree
         out_label, out_dim, out_s, out_n = [], [], [], []
         for lab in np.unique(labels):
             sel = mat[labels == lab]
@@ -488,18 +504,26 @@ def embedding_quantize(sf_dir: str):
 
 def _kmeans_seeds(sf_dir: str, n_clusters: int) -> np.ndarray:
     """Seedless scattered init: the embeddings of the n_clusters vec_ids
-    with smallest md5(vec_id) — deterministic, order-free, and unbiased by
-    file layout (the ivf prefix-sample lesson). One per-batch local top-k
-    partial -> tiny global merge."""
-    import hashlib
+    with smallest multiply-mixed hash — deterministic, order-free, and
+    unbiased by file layout (the ivf prefix-sample lesson). One vectorized
+    per-batch local top-k partial -> tiny global merge (the per-row
+    md5-hexdigest loop this replaces was the CLAUDE.md 2-5x digest tax,
+    and shipped 32-char string sort keys for no reason)."""
 
     def partial(batch: pa.Table) -> pa.Table:
-        ids = batch["vec_id"].to_pylist()
-        keys = [hashlib.md5(str(i).encode()).hexdigest() for i in ids]
-        order = np.argsort(np.asarray(keys, dtype=object))[:n_clusters]
+        ids = np.asarray(batch["vec_id"].to_pylist(), dtype=np.uint64)
+        with np.errstate(over="ignore"):
+            h = ids * _SAMPLE_MIX
+            h ^= h >> np.uint64(29)
+            h *= np.uint64(0xBF58476D1CE4E5B9)
+            h ^= h >> np.uint64(32)
+        k = min(n_clusters, len(ids))
+        order = np.argsort(h, kind="stable")[:k]
+        # uint64 -> order-preserving int64 sort key (top bit flipped)
+        key = (h[order] ^ np.uint64(1 << 63)).view(np.int64)
         return pa.table({
-            "md5key": pa.array([keys[i] for i in order], pa.string()),
-            "vec_id": pa.array([ids[i] for i in order], pa.int64()),
+            "mixkey": pa.array(key),
+            "vec_id": pa.array(ids[order].view(np.int64)),
             "embedding": pa.array(
                 [batch["embedding"][int(i)].as_py() for i in order]
             ),
@@ -508,7 +532,7 @@ def _kmeans_seeds(sf_dir: str, n_clusters: int) -> np.ndarray:
     top = (
         _embeddings(sf_dir)
         .map_batches(partial, batch_format="pyarrow")
-        .sort("md5key")
+        .sort("mixkey")
         .limit(n_clusters)
         .to_pandas()
     )

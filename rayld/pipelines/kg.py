@@ -30,6 +30,7 @@ from __future__ import annotations
 import json
 import os
 import zlib
+from datetime import timezone as _tz
 
 import numpy as np
 import pandas as pd
@@ -118,20 +119,6 @@ def expand_turns(batch: pa.Table) -> pa.Table:
 # ---------------------------------------------------------------------------
 # Stage: conversation group -> canonical triples (groupby(conv_id).map_groups)
 # ---------------------------------------------------------------------------
-
-def conv_group_to_triples(group: pd.DataFrame) -> pa.Table:
-    group = group.sort_values("turn_idx", kind="mergesort")
-    errors = (
-        group["error"].tolist() if "error" in group.columns
-        else [""] * len(group)
-    )
-    return _conv_rows_to_triples(
-        group["conv_id"].iloc[0],
-        [int(i) for i in group["turn_idx"]],
-        group["expanded"].tolist(),
-        errors,
-    )
-
 
 def _conv_rows_to_triples(conv_id: str, turn_idxs: list, expanded: list,
                           errors: list) -> pa.Table:
@@ -303,6 +290,12 @@ def render_nquad_lines(batch: pa.Table) -> pa.Table:
     from ..kernel.nquads import to_nquad
     from ..kernel.rdf import iri as _iri, literal as _lit, node_for_id
 
+    import pyarrow.compute as pc
+
+    # the reserved quarantine graph is NOT RDF: the kernel would serialize
+    # it as the invalid relative IRI <@error>, breaking byte-parity with a
+    # kernel run (which has no quarantine rows) and the shard's re-parse
+    batch = batch.filter(pc.invert(pc.equal(batch["graph"], "@error")))
     d = batch.to_pydict()
     lines = []
     for i in range(batch.num_rows):
@@ -429,7 +422,7 @@ def completed_buckets(out_dir: str, num_buckets: int) -> set:
 
 
 def run_kg_pipeline(transcripts_ds, out_dir: str, num_buckets: int = 16,
-                    gazetteer=None, link_concurrency: int = 4,
+                    gazetteer=None, link_concurrency=None,
                     resume: bool = True) -> dict:
     """Run the full pipeline with bucketed output + per-bucket lineage
     manifests. A re-run skips buckets whose manifest already exists (pruned at
@@ -444,10 +437,7 @@ def run_kg_pipeline(transcripts_ds, out_dir: str, num_buckets: int = 16,
     done = completed_buckets(out_dir, num_buckets) if resume else set()
 
     def add_bucket_and_filter(batch: pa.Table) -> pa.Table:
-        conv_ids = batch["conv_id"].to_pylist()
-        buckets = np.array(
-            [conv_bucket(c, num_buckets) for c in conv_ids], dtype=np.int32
-        )
+        buckets = crc32_buckets(batch["conv_id"].to_pylist(), num_buckets)
         batch = batch.append_column("bucket", pa.array(buckets, pa.int32()))
         if done:
             mask = np.isin(buckets, np.fromiter(done, dtype=np.int32), invert=True)
@@ -471,7 +461,7 @@ def run_kg_pipeline(transcripts_ds, out_dir: str, num_buckets: int = 16,
     )
 
     def re_bucket(batch: pa.Table) -> pa.Table:
-        buckets = [conv_bucket(c, num_buckets) for c in batch["conv_id"].to_pylist()]
+        buckets = crc32_buckets(batch["conv_id"].to_pylist(), num_buckets)
         return batch.append_column("bucket", pa.array(buckets, pa.int32()))
 
     triples = triples.map_batches(re_bucket, batch_format="pyarrow")
@@ -488,7 +478,7 @@ def run_kg_pipeline(transcripts_ds, out_dir: str, num_buckets: int = 16,
             continue
         rows = 0
         n_errors = 0
-        n_convs = 0
+        conv_set: set = set()
         files = []
         content_hash = 0
         if os.path.isdir(bdir):
@@ -499,12 +489,13 @@ def run_kg_pipeline(transcripts_ds, out_dir: str, num_buckets: int = 16,
                 md = pq.ParquetFile(fp).metadata
                 rows += md.num_rows
                 # per-partition metrics: quarantined-turn count + distinct
-                # conversations (one narrow column scan of the output)
+                # conversations (one narrow column scan of the output; the
+                # set union stays exact if a conversation ever spans files)
                 t = pq.read_table(fp, columns=["graph", "conv_id"])
                 n_errors += pc.sum(
                     pc.equal(t["graph"], "@error")
                 ).as_py() or 0
-                n_convs += pc.count_distinct(t["conv_id"]).as_py()
+                conv_set.update(pc.unique(t["conv_id"]).to_pylist())
                 content_hash = zlib.crc32(
                     f"{fn}:{md.num_rows}".encode(), content_hash
                 )
@@ -515,7 +506,7 @@ def run_kg_pipeline(transcripts_ds, out_dir: str, num_buckets: int = 16,
             json.dump(
                 {"bucket": b, "rows": rows, "files": files,
                  "content_hash": content_hash, "num_buckets": num_buckets,
-                 "n_errors": n_errors, "n_conversations": n_convs},
+                 "n_errors": n_errors, "n_conversations": len(conv_set)},
                 f,
             )
         total += rows
@@ -578,7 +569,7 @@ def triples_to_documents(triples_ds, num_partitions: int | None = None):
         num_partitions = cluster_partitions()
 
     def add_part(batch: pa.Table) -> pa.Table:
-        parts = [conv_bucket(c, num_partitions) for c in batch["conv_id"].to_pylist()]
+        parts = crc32_buckets(batch["conv_id"].to_pylist(), num_partitions)
         return batch.append_column("part", pa.array(parts, pa.int32()))
 
     ds = triples_ds.map_batches(add_part, batch_format="pyarrow", batch_size=None)
@@ -674,8 +665,12 @@ def kg_parity_check(n_conversations: int = 50, link_concurrency=None):
             dict(
                 turn_idx=r["turn_idx"], role=r["role"], text=r["text"],
                 tool=r["tool"],
-                ts_us=int(r["ts"].timestamp() * 1e6)
-                if hasattr(r["ts"], "timestamp") else r["ts"],
+                # naive datetimes from Arrow are UTC wall-clock: pin the
+                # tzinfo before .timestamp(), which would otherwise apply
+                # the MACHINE timezone and shift every literal
+                ts_us=int(
+                    r["ts"].replace(tzinfo=_tz.utc).timestamp() * 1e6
+                ) if hasattr(r["ts"], "timestamp") else r["ts"],
                 entity_iris=linker.link_text(r["text"]),
             )
             for r in turns

@@ -359,3 +359,29 @@ def test_export_turtle_distributed(ray_session, tmp_path):
             len(v) for k, v in ds.items() if isinstance(v, list)
         )
     assert total_reparsed == manifest["n_statements"].sum()
+
+
+def test_parity_ts_conversion_tz_independent():
+    """The parity oracle's naive-datetime -> epoch-us conversion must match
+    the Arrow int64 cast REGARDLESS of the machine timezone (a bare
+    .timestamp() applies the local zone and shifted every literal)."""
+    import os
+    import subprocess
+    import sys
+
+    code = (
+        "import pyarrow as pa\n"
+        "from datetime import timezone\n"
+        "from datetime import datetime\n"
+        "t = pa.array([datetime(2026, 1, 1, 5)], pa.timestamp('us'))\n"
+        "want = t.cast(pa.int64())[0].as_py()\n"
+        "naive = t.to_pylist()[0]\n"
+        "got = int(naive.replace(tzinfo=timezone.utc).timestamp() * 1e6)\n"
+        "assert got == want, (got, want)\n"
+        "print('ok')\n"
+    )
+    env = dict(os.environ, TZ="America/New_York")
+    out = subprocess.run(
+        [sys.executable, "-c", code], env=env, capture_output=True, text=True
+    )
+    assert out.returncode == 0 and "ok" in out.stdout, out.stderr
