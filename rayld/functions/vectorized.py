@@ -5,6 +5,8 @@ that every map_batches body otherwise reimplements:
 - crc32 bucket assignment (the shuffle-bucketing key used by kg / sessions)
 - UTF-16-BE sort keys (C#-ordinal-compatible distributed sorts)
 - L2 row normalization (cosine pipelines)
+- mix64 / u64_sort_key (uniform uint64 priorities from ids + the
+  order-preserving int64 view that Arrow sorts can key on)
 """
 
 from __future__ import annotations
@@ -54,6 +56,32 @@ def l2_normalize_rows(mat: np.ndarray) -> np.ndarray:
     norms = np.linalg.norm(mat, axis=1)
     norms[norms == 0] = 1.0
     return mat / norms[:, None]
+
+
+_FMIX64_C1 = np.uint64(0xFF51AFD7ED558CCD)
+_FMIX64_C2 = np.uint64(0xC4CEB9FE1A85EC53)
+
+
+def mix64(values) -> np.ndarray:
+    """MurmurHash3 fmix64 finalizer over a uint64 array: sequential or
+    structured ids in, uniform 64-bit priorities out (bottom-k sampling,
+    sketch column hashing). Wraps mod 2^64 by construction."""
+    h = np.asarray(values).astype(np.uint64)
+    with np.errstate(over="ignore"):
+        h = h ^ (h >> np.uint64(33))
+        h = h * _FMIX64_C1
+        h = h ^ (h >> np.uint64(33))
+        h = h * _FMIX64_C2
+        h = h ^ (h >> np.uint64(33))
+    return h
+
+
+def u64_sort_key(values) -> np.ndarray:
+    """Order-preserving int64 view of uint64 values (top bit flipped), so
+    Arrow/pandas int64 sorts equal unsigned order — Ray sort columns have
+    no uint64 type."""
+    h = np.asarray(values).astype(np.uint64)
+    return (h ^ np.uint64(1 << 63)).view(np.int64)
 
 
 def append_mod_part(batch: pa.Table, col: str, num_partitions: int,

@@ -183,12 +183,14 @@ _EOLN = re.compile(r"(?:\r\n)|(?:\n)|(?:\r)")
 _ABSOLUTE_IRI = re.compile(r"^[A-Za-z][A-Za-z0-9+.\-]*:")
 
 
-def _assert_absolute_iri(iri_str: str) -> None:
+def _assert_absolute_iri(iri_str: str, line_number: int = 0) -> None:
     """Approximates the reference's .NET absolute-URI validation
-    (RDFDatasetUtils.cs:705-711)."""
+    (RDFDatasetUtils.cs:705-711). line_number (when known) lands in the
+    message so a bad IRI in a multi-thousand-line file is locatable."""
     if not _ABSOLUTE_IRI.match(iri_str) or " " in iri_str:
+        where = f" line:{line_number}" if line_number else ""
         raise JsonLdError(
-            JsonLdError.SYNTAX_ERROR, f"Invalid absolute URI <{iri_str}>"
+            JsonLdError.SYNTAX_ERROR, f"Invalid absolute URI <{iri_str}>{where}"
         )
 
 
@@ -199,16 +201,16 @@ def _decode_quad_groups(g, line_number: int = 0):
     #         6 literal, 7 datatype, 8 language, 9 graph-iri, 10 graph-bnode
     if g[0] is not None:
         subject_iri = unescape(g[0])
-        _assert_absolute_iri(subject_iri)
+        _assert_absolute_iri(subject_iri, line_number)
         subject = iri(subject_iri)
     else:
         subject = blank_node(unescape(g[1]))
     predicate_iri = unescape(g[2])
-    _assert_absolute_iri(predicate_iri)
+    _assert_absolute_iri(predicate_iri, line_number)
     predicate = iri(predicate_iri)
     if g[3] is not None:
         object_iri = unescape(g[3])
-        _assert_absolute_iri(object_iri)
+        _assert_absolute_iri(object_iri, line_number)
         obj = iri(object_iri)
     elif g[4] is not None:
         obj = blank_node(unescape(g[4]))
@@ -220,12 +222,12 @@ def _decode_quad_groups(g, line_number: int = 0):
             datatype = consts.RDF_LANGSTRING
         else:
             datatype = consts.XSD_STRING
-        _assert_absolute_iri(datatype)
+        _assert_absolute_iri(datatype, line_number)
         obj = literal(unescape(g[5]), datatype, language)
     name = "@default"
     if g[8] is not None:
         name = unescape(g[8])
-        _assert_absolute_iri(name)
+        _assert_absolute_iri(name, line_number)
     elif g[9] is not None:
         name = unescape(g[9])
     return subject, predicate, obj, name

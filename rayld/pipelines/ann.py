@@ -25,6 +25,7 @@ def _embeddings(sf_dir: str):
 
 
 from ..functions.vectorized import l2_normalize_rows as _normalize  # noqa: E402
+from ..functions.vectorized import u64_sort_key  # noqa: E402
 
 
 def query_vectors(sf_dir: str, query_ids=(0, 1, 2, 3)) -> tuple:
@@ -173,7 +174,9 @@ def ivf_build(sf_dir: str, index_dir: str, n_clusters: int = 16,
         "n_clusters": int(n_clusters),
         "sample_size": int(sample_size),
         "seed": int(seed),
-        "sample": "scatter-v1",
+        # bump when the sampling math changes: a pre-threshold-fix cached
+        # index must fail _valid() and rebuild, not be silently reused
+        "sample": "scatter-v2",
     }
 
     def _valid(d: str) -> bool:
@@ -519,8 +522,7 @@ def _kmeans_seeds(sf_dir: str, n_clusters: int) -> np.ndarray:
             h ^= h >> np.uint64(32)
         k = min(n_clusters, len(ids))
         order = np.argsort(h, kind="stable")[:k]
-        # uint64 -> order-preserving int64 sort key (top bit flipped)
-        key = (h[order] ^ np.uint64(1 << 63)).view(np.int64)
+        key = u64_sort_key(h[order])
         return pa.table({
             "mixkey": pa.array(key),
             "vec_id": pa.array(ids[order].view(np.int64)),

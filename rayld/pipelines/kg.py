@@ -61,10 +61,6 @@ TRIPLES_SCHEMA = pa.schema(
 )
 
 
-def conv_bucket(conv_id: str, num_buckets: int) -> int:
-    return zlib.crc32(conv_id.encode("utf-8")) % num_buckets
-
-
 # ---------------------------------------------------------------------------
 # Stage: per-turn doc build + expansion (stateless map_batches)
 # ---------------------------------------------------------------------------

@@ -12,7 +12,7 @@ import numpy as np
 import pandas as pd
 
 from ..functions.vectorized import (append_mod_part, crc32_buckets,
-                                    money_cents)
+                                    mix64, money_cents, u64_sort_key)
 
 
 def _two_type_tag_and_bucket(left_type: str, right_type: str,
@@ -1651,7 +1651,7 @@ def user_spend_rank(sf_dir: str, range_shift: int | None = None):
         if len(df) == 0:
             return sch.empty_table()
         spend = df["spend_c"].to_numpy(np.int64)
-        off = offsets[int(_rb(spend[:1])[0])]
+        off = offsets[int(df["rb"].iloc[0])]
         order = np.sort(spend)
         left = np.searchsorted(order, spend, side="left")
         right = np.searchsorted(order, spend, side="right")
@@ -1803,7 +1803,8 @@ def power_users(sf_dir: str, min_events: int = 50, min_spend: float = 100.0):
 
     from .common import bucketed_sum_combine
 
-    min_spend_c = int(round(min_spend * 100))
+    # half-up like every money conversion in the repo (round() is half-even)
+    min_spend_c = int(np.floor(min_spend * 100 + 0.5))
     ds = rd.read_parquet(
         f"{sf_dir}/events.parquet", columns=["user_id", "value"]
     )
@@ -1869,13 +1870,7 @@ def value_quantile_sketch(sf_dir: str, k: int = 4096,
     )
 
     def bottom_k(batch: pa.Table) -> pa.Table:
-        h = np.asarray(batch["event_id"].to_pylist(), dtype=np.uint64)
-        with np.errstate(over="ignore"):
-            h ^= h >> np.uint64(33)
-            h *= np.uint64(0xFF51AFD7ED558CCD)
-            h ^= h >> np.uint64(33)
-            h *= np.uint64(0xC4CEB9FE1A85EC53)
-            h ^= h >> np.uint64(33)
+        h = mix64(np.asarray(batch["event_id"].to_pylist(), dtype=np.uint64))
         vals = np.asarray(batch["value"].to_pylist(), dtype=np.float64)
         if len(h) > k:
             idx = np.argpartition(h, k)[:k]
@@ -1892,8 +1887,7 @@ def value_quantile_sketch(sf_dir: str, k: int = 4096,
 
     def view_u64(batch: pa.Table) -> pa.Table:
         p = np.asarray(batch["priority"].to_pylist(), dtype=np.int64)
-        # order uint64 priorities with an int64 sort key: flip the top bit
-        key = (p.view(np.uint64) ^ np.uint64(1 << 63)).view(np.int64)
+        key = u64_sort_key(p.view(np.uint64))
         return batch.append_column("sort_key", pa.array(key))
 
     sample = (

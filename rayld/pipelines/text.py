@@ -927,17 +927,20 @@ _CMS_MIX = np.array(
 
 
 def _cms_cols(token_hashes: np.ndarray) -> np.ndarray:
-    """(d, n) column indices for uint64 token hashes: one multiply-mix +
-    top-bits take per sketch row (vectorized, no per-token Python)."""
+    """(d, n) column indices for uint64 token hashes: per sketch row, an
+    affine row-salt then the shared mix64 finalizer + top-bits take
+    (vectorized, no per-token Python)."""
+    # deferred: a module-level `..functions.vectorized` import would cycle
+    # through rayld.functions.__init__ -> pipelines.dedup -> this module
+    from ..functions.vectorized import mix64
+
     h = token_hashes.astype(np.uint64)
     cols = np.empty((_CMS_D, len(h)), dtype=np.int64)
     shift = np.uint64(64 - 11)  # log2(_CMS_W) = 11
-    for i in range(_CMS_D):
-        a, b = _CMS_MIX[i]
-        m = (h * a + b)  # uint64 wraps mod 2^64
-        m ^= m >> np.uint64(29)
-        m *= np.uint64(0xBF58476D1CE4E5B9)
-        cols[i] = (m >> shift).astype(np.int64)
+    with np.errstate(over="ignore"):
+        for i in range(_CMS_D):
+            a, b = _CMS_MIX[i]
+            cols[i] = (mix64(h * a + b) >> shift).astype(np.int64)
     return cols
 
 
@@ -1045,9 +1048,12 @@ def grouped_corr(sf_dir: str):
     EXACT integer moment sums (n, sx, sy, sxx, syy, sxy), so the result is
     identical regardless of block order or parallelism (the events_anomaly
     moments contract, extended to two variables). Per-batch partials are
-    one row per language; one bounded combine; the closed-form division /
-    sqrt runs on the same exact integers on both the Ray and SQL sides, so
-    even the floats compare bit-for-bit."""
+    one row per language; one bounded combine; the finish step does the
+    moment algebra (n*sxy - sx*sy etc.) in unbounded Python ints — the
+    mirror of the oracle's HUGEINT — and casts each exact quantity to
+    float64 ONCE before the division/sqrt, so even the floats compare
+    bit-for-bit with the SQL (a float64 n*sxx - sx*sx would round twice
+    before subtracting and drift past 2^53 at corpus scale)."""
     from .common import bucketed_sum_combine
 
     def partial(df: pd.DataFrame) -> pa.Table:
@@ -1073,19 +1079,27 @@ def grouped_corr(sf_dir: str):
     )
 
     def finish(df: pd.DataFrame) -> pd.DataFrame:
-        n = df["n"].to_numpy(np.float64)
-        sx = df["sx"].to_numpy(np.float64)
-        sy = df["sy"].to_numpy(np.float64)
-        cov_n = df["sxy"].to_numpy(np.float64) * n - sx * sy
-        var_x = df["sxx"].to_numpy(np.float64) * n - sx * sx
-        var_y = df["syy"].to_numpy(np.float64) * n - sy * sy
-        r = cov_n / np.sqrt(var_x * var_y)
-        slope = cov_n / var_x
-        intercept = (sy - slope * sx) / n
+        # one row per language: a Python-int loop here is exact, bounded,
+        # and mirrors the oracle's HUGEINT-then-single-DOUBLE-cast shape
+        rs, slopes, intercepts = [], [], []
+        with np.errstate(divide="ignore", invalid="ignore"):
+            for t in df.itertuples(index=False):
+                n, sx, sy = int(t.n), int(t.sx), int(t.sy)
+                cov = n * int(t.sxy) - sx * sy        # exact
+                var_x = n * int(t.sxx) - sx * sx      # exact
+                var_y = n * int(t.syy) - sy * sy      # exact
+                rs.append(np.float64(cov) / np.sqrt(np.float64(var_x * var_y)))
+                slope = np.float64(cov) / np.float64(var_x)
+                slopes.append(slope)
+                intercepts.append(
+                    (np.float64(sy) - slope * np.float64(sx)) / np.float64(n)
+                )
         return pd.DataFrame({
             "lang": df["lang"].astype(str),
             "n_docs": df["n"].astype("int64"),
-            "corr_r": r, "slope": slope, "intercept": intercept,
+            "corr_r": np.asarray(rs, dtype=np.float64),
+            "slope": np.asarray(slopes, dtype=np.float64),
+            "intercept": np.asarray(intercepts, dtype=np.float64),
         })
 
     return moments.map_batches(finish, batch_format="pandas")

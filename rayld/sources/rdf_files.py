@@ -140,7 +140,7 @@ def read_nquads(paths, dedup: bool = True, scope_bnodes: bool = True,
     if not dedup:
         return rows
 
-    from ray.data.aggregate import Min
+    from ray.data.aggregate import Count, Min
 
     cols = [f.name for f in RDF_ROWS_SCHEMA]
     key_cols = [c for c in cols if c != "source"]
@@ -150,9 +150,10 @@ def read_nquads(paths, dedup: bool = True, scope_bnodes: bool = True,
         # alone are the dedup key: bnode quads from different files differ
         # textually, ground quads collapse globally
         agg = rows.groupby(key_cols).aggregate(
-            Min("source", alias_name="source")
+            Min("source", alias_name="source"),
+            Count(alias_name="n_dup"),
         )
-        return agg.select_columns(cols)
+        return _restore_error_multiplicity(agg, cols)
 
     def add_scope(batch: pa.Table) -> pa.Table:
         """Raw labels (scope_bnodes=False): a quad touching a blank node
@@ -175,8 +176,31 @@ def read_nquads(paths, dedup: bool = True, scope_bnodes: bool = True,
     # per-row hash loop; Min(source) keeps one lineage path per quad
     agg = rows.map_batches(add_scope, batch_format="pyarrow").groupby(
         key_cols + ["scope"]
-    ).aggregate(Min("source", alias_name="source"))
-    return agg.drop_columns(["scope"]).select_columns(cols)
+    ).aggregate(Min("source", alias_name="source"), Count(alias_name="n_dup"))
+    return _restore_error_multiplicity(agg, cols)
+
+
+def _restore_error_multiplicity(agg, cols):
+    """@error quarantine rows are per-LINE diagnostics, not quads: the quad
+    dedup must not collapse repeated identical corrupt lines, or the
+    quarantine count (the feature's whole point) silently undercounts. The
+    aggregate carries each group's multiplicity (``n_dup``) and this map
+    re-expands error rows to it; real quads keep exactly one survivor."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    def restore(batch: pa.Table) -> pa.Table:
+        is_err = pc.equal(batch["graph"], "@error").to_numpy(
+            zero_copy_only=False
+        )
+        if not is_err.any():
+            return batch.select(cols)
+        n = batch["n_dup"].to_numpy(zero_copy_only=False).astype(np.int64)
+        repeats = np.where(is_err, n, 1)
+        idx = np.repeat(np.arange(len(batch), dtype=np.int64), repeats)
+        return batch.take(pa.array(idx)).select(cols)
+
+    return agg.map_batches(restore, batch_format="pyarrow")
 
 
 def read_turtle(paths, scope_bnodes: bool = True):
