@@ -244,6 +244,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_event_pivot": relational.user_event_pivot,
         "grouped_median": relational.grouped_median,
         "user_spend_rank": relational.user_spend_rank,
+        "user_spend_ntile": relational.user_spend_ntile,
+        "bloom_semi_join": relational.bloom_semi_join,
         "value_quantile_sketch": relational.value_quantile_sketch,
         "segment_active_customers": relational.segment_active_customers,
         "clickers_no_purchase": relational.clickers_no_purchase,
@@ -1054,6 +1056,26 @@ def oracle_sql() -> dict[str, str]:
             "  rank() OVER (ORDER BY spend_c)::BIGINT AS spend_rank,"
             "  cume_dist() OVER (ORDER BY spend_c) AS spend_cume"
             " FROM u"
+        ),
+        # NTILE(10) over per-user spend, deterministic tie order
+        "user_spend_ntile": (
+            "WITH u AS (SELECT user_id,"
+            "   sum(floor(value * 100 + 0.5)::BIGINT) AS spend_c"
+            "  FROM events GROUP BY 1)"
+            " SELECT user_id, spend_c / 100.0 AS spend,"
+            "  ntile(10) OVER (ORDER BY spend_c, user_id)::BIGINT AS tile"
+            " FROM u"
+        ),
+        # Bloom-prefiltered SEMI-join: per-status order count + exact-cents
+        # revenue of orders from one market segment's customers
+        "bloom_semi_join": (
+            "SELECT o_orderstatus, count(*)::BIGINT AS n_orders,"
+            " sum(floor(o_totalprice * 100 + 0.5)::BIGINT)::BIGINT"
+            "   AS revenue_c"
+            " FROM orders o WHERE EXISTS ("
+            "   SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey"
+            "    AND c.c_mktsegment = 'BUILDING')"
+            " GROUP BY 1"
         ),
         # running total per user (SUM OVER), exact in integer cents
         "user_running_value": (

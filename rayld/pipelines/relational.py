@@ -1569,25 +1569,10 @@ def grouped_median(sf_dir: str):
     return hist.groupby("event_type").map_groups(pick, batch_format="pandas")
 
 
-def user_spend_rank(sf_dir: str, range_shift: int | None = None):
-    """Exact global RANK and CUME_DIST of per-user total spend WITHOUT a
-    global sort: the classic range-bucket + offset-broadcast plan.
-
-      1. per-user exact integer-cents totals (partial sums -> one bucketed
-         combine), materialized once as the pipeline breaker;
-      2. coarse range bucket rb = spend_c >> range_shift, with the shift
-         DERIVED from the materialized max spend (~128 buckets over the
-         observed range) unless pinned by the caller — a fixed shift
-         collapses small ranges into one serial bucket; the per-rb count
-         table is tiny (bounded by the spend RANGE / 2^shift, not the user
-         count), so the driver cumsums it into per-bucket rank offsets;
-      3. one bucketed shuffle on rb; each task sorts only its value range
-         and emits rank = offset + local strictly-less count + 1 and
-         cume_dist = (offset + local less-or-equal count) / N.
-
-    Ties land in the same rb by construction, so both counts are exact.
-    A skewed spend distribution concentrates users in few rb buckets —
-    lower range_shift (finer buckets) to spread them."""
+def _user_spend_totals(sf_dir: str):
+    """Per-user exact integer-cents spend totals (partial sums -> one
+    bucketed combine), MATERIALIZED as the pipeline breaker the rank/ntile
+    family shares. Columns: user_id, spend_c."""
     import pyarrow as pa
     import ray.data as rd
 
@@ -1606,7 +1591,7 @@ def user_spend_rank(sf_dir: str, range_shift: int | None = None):
             "spend_c": pa.array(g.to_numpy(np.int64)),
         })
 
-    users = bucketed_sum_combine(
+    return bucketed_sum_combine(
         ds.map_batches(partial, batch_format="pandas"),
         keys=["user_id"],
         sum_cols=["spend_c"],
@@ -1615,17 +1600,30 @@ def user_spend_rank(sf_dir: str, range_shift: int | None = None):
         ]),
     ).materialize()
 
+
+def _spend_range_offsets(users, range_shift: int | None):
+    """The range-bucket + offset-broadcast plan shared by the global
+    window operators (RANK/CUME_DIST/NTILE): coarse range bucket
+    rb = spend_c >> range_shift with the shift DERIVED from the
+    materialized max spend (~128 buckets over the observed range) unless
+    pinned — a fixed shift collapses small ranges into one serial bucket.
+    The per-rb count table is tiny (bounded by spend RANGE / 2^shift, not
+    user count), so the driver cumsums it into per-bucket global-position
+    offsets. Returns (range_shift, offsets dict, total rows)."""
+    import pyarrow as pa
+
+    from .common import bucketed_sum_combine
+
     if range_shift is None:
-        # ~128 range buckets over the observed spend range; the max() runs
-        # over the already-materialized user table, so it's one cheap scan
+        # the max() runs over the already-materialized user table: one
+        # cheap scan
         max_spend = int(users.max("spend_c") or 0)
         range_shift = max(0, max_spend.bit_length() - 7)
 
-    def _rb(spend_c: np.ndarray) -> np.ndarray:
-        return spend_c >> range_shift
-
     def rb_counts(batch: pa.Table) -> pa.Table:
-        rb = _rb(np.asarray(batch["spend_c"].to_pylist(), dtype=np.int64))
+        rb = np.asarray(
+            batch["spend_c"].to_pylist(), dtype=np.int64
+        ) >> range_shift
         u, c = np.unique(rb, return_counts=True)
         return pa.table({
             "rb": pa.array(u), "n": pa.array(c.astype(np.int64)),
@@ -1639,8 +1637,39 @@ def user_spend_rank(sf_dir: str, range_shift: int | None = None):
     total = int(counts["n"].sum())
     cum = counts["n"].cumsum().to_numpy(np.int64)
     offsets = dict(zip(
-        counts["rb"].to_numpy(np.int64).tolist(), (cum - counts["n"].to_numpy(np.int64)).tolist(),
+        counts["rb"].to_numpy(np.int64).tolist(),
+        (cum - counts["n"].to_numpy(np.int64)).tolist(),
     ))
+    return range_shift, offsets, total
+
+
+def _append_rb(range_shift: int):
+    def add_rb(batch):
+        import pyarrow as pa
+
+        rb = np.asarray(
+            batch["spend_c"].to_pylist(), dtype=np.int64
+        ) >> range_shift
+        return batch.append_column("rb", pa.array(rb.astype(np.int64)))
+
+    return add_rb
+
+
+def user_spend_rank(sf_dir: str, range_shift: int | None = None):
+    """Exact global RANK and CUME_DIST of per-user total spend WITHOUT a
+    global sort: the classic range-bucket + offset-broadcast plan
+    (`_user_spend_totals` + `_spend_range_offsets`), then one bucketed
+    shuffle on rb; each task sorts only its value range and emits
+    rank = offset + local strictly-less count + 1 and
+    cume_dist = (offset + local less-or-equal count) / N.
+
+    Ties land in the same rb by construction, so both counts are exact.
+    A skewed spend distribution concentrates users in few rb buckets —
+    lower range_shift (finer buckets) to spread them."""
+    import pyarrow as pa
+
+    users = _user_spend_totals(sf_dir)
+    range_shift, offsets, total = _spend_range_offsets(users, range_shift)
 
     sch = pa.schema([
         ("user_id", pa.int64()), ("spend", pa.float64()),
@@ -1662,14 +1691,61 @@ def user_spend_rank(sf_dir: str, range_shift: int | None = None):
             "spend_cume": pa.array((off + right) / total, pa.float64()),
         }, schema=sch)
 
-    def add_rb(batch: pa.Table) -> pa.Table:
-        rb = _rb(np.asarray(batch["spend_c"].to_pylist(), dtype=np.int64))
-        return batch.append_column("rb", pa.array(rb.astype(np.int64)))
-
     return (
-        users.map_batches(add_rb, batch_format="pyarrow")
+        users.map_batches(_append_rb(range_shift), batch_format="pyarrow")
         .groupby("rb")
         .map_groups(rank, batch_format="pandas")
+    )
+
+
+def user_spend_ntile(sf_dir: str, n_tiles: int = 10,
+                     range_shift: int | None = None):
+    """Exact global NTILE(n) of per-user total spend, deterministic order
+    (ORDER BY spend_c, user_id — NTILE over bare spend_c would be
+    tie-order-dependent and irreproducible across runs). Same
+    range-bucket + offset-broadcast plan as ``user_spend_rank``: rows in
+    one rb bucket are contiguous in global order, so global row_number =
+    driver-cumsum offset + in-task lexsort position, and the tile is pure
+    arithmetic from row_number (first N % n tiles get ceil(N/n) rows)."""
+    import pyarrow as pa
+
+    users = _user_spend_totals(sf_dir)
+    range_shift, offsets, total = _spend_range_offsets(users, range_shift)
+
+    big = total // n_tiles + 1          # size of the first N % n tiles
+    small = max(total // n_tiles, 1)
+    n_big = total % n_tiles
+    cut = n_big * big                   # rows covered by the big tiles
+
+    sch = pa.schema([
+        ("user_id", pa.int64()), ("spend", pa.float64()),
+        ("tile", pa.int64()),
+    ])
+
+    def ntile(df: pd.DataFrame) -> pa.Table:
+        if len(df) == 0:
+            return sch.empty_table()
+        spend = df["spend_c"].to_numpy(np.int64)
+        uid = df["user_id"].to_numpy(np.int64)
+        off = offsets[int(df["rb"].iloc[0])]
+        order = np.lexsort((uid, spend))
+        rn = np.empty(len(df), dtype=np.int64)   # 1-based global row number
+        rn[order] = off + np.arange(1, len(df) + 1, dtype=np.int64)
+        tile = np.where(
+            rn <= cut,
+            (rn - 1) // big + 1,
+            n_big + (rn - cut - 1) // small + 1,
+        )
+        return pa.table({
+            "user_id": pa.array(uid),
+            "spend": pa.array(spend / 100.0, pa.float64()),
+            "tile": pa.array(tile.astype(np.int64)),
+        }, schema=sch)
+
+    return (
+        users.map_batches(_append_rb(range_shift), batch_format="pyarrow")
+        .groupby("rb")
+        .map_groups(ntile, batch_format="pandas")
     )
 
 
@@ -1942,3 +2018,151 @@ def value_quantile_sketch(sf_dir: str, k: int = 4096,
         })
 
     return agg.map_batches(gate, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# Bloom-prefiltered semi-join (the join-pushdown pattern)
+# ---------------------------------------------------------------------------
+
+_BLOOM_SALT = np.uint64(0xA5A5A5A5A5A5A5A5)
+
+
+def _bloom_positions(keys: np.ndarray, m_bits: int):
+    """k=2 bit positions per key: two independent mix64 probes masked to
+    the (power-of-two) bitmap width."""
+    from ..functions.vectorized import mix64
+
+    mask = np.uint64(m_bits - 1)
+    h1 = mix64(keys.astype(np.uint64))
+    h2 = mix64(keys.astype(np.uint64) ^ _BLOOM_SALT)
+    return (h1 & mask), (h2 & mask)
+
+
+def bloom_semi_join(sf_dir: str, segment: str = "BUILDING",
+                    m_bits: int = 1 << 20,
+                    num_partitions: int | None = None):
+    """Order count and exact-cents revenue, by order status, of orders
+    placed by customers in one market segment — a SEMI-join computed with
+    a Bloom-filter pushdown, the join pattern that matters at 100 TB:
+
+      1. BUILD: the segment customers stream into per-block Bloom BITMAP
+         partials — each a fixed 128 KiB binary row (m_bits=2^20, k=2
+         mix64 probes) regardless of how many keys the block held;
+      2. MERGE: the driver OR-merges the <= #blocks partials (a bounded
+         streaming reduction, like the connected-components convergence
+         scalar — never the key set itself) and ships the one bitmap with
+         ray.put;
+      3. PROBE: orders test membership vectorized inside map_batches and
+         drop non-members BEFORE any shuffle — the bucketed exact
+         semi-join that removes Bloom false positives then moves only
+         ~|matches| + FP rows, not the whole orders table;
+      4. the exact pass re-uses the union + bucketed-shuffle plan of
+         ``segment_active_customers``, and the per-status totals ride one
+         bounded combine.
+
+    The Bloom regime: a build side too big to broadcast as an exact hash
+    set still fits as a bitmap (10^9 keys at ~10 bits/key = 1.25 GB vs
+    tens of GB of set overhead); the false-positive tax is paid in the
+    exact pass, never in correctness. Result is exactly the SQL EXISTS
+    aggregate (oracle-checked); a unit test pins zero false negatives.
+    """
+    import ray
+    import ray.data as rd
+    import pyarrow as pa
+
+    from .common import bucketed_sum_combine, cluster_partitions
+
+    if num_partitions is None:
+        num_partitions = cluster_partitions()
+    n_words = m_bits >> 6
+
+    cust = rd.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+    )
+
+    def build_partial(df: pd.DataFrame) -> pa.Table:
+        keys = df.loc[
+            df["c_mktsegment"] == segment, "c_custkey"
+        ].to_numpy(np.int64)
+        words = np.zeros(n_words, dtype=np.uint64)
+        for idx in _bloom_positions(keys, m_bits):
+            np.bitwise_or.at(
+                words, (idx >> np.uint64(6)).astype(np.int64),
+                np.uint64(1) << (idx & np.uint64(63)),
+            )
+        return pa.table({"words": pa.array([words.tobytes()], pa.binary())})
+
+    merged = np.zeros(n_words, dtype=np.uint64)
+    for b in cust.map_batches(
+        build_partial, batch_format="pandas"
+    ).iter_batches(batch_format="pyarrow"):
+        for buf in b["words"]:
+            merged |= np.frombuffer(buf.as_py(), dtype=np.uint64)
+    bloom_ref = ray.put(merged)
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey", "o_orderstatus", "o_totalprice"],
+    )
+
+    def probe(df: pd.DataFrame) -> pa.Table:
+        bm = ray.get(bloom_ref)
+        keys = df["o_custkey"].to_numpy(np.int64)
+        hit = np.ones(len(keys), dtype=bool)
+        for idx in _bloom_positions(keys, m_bits):
+            hit &= (
+                bm[(idx >> np.uint64(6)).astype(np.int64)]
+                >> (idx & np.uint64(63))
+            ).astype(np.int64) & 1 > 0
+        kept = df[hit]
+        return pa.table({
+            "custkey": pa.array(kept["o_custkey"].to_numpy(np.int64)),
+            "o_orderstatus": pa.array(
+                kept["o_orderstatus"].tolist(), pa.string()
+            ),
+            "price_c": pa.array(money_cents(kept["o_totalprice"])),
+            "is_cust": pa.array(np.zeros(len(kept), np.int8), pa.int8()),
+        })
+
+    def cust_keys(df: pd.DataFrame) -> pa.Table:
+        keys = df.loc[
+            df["c_mktsegment"] == segment, "c_custkey"
+        ].unique().astype(np.int64)
+        return pa.table({
+            "custkey": pa.array(keys),
+            "o_orderstatus": pa.array([""] * len(keys), pa.string()),
+            "price_c": pa.array(np.zeros(len(keys), np.int64)),
+            "is_cust": pa.array(np.ones(len(keys), np.int8), pa.int8()),
+        })
+
+    def exact_semi(df: pd.DataFrame) -> pa.Table:
+        have = set(df.loc[df["is_cust"] == 1, "custkey"].unique())
+        left = df[df["is_cust"] == 0]
+        kept = left[left["custkey"].isin(have)]
+        g = kept.groupby("o_orderstatus", as_index=False).agg(
+            n_orders=("custkey", "size"), revenue_c=("price_c", "sum"),
+        )
+        return pa.table({
+            "o_orderstatus": pa.array(
+                g["o_orderstatus"].astype(str), pa.string()
+            ),
+            "n_orders": pa.array(g["n_orders"].to_numpy(np.int64)),
+            "revenue_c": pa.array(g["revenue_c"].to_numpy(np.int64)),
+        })
+
+    unioned = (
+        orders.map_batches(probe, batch_format="pandas")
+        .union(cust.map_batches(cust_keys, batch_format="pandas"))
+        .map_batches(append_mod_part, batch_format="pyarrow",
+                     fn_args=("custkey", num_partitions))
+    )
+    partials = unioned.groupby("part").map_groups(
+        exact_semi, batch_format="pandas"
+    )
+    return bucketed_sum_combine(
+        partials, keys=["o_orderstatus"], sum_cols=["n_orders", "revenue_c"],
+        schema=pa.schema([
+            ("o_orderstatus", pa.string()), ("n_orders", pa.int64()),
+            ("revenue_c", pa.int64()),
+        ]),
+    )

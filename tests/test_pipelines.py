@@ -1434,6 +1434,59 @@ def test_user_spend_rank(ray_session):
     assert (spend.to_numpy() >> shift).max() > 0  # >1 range bucket
 
 
+def test_user_spend_ntile(ray_session):
+    """Distributed NTILE equals the single-process recount under the
+    deterministic (spend_c, user_id) order, and tile sizes differ by at
+    most one with the big tiles first."""
+    from rayld.pipelines.relational import user_spend_ntile
+
+    got = user_spend_ntile(SF, n_tiles=7, range_shift=12).to_pandas()
+    ev = pd.read_parquet(f"{SF}/events.parquet",
+                         columns=["user_id", "value"])
+    vc = np.floor(ev["value"] * 100 + 0.5).astype("int64")
+    spend = vc.groupby(ev["user_id"]).sum().sort_index()
+    order = np.lexsort((spend.index.to_numpy(), spend.to_numpy()))
+    n = len(spend)
+    rn = np.empty(n, dtype=np.int64)
+    rn[order] = np.arange(1, n + 1)
+    big, small, n_big = n // 7 + 1, max(n // 7, 1), n % 7
+    cut = n_big * big
+    want_tile = np.where(rn <= cut, (rn - 1) // big + 1,
+                         n_big + (rn - cut - 1) // small + 1)
+    m = got.set_index("user_id").reindex(spend.index)
+    assert (m["tile"].to_numpy() == want_tile).all()
+    sizes = m["tile"].value_counts().sort_index().to_numpy()
+    assert sizes.max() - sizes.min() <= 1
+    assert (np.diff(sizes) <= 0).all()  # big tiles first
+
+
+def test_bloom_semi_join(ray_session):
+    """Bloom-prefiltered semi-join equals the pandas recount, including
+    with a deliberately tiny bitmap that forces false positives — the
+    exact pass must remove every one (and the Bloom pass can never drop a
+    true member)."""
+    from rayld.pipelines.relational import bloom_semi_join
+
+    cust = pd.read_parquet(f"{SF}/customer.parquet",
+                           columns=["c_custkey", "c_mktsegment"])
+    orders = pd.read_parquet(
+        f"{SF}/orders.parquet",
+        columns=["o_custkey", "o_orderstatus", "o_totalprice"])
+    seg = set(cust.loc[cust["c_mktsegment"] == "BUILDING", "c_custkey"])
+    kept = orders[orders["o_custkey"].isin(seg)].copy()
+    kept["price_c"] = np.floor(
+        kept["o_totalprice"] * 100 + 0.5).astype("int64")
+    want = kept.groupby("o_orderstatus").agg(
+        n_orders=("o_custkey", "size"), revenue_c=("price_c", "sum"))
+
+    for m_bits in (1 << 20, 1 << 8):  # 2^8 bits << #keys => many FPs
+        got = bloom_semi_join(
+            SF, m_bits=m_bits, num_partitions=4
+        ).to_pandas().set_index("o_orderstatus").sort_index()
+        assert (got["n_orders"] == want["n_orders"]).all(), m_bits
+        assert (got["revenue_c"] == want["revenue_c"]).all(), m_bits
+
+
 def test_segment_active_customers(ray_session):
     """Semi-join counts equal a pandas isin recount and never exceed the
     per-segment customer counts."""
