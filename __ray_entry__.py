@@ -181,6 +181,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # dedup family
         "dedup_exact": dedup.dedup_exact,
         "dedup_exact_normalized": dedup.dedup_exact_normalized,
+        "dedup_incremental": dedup.bloom_incremental_dedup,
         "dedup_survivor_map": dedup.dedup_survivor_map,
         "dedup_minhash": dedup.minhash_dedup,
         "dedup_minhash_recall": dedup.minhash_dedup_recall,
@@ -390,6 +391,17 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact_normalized": (
             "SELECT min(doc_id) AS doc_id FROM documents"
             " GROUP BY md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))"
+        ),
+        # incremental ingest: flag new-batch docs (md5(doc_id) bucket >= 50)
+        # whose prefix fingerprint already exists in the old corpus
+        "dedup_incremental": (
+            "WITH d AS (SELECT doc_id, md5(substr(text, 1, 80)) AS h,"
+            "  (('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 100)"
+            "    < 50 AS is_old"
+            "  FROM documents)"
+            " SELECT n.doc_id, (EXISTS (SELECT 1 FROM d o"
+            "   WHERE o.is_old AND o.h = n.h))::BIGINT AS dup_of_existing"
+            " FROM d n WHERE NOT n.is_old"
         ),
         # end-to-end prep chain: quality gate (same pinned arithmetic as
         # quality_score) THEN normalized exact-dedup among the passing docs

@@ -84,6 +84,40 @@ def u64_sort_key(values) -> np.ndarray:
     return (h ^ np.uint64(1 << 63)).view(np.int64)
 
 
+_BLOOM_SALT = np.uint64(0xA5A5A5A5A5A5A5A5)
+
+
+def bloom_positions(keys, m_bits: int):
+    """k=2 Bloom bit positions per uint64 key: two independent mix64
+    probes masked to the (power-of-two) bitmap width."""
+    mask = np.uint64(m_bits - 1)
+    k = np.asarray(keys).astype(np.uint64)
+    return (mix64(k) & mask), (mix64(k ^ _BLOOM_SALT) & mask)
+
+
+def bloom_set(words: np.ndarray, keys, m_bits: int) -> np.ndarray:
+    """Set the Bloom bits for ``keys`` in the uint64 word array, in place.
+    ``words`` must have m_bits/64 entries."""
+    for idx in bloom_positions(keys, m_bits):
+        np.bitwise_or.at(
+            words, (idx >> np.uint64(6)).astype(np.int64),
+            np.uint64(1) << (idx & np.uint64(63)),
+        )
+    return words
+
+
+def bloom_test(words: np.ndarray, keys, m_bits: int) -> np.ndarray:
+    """Vectorized membership probe: bool per key (false = definitely not
+    present; true = present or false positive)."""
+    hit = np.ones(len(keys), dtype=bool)
+    for idx in bloom_positions(keys, m_bits):
+        hit &= (
+            (words[(idx >> np.uint64(6)).astype(np.int64)]
+             >> (idx & np.uint64(63))) & np.uint64(1)
+        ).astype(bool)
+    return hit
+
+
 def append_mod_part(batch: pa.Table, col: str, num_partitions: int,
                     out: str = "part") -> pa.Table:
     """Append the int-key shuffle bucket column batch[col] % num_partitions

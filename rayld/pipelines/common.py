@@ -75,3 +75,34 @@ def bucketed_sum_combine(partials, keys, sum_cols, schema,
         .groupby("part")
         .map_groups(combine, batch_format="pandas")
     )
+
+
+def bloom_bitmap(ds, col: str, m_bits: int):
+    """Build one Bloom bitmap over a uint64-keyed dataset column: every
+    block reduces to a FIXED-SIZE bitmap partial (m_bits/8 bytes regardless
+    of how many keys the block held), and the driver OR-merges the
+    <= #blocks partials — a bounded streaming reduction like a convergence
+    scalar, never the key set itself. Returns the merged uint64 word array
+    (ship it with ``ray.put``)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from ..functions.vectorized import bloom_set
+
+    n_words = m_bits >> 6
+
+    def partial(batch: pa.Table) -> pa.Table:
+        words = np.zeros(n_words, dtype=np.uint64)
+        bloom_set(
+            words, np.asarray(batch[col].to_pylist(), dtype=np.uint64),
+            m_bits,
+        )
+        return pa.table({"words": pa.array([words.tobytes()], pa.binary())})
+
+    merged = np.zeros(n_words, dtype=np.uint64)
+    for b in ds.map_batches(
+        partial, batch_format="pyarrow"
+    ).iter_batches(batch_format="pyarrow"):
+        for buf in b["words"]:
+            merged |= np.frombuffer(buf.as_py(), dtype=np.uint64)
+    return merged

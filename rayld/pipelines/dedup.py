@@ -1422,3 +1422,172 @@ def duplicate_ngram_spans(sf_dir: str, window: int = 8,
         })
 
     return per_doc.map_batches(finish, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# Incremental ingest dedup (new shard vs existing corpus, Bloom exchange)
+# ---------------------------------------------------------------------------
+
+
+def bloom_incremental_dedup(sf_dir: str, key_chars: int = 80,
+                            m_bits: int = 1 << 20,
+                            num_partitions: int | None = None):
+    """Flag each NEW-batch document that duplicates an EXISTING-corpus
+    document — the incremental-ingest shape that matters at 100 TB, where
+    the existing corpus must never be shuffled wholesale. The split is the
+    stable md5(doc_id) bucket (< 50 = existing, the ``hash_split``
+    convention); the dedup key is md5 of the first ``key_chars``
+    characters (the cheap prefix fingerprint; near-dup corpora share
+    openings long before they share full bodies — pass a huge ``key_chars``
+    for whole-text keys).
+
+    Two-sided Bloom exchange — only bitmaps and candidate hashes move:
+
+      1. hash pass: one read computes (doc_id, hex key, uint64 probe key,
+         side) per doc; the hash table (~50 B/row, ~0.05%% of corpus
+         bytes) is materialized once as the pipeline breaker so the three
+         consumers below don't re-read + re-digest the corpus;
+      2. Bloom A over the EXISTING keys (fixed-size per-block partials,
+         driver OR-merge — ``common.bloom_bitmap``), broadcast via
+         ray.put. New docs that MISS are definitely-new and never touch a
+         shuffle;
+      3. Bloom B over the (small) candidate hits, broadcast back: it
+         prunes the existing side down to ~|candidates| + FP rows, so the
+         exact pass never shuffles the old corpus's key set;
+      4. exact pass: union of candidates + surviving existing keys,
+         one crc32(hex key) bucketed shuffle, in-task set membership over
+         the FULL hex digest (the uint64 probe keys exist only for the
+         bitmaps). Bloom false positives die here; false negatives are
+         impossible (no-false-negative property of the filter), which the
+         tiny-bitmap unit test pins.
+
+    Output: (doc_id, dup_of_existing) for every new-batch doc; exactly the
+    SQL EXISTS flag (oracle-checked)."""
+    import ray
+
+    from ..functions.vectorized import bloom_test
+    from .common import bloom_bitmap, cluster_partitions
+
+    if num_partitions is None:
+        num_partitions = cluster_partitions()
+
+    def tag(df: pd.DataFrame) -> pa.Table:
+        hexes = [
+            hashlib.md5(t[:key_chars].encode("utf-8")).hexdigest()
+            for t in df["text"]
+        ]
+        h64 = np.fromiter(
+            (int(h[:16], 16) for h in hexes), dtype=np.uint64,
+            count=len(hexes),
+        )
+        bucket = np.fromiter(
+            (
+                int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16) % 100
+                for i in df["doc_id"]
+            ),
+            dtype=np.int64, count=len(df),
+        )
+        return pa.table({
+            "doc_id": pa.array(df["doc_id"].to_numpy(np.int64)),
+            "h": pa.array(hexes, pa.string()),
+            "h64": pa.array(h64, pa.uint64()),
+            "is_old": pa.array((bucket < 50).astype(np.int8), pa.int8()),
+        })
+
+    tagged = documents(sf_dir).map_batches(
+        tag, batch_format="pandas"
+    ).materialize()
+
+    def old_keys(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return batch.filter(pc.equal(batch["is_old"], 1)).select(["h64"])
+
+    bloom_a = ray.put(bloom_bitmap(
+        tagged.map_batches(old_keys, batch_format="pyarrow"), "h64", m_bits
+    ))
+
+    out_sch = pa.schema([
+        ("doc_id", pa.int64()), ("dup_of_existing", pa.int64()),
+    ])
+
+    def probe_new(df: pd.DataFrame) -> pa.Table:
+        new = df[df["is_old"] == 0]
+        bm = ray.get(bloom_a)
+        hit = bloom_test(
+            bm, new["h64"].to_numpy(np.uint64), m_bits
+        ).astype(np.int8)
+        return pa.table({
+            "doc_id": pa.array(new["doc_id"].to_numpy(np.int64)),
+            "h": pa.array(new["h"].tolist(), pa.string()),
+            "h64": pa.array(new["h64"].to_numpy(np.uint64), pa.uint64()),
+            "hit": pa.array(hit, pa.int8()),
+        })
+
+    probed = tagged.map_batches(probe_new, batch_format="pandas").materialize()
+
+    def definite(df: pd.DataFrame) -> pa.Table:
+        miss = df[df["hit"] == 0]
+        return pa.table({
+            "doc_id": pa.array(miss["doc_id"].to_numpy(np.int64)),
+            "dup_of_existing": pa.array(
+                np.zeros(len(miss), np.int64), pa.int64()
+            ),
+        }, schema=out_sch)
+
+    def cand_keys(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return batch.filter(pc.equal(batch["hit"], 1)).select(["h64"])
+
+    bloom_b = ray.put(bloom_bitmap(
+        probed.map_batches(cand_keys, batch_format="pyarrow"), "h64", m_bits
+    ))
+
+    def old_cand(df: pd.DataFrame) -> pa.Table:
+        old = df[df["is_old"] == 1]
+        bm = ray.get(bloom_b)
+        kept = old[bloom_test(bm, old["h64"].to_numpy(np.uint64), m_bits)]
+        return pa.table({
+            "doc_id": pa.array(
+                np.full(len(kept), -1, np.int64), pa.int64()
+            ),
+            "h": pa.array(kept["h"].tolist(), pa.string()),
+            "is_old": pa.array(np.ones(len(kept), np.int8), pa.int8()),
+        })
+
+    def cand_rows(df: pd.DataFrame) -> pa.Table:
+        hits = df[df["hit"] == 1]
+        return pa.table({
+            "doc_id": pa.array(hits["doc_id"].to_numpy(np.int64)),
+            "h": pa.array(hits["h"].tolist(), pa.string()),
+            "is_old": pa.array(np.zeros(len(hits), np.int8), pa.int8()),
+        })
+
+    def bucket(df: pd.DataFrame) -> pa.Table:
+        from ..functions.vectorized import crc32_buckets
+
+        df = df.assign(part=crc32_buckets(df["h"], num_partitions))
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def verify(df: pd.DataFrame) -> pa.Table:
+        if len(df) == 0:
+            return out_sch.empty_table()
+        have = set(df.loc[df["is_old"] == 1, "h"])
+        new = df[df["is_old"] == 0]
+        return pa.table({
+            "doc_id": pa.array(new["doc_id"].to_numpy(np.int64)),
+            "dup_of_existing": pa.array(
+                new["h"].isin(have).to_numpy(bool).astype(np.int64),
+                pa.int64(),
+            ),
+        }, schema=out_sch)
+
+    verified = (
+        probed.map_batches(cand_rows, batch_format="pandas")
+        .union(tagged.map_batches(old_cand, batch_format="pandas"))
+        .map_batches(bucket, batch_format="pandas")
+        .groupby("part")
+        .map_groups(verify, batch_format="pandas")
+    )
+    return probed.map_batches(definite, batch_format="pandas").union(verified)

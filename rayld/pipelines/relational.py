@@ -2024,19 +2024,6 @@ def value_quantile_sketch(sf_dir: str, k: int = 4096,
 # Bloom-prefiltered semi-join (the join-pushdown pattern)
 # ---------------------------------------------------------------------------
 
-_BLOOM_SALT = np.uint64(0xA5A5A5A5A5A5A5A5)
-
-
-def _bloom_positions(keys: np.ndarray, m_bits: int):
-    """k=2 bit positions per key: two independent mix64 probes masked to
-    the (power-of-two) bitmap width."""
-    from ..functions.vectorized import mix64
-
-    mask = np.uint64(m_bits - 1)
-    h1 = mix64(keys.astype(np.uint64))
-    h2 = mix64(keys.astype(np.uint64) ^ _BLOOM_SALT)
-    return (h1 & mask), (h2 & mask)
-
 
 def bloom_semi_join(sf_dir: str, segment: str = "BUILDING",
                     m_bits: int = 1 << 20,
@@ -2070,35 +2057,25 @@ def bloom_semi_join(sf_dir: str, segment: str = "BUILDING",
     import ray.data as rd
     import pyarrow as pa
 
-    from .common import bucketed_sum_combine, cluster_partitions
+    from ..functions.vectorized import bloom_test
+    from .common import bloom_bitmap, bucketed_sum_combine, cluster_partitions
 
     if num_partitions is None:
         num_partitions = cluster_partitions()
-    n_words = m_bits >> 6
 
     cust = rd.read_parquet(
         f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
     )
 
-    def build_partial(df: pd.DataFrame) -> pa.Table:
+    def seg_keys(df: pd.DataFrame) -> pa.Table:
         keys = df.loc[
             df["c_mktsegment"] == segment, "c_custkey"
         ].to_numpy(np.int64)
-        words = np.zeros(n_words, dtype=np.uint64)
-        for idx in _bloom_positions(keys, m_bits):
-            np.bitwise_or.at(
-                words, (idx >> np.uint64(6)).astype(np.int64),
-                np.uint64(1) << (idx & np.uint64(63)),
-            )
-        return pa.table({"words": pa.array([words.tobytes()], pa.binary())})
+        return pa.table({"k": pa.array(keys.astype(np.uint64), pa.uint64())})
 
-    merged = np.zeros(n_words, dtype=np.uint64)
-    for b in cust.map_batches(
-        build_partial, batch_format="pandas"
-    ).iter_batches(batch_format="pyarrow"):
-        for buf in b["words"]:
-            merged |= np.frombuffer(buf.as_py(), dtype=np.uint64)
-    bloom_ref = ray.put(merged)
+    bloom_ref = ray.put(bloom_bitmap(
+        cust.map_batches(seg_keys, batch_format="pandas"), "k", m_bits
+    ))
 
     orders = rd.read_parquet(
         f"{sf_dir}/orders.parquet",
@@ -2108,13 +2085,7 @@ def bloom_semi_join(sf_dir: str, segment: str = "BUILDING",
     def probe(df: pd.DataFrame) -> pa.Table:
         bm = ray.get(bloom_ref)
         keys = df["o_custkey"].to_numpy(np.int64)
-        hit = np.ones(len(keys), dtype=bool)
-        for idx in _bloom_positions(keys, m_bits):
-            hit &= (
-                bm[(idx >> np.uint64(6)).astype(np.int64)]
-                >> (idx & np.uint64(63))
-            ).astype(np.int64) & 1 > 0
-        kept = df[hit]
+        kept = df[bloom_test(bm, keys.astype(np.uint64), m_bits)]
         return pa.table({
             "custkey": pa.array(kept["o_custkey"].to_numpy(np.int64)),
             "o_orderstatus": pa.array(

@@ -1487,6 +1487,49 @@ def test_bloom_semi_join(ray_session):
         assert (got["revenue_c"] == want["revenue_c"]).all(), m_bits
 
 
+def test_bloom_incremental_dedup(ray_session, tmp_path):
+    """Two-sided Bloom incremental dedup equals the pandas recount on the
+    real corpus (also with a tiny FP-forcing bitmap), and recovers a
+    planted cross-split duplicate exactly."""
+    import hashlib
+
+    from rayld.pipelines.dedup import bloom_incremental_dedup
+
+    def split_is_old(doc_id) -> bool:
+        b = int(hashlib.md5(str(doc_id).encode()).hexdigest()[:8], 16) % 100
+        return b < 50
+
+    docs = pd.read_parquet(f"{SF}/documents.parquet",
+                           columns=["doc_id", "text"])
+    docs["h"] = [hashlib.md5(t[:80].encode()).hexdigest()
+                 for t in docs["text"]]
+    docs["is_old"] = [split_is_old(i) for i in docs["doc_id"]]
+    old_h = set(docs.loc[docs["is_old"], "h"])
+    new = docs[~docs["is_old"]]
+    want = new.set_index("doc_id")["h"].isin(old_h).astype("int64")
+    for m_bits in (1 << 20, 1 << 8):
+        got = bloom_incremental_dedup(
+            SF, m_bits=m_bits, num_partitions=4
+        ).to_pandas().set_index("doc_id")
+        assert len(got) == len(want), m_bits
+        assert (got["dup_of_existing"].reindex(want.index)
+                == want).all(), m_bits
+
+    # planted cross-split duplicate: one old id and one new id share text
+    old_id = next(i for i in range(100) if split_is_old(i))
+    new_id = next(i for i in range(100) if not split_is_old(i))
+    texts = {old_id: "the planted duplicate body " * 8,
+             new_id: "the planted duplicate body " * 8}
+    ids = sorted({old_id, new_id} | {i for i in range(6)})
+    sf = _write_docs(tmp_path, [texts.get(i, f"unique body {i} " * 8)
+                                for i in ids])
+    got = bloom_incremental_dedup(
+        sf, num_partitions=4
+    ).to_pandas().set_index("doc_id")
+    assert got.loc[new_id, "dup_of_existing"] == 1
+    assert got["dup_of_existing"].sum() == 1  # the unique bodies are unique
+
+
 def test_segment_active_customers(ray_session):
     """Semi-join counts equal a pandas isin recount and never exceed the
     per-segment customer counts."""
