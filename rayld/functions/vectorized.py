@@ -90,6 +90,9 @@ _BLOOM_SALT = np.uint64(0xA5A5A5A5A5A5A5A5)
 def bloom_positions(keys, m_bits: int):
     """k=2 Bloom bit positions per uint64 key: two independent mix64
     probes masked to the (power-of-two) bitmap width."""
+    # non-power-of-two widths silently strand bits (mask loses positions);
+    # <64 bits yields a zero-word bitmap — fail loudly instead
+    assert m_bits >= 64 and m_bits & (m_bits - 1) == 0, m_bits
     mask = np.uint64(m_bits - 1)
     k = np.asarray(keys).astype(np.uint64)
     return (mix64(k) & mask), (mix64(k ^ _BLOOM_SALT) & mask)

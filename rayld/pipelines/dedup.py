@@ -1472,6 +1472,9 @@ def bloom_incremental_dedup(sf_dir: str, key_chars: int = 80,
         num_partitions = cluster_partitions()
 
     def tag(df: pd.DataFrame) -> pa.Table:
+        # the split is curation's hash_split contract — one definition
+        from .curation import _split_bucket
+
         hexes = [
             hashlib.md5(t[:key_chars].encode("utf-8")).hexdigest()
             for t in df["text"]
@@ -1480,13 +1483,7 @@ def bloom_incremental_dedup(sf_dir: str, key_chars: int = 80,
             (int(h[:16], 16) for h in hexes), dtype=np.uint64,
             count=len(hexes),
         )
-        bucket = np.fromiter(
-            (
-                int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16) % 100
-                for i in df["doc_id"]
-            ),
-            dtype=np.int64, count=len(df),
-        )
+        bucket = _split_bucket(df["doc_id"])
         return pa.table({
             "doc_id": pa.array(df["doc_id"].to_numpy(np.int64)),
             "h": pa.array(hexes, pa.string()),

@@ -2070,12 +2070,13 @@ def bloom_semi_join(sf_dir: str, segment: str = "BUILDING",
     def seg_keys(df: pd.DataFrame) -> pa.Table:
         keys = df.loc[
             df["c_mktsegment"] == segment, "c_custkey"
-        ].to_numpy(np.int64)
+        ].unique().astype(np.int64)
         return pa.table({"k": pa.array(keys.astype(np.uint64), pa.uint64())})
 
-    bloom_ref = ray.put(bloom_bitmap(
-        cust.map_batches(seg_keys, batch_format="pandas"), "k", m_bits
-    ))
+    # ONE customer scan: the materialized segment-key set feeds both the
+    # bitmap build and the exact pass's union side
+    seg_set = cust.map_batches(seg_keys, batch_format="pandas").materialize()
+    bloom_ref = ray.put(bloom_bitmap(seg_set, "k", m_bits))
 
     orders = rd.read_parquet(
         f"{sf_dir}/orders.parquet",
@@ -2095,10 +2096,10 @@ def bloom_semi_join(sf_dir: str, segment: str = "BUILDING",
             "is_cust": pa.array(np.zeros(len(kept), np.int8), pa.int8()),
         })
 
-    def cust_keys(df: pd.DataFrame) -> pa.Table:
-        keys = df.loc[
-            df["c_mktsegment"] == segment, "c_custkey"
-        ].unique().astype(np.int64)
+    def cust_keys(batch: pa.Table) -> pa.Table:
+        keys = np.asarray(
+            batch["k"].to_pylist(), dtype=np.uint64
+        ).astype(np.int64)
         return pa.table({
             "custkey": pa.array(keys),
             "o_orderstatus": pa.array([""] * len(keys), pa.string()),
@@ -2123,7 +2124,7 @@ def bloom_semi_join(sf_dir: str, segment: str = "BUILDING",
 
     unioned = (
         orders.map_batches(probe, batch_format="pandas")
-        .union(cust.map_batches(cust_keys, batch_format="pandas"))
+        .union(seg_set.map_batches(cust_keys, batch_format="pyarrow"))
         .map_batches(append_mod_part, batch_format="pyarrow",
                      fn_args=("custkey", num_partitions))
     )

@@ -1515,12 +1515,14 @@ def test_bloom_incremental_dedup(ray_session, tmp_path):
         assert (got["dup_of_existing"].reindex(want.index)
                 == want).all(), m_bits
 
-    # planted cross-split duplicate: one old id and one new id share text
-    old_id = next(i for i in range(100) if split_is_old(i))
-    new_id = next(i for i in range(100) if not split_is_old(i))
+    # planted cross-split duplicate: one old id and one new id share text.
+    # _write_docs always assigns doc_id 0..n-1, so both planted ids must
+    # fall inside that range for texts to land on the intended docs
+    old_id = next(i for i in range(6) if split_is_old(i))
+    new_id = next(i for i in range(6) if not split_is_old(i))
     texts = {old_id: "the planted duplicate body " * 8,
              new_id: "the planted duplicate body " * 8}
-    ids = sorted({old_id, new_id} | {i for i in range(6)})
+    ids = list(range(6))
     sf = _write_docs(tmp_path, [texts.get(i, f"unique body {i} " * 8)
                                 for i in ids])
     got = bloom_incremental_dedup(
