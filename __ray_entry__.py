@@ -219,6 +219,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_quantize": ann.embedding_quantize,
         "kmeans_train": ann.kmeans_train,
         "kmeans_check": ann.kmeans_check,
+        "logreg_train": ann.logreg_train,
+        "logreg_check": ann.logreg_check,
         # relational / windowed
         "q1_pricing": relational.q1_pricing,
         "customer_nation_count": relational.customer_nation_count,
@@ -334,6 +336,11 @@ def oracle_sql() -> dict[str, str]:
         "kmeans_check": (
             "SELECT 1::BIGINT AS parity_ok, 1::BIGINT AS counts_ok,"
             " 1::BIGINT AS all_points_assigned"
+        ),
+        # distributed GD == single-process GD, loss improved, rows counted
+        "logreg_check": (
+            "SELECT 1::BIGINT AS parity_ok, 1::BIGINT AS loss_improved,"
+            " 1::BIGINT AS all_rows_counted"
         ),
         # JSON-LD document sink/source roundtrip gate
         "kg_jsonld_roundtrip_check": (

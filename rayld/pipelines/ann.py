@@ -710,3 +710,157 @@ def kmeans_check(sf_dir: str, n_clusters: int = 8,
         "counts_ok": [int((got_n == want_n).all())],
         "all_points_assigned": [int(got_n.sum() == len(X))],
     })
+
+
+# ---------------------------------------------------------------------------
+# Distributed logistic regression (full-batch GD, bounded exchange/iter)
+# ---------------------------------------------------------------------------
+
+
+def logreg_train(sf_dir: str, n_iter: int = 5, lr: float = 1.0,
+                 num_partitions: int | None = None) -> pd.DataFrame:
+    """Distributed binary logistic regression over the embeddings table
+    (y = label < 5), full-batch gradient descent — the iterative-training
+    shape next to ``kmeans_train``. Per iteration: weights broadcast via
+    ray.put; each batch computes sigmoid scores and pre-aggregates ONE
+    gradient partial per dimension plus bias/loss/count cells — dim+3
+    rows per block, never the vectors; the bounded-key bucketed exchange
+    folds partials with a SORTED in-task sum (order-free floats, the
+    kmeans determinism contract); the driver holds only the (dim+1)
+    weight vector. Deterministic: zero init, fixed lr, fixed iterations,
+    no sampling.
+
+    Output (long form): dim_idx -1 = bias, else the weight per embedding
+    dimension; final_loss and n_rows repeated per row for the gate."""
+    import zlib
+
+    import ray
+    import ray.data as rd
+
+    from .common import cluster_partitions
+
+    if num_partitions is None:
+        num_partitions = cluster_partitions(minimum=8)
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet",
+        columns=["embedding", "label"],
+    ).materialize()  # reused every iteration
+    dim = len(ds.take(1)[0]["embedding"])
+
+    _part_schema = pa.schema([
+        ("dim_idx", pa.int64()), ("val", pa.float64()), ("part", pa.int32()),
+    ])
+    _fold_schema = pa.schema([("dim_idx", pa.int64()), ("val", pa.float64())])
+
+    def combine(df: pd.DataFrame) -> pa.Table:
+        if len(df) == 0:
+            return _fold_schema.empty_table()
+        df = df.sort_values(["dim_idx", "val"], kind="mergesort")
+        g = df.groupby("dim_idx", as_index=False)["val"].sum()
+        return pa.Table.from_pandas(
+            g, preserve_index=False
+        ).select(_fold_schema.names).cast(_fold_schema)
+
+    w = np.zeros(dim)
+    bias = 0.0
+    loss = float("nan")
+    n_rows = 0
+    for _ in range(n_iter):
+        ref = ray.put((w, bias))
+
+        def partials(batch: pa.Table, _d=dim) -> pa.Table:
+            W, B = ray.get(ref)
+            X = np.stack([
+                np.asarray(e, dtype=np.float64)
+                for e in batch["embedding"].to_pylist()
+            ]) if batch.num_rows else np.zeros((0, _d))
+            y = (np.asarray(
+                batch["label"].to_pylist(), dtype=np.int64
+            ) < 5).astype(np.float64)
+            z = X @ W + B
+            p = 1.0 / (1.0 + np.exp(-z))
+            r = p - y
+            # log-loss via the stable log(1+e^-|z|) + max(z,0) - z*y form
+            ll = np.log1p(np.exp(-np.abs(z))) + np.maximum(z, 0.0) - z * y
+            di = np.concatenate([
+                np.arange(_d, dtype=np.int64), [-1, -2, -3]
+            ])
+            val = np.concatenate([X.T @ r, [r.sum(), ll.sum(), float(len(y))]])
+            parts = np.fromiter(
+                (zlib.crc32(str(d).encode()) % num_partitions for d in di),
+                dtype=np.int32, count=len(di),
+            )
+            return pa.table({
+                "dim_idx": pa.array(di), "val": pa.array(val),
+                "part": pa.array(parts, pa.int32()),
+            }, schema=_part_schema)
+
+        folded = (
+            ds.map_batches(partials, batch_format="pyarrow")
+            .groupby("part")
+            .map_groups(combine, batch_format="pandas")
+            .to_pandas()
+        )
+        cells = dict(zip(folded["dim_idx"].to_numpy(np.int64),
+                         folded["val"].to_numpy(np.float64)))
+        n_rows = int(cells.pop(-3))
+        loss = cells.pop(-2) / n_rows
+        gb = cells.pop(-1)
+        g = np.zeros(dim)
+        idx = folded["dim_idx"].to_numpy(np.int64)
+        keep = idx >= 0
+        g[idx[keep]] = folded["val"].to_numpy(np.float64)[keep]
+        w = w - lr * g / n_rows
+        bias = bias - lr * gb / n_rows
+
+    return pd.DataFrame({
+        "dim_idx": np.concatenate([[-1], np.arange(dim, dtype=np.int64)]),
+        "weight": np.concatenate([[bias], w]),
+        "final_loss": np.full(dim + 1, loss),
+        "n_rows": np.full(dim + 1, n_rows, dtype=np.int64),
+    })
+
+
+def logreg_reference(X: np.ndarray, y: np.ndarray, n_iter: int = 5,
+                     lr: float = 1.0) -> tuple:
+    """Single-process GD with the identical update formula (the parity
+    oracle). Returns (w, bias, final mean loss)."""
+    w = np.zeros(X.shape[1])
+    bias = 0.0
+    loss = float("nan")
+    for _ in range(n_iter):
+        z = X @ w + bias
+        p = 1.0 / (1.0 + np.exp(-z))
+        r = p - y
+        loss = float(
+            (np.log1p(np.exp(-np.abs(z))) + np.maximum(z, 0.0) - z * y).sum()
+            / len(y)
+        )
+        w = w - lr * (X.T @ r) / len(y)
+        bias = bias - lr * r.sum() / len(y)
+    return w, bias, loss
+
+
+def logreg_check(sf_dir: str, n_iter: int = 5, lr: float = 1.0):
+    """Gate: distributed GD == single-process GD from the same zero init
+    (weights within 1e-8 after n_iter full-batch steps), the final loss
+    improved on the w=0 loss (ln 2), and every row was counted."""
+    import pyarrow.parquet as pq
+
+    got = logreg_train(sf_dir, n_iter=n_iter, lr=lr)
+    tbl = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                        columns=["vec_id", "embedding", "label"]).to_pandas()
+    tbl = tbl.sort_values("vec_id")
+    X = np.stack([np.asarray(e, dtype=np.float64) for e in tbl["embedding"]])
+    y = (tbl["label"].to_numpy(np.int64) < 5).astype(np.float64)
+    want_w, want_b, want_loss = logreg_reference(X, y, n_iter=n_iter, lr=lr)
+    got = got.sort_values("dim_idx")
+    got_b = got.loc[got["dim_idx"] == -1, "weight"].iloc[0]
+    got_w = got.loc[got["dim_idx"] >= 0, "weight"].to_numpy()
+    err = max(abs(got_b - want_b), float(np.abs(got_w - want_w).max()))
+    return pd.DataFrame({
+        "parity_ok": [int(err < 1e-8)],
+        "loss_improved": [int(got["final_loss"].iloc[0] < np.log(2.0))],
+        "all_rows_counted": [int(got["n_rows"].iloc[0] == len(X))],
+    })

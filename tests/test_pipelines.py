@@ -1161,6 +1161,26 @@ def test_kmeans_train_parity_and_inertia(ray_session):
     assert seeds.shape[0] == 6
 
 
+def test_logreg_train_parity(ray_session):
+    """Distributed full-batch GD == single-process GD from the same zero
+    init; the loss trace improves with more steps; partition count never
+    changes the result."""
+    from rayld.pipelines.ann import logreg_check, logreg_train
+
+    out = logreg_check(SF, n_iter=4)
+    assert out["parity_ok"].iloc[0] == 1
+    assert out["loss_improved"].iloc[0] == 1
+    assert out["all_rows_counted"].iloc[0] == 1
+
+    a = logreg_train(SF, n_iter=4, num_partitions=4)
+    b = logreg_train(SF, n_iter=4, num_partitions=3)
+    pd.testing.assert_frame_equal(a, b)
+
+    l1 = logreg_train(SF, n_iter=1)["final_loss"].iloc[0]
+    l4 = a["final_loss"].iloc[0]
+    assert l4 < l1  # GD makes progress between step 1 and step 4
+
+
 def test_bgp_match_user_mentions(ray_session):
     """BGP join == a pandas recount of the same pattern on the same triples;
     partition-count invariant; capture cartesian semantics hold (a turn with
