@@ -34,6 +34,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ann,
         curation,
         dedup,
+        graph,
         indexing,
         jsonld_ops,
         multimodal,
@@ -146,6 +147,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_jsonld_roundtrip_check": kg_jsonld_roundtrip,
         "kg_bgp_user_mentions": kg_bgp_user_mentions,
         "kg_entity_cooccurrence": kg_entity_cooccurrence,
+        "user_triangles": graph.user_triangles,
         # JSON-LD API surface A1-A7 + S1/S2 (non-SQL)
         "jsonld_expand": jsonld_ops.op_expand,
         "jsonld_compact_roundtrip": jsonld_ops.op_compact_roundtrip,
@@ -1106,6 +1108,24 @@ def oracle_sql() -> dict[str, str]:
         ),
         # per-type z-score outliers; moments in exact integer cents, the
         # z-test in the same cross-multiplied double form as the Ray side
+        # exact triangle census of the shared-k user projection graph
+        "user_triangles": (
+            "WITH uk AS (SELECT DISTINCT user_id AS u,"
+            "   json_extract_string(props, '$.k')::BIGINT AS k"
+            "  FROM events WHERE event_type = 'purchase'),"
+            " e AS (SELECT DISTINCT a.u AS p, b.u AS q"
+            "  FROM uk a JOIN uk b USING (k) WHERE a.u < b.u),"
+            " deg AS (SELECT node, count(*)::BIGINT AS d FROM ("
+            "   SELECT p AS node FROM e UNION ALL SELECT q FROM e)"
+            "  GROUP BY 1)"
+            " SELECT (SELECT count(*) FROM deg)::BIGINT AS n_nodes,"
+            "  (SELECT count(*) FROM e)::BIGINT AS n_edges,"
+            "  (SELECT sum(d * (d - 1) // 2) FROM deg)::BIGINT AS n_wedges,"
+            "  (SELECT count(*) FROM e e1"
+            "    JOIN e e2 ON e2.p = e1.q"
+            "    JOIN e e3 ON e3.p = e1.p AND e3.q = e2.q)::BIGINT"
+            "    AS n_triangles"
+        ),
         "events_anomaly": (
             "WITH m AS (SELECT event_type,"
             "  sum(floor(value * 100 + 0.5)::BIGINT)::DOUBLE AS s,"

@@ -649,3 +649,285 @@ def entity_cooccurrence(triples_ds, num_partitions: int | None = None,
         partials, keys=["e1", "e2"], sum_cols=["n_convs"],
         schema=pair_schema,
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact triangle counting (degree-ordered node-iterator)
+# ---------------------------------------------------------------------------
+
+
+def user_triangles(sf_dir: str, event_type: str = "purchase",
+                   num_partitions: int | None = None,
+                   max_users_per_key: int = 4096):
+    """Exact triangle/wedge census of the user projection graph — users are
+    adjacent when they share a distinct props ``k`` in ``event_type``
+    events. The degree-ORDERED node-iterator (MapReduce triangle counting,
+    Cohen 2009 lineage): orienting every edge from its (degree, id)-smaller
+    endpoint bounds per-node wedge fan-out by O(sqrt(m)) regardless of hub
+    degree, which is what keeps the closing exchange's payload near-linear
+    on skewed graphs.
+
+    Plan (bucketed exchanges only, nothing node- or edge-sized on the
+    driver):
+      1. (k, user) dedup partials -> one hash(k) exchange -> per-key
+         sorted user pairs (fan-out capped per key with a log line);
+      2. pair-key exchange dedups the edge multiset -> edge set E
+         (materialized: reused for degrees, orientation, closing);
+      3. endpoint-explode partials -> bounded combine = exact degrees;
+         attached to E by TWO bucketed hash joins (deg of u, deg of v);
+      4. wedge pass: bucket oriented edges by src; each task emits the
+         CLOSING queries (a, b) for every out-neighbor pair; union with E
+         tagged as facts, one pair-key exchange, in-task set membership
+         counts matches = triangles (each triangle closes exactly once:
+         its two lowest-ordered edges form the wedge, the third closes).
+
+    Output (one row): n_nodes, n_edges, n_wedges (undirected, sum of
+    C(deg,2) — the clustering-coefficient denominator), n_triangles."""
+    import json
+    import zlib
+
+    import ray.data as rd
+
+    from .common import bucketed_sum_combine, cluster_partitions
+
+    if num_partitions is None:
+        num_partitions = cluster_partitions()
+
+    ev = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "event_type", "props"],
+    )
+
+    def uk_partial(df: pd.DataFrame) -> pa.Table:
+        sel = df[df["event_type"] == event_type]
+        ks = sel["props"].map(
+            lambda p: json.loads(p).get("k", 0) if p else 0
+        ).astype("int64")
+        g = sel.assign(k=ks).drop_duplicates(["k", "user_id"])
+        return pa.table({
+            "k": pa.array(g["k"].to_numpy(np.int64)),
+            "u": pa.array(g["user_id"].to_numpy(np.int64)),
+            "part": pa.array(
+                (g["k"].to_numpy(np.int64) % num_partitions).astype(np.int32),
+                pa.int32(),
+            ),
+        })
+
+    pair_sch = pa.schema([("p", pa.int64()), ("q", pa.int64())])
+
+    def key_pairs(df: pd.DataFrame) -> pa.Table:
+        ps, qs = [], []
+        n_capped = 0
+        for _, us in df.groupby("k")["u"]:
+            users = np.unique(us.to_numpy(np.int64))
+            if len(users) > max_users_per_key:
+                n_capped += 1
+                users = users[:max_users_per_key]
+            if len(users) < 2:
+                continue
+            iu, iv = np.triu_indices(len(users), k=1)
+            ps.append(users[iu])
+            qs.append(users[iv])
+        if n_capped:
+            print(f"user_triangles: capped {n_capped} keys "
+                  f"at {max_users_per_key} users")
+        if not ps:
+            return pair_sch.empty_table()
+        return pa.table({
+            "p": pa.array(np.concatenate(ps)),
+            "q": pa.array(np.concatenate(qs)),
+        }, schema=pair_sch)
+
+    def pair_bucket(batch: pa.Table) -> pa.Table:
+        p = np.asarray(batch["p"].to_pylist(), dtype=np.int64)
+        q = np.asarray(batch["q"].to_pylist(), dtype=np.int64)
+        parts = np.fromiter(
+            (zlib.crc32(f"{a}:{b}".encode()) % num_partitions
+             for a, b in zip(p, q)),
+            dtype=np.int32, count=len(p),
+        )
+        return batch.append_column("part", pa.array(parts, pa.int32()))
+
+    def pair_dedup(df: pd.DataFrame) -> pa.Table:
+        g = df.drop_duplicates(["p", "q"])
+        return pa.table({
+            "p": pa.array(g["p"].to_numpy(np.int64)),
+            "q": pa.array(g["q"].to_numpy(np.int64)),
+        }, schema=pair_sch)
+
+    edges = (
+        ev.map_batches(uk_partial, batch_format="pandas")
+        .groupby("part").map_groups(key_pairs, batch_format="pandas")
+        .map_batches(pair_bucket, batch_format="pyarrow")
+        .groupby("part").map_groups(pair_dedup, batch_format="pandas")
+        .materialize()
+    )
+    n_edges = edges.count()
+
+    def endpoint_partial(batch: pa.Table) -> pa.Table:
+        nodes = np.concatenate([
+            np.asarray(batch["p"].to_pylist(), dtype=np.int64),
+            np.asarray(batch["q"].to_pylist(), dtype=np.int64),
+        ])
+        un, cn = np.unique(nodes, return_counts=True)
+        return pa.table({
+            "node": pa.array(un), "d": pa.array(cn.astype(np.int64)),
+        })
+
+    degs = bucketed_sum_combine(
+        edges.map_batches(endpoint_partial, batch_format="pyarrow"),
+        keys=["node"], sum_cols=["d"],
+        schema=pa.schema([("node", pa.int64()), ("d", pa.int64())]),
+        num_partitions=num_partitions,
+    ).materialize()
+
+    wed = degs.map_batches(
+        lambda b: pa.table({"w": pa.array([
+            int((np.asarray(b["d"].to_pylist(), dtype=np.int64)
+                 * (np.asarray(b["d"].to_pylist(), dtype=np.int64) - 1)
+                 // 2).sum())
+        ], pa.int64())}),
+        batch_format="pyarrow",
+    ).to_pandas()
+    n_nodes = degs.count()
+    n_wedges = int(wed["w"].sum()) if len(wed) else 0
+
+    # attach degrees to both endpoints: two bucketed hash joins
+    def deg_side(name: str):
+        def fn(batch: pa.Table) -> pa.Table:
+            return pa.table({
+                "node": batch["node"],
+                "p": pa.array(np.full(batch.num_rows, -1, np.int64)),
+                "q": pa.array(np.full(batch.num_rows, -1, np.int64)),
+                "d": batch["d"],
+                "is_deg": pa.array(np.ones(batch.num_rows, np.int8)),
+            })
+        return fn
+
+    def edge_as(key: str):
+        def fn(batch: pa.Table) -> pa.Table:
+            return pa.table({
+                "node": batch[key],
+                "p": batch["p"], "q": batch["q"],
+                "d": pa.array(np.zeros(batch.num_rows, np.int64)),
+                "is_deg": pa.array(np.zeros(batch.num_rows, np.int8)),
+            })
+        return fn
+
+    from ..pipelines.dedup import _bucketed_hash_join
+
+    def merge_deg(out_col: str):
+        def fn(df: pd.DataFrame) -> pa.Table:
+            dmap = df[df["is_deg"] == 1].set_index("node")["d"]
+            e = df[df["is_deg"] == 0]
+            return pa.table({
+                "p": pa.array(e["p"].to_numpy(np.int64)),
+                "q": pa.array(e["q"].to_numpy(np.int64)),
+                out_col: pa.array(
+                    e["node"].map(dmap).to_numpy(np.int64)
+                ),
+                **({"dp": pa.array(e["dp"].to_numpy(np.int64))}
+                   if "dp" in e.columns else {}),
+            })
+        return fn
+
+    j1 = _bucketed_hash_join(
+        edges.map_batches(edge_as("p"), batch_format="pyarrow"),
+        degs.map_batches(deg_side("p"), batch_format="pyarrow"),
+        key="node", num_partitions=num_partitions, merge_fn=merge_deg("dp"),
+    )
+
+    def edge_as_q(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "node": batch["q"], "p": batch["p"], "q": batch["q"],
+            "dp": batch["dp"],
+            "d": pa.array(np.zeros(batch.num_rows, np.int64)),
+            "is_deg": pa.array(np.zeros(batch.num_rows, np.int8)),
+        })
+
+    def deg_side_q(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "node": batch["node"],
+            "p": pa.array(np.full(batch.num_rows, -1, np.int64)),
+            "q": pa.array(np.full(batch.num_rows, -1, np.int64)),
+            "dp": pa.array(np.zeros(batch.num_rows, np.int64)),
+            "d": batch["d"],
+            "is_deg": pa.array(np.ones(batch.num_rows, np.int8)),
+        })
+
+    def merge_deg_q(df: pd.DataFrame) -> pa.Table:
+        dmap = df[df["is_deg"] == 1].set_index("node")["d"]
+        e = df[df["is_deg"] == 0]
+        p = e["p"].to_numpy(np.int64)
+        q = e["q"].to_numpy(np.int64)
+        dp = e["dp"].to_numpy(np.int64)
+        dq = e["node"].map(dmap).to_numpy(np.int64)
+        # orient from the (degree, id)-smaller endpoint
+        fwd = (dp < dq) | ((dp == dq) & (p < q))
+        return pa.table({
+            "src": pa.array(np.where(fwd, p, q)),
+            "dst": pa.array(np.where(fwd, q, p)),
+        })
+
+    oriented = _bucketed_hash_join(
+        j1.map_batches(edge_as_q, batch_format="pyarrow"),
+        degs.map_batches(deg_side_q, batch_format="pyarrow"),
+        key="node", num_partitions=num_partitions, merge_fn=merge_deg_q,
+    ).materialize()
+
+    def src_bucket(batch: pa.Table) -> pa.Table:
+        s = np.asarray(batch["src"].to_pylist(), dtype=np.int64)
+        return batch.append_column(
+            "part", pa.array((s % num_partitions).astype(np.int32), pa.int32())
+        )
+
+    probe_sch = pa.schema([
+        ("p", pa.int64()), ("q", pa.int64()), ("is_edge", pa.int8()),
+    ])
+
+    def wedges(df: pd.DataFrame) -> pa.Table:
+        ps, qs = [], []
+        for _, nbrs in df.groupby("src")["dst"]:
+            ns = np.unique(nbrs.to_numpy(np.int64))
+            if len(ns) < 2:
+                continue
+            iu, iv = np.triu_indices(len(ns), k=1)
+            a, b = ns[iu], ns[iv]
+            ps.append(np.minimum(a, b))
+            qs.append(np.maximum(a, b))
+        if not ps:
+            return probe_sch.empty_table()
+        p = np.concatenate(ps)
+        return pa.table({
+            "p": pa.array(p),
+            "q": pa.array(np.concatenate(qs)),
+            "is_edge": pa.array(np.zeros(len(p), np.int8)),
+        }, schema=probe_sch)
+
+    def edge_fact(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "p": batch["p"], "q": batch["q"],
+            "is_edge": pa.array(np.ones(batch.num_rows, np.int8)),
+        }, schema=probe_sch)
+
+    def close_count(df: pd.DataFrame) -> pa.Table:
+        facts = set(zip(df.loc[df["is_edge"] == 1, "p"],
+                        df.loc[df["is_edge"] == 1, "q"]))
+        w = df[df["is_edge"] == 0]
+        n = sum(1 for pq in zip(w["p"], w["q"]) if pq in facts)
+        return pa.table({"n": pa.array([n], pa.int64())})
+
+    tri = (
+        oriented.map_batches(src_bucket, batch_format="pyarrow")
+        .groupby("part").map_groups(wedges, batch_format="pandas")
+        .union(edges.map_batches(edge_fact, batch_format="pyarrow"))
+        .map_batches(pair_bucket, batch_format="pyarrow")
+        .groupby("part").map_groups(close_count, batch_format="pandas")
+        .to_pandas()
+    )
+    n_tri = int(tri["n"].sum()) if len(tri) else 0
+
+    return pd.DataFrame({
+        "n_nodes": [n_nodes], "n_edges": [n_edges],
+        "n_wedges": [n_wedges], "n_triangles": [n_tri],
+    }).astype("int64")

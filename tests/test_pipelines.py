@@ -1648,6 +1648,40 @@ def test_token_cms_gate(ray_session):
     assert (est <= exact + np.ceil(3 * np.e / 2048 * n_total)).all()
 
 
+def test_user_triangles(ray_session):
+    """Distributed degree-ordered triangle census equals an itertools
+    recount of the same projection graph, and the partition count never
+    changes the result."""
+    import itertools
+    import json
+
+    from rayld.pipelines.graph import user_triangles
+
+    ev = pd.read_parquet(f"{SF}/events.parquet",
+                         columns=["user_id", "event_type", "props"])
+    sel = ev[ev["event_type"] == "purchase"]
+    ks = sel["props"].map(lambda p: json.loads(p).get("k", 0))
+    edges = set()
+    for _, us in sel.assign(k=ks).groupby("k")["user_id"]:
+        for a, b in itertools.combinations(sorted(set(us)), 2):
+            edges.add((a, b))
+    deg = pd.Series([n for e in edges for n in e]).value_counts()
+    adj = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    tri = sum(
+        1 for a, b in edges for c in (adj[a] & adj[b]) if c > b
+    )  # each triangle once via its max vertex
+    want = {
+        "n_nodes": len(deg), "n_edges": len(edges),
+        "n_wedges": int((deg * (deg - 1) // 2).sum()), "n_triangles": tri,
+    }
+    for P in (4, 3):
+        got = user_triangles(SF, num_partitions=P).iloc[0].to_dict()
+        assert got == want, (P, got, want)
+
+
 def test_entity_cooccurrence(ray_session):
     """Distributed co-occurrence equals a single-process pandas recount
     over the same triples, and weights are symmetric-by-construction
