@@ -254,6 +254,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_quantile_sketch": relational.value_quantile_sketch,
         "segment_active_customers": relational.segment_active_customers,
         "clickers_no_purchase": relational.clickers_no_purchase,
+        "clickers_and_purchasers": relational.clickers_and_purchasers,
+        "event_transitions": relational.event_transitions,
         "power_users": relational.power_users,
         # multimodal plumbing
         "media_byte_stats": multimodal.media_byte_stats,
@@ -1027,6 +1029,23 @@ def oracle_sql() -> dict[str, str]:
             " EXCEPT"
             " SELECT user_id, epoch(date_trunc('day', ts))::BIGINT"
             "  FROM events WHERE event_type = 'purchase'"
+        ),
+        # INTERSECT set op: (user, day) pairs that clicked AND purchased
+        "clickers_and_purchasers": (
+            "SELECT user_id, epoch(date_trunc('day', ts))::BIGINT AS"
+            "   day_start FROM events WHERE event_type = 'click'"
+            " INTERSECT"
+            " SELECT user_id, epoch(date_trunc('day', ts))::BIGINT"
+            "  FROM events WHERE event_type = 'purchase'"
+        ),
+        # Markov transition counts over each user's ordered event stream
+        "event_transitions": (
+            "WITH w AS (SELECT event_type AS next_type,"
+            "  lag(event_type) OVER ("
+            "    PARTITION BY user_id ORDER BY ts, event_id) AS prev_type"
+            " FROM events)"
+            " SELECT prev_type, next_type, count(*)::BIGINT AS n"
+            " FROM w WHERE prev_type IS NOT NULL GROUP BY 1, 2"
         ),
         # HAVING: users filtered by their own aggregates
         "power_users": (

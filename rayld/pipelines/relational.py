@@ -1812,13 +1812,11 @@ def segment_active_customers(sf_dir: str, num_partitions: int | None = None):
     )
 
 
-def clickers_no_purchase(sf_dir: str):
-    """SQL EXCEPT as ONE scan: (user, day) pairs that saw a click but no
-    purchase. Instead of the oracle's two distinct scans + set difference,
-    every batch emits per-(user, day) (has_click, has_purchase) 0/1
-    partials and a single max-combine + filter resolves the set op — one
-    pass over the events table, one bucketed exchange of pair-level
-    flags."""
+def _user_day_flags(sf_dir: str):
+    """Per-(user, day) (has_click, has_purchase) 0/1 flag table in ONE scan
+    + one bucketed max-combine — the shared plan under the EXCEPT
+    (``clickers_no_purchase``) and INTERSECT (``clickers_and_purchasers``)
+    set operators; only the final filter differs."""
     import pyarrow as pa
     import ray.data as rd
 
@@ -1847,7 +1845,7 @@ def clickers_no_purchase(sf_dir: str):
             ),
         })
 
-    agg = bucketed_sum_combine(
+    return bucketed_sum_combine(
         ds.map_batches(partial, batch_format="pandas"),
         keys=["user_id", "day_start"],
         sum_cols=["has_click", "has_purchase"],
@@ -1858,15 +1856,39 @@ def clickers_no_purchase(sf_dir: str):
         how="max",
     )
 
-    def keep(batch: pa.Table) -> pa.Table:
+
+def _flag_filter(want_purchase: int):
+    def keep(batch):
+        import pyarrow as pa
+
         df = batch.to_pandas()
-        out = df[(df["has_click"] == 1) & (df["has_purchase"] == 0)]
+        out = df[(df["has_click"] == 1)
+                 & (df["has_purchase"] == want_purchase)]
         return pa.table({
             "user_id": pa.array(out["user_id"].to_numpy(np.int64)),
             "day_start": pa.array(out["day_start"].to_numpy(np.int64)),
         })
 
-    return agg.map_batches(keep, batch_format="pyarrow")
+    return keep
+
+
+def clickers_no_purchase(sf_dir: str):
+    """SQL EXCEPT as ONE scan: (user, day) pairs that saw a click but no
+    purchase. Instead of the oracle's two distinct scans + set difference,
+    every batch emits per-(user, day) 0/1 flag partials and a single
+    max-combine + filter resolves the set op (``_user_day_flags``)."""
+    return _user_day_flags(sf_dir).map_batches(
+        _flag_filter(0), batch_format="pyarrow"
+    )
+
+
+def clickers_and_purchasers(sf_dir: str):
+    """SQL INTERSECT as ONE scan: (user, day) pairs that saw BOTH a click
+    and a purchase — the same flag-table plan as ``clickers_no_purchase``,
+    filter flipped where the aggregate lands."""
+    return _user_day_flags(sf_dir).map_batches(
+        _flag_filter(1), batch_format="pyarrow"
+    )
 
 
 def power_users(sf_dir: str, min_events: int = 50, min_spend: float = 100.0):
@@ -2136,5 +2158,62 @@ def bloom_semi_join(sf_dir: str, segment: str = "BUILDING",
         schema=pa.schema([
             ("o_orderstatus", pa.string()), ("n_orders", pa.int64()),
             ("revenue_c", pa.int64()),
+        ]),
+    )
+
+
+def event_transitions(sf_dir: str, num_partitions: int | None = None):
+    """Markov transition counts over each user's temporally ordered event
+    stream: global count per (prev_type, next_type) pair — the sequence-
+    mining primitive (user-journey matrix). ONE bucketed hash(user_id)
+    exchange (every transition is user-local, the events_lead_lag plan);
+    the in-task sort + groupby.shift emits bounded (5x5) pair partials
+    that ride the small combine. SQL-checkable against a LAG window."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from .common import bucketed_sum_combine, cluster_partitions
+
+    if num_partitions is None:
+        num_partitions = cluster_partitions()
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "user_id", "event_type"],
+    )
+
+    def pairs(df: pd.DataFrame) -> pa.Table:
+        sch = pa.schema([
+            ("prev_type", pa.string()), ("next_type", pa.string()),
+            ("n", pa.int64()),
+        ])
+        if len(df) == 0:
+            return sch.empty_table()
+        df = df.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        prev = df.groupby("user_id")["event_type"].shift()
+        g = (
+            pd.DataFrame({"prev_type": prev, "next_type": df["event_type"]})
+            .dropna()
+            .groupby(["prev_type", "next_type"], as_index=False)
+            .size().rename(columns={"size": "n"})
+        )
+        return pa.table({
+            "prev_type": pa.array(g["prev_type"].astype(str), pa.string()),
+            "next_type": pa.array(g["next_type"].astype(str), pa.string()),
+            "n": pa.array(g["n"].to_numpy(np.int64)),
+        }, schema=sch)
+
+    partials = (
+        ds.map_batches(
+            append_mod_part, batch_format="pyarrow",
+            fn_args=("user_id", num_partitions),
+        )
+        .groupby("part")
+        .map_groups(pairs, batch_format="pandas")
+    )
+    return bucketed_sum_combine(
+        partials, keys=["prev_type", "next_type"], sum_cols=["n"],
+        schema=pa.schema([
+            ("prev_type", pa.string()), ("next_type", pa.string()),
+            ("n", pa.int64()),
         ]),
     )

@@ -1588,6 +1588,51 @@ def test_clickers_no_purchase(ray_session):
     assert len(got) == len(want)  # no duplicate pairs
 
 
+def test_clickers_and_purchasers(ray_session):
+    """One-scan INTERSECT equals the two-scan set intersection, and it
+    partitions the click set against the EXCEPT result."""
+    from rayld.pipelines.relational import (
+        clickers_and_purchasers,
+        clickers_no_purchase,
+    )
+
+    got = clickers_and_purchasers(SF).to_pandas()
+    ev = pd.read_parquet(f"{SF}/events.parquet",
+                         columns=["user_id", "ts", "event_type"])
+    day = ev["ts"].dt.floor("d").astype("datetime64[s]").astype("int64")
+    key = list(zip(ev["user_id"], day))
+    clicks = {k for k, t in zip(key, ev["event_type"]) if t == "click"}
+    buys = {k for k, t in zip(key, ev["event_type"]) if t == "purchase"}
+    want = clicks & buys
+    pairs = set(zip(got["user_id"], got["day_start"]))
+    assert pairs == want
+    assert len(got) == len(want)
+    exc = clickers_no_purchase(SF).to_pandas()
+    exc_pairs = set(zip(exc["user_id"], exc["day_start"]))
+    assert pairs | exc_pairs == clicks and not pairs & exc_pairs
+
+
+def test_event_transitions(ray_session):
+    """Distributed transition counts equal a pandas LAG recount, and each
+    user's transitions sum to their event count minus one."""
+    from rayld.pipelines.relational import event_transitions
+
+    got = event_transitions(SF, num_partitions=4).to_pandas()
+    ev = pd.read_parquet(
+        f"{SF}/events.parquet",
+        columns=["event_id", "ts", "user_id", "event_type"],
+    ).sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+    prev = ev.groupby("user_id")["event_type"].shift()
+    want = (
+        pd.DataFrame({"prev_type": prev, "next_type": ev["event_type"]})
+        .dropna().groupby(["prev_type", "next_type"]).size()
+    )
+    m = got.set_index(["prev_type", "next_type"])["n"].sort_index()
+    assert m.equals(want.sort_index().astype("int64"))
+    n_users = ev["user_id"].nunique()
+    assert got["n"].sum() == len(ev) - n_users
+
+
 def test_power_users(ray_session):
     """HAVING filter matches a pandas recount at a non-trivial threshold
     (some users kept, some dropped)."""
