@@ -256,6 +256,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "clickers_no_purchase": relational.clickers_no_purchase,
         "clickers_and_purchasers": relational.clickers_and_purchasers,
         "event_transitions": relational.event_transitions,
+        "table_profile": relational.table_profile,
         "power_users": relational.power_users,
         # multimodal plumbing
         "media_byte_stats": multimodal.media_byte_stats,
@@ -1037,6 +1038,40 @@ def oracle_sql() -> dict[str, str]:
             " INTERSECT"
             " SELECT user_id, epoch(date_trunc('day', ts))::BIGINT"
             "  FROM events WHERE event_type = 'purchase'"
+        ),
+        # single-pass column profile (rows/nulls/exact distinct/min/max in
+        # the engine's canonical int64/string forms)
+        "table_profile": (
+            "WITH e AS (SELECT * FROM events)"
+            # outer cast: UNION ALL widens mixed sum/min types to HUGEINT,
+            # which pandas maps away from the Ray side's int64/float64
+            " SELECT col, n_rows::BIGINT AS n_rows,"
+            "  n_nulls::BIGINT AS n_nulls, n_distinct::BIGINT AS n_distinct,"
+            "  min_i::BIGINT AS min_i, max_i::BIGINT AS max_i,"
+            "  min_s::VARCHAR AS min_s, max_s::VARCHAR AS max_s FROM ("
+            " SELECT 'event_id' AS col, count(*)::BIGINT AS n_rows,"
+            "  sum((event_id IS NULL)::INT)::BIGINT AS n_nulls,"
+            "  count(DISTINCT event_id)::BIGINT AS n_distinct,"
+            "  min(event_id)::BIGINT AS min_i, max(event_id)::BIGINT"
+            "   AS max_i, NULL::VARCHAR AS min_s, NULL::VARCHAR AS max_s"
+            " FROM e"
+            " UNION ALL SELECT 'user_id', count(*),"
+            "  sum((user_id IS NULL)::INT), count(DISTINCT user_id),"
+            "  min(user_id), max(user_id), NULL, NULL FROM e"
+            " UNION ALL SELECT 'ts', count(*), sum((ts IS NULL)::INT),"
+            "  count(DISTINCT epoch_us(ts)), epoch_us(min(ts)),"
+            "  epoch_us(max(ts)), NULL, NULL FROM e"
+            " UNION ALL SELECT 'value', count(*),"
+            "  sum((value IS NULL)::INT),"
+            "  count(DISTINCT floor(value * 100 + 0.5)::BIGINT),"
+            "  floor(min(value) * 100 + 0.5)::BIGINT,"
+            "  floor(max(value) * 100 + 0.5)::BIGINT, NULL, NULL FROM e"
+            " UNION ALL SELECT 'event_type', count(*),"
+            "  sum((event_type IS NULL)::INT), count(DISTINCT event_type),"
+            "  NULL, NULL, min(event_type), max(event_type) FROM e"
+            " UNION ALL SELECT 'props', count(*), sum((props IS NULL)::INT),"
+            "  count(DISTINCT props), NULL, NULL, min(props), max(props)"
+            " FROM e)"
         ),
         # Markov transition counts over each user's ordered event stream
         "event_transitions": (

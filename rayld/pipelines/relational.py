@@ -2217,3 +2217,172 @@ def event_transitions(sf_dir: str, num_partitions: int | None = None):
             ("n", pa.int64()),
         ]),
     )
+
+
+def table_profile(sf_dir: str, num_partitions: int | None = None):
+    """Single-read column profile of the events table — the ingest-
+    validation primitive (what a 100-TB loader runs before anything else):
+    per column, row count, null count, EXACT distinct count, and min/max
+    in the engine's canonical forms (int64 for ids, integer cents for
+    money, epoch microseconds for timestamps, raw strings for text — the
+    same canonicalizations every oracle here pins).
+
+    Two bounded exchanges, one table scan feeding both:
+      1. per-batch stats partials (one row per column: counts + typed
+         min/max) ride a tiny column-bucketed aggregate;
+      2. exact distincts: per-batch (col, canonical value) dedup ->
+         one crc32(col:value) exchange -> in-task dedup -> per-col count
+         partials -> the small combine (the events_hourly_users plan —
+         value payload shrinks at the batch, never a full-column shuffle).
+    The <= #columns result rows assemble on the driver."""
+    import zlib
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    from .common import bucketed_sum_combine, cluster_partitions
+
+    if num_partitions is None:
+        num_partitions = cluster_partitions()
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet")
+
+    # canonical int64 / string views per column (None = string column)
+    def canon_cols(df: pd.DataFrame) -> dict:
+        ts = df["ts"].astype("datetime64[us]")
+        ts_i = pd.Series(
+            ts.values.view("int64"), index=df.index
+        ).astype("Int64")
+        ts_i[ts.isna()] = pd.NA
+        return {
+            "event_id": df["event_id"].astype("Int64"),
+            "user_id": df["user_id"].astype("Int64"),
+            "ts": ts_i,
+            "value": pd.Series(
+                np.floor(df["value"] * 100 + 0.5), index=df.index
+            ).astype("Int64"),
+            "event_type": df["event_type"],
+            "props": df["props"],
+        }
+
+    _INT_COLS = ("event_id", "user_id", "ts", "value")
+    stats_sch = pa.schema([
+        ("col", pa.string()), ("n_rows", pa.int64()), ("n_nulls", pa.int64()),
+        ("min_i", pa.int64()), ("max_i", pa.int64()),
+        ("min_s", pa.string()), ("max_s", pa.string()),
+    ])
+
+    def stats_partial(df: pd.DataFrame) -> pa.Table:
+        rows = []
+        for col, s in canon_cols(df).items():
+            nn = int(s.isna().sum())
+            v = s.dropna()
+            if col in _INT_COLS:
+                mn_i = int(v.min()) if len(v) else None
+                mx_i = int(v.max()) if len(v) else None
+                mn_s = mx_s = None
+            else:
+                mn_i = mx_i = None
+                mn_s = str(v.min()) if len(v) else None
+                mx_s = str(v.max()) if len(v) else None
+            rows.append((col, len(df), nn, mn_i, mx_i, mn_s, mx_s))
+        cols = list(zip(*rows))
+        return pa.table({
+            "col": pa.array(cols[0], pa.string()),
+            "n_rows": pa.array(cols[1], pa.int64()),
+            "n_nulls": pa.array(cols[2], pa.int64()),
+            "min_i": pa.array(cols[3], pa.int64()),
+            "max_i": pa.array(cols[4], pa.int64()),
+            "min_s": pa.array(cols[5], pa.string()),
+            "max_s": pa.array(cols[6], pa.string()),
+        }, schema=stats_sch)
+
+    def stats_bucket(batch: pa.Table) -> pa.Table:
+        parts = np.fromiter(
+            (zlib.crc32(c.encode()) % num_partitions
+             for c in batch["col"].to_pylist()),
+            dtype=np.int32, count=batch.num_rows,
+        )
+        return batch.append_column("part", pa.array(parts, pa.int32()))
+
+    def stats_fold(df: pd.DataFrame) -> pa.Table:
+        if len(df) == 0:
+            return stats_sch.empty_table()
+
+        def _fold(how):
+            def f(s):
+                v = s.dropna()
+                return getattr(v, how)() if len(v) else None
+            return f
+
+        g = df.groupby("col", as_index=False).agg(
+            n_rows=("n_rows", "sum"), n_nulls=("n_nulls", "sum"),
+            min_i=("min_i", _fold("min")), max_i=("max_i", _fold("max")),
+            min_s=("min_s", _fold("min")), max_s=("max_s", _fold("max")),
+        )
+        return pa.table({
+            "col": pa.array(g["col"].astype(str), pa.string()),
+            "n_rows": pa.array(g["n_rows"].to_numpy(np.int64)),
+            "n_nulls": pa.array(g["n_nulls"].to_numpy(np.int64)),
+            "min_i": pa.array(g["min_i"].astype("Int64"), pa.int64(),
+                              from_pandas=True),
+            "max_i": pa.array(g["max_i"].astype("Int64"), pa.int64(),
+                              from_pandas=True),
+            "min_s": pa.array(
+                [None if pd.isna(x) else str(x) for x in g["min_s"]],
+                pa.string()),
+            "max_s": pa.array(
+                [None if pd.isna(x) else str(x) for x in g["max_s"]],
+                pa.string()),
+        }, schema=stats_sch)
+
+    stats = (
+        ds.map_batches(stats_partial, batch_format="pandas")
+        .map_batches(stats_bucket, batch_format="pyarrow")
+        .groupby("part").map_groups(stats_fold, batch_format="pandas")
+        .to_pandas()
+    )
+
+    dv_sch = pa.schema([("col", pa.string()), ("v", pa.string())])
+
+    def distinct_partial(df: pd.DataFrame) -> pa.Table:
+        cs, vs = [], []
+        for col, s in canon_cols(df).items():
+            u = s.dropna().unique()
+            cs.extend([col] * len(u))
+            vs.extend(str(x) for x in u)
+        parts = np.fromiter(
+            (zlib.crc32(f"{c}:{v}".encode()) % num_partitions
+             for c, v in zip(cs, vs)),
+            dtype=np.int32, count=len(cs),
+        )
+        return pa.table({
+            "col": pa.array(cs, pa.string()), "v": pa.array(vs, pa.string()),
+            "part": pa.array(parts, pa.int32()),
+        })
+
+    def distinct_count(df: pd.DataFrame) -> pa.Table:
+        g = df.drop_duplicates(["col", "v"]).groupby(
+            "col", as_index=False
+        ).size().rename(columns={"size": "n_distinct"})
+        return pa.table({
+            "col": pa.array(g["col"].astype(str), pa.string()),
+            "n_distinct": pa.array(g["n_distinct"].to_numpy(np.int64)),
+        })
+
+    distinct = bucketed_sum_combine(
+        ds.map_batches(distinct_partial, batch_format="pandas")
+        .groupby("part").map_groups(distinct_count, batch_format="pandas"),
+        keys=["col"], sum_cols=["n_distinct"],
+        schema=pa.schema([
+            ("col", pa.string()), ("n_distinct", pa.int64()),
+        ]),
+        num_partitions=num_partitions,
+    ).to_pandas()
+
+    out = stats.merge(distinct, on="col", how="left")
+    out["n_distinct"] = out["n_distinct"].fillna(0).astype("int64")
+    return out[[
+        "col", "n_rows", "n_nulls", "n_distinct",
+        "min_i", "max_i", "min_s", "max_s",
+    ]].sort_values("col").reset_index(drop=True)

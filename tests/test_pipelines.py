@@ -1633,6 +1633,53 @@ def test_event_transitions(ray_session):
     assert got["n"].sum() == len(ev) - n_users
 
 
+def test_table_profile(ray_session, tmp_path):
+    """Profile equals a pandas recount on the real corpus; planted nulls
+    in every column are counted and excluded from min/max/distinct."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from rayld.pipelines.relational import table_profile
+
+    got = table_profile(SF, num_partitions=4).set_index("col")
+    ev = pd.read_parquet(f"{SF}/events.parquet")
+    assert (got["n_rows"] == len(ev)).all()
+    assert (got["n_nulls"] == 0).all()
+    assert got.loc["user_id", "n_distinct"] == ev["user_id"].nunique()
+    assert got.loc["event_id", "min_i"] == ev["event_id"].min()
+    assert got.loc["value", "max_i"] == int(
+        np.floor(ev["value"] * 100 + 0.5).max())
+    assert got.loc["event_type", "min_s"] == ev["event_type"].min()
+    vc = np.floor(ev["value"] * 100 + 0.5).astype("int64")
+    assert got.loc["value", "n_distinct"] == vc.nunique()
+    ts_us = ev["ts"].astype("datetime64[us]").astype("int64")
+    assert got.loc["ts", "max_i"] == ts_us.max()
+
+    d = tmp_path / "nulls"
+    d.mkdir()
+    pq.write_table(pa.table({
+        "event_id": pa.array([0, 1, None, 3], pa.int64()),
+        "ts": pa.array([1_704_067_200_000_000, None, 0, 0],
+                       pa.timestamp("us")),
+        "user_id": pa.array([None, None, 5, 5], pa.int64()),
+        "event_type": pa.array(["a", None, "b", "a"], pa.string()),
+        "value": pa.array([1.0, 2.005, None, None], pa.float64()),
+        "props": pa.array([None, None, None, None], pa.string()),
+    }), d / "events.parquet")
+    p = table_profile(str(d), num_partitions=4).set_index("col")
+    assert p["n_rows"].eq(4).all()
+    assert p["n_nulls"].to_dict() == {
+        "event_id": 1, "ts": 1, "user_id": 2, "event_type": 1,
+        "value": 2, "props": 4,
+    }
+    assert p["n_distinct"].to_dict() == {
+        "event_id": 3, "ts": 2, "user_id": 1, "event_type": 2,
+        "value": 2, "props": 0,
+    }
+    assert p.loc["value", "max_i"] == 201  # floor(2.005*100+0.5) half-up
+    assert pd.isna(p.loc["props", "min_s"])
+
+
 def test_power_users(ray_session):
     """HAVING filter matches a pandas recount at a non-trivial threshold
     (some users kept, some dropped)."""
