@@ -148,6 +148,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_bgp_user_mentions": kg_bgp_user_mentions,
         "kg_entity_cooccurrence": kg_entity_cooccurrence,
         "user_triangles": graph.user_triangles,
+        "user_kcore": lambda sf: graph.user_kcore(sf, k=91),
+        "user_kcore_check": lambda sf: graph.user_kcore_check(sf, k=91),
         # JSON-LD API surface A1-A7 + S1/S2 (non-SQL)
         "jsonld_expand": jsonld_ops.op_expand,
         "jsonld_compact_roundtrip": jsonld_ops.op_compact_roundtrip,
@@ -341,6 +343,12 @@ def oracle_sql() -> dict[str, str]:
         "kmeans_check": (
             "SELECT 1::BIGINT AS parity_ok, 1::BIGINT AS counts_ok,"
             " 1::BIGINT AS all_points_assigned"
+        ),
+        # distributed peel == single-process peel (k-core is iterative /
+        # non-monotone, so membership itself is rows-only)
+        "user_kcore_check": (
+            "SELECT 1::BIGINT AS parity_ok,"
+            " 1::BIGINT AS all_degrees_ge_k"
         ),
         # distributed GD == single-process GD, loss improved, rows counted
         "logreg_check": (

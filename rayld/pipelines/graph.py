@@ -656,42 +656,17 @@ def entity_cooccurrence(triples_ds, num_partitions: int | None = None,
 # ---------------------------------------------------------------------------
 
 
-def user_triangles(sf_dir: str, event_type: str = "purchase",
-                   num_partitions: int | None = None,
-                   max_users_per_key: int = 4096):
-    """Exact triangle/wedge census of the user projection graph — users are
+def _projection_edges(sf_dir: str, event_type: str,
+                      num_partitions: int, max_users_per_key: int):
+    """Materialized (p, q) p<q edge set of the user projection graph (users
     adjacent when they share a distinct props ``k`` in ``event_type``
-    events. The degree-ORDERED node-iterator (MapReduce triangle counting,
-    Cohen 2009 lineage): orienting every edge from its (degree, id)-smaller
-    endpoint bounds per-node wedge fan-out by O(sqrt(m)) regardless of hub
-    degree, which is what keeps the closing exchange's payload near-linear
-    on skewed graphs.
-
-    Plan (bucketed exchanges only, nothing node- or edge-sized on the
-    driver):
-      1. (k, user) dedup partials -> one hash(k) exchange -> per-key
-         sorted user pairs (fan-out capped per key with a log line);
-      2. pair-key exchange dedups the edge multiset -> edge set E
-         (materialized: reused for degrees, orientation, closing);
-      3. endpoint-explode partials -> bounded combine = exact degrees;
-         attached to E by TWO bucketed hash joins (deg of u, deg of v);
-      4. wedge pass: bucket oriented edges by src; each task emits the
-         CLOSING queries (a, b) for every out-neighbor pair; union with E
-         tagged as facts, one pair-key exchange, in-task set membership
-         counts matches = triangles (each triangle closes exactly once:
-         its two lowest-ordered edges form the wedge, the third closes).
-
-    Output (one row): n_nodes, n_edges, n_wedges (undirected, sum of
-    C(deg,2) — the clustering-coefficient denominator), n_triangles."""
+    events): one hash(k) exchange generates per-key pairs (fan-out capped
+    per key with a log line), one pair-key exchange dedups the multiset.
+    Shared by ``user_triangles`` and ``user_kcore``."""
     import json
     import zlib
 
     import ray.data as rd
-
-    from .common import bucketed_sum_combine, cluster_partitions
-
-    if num_partitions is None:
-        num_partitions = cluster_partitions()
 
     ev = rd.read_parquet(
         f"{sf_dir}/events.parquet",
@@ -729,7 +704,7 @@ def user_triangles(sf_dir: str, event_type: str = "purchase",
             ps.append(users[iu])
             qs.append(users[iv])
         if n_capped:
-            print(f"user_triangles: capped {n_capped} keys "
+            print(f"projection_edges: capped {n_capped} keys "
                   f"at {max_users_per_key} users")
         if not ps:
             return pair_sch.empty_table()
@@ -755,14 +730,19 @@ def user_triangles(sf_dir: str, event_type: str = "purchase",
             "q": pa.array(g["q"].to_numpy(np.int64)),
         }, schema=pair_sch)
 
-    edges = (
+    return (
         ev.map_batches(uk_partial, batch_format="pandas")
         .groupby("part").map_groups(key_pairs, batch_format="pandas")
         .map_batches(pair_bucket, batch_format="pyarrow")
         .groupby("part").map_groups(pair_dedup, batch_format="pandas")
         .materialize()
     )
-    n_edges = edges.count()
+
+
+def _edge_degrees(edges, num_partitions: int):
+    """Exact per-node degree table of a (p, q) edge dataset: endpoint-
+    explode partials through the bounded combine. Materialized (tiny)."""
+    from .common import bucketed_sum_combine
 
     def endpoint_partial(batch: pa.Table) -> pa.Table:
         nodes = np.concatenate([
@@ -774,12 +754,63 @@ def user_triangles(sf_dir: str, event_type: str = "purchase",
             "node": pa.array(un), "d": pa.array(cn.astype(np.int64)),
         })
 
-    degs = bucketed_sum_combine(
+    return bucketed_sum_combine(
         edges.map_batches(endpoint_partial, batch_format="pyarrow"),
         keys=["node"], sum_cols=["d"],
         schema=pa.schema([("node", pa.int64()), ("d", pa.int64())]),
         num_partitions=num_partitions,
     ).materialize()
+
+
+def user_triangles(sf_dir: str, event_type: str = "purchase",
+                   num_partitions: int | None = None,
+                   max_users_per_key: int = 4096):
+    """Exact triangle/wedge census of the user projection graph — users are
+    adjacent when they share a distinct props ``k`` in ``event_type``
+    events. The degree-ORDERED node-iterator (MapReduce triangle counting,
+    Cohen 2009 lineage): orienting every edge from its (degree, id)-smaller
+    endpoint bounds per-node wedge fan-out by O(sqrt(m)) regardless of hub
+    degree, which is what keeps the closing exchange's payload near-linear
+    on skewed graphs.
+
+    Plan (bucketed exchanges only, nothing node- or edge-sized on the
+    driver):
+      1. (k, user) dedup partials -> one hash(k) exchange -> per-key
+         sorted user pairs (fan-out capped per key with a log line);
+      2. pair-key exchange dedups the edge multiset -> edge set E
+         (materialized: reused for degrees, orientation, closing);
+      3. endpoint-explode partials -> bounded combine = exact degrees;
+         attached to E by TWO bucketed hash joins (deg of u, deg of v);
+      4. wedge pass: bucket oriented edges by src; each task emits the
+         CLOSING queries (a, b) for every out-neighbor pair; union with E
+         tagged as facts, one pair-key exchange, in-task set membership
+         counts matches = triangles (each triangle closes exactly once:
+         its two lowest-ordered edges form the wedge, the third closes).
+
+    Output (one row): n_nodes, n_edges, n_wedges (undirected, sum of
+    C(deg,2) — the clustering-coefficient denominator), n_triangles."""
+    import zlib
+
+    from .common import cluster_partitions
+
+    if num_partitions is None:
+        num_partitions = cluster_partitions()
+
+    edges = _projection_edges(
+        sf_dir, event_type, num_partitions, max_users_per_key
+    )
+    n_edges = edges.count()
+    degs = _edge_degrees(edges, num_partitions)
+
+    def pair_bucket(batch: pa.Table) -> pa.Table:
+        p = np.asarray(batch["p"].to_pylist(), dtype=np.int64)
+        q = np.asarray(batch["q"].to_pylist(), dtype=np.int64)
+        parts = np.fromiter(
+            (zlib.crc32(f"{a}:{b}".encode()) % num_partitions
+             for a, b in zip(p, q)),
+            dtype=np.int32, count=len(p),
+        )
+        return batch.append_column("part", pa.array(parts, pa.int32()))
 
     wed = degs.map_batches(
         lambda b: pa.table({"w": pa.array([
@@ -931,3 +962,166 @@ def user_triangles(sf_dir: str, event_type: str = "purchase",
         "n_nodes": [n_nodes], "n_edges": [n_edges],
         "n_wedges": [n_wedges], "n_triangles": [n_tri],
     }).astype("int64")
+
+
+def user_kcore(sf_dir: str, k: int = 100, event_type: str = "purchase",
+               num_partitions: int | None = None,
+               max_users_per_key: int = 4096, max_rounds: int = 100):
+    """k-core of the user projection graph: iterative peeling — drop every
+    node whose remaining degree is < k, recompute, repeat to fixpoint.
+    The k-core is the canonical "dense-enough subgraph" filter (community
+    seeds, spam-ring detection over the co-engagement graph).
+
+    Distributed rounds over the materialized edge set: per round, exact
+    degrees (endpoint partials -> bounded combine), then the edge list is
+    SEMI-joined against the surviving nodes on both endpoints (the
+    `_bucketed_hash_join` plan — the victim set is never broadcast and
+    nothing node-sized reaches the driver; the loop scalar is the victim
+    COUNT, the connected-components convergence pattern). Round count is
+    bounded by the peeling depth (dense cores converge in a few rounds; a
+    chain degenerates to O(n) — ``max_rounds`` caps it with a loud error,
+    no silent stop).
+
+    Output: (node, core_degree) for every node in the k-core, where
+    core_degree is the node's degree WITHIN the core (>= k by
+    definition)."""
+    from .common import cluster_partitions
+    from .dedup import _bucketed_hash_join
+
+    if num_partitions is None:
+        num_partitions = cluster_partitions()
+
+    edges = _projection_edges(
+        sf_dir, event_type, num_partitions, max_users_per_key
+    )
+    deg_sch = pa.schema([("node", pa.int64()), ("d", pa.int64())])
+
+    for _ in range(max_rounds):
+        degs = _edge_degrees(edges, num_partitions)
+        victim_partials = degs.map_batches(
+            lambda t: pa.table({"n": pa.array(
+                [int((np.asarray(t["d"].to_pylist(),
+                                 dtype=np.int64) < k).sum())],
+                pa.int64())}),
+            batch_format="pyarrow",
+        ).to_pandas()  # one partial row per block — bounded
+        n_victims = int(victim_partials["n"].sum()) \
+            if "n" in victim_partials.columns else 0
+        if n_victims == 0:
+            break
+        survivors = degs.map_batches(
+            lambda t: t.filter(
+                pa.compute.greater_equal(t["d"], k)
+            ).select(["node", "d"]),
+            batch_format="pyarrow",
+        )
+
+        def _semi(endpoint: str):
+            def edge_side(batch: pa.Table) -> pa.Table:
+                return pa.table({
+                    "node": batch[endpoint],
+                    "p": batch["p"], "q": batch["q"],
+                    "is_surv": pa.array(
+                        np.zeros(batch.num_rows, np.int8), pa.int8()),
+                })
+
+            def surv_side(batch: pa.Table) -> pa.Table:
+                return pa.table({
+                    "node": batch["node"],
+                    "p": pa.array(np.full(batch.num_rows, -1, np.int64)),
+                    "q": pa.array(np.full(batch.num_rows, -1, np.int64)),
+                    "is_surv": pa.array(
+                        np.ones(batch.num_rows, np.int8), pa.int8()),
+                })
+
+            def keep(df: pd.DataFrame) -> pa.Table:
+                sch = pa.schema([("p", pa.int64()), ("q", pa.int64())])
+                if "node" not in df.columns:  # schema-less empty group
+                    return sch.empty_table()
+                have = set(df.loc[df["is_surv"] == 1, "node"])
+                e = df[df["is_surv"] == 0]
+                e = e[e["node"].isin(have)]
+                return pa.table({
+                    "p": pa.array(e["p"].to_numpy(np.int64)),
+                    "q": pa.array(e["q"].to_numpy(np.int64)),
+                }, schema=sch)
+
+            return edge_side, surv_side, keep
+
+        cur = edges
+        for ep in ("p", "q"):
+            edge_side, surv_side, keep = _semi(ep)
+            cur = _bucketed_hash_join(
+                cur.map_batches(edge_side, batch_format="pyarrow"),
+                survivors.map_batches(surv_side, batch_format="pyarrow"),
+                key="node", num_partitions=num_partitions, merge_fn=keep,
+            )
+        edges = cur.materialize()
+        if edges.count() == 0:
+            break
+    else:
+        raise RuntimeError(
+            f"user_kcore: no fixpoint after {max_rounds} rounds "
+            f"(peeling depth exceeds the cap; raise max_rounds)"
+        )
+
+    final = _edge_degrees(edges, num_partitions)
+    return final.map_batches(
+        lambda t: pa.table({
+            "node": t["node"], "core_degree": t["d"],
+        }, schema=pa.schema([
+            ("node", pa.int64()), ("core_degree", pa.int64()),
+        ])),
+        batch_format="pyarrow",
+    )
+
+
+def kcore_reference(edge_list, k: int):
+    """Single-process peel with identical semantics (the parity oracle):
+    returns {node: within-core degree} of the k-core."""
+    adj = {}
+    for p, q in edge_list:
+        adj.setdefault(p, set()).add(q)
+        adj.setdefault(q, set()).add(p)
+    while True:
+        victims = [n for n, nb in adj.items() if len(nb) < k]
+        if not victims:
+            break
+        for n in victims:
+            for m in adj.pop(n):
+                if m in adj:
+                    adj[m].discard(n)
+    return {n: len(nb) for n, nb in adj.items()}
+
+
+def user_kcore_check(sf_dir: str, k: int = 100) -> pd.DataFrame:
+    """Gate: distributed peel == single-process peel on the same edges
+    (exact node set and within-core degrees), and every surviving degree
+    is >= k."""
+    import json
+
+    got = user_kcore(sf_dir, k=k).to_pandas()
+    ev = pd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "event_type", "props"],
+    )
+    sel = ev[ev["event_type"] == "purchase"]
+    ks = sel["props"].map(lambda p: json.loads(p).get("k", 0))
+    edges = set()
+    for _, us in sel.assign(k=ks).groupby("k")["user_id"]:
+        u = sorted(set(us))
+        for i in range(len(u)):
+            for j in range(i + 1, len(u)):
+                edges.add((u[i], u[j]))
+    want = kcore_reference(edges, k)
+    # an all-empty Ray dataset to_pandas()es to a COLUMN-LESS frame
+    got_map = (
+        dict(zip(got["node"], got["core_degree"]))
+        if "node" in got.columns else {}
+    )
+    return pd.DataFrame({
+        "parity_ok": [int(got_map == {n: d for n, d in want.items()})],
+        "all_degrees_ge_k": [
+            int(all(d >= k for d in got_map.values())) if got_map else 1
+        ],
+    })

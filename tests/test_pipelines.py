@@ -1774,6 +1774,33 @@ def test_user_triangles(ray_session):
         assert got == want, (P, got, want)
 
 
+def test_user_kcore(ray_session, tmp_path):
+    """Peel recovers a planted clique: 5 users sharing one key form a
+    4-clique core; chain users (pairwise shared keys) peel away at k=4.
+    Parity gate holds on the real corpus at a partial-peeling k."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from rayld.pipelines.graph import user_kcore, user_kcore_check
+
+    # clique: users 0-4 all share key 1; chain: 10-11, 11-12 share keys
+    rows = [(u, 1) for u in range(5)] + [(10, 2), (11, 2), (11, 3), (12, 3)]
+    d = tmp_path / "g"
+    d.mkdir()
+    pq.write_table(pa.table({
+        "user_id": pa.array([u for u, _ in rows], pa.int64()),
+        "event_type": pa.array(["purchase"] * len(rows), pa.string()),
+        "props": pa.array([f'{{"k": {k}}}' for _, k in rows], pa.string()),
+    }), d / "events.parquet")
+    core = user_kcore(str(d), k=4, num_partitions=4).to_pandas()
+    assert set(core["node"]) == {0, 1, 2, 3, 4}
+    assert (core["core_degree"] == 4).all()
+
+    out = user_kcore_check(SF, k=12)
+    assert out["parity_ok"].iloc[0] == 1
+    assert out["all_degrees_ge_k"].iloc[0] == 1
+
+
 def test_entity_cooccurrence(ray_session):
     """Distributed co-occurrence equals a single-process pandas recount
     over the same triples, and weights are symmetric-by-construction
