@@ -1168,8 +1168,6 @@ def oracle_sql() -> dict[str, str]:
             "   ROWS UNBOUNDED PRECEDING)) / 100.0 AS running_value"
             " FROM events"
         ),
-        # per-type z-score outliers; moments in exact integer cents, the
-        # z-test in the same cross-multiplied double form as the Ray side
         # exact triangle census of the shared-k user projection graph
         "user_triangles": (
             "WITH uk AS (SELECT DISTINCT user_id AS u,"
@@ -1188,6 +1186,8 @@ def oracle_sql() -> dict[str, str]:
             "    JOIN e e3 ON e3.p = e1.p AND e3.q = e2.q)::BIGINT"
             "    AS n_triangles"
         ),
+        # per-type z-score outliers; moments in exact integer cents, the
+        # z-test in the same cross-multiplied double form as the Ray side
         "events_anomaly": (
             "WITH m AS (SELECT event_type,"
             "  sum(floor(value * 100 + 0.5)::BIGINT)::DOUBLE AS s,"

@@ -656,15 +656,40 @@ def entity_cooccurrence(triples_ds, num_partitions: int | None = None,
 # ---------------------------------------------------------------------------
 
 
+def _pair_bucket(num_partitions: int):
+    """Vectorized shuffle bucket for (p, q) int64 pair keys — the numpy
+    multiply-mix `dedup.bucket_pair` uses (no per-item crc32 loop; this
+    runs in the wedge-close hot stage). Same function on both sides of an
+    exchange => pair rows and fact rows land in the same bucket."""
+
+    def bucket(batch: pa.Table) -> pa.Table:
+        p = np.asarray(batch["p"].to_pylist(), dtype=np.int64)
+        q = np.asarray(batch["q"].to_pylist(), dtype=np.int64)
+        with np.errstate(over="ignore"):
+            # numpy % with a positive divisor is non-negative even after
+            # signed overflow wrap
+            parts = ((p * 1000003 + q) % num_partitions).astype(np.int32)
+        return batch.append_column("part", pa.array(parts, pa.int32()))
+
+    return bucket
+
+
 def _projection_edges(sf_dir: str, event_type: str,
-                      num_partitions: int, max_users_per_key: int):
+                      num_partitions: int,
+                      max_users_per_key: int | None = None):
     """Materialized (p, q) p<q edge set of the user projection graph (users
     adjacent when they share a distinct props ``k`` in ``event_type``
-    events): one hash(k) exchange generates per-key pairs (fan-out capped
-    per key with a log line), one pair-key exchange dedups the multiset.
-    Shared by ``user_triangles`` and ``user_kcore``."""
+    events): one hash(k) exchange generates per-key pairs, one pair-key
+    exchange dedups the multiset. Shared by ``user_triangles`` and
+    ``user_kcore``.
+
+    ``max_users_per_key`` defaults to None = UNCAPPED, because the
+    consumers are SQL/reference-oracled and a silent cap would diverge
+    from the capless oracle exactly when a hub key crosses it. A caller
+    running at hub-heavy scale opts in explicitly (capped keys are
+    logged). Events whose props lack a numeric ``k`` carry no key and
+    join nothing (the SQL NULL semantics)."""
     import json
-    import zlib
 
     import ray.data as rd
 
@@ -675,9 +700,13 @@ def _projection_edges(sf_dir: str, event_type: str,
 
     def uk_partial(df: pd.DataFrame) -> pa.Table:
         sel = df[df["event_type"] == event_type]
+        # no/invalid props -> no key -> joins nothing (SQL NULL semantics;
+        # defaulting to 0 would weld those users into a spurious clique)
         ks = sel["props"].map(
-            lambda p: json.loads(p).get("k", 0) if p else 0
-        ).astype("int64")
+            lambda p: json.loads(p).get("k") if p else None
+        )
+        sel = sel[ks.notna()]
+        ks = ks.dropna().astype("int64")
         g = sel.assign(k=ks).drop_duplicates(["k", "user_id"])
         return pa.table({
             "k": pa.array(g["k"].to_numpy(np.int64)),
@@ -695,7 +724,7 @@ def _projection_edges(sf_dir: str, event_type: str,
         n_capped = 0
         for _, us in df.groupby("k")["u"]:
             users = np.unique(us.to_numpy(np.int64))
-            if len(users) > max_users_per_key:
+            if max_users_per_key and len(users) > max_users_per_key:
                 n_capped += 1
                 users = users[:max_users_per_key]
             if len(users) < 2:
@@ -713,15 +742,7 @@ def _projection_edges(sf_dir: str, event_type: str,
             "q": pa.array(np.concatenate(qs)),
         }, schema=pair_sch)
 
-    def pair_bucket(batch: pa.Table) -> pa.Table:
-        p = np.asarray(batch["p"].to_pylist(), dtype=np.int64)
-        q = np.asarray(batch["q"].to_pylist(), dtype=np.int64)
-        parts = np.fromiter(
-            (zlib.crc32(f"{a}:{b}".encode()) % num_partitions
-             for a, b in zip(p, q)),
-            dtype=np.int32, count=len(p),
-        )
-        return batch.append_column("part", pa.array(parts, pa.int32()))
+    pair_bucket = _pair_bucket(num_partitions)
 
     def pair_dedup(df: pd.DataFrame) -> pa.Table:
         g = df.drop_duplicates(["p", "q"])
@@ -764,7 +785,7 @@ def _edge_degrees(edges, num_partitions: int):
 
 def user_triangles(sf_dir: str, event_type: str = "purchase",
                    num_partitions: int | None = None,
-                   max_users_per_key: int = 4096):
+                   max_users_per_key: int | None = None):
     """Exact triangle/wedge census of the user projection graph — users are
     adjacent when they share a distinct props ``k`` in ``event_type``
     events. The degree-ORDERED node-iterator (MapReduce triangle counting,
@@ -789,8 +810,6 @@ def user_triangles(sf_dir: str, event_type: str = "purchase",
 
     Output (one row): n_nodes, n_edges, n_wedges (undirected, sum of
     C(deg,2) — the clustering-coefficient denominator), n_triangles."""
-    import zlib
-
     from .common import cluster_partitions
 
     if num_partitions is None:
@@ -801,16 +820,7 @@ def user_triangles(sf_dir: str, event_type: str = "purchase",
     )
     n_edges = edges.count()
     degs = _edge_degrees(edges, num_partitions)
-
-    def pair_bucket(batch: pa.Table) -> pa.Table:
-        p = np.asarray(batch["p"].to_pylist(), dtype=np.int64)
-        q = np.asarray(batch["q"].to_pylist(), dtype=np.int64)
-        parts = np.fromiter(
-            (zlib.crc32(f"{a}:{b}".encode()) % num_partitions
-             for a, b in zip(p, q)),
-            dtype=np.int32, count=len(p),
-        )
-        return batch.append_column("part", pa.array(parts, pa.int32()))
+    pair_bucket = _pair_bucket(num_partitions)
 
     wed = degs.map_batches(
         lambda b: pa.table({"w": pa.array([
@@ -857,8 +867,6 @@ def user_triangles(sf_dir: str, event_type: str = "purchase",
                 out_col: pa.array(
                     e["node"].map(dmap).to_numpy(np.int64)
                 ),
-                **({"dp": pa.array(e["dp"].to_numpy(np.int64))}
-                   if "dp" in e.columns else {}),
             })
         return fn
 
@@ -1009,12 +1017,12 @@ def user_kcore(sf_dir: str, k: int = 100, event_type: str = "purchase",
             if "n" in victim_partials.columns else 0
         if n_victims == 0:
             break
-        survivors = degs.map_batches(
-            lambda t: t.filter(
-                pa.compute.greater_equal(t["d"], k)
-            ).select(["node", "d"]),
-            batch_format="pyarrow",
-        )
+        def surv_filter(t: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            return t.filter(pc.greater_equal(t["d"], k)).select(["node", "d"])
+
+        survivors = degs.map_batches(surv_filter, batch_format="pyarrow")
 
         def _semi(endpoint: str):
             def edge_side(batch: pa.Table) -> pa.Table:
@@ -1106,9 +1114,11 @@ def user_kcore_check(sf_dir: str, k: int = 100) -> pd.DataFrame:
         columns=["user_id", "event_type", "props"],
     )
     sel = ev[ev["event_type"] == "purchase"]
-    ks = sel["props"].map(lambda p: json.loads(p).get("k", 0))
+    # null/missing props carry no key — the pipeline's SQL NULL semantics
+    ks = sel["props"].map(lambda p: json.loads(p).get("k") if p else None)
+    sel = sel[ks.notna()]
     edges = set()
-    for _, us in sel.assign(k=ks).groupby("k")["user_id"]:
+    for _, us in sel.assign(k=ks.dropna()).groupby("k")["user_id"]:
         u = sorted(set(us))
         for i in range(len(u)):
             for j in range(i + 1, len(u)):

@@ -2234,7 +2234,9 @@ def table_profile(sf_dir: str, num_partitions: int | None = None):
          one crc32(col:value) exchange -> in-task dedup -> per-col count
          partials -> the small combine (the events_hourly_users plan —
          value payload shrinks at the batch, never a full-column shuffle).
-    The <= #columns result rows assemble on the driver."""
+    The read is materialized once as the pipeline breaker both consumers
+    share (two lazy executions would re-read the table from storage);
+    the <= #columns result rows assemble on the driver."""
     import zlib
 
     import pyarrow as pa
@@ -2245,7 +2247,7 @@ def table_profile(sf_dir: str, num_partitions: int | None = None):
     if num_partitions is None:
         num_partitions = cluster_partitions()
 
-    ds = rd.read_parquet(f"{sf_dir}/events.parquet")
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet").materialize()
 
     # canonical int64 / string views per column (None = string column)
     def canon_cols(df: pd.DataFrame) -> dict:

@@ -1752,9 +1752,11 @@ def test_user_triangles(ray_session):
     ev = pd.read_parquet(f"{SF}/events.parquet",
                          columns=["user_id", "event_type", "props"])
     sel = ev[ev["event_type"] == "purchase"]
-    ks = sel["props"].map(lambda p: json.loads(p).get("k", 0))
+    # null/missing props carry no key (matches the pipeline + SQL oracle)
+    ks = sel["props"].map(lambda p: json.loads(p).get("k") if p else None)
+    sel = sel[ks.notna()]
     edges = set()
-    for _, us in sel.assign(k=ks).groupby("k")["user_id"]:
+    for _, us in sel.assign(k=ks.dropna()).groupby("k")["user_id"]:
         for a, b in itertools.combinations(sorted(set(us)), 2):
             edges.add((a, b))
     deg = pd.Series([n for e in edges for n in e]).value_counts()
