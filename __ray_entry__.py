@@ -204,6 +204,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontaminate": curation.decontaminate,
         "pii_redact": curation.pii_redact,
         "hash_split": curation.hash_split,
+        "leakage_safe_split": curation.leakage_safe_split,
+        "leakage_safe_split_check": curation.leakage_safe_split_check,
         "stratified_sample": curation.stratified_sample,
         "repetition_stats": curation.repetition_stats,
         "length_outlier_filter": curation.length_outlier_filter,
@@ -343,6 +345,12 @@ def oracle_sql() -> dict[str, str]:
         "kmeans_check": (
             "SELECT 1::BIGINT AS parity_ok, 1::BIGINT AS counts_ok,"
             " 1::BIGINT AS all_points_assigned"
+        ),
+        # no near-dup cluster straddles train/val/test (clusters come from
+        # the non-SQL minhash loop, so the assignment itself is rows-only)
+        "leakage_safe_split_check": (
+            "SELECT 1::BIGINT AS no_cluster_straddles,"
+            " 1::BIGINT AS all_docs_assigned_once"
         ),
         # distributed peel == single-process peel (k-core is iterative /
         # non-monotone, so membership itself is rows-only)

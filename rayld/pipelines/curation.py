@@ -531,3 +531,116 @@ def weighted_sample(sf_dir: str, k: int = 64):
 
     # ONE consolidated block so ranks are global (k rows total)
     return top.repartition(1).map_batches(finish, batch_format="pyarrow")
+
+
+def leakage_safe_split(sf_dir: str, train_pct: int = 80, val_pct: int = 10,
+                       threshold: float = 0.5,
+                       num_partitions: int | None = None):
+    """Cluster-aware train/val/test assignment — the contamination guard
+    ``hash_split`` alone cannot give: two NEAR-DUPLICATE documents split
+    independently leak one into train and the other into test. Here every
+    doc is keyed by its near-dup component (``dedup.dedup_clusters``
+    min-label; singletons key by their own doc_id), and the whole
+    component rides one md5 bucket — so a cluster can never straddle
+    splits, and adding data still never reassigns existing docs (the
+    hash_split contract, now at cluster granularity).
+
+    One bucketed hash join attaches the (candidates-only, << corpus)
+    cluster table to the doc ids; the split is then embarrassingly
+    parallel. Output: (doc_id, split_key, bucket, split)."""
+    from .dedup import _bucketed_hash_join, dedup_clusters
+    from .common import cluster_partitions
+
+    if num_partitions is None:
+        num_partitions = cluster_partitions()
+
+    clusters = dedup_clusters(sf_dir, threshold=threshold).materialize()
+    docs = documents(sf_dir, columns=("doc_id",))
+
+    sch = pa.schema([
+        ("doc_id", pa.int64()), ("split_key", pa.int64()),
+        ("bucket", pa.int64()), ("split", pa.string()),
+    ])
+
+    def doc_side(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch["doc_id"].to_pylist(), dtype=np.int64)
+        return pa.table({
+            "node": pa.array(ids),
+            "cluster_id": pa.array(np.full(len(ids), -1, np.int64)),
+            "is_cl": pa.array(np.zeros(len(ids), np.int8), pa.int8()),
+        })
+
+    def cl_side(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "node": batch["doc_id"],
+            "cluster_id": batch["cluster_id"],
+            "is_cl": pa.array(np.ones(batch.num_rows, np.int8), pa.int8()),
+        })
+
+    def assign(df: pd.DataFrame) -> pa.Table:
+        if "node" not in df.columns:
+            return sch.empty_table()
+        cmap = df[df["is_cl"] == 1].set_index("node")["cluster_id"]
+        d = df[df["is_cl"] == 0]
+        ids = d["node"].to_numpy(np.int64)
+        key = d["node"].map(cmap).fillna(
+            pd.Series(ids, index=d.index)
+        ).to_numpy(np.int64)
+        b = _split_bucket(pd.Series(key))
+        split = np.where(
+            b < train_pct, "train",
+            np.where(b < train_pct + val_pct, "val", "test"),
+        )
+        return pa.table({
+            "doc_id": pa.array(ids),
+            "split_key": pa.array(key),
+            "bucket": pa.array(b, pa.int64()),
+            "split": pa.array(split, pa.string()),
+        }, schema=sch)
+
+    return _bucketed_hash_join(
+        docs.map_batches(doc_side, batch_format="pyarrow"),
+        clusters.map_batches(cl_side, batch_format="pyarrow"),
+        key="node", num_partitions=num_partitions, merge_fn=assign,
+    )
+
+
+def leakage_safe_split_check(sf_dir: str, threshold: float = 0.5):
+    """Gate: no near-dup cluster straddles splits (per-cluster split
+    nunique == 1 for every multi-doc cluster), every doc is assigned
+    exactly once, and singleton assignments equal plain hash_split."""
+    import zlib
+
+    from .common import cluster_partitions
+
+    P = cluster_partitions()
+    assigned = leakage_safe_split(sf_dir, threshold=threshold).materialize()
+
+    def part_key(batch: pa.Table) -> pa.Table:
+        keys = np.asarray(batch["split_key"].to_pylist(), dtype=np.int64)
+        return batch.append_column(
+            "part", pa.array((keys % P).astype(np.int32), pa.int32())
+        )
+
+    def violations(df: pd.DataFrame) -> pa.Table:
+        sch = pa.schema([("n_bad", pa.int64())])
+        if "split_key" not in df.columns:
+            return sch.empty_table()
+        g = df.groupby("split_key")["split"].nunique()
+        return pa.table({
+            "n_bad": pa.array([int((g > 1).sum())], pa.int64()),
+        }, schema=sch)
+
+    bad = assigned.map_batches(
+        part_key, batch_format="pyarrow"
+    ).groupby("part").map_groups(
+        violations, batch_format="pandas"
+    ).to_pandas()
+    n_bad = int(bad["n_bad"].sum()) if "n_bad" in bad.columns else 0
+
+    n_docs = documents(sf_dir, columns=("doc_id",)).count()
+    n_assigned = assigned.count()
+    return pd.DataFrame({
+        "no_cluster_straddles": [int(n_bad == 0)],
+        "all_docs_assigned_once": [int(n_assigned == n_docs)],
+    })

@@ -119,6 +119,40 @@ def test_hash_split_deterministic_partition(ray_session, tmp_path):
         assert out.loc[i, "split"] == want
 
 
+def test_leakage_safe_split(ray_session, tmp_path):
+    """Near-duplicate docs always land in the same split (keyed by their
+    cluster min), singletons keep the plain hash_split assignment, and
+    the gate holds on the real corpus."""
+    from rayld.pipelines.curation import (
+        leakage_safe_split,
+        leakage_safe_split_check,
+    )
+
+    # docs 0/1/2 are near-identical (one cluster); 3..9 unique
+    dup = "the same long shared near duplicate body of text " * 6
+    texts = [dup, dup + "tail", dup + "other tail"] + [
+        f"completely unrelated document body number {i} " * 6
+        for i in range(3, 10)
+    ]
+    sf = _write_docs(tmp_path, texts)
+    out = leakage_safe_split(sf, num_partitions=4).to_pandas()
+    out = out.set_index("doc_id").sort_index()
+    assert len(out) == 10
+    # the cluster rides its min id; all three members share one split
+    assert (out.loc[[0, 1, 2], "split_key"] == 0).all()
+    assert out.loc[[0, 1, 2], "split"].nunique() == 1
+    # singletons == hash_split on their own id
+    for i in range(3, 10):
+        assert out.loc[i, "split_key"] == i
+        b = int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16) % 100
+        want = "train" if b < 80 else ("val" if b < 90 else "test")
+        assert out.loc[i, "split"] == want
+
+    gate = leakage_safe_split_check("/root/testdata/sf0.001")
+    assert gate["no_cluster_straddles"].iloc[0] == 1
+    assert gate["all_docs_assigned_once"].iloc[0] == 1
+
+
 def test_stratified_sample_quota_and_rank(ray_session, tmp_path):
     from rayld.pipelines.curation import stratified_sample
 
