@@ -186,6 +186,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_exact": dedup.dedup_exact,
         "dedup_exact_normalized": dedup.dedup_exact_normalized,
         "dedup_incremental": dedup.bloom_incremental_dedup,
+        "edit_distance_pairs": dedup.edit_distance_pairs,
         "dedup_survivor_map": dedup.dedup_survivor_map,
         "dedup_minhash": dedup.minhash_dedup,
         "dedup_minhash_recall": dedup.minhash_dedup_recall,
@@ -419,6 +420,15 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact_normalized": (
             "SELECT min(doc_id) AS doc_id FROM documents"
             " GROUP BY md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))"
+        ),
+        # exact fuzzy self-join: prefix pairs within Levenshtein distance 2
+        "edit_distance_pairs": (
+            "WITH d AS (SELECT doc_id, substr(text, 1, 40) AS s"
+            "  FROM documents)"
+            " SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,"
+            "  levenshtein(a.s, b.s)::BIGINT AS dist"
+            " FROM d a JOIN d b ON a.doc_id < b.doc_id"
+            " WHERE levenshtein(a.s, b.s) <= 2"
         ),
         # incremental ingest: flag new-batch docs (md5(doc_id) bucket >= 50)
         # whose prefix fingerprint already exists in the old corpus

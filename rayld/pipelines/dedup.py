@@ -1588,3 +1588,204 @@ def bloom_incremental_dedup(sf_dir: str, key_chars: int = 80,
         .map_groups(verify, batch_format="pandas")
     )
     return probed.map_batches(definite, batch_format="pandas").union(verified)
+
+
+# ---------------------------------------------------------------------------
+# Exact edit-distance similarity self-join (segment blocking + banded DP)
+# ---------------------------------------------------------------------------
+
+
+def _banded_levenshtein(a: str, b: str, k: int) -> int:
+    """Levenshtein distance capped at k+1: the classic banded DP visits
+    only the |i-j| <= k diagonal band, O((2k+1) * len) per pair instead of
+    O(len^2). Returns a value > k when the true distance exceeds k."""
+    la, lb = len(a), len(b)
+    if abs(la - lb) > k:
+        return k + 1
+    big = k + 1
+    prev = [j if j <= k else big for j in range(lb + 1)]
+    for i in range(1, la + 1):
+        cur = [big] * (lb + 1)
+        if i <= k:
+            cur[0] = i
+        ca = a[i - 1]
+        lo = max(1, i - k)
+        hi = min(lb, i + k)
+        for j in range(lo, hi + 1):
+            cur[j] = min(
+                prev[j] + 1,
+                cur[j - 1] + 1,
+                prev[j - 1] + (ca != b[j - 1]),
+            )
+        prev = cur
+    return prev[lb]
+
+
+def edit_distance_pairs(sf_dir: str, k: int = 2, prefix_chars: int = 40,
+                        num_partitions: int | None = None):
+    """All unordered document pairs whose ``prefix_chars``-char text
+    prefixes are within Levenshtein distance ``k`` — EXACT fuzzy string
+    self-join via Pass-Join-style segment blocking (Li et al., PVLDB
+    2011 lineage):
+
+      pigeonhole: split every string into k+1 contiguous segments; an
+      alignment with <= k edits must leave at least one segment untouched,
+      and the untouched segment reappears in the other string shifted by
+      at most k positions. So each string emits its k+1 segments (index
+      role) AND, per segment slot, its substrings at the <= 2k+1 shifted
+      positions (probe role); a probe/index content match inside one
+      (slot, content) block is a candidate.
+
+    One blocking exchange on crc32(slot:content), in-task index x probe
+    pair generation (a hub segment shared by many strings fans out — the
+    block size is logged above a threshold, never truncated: the verify
+    keeps the result exact), one pair-key exchange dedups the (k+1)(2k+1)
+    re-discoveries, and the banded DP confirms dist <= k in-task. Strings
+    shorter than 2(k+1) chars fall back to one brute-force short block
+    (sound because ed <= k forces |len diff| <= k). Result is exactly the
+    SQL levenshtein cross-join (oracle-checked)."""
+    import zlib
+
+    from .common import cluster_partitions
+
+    if num_partitions is None:
+        num_partitions = cluster_partitions()
+    min_len = 2 * (k + 1)
+
+    cand_sch = pa.schema([
+        ("slot", pa.string()), ("content", pa.string()),
+        ("doc_id", pa.int64()), ("s", pa.string()),
+        ("is_probe", pa.int8()), ("part", pa.int32()),
+    ])
+
+    def emit(df: pd.DataFrame) -> pa.Table:
+        slots, contents, ids, strs, roles = [], [], [], [], []
+
+        def add(slot, content, doc, s, probe):
+            slots.append(slot)
+            contents.append(content)
+            ids.append(doc)
+            strs.append(s)
+            roles.append(probe)
+
+        def seg_bounds(length, i):
+            return i * length // (k + 1), (i + 1) * length // (k + 1)
+
+        for doc, text in zip(df["doc_id"], df["text"]):
+            s = (text or "")[:prefix_chars]
+            L = len(s)
+            if L < min_len + k:
+                # short block: every string that could pair with a short
+                # string lands here; brute-force inside the task
+                add("#short", "", int(doc), s, 0)
+                if L < min_len:
+                    add("#short", "", int(doc), s, 1)
+                if L < min_len:
+                    continue
+            if L >= min_len:
+                for i in range(k + 1):
+                    st, en = seg_bounds(L, i)
+                    # index role: my own segments, keyed by MY length —
+                    # probe substrings must use the INDEX side's scheme
+                    # (its segment starts/lengths depend on its length),
+                    # so the block key carries that length
+                    add(f"{L}:{i}", s[st:en], int(doc), s, 0)
+                # probe role: for every candidate index length within the
+                # |len diff| <= k bound, extract that scheme's substrings
+                # shifted by up to k net indels
+                for Lx in range(max(min_len, L - k), L + k + 1):
+                    for i in range(k + 1):
+                        st_x, en_x = seg_bounds(Lx, i)
+                        seg_len = en_x - st_x
+                        seen = set()
+                        for d in range(-k, k + 1):
+                            p = st_x + d
+                            if 0 <= p and p + seg_len <= L:
+                                sub = s[p:p + seg_len]
+                                if sub not in seen:  # dedupe shifts
+                                    seen.add(sub)
+                                    add(f"{Lx}:{i}", sub, int(doc), s, 1)
+        parts = np.fromiter(
+            (zlib.crc32(f"{sl}:{c}".encode("utf-8")) % num_partitions
+             for sl, c in zip(slots, contents)),
+            dtype=np.int32, count=len(slots),
+        )
+        return pa.table({
+            "slot": pa.array(slots, pa.string()),
+            "content": pa.array(contents, pa.string()),
+            "doc_id": pa.array(np.asarray(ids, dtype=np.int64)),
+            "s": pa.array(strs, pa.string()),
+            "is_probe": pa.array(np.asarray(roles, dtype=np.int8), pa.int8()),
+            "part": pa.array(parts, pa.int32()),
+        }, schema=cand_sch)
+
+    pair_sch = pa.schema([
+        ("doc_a", pa.int64()), ("doc_b", pa.int64()),
+        ("sa", pa.string()), ("sb", pa.string()), ("part", pa.int32()),
+    ])
+
+    def candidates(df: pd.DataFrame) -> pa.Table:
+        if "slot" not in df.columns:
+            return pair_sch.empty_table()
+        out_a, out_b, out_sa, out_sb = [], [], [], []
+        for (_, _), g in df.groupby(["slot", "content"]):
+            idx = g[g["is_probe"] == 0]
+            prb = g[g["is_probe"] == 1]
+            if len(idx) == 0 or len(prb) == 0:
+                continue
+            if len(idx) * len(prb) > 1_000_000:
+                print(f"edit_distance_pairs: hub block "
+                      f"{len(idx)}x{len(prb)} (kept exact)")
+            prb = prb.drop_duplicates("doc_id")
+            idx = idx.drop_duplicates("doc_id")
+            for a, s_a in zip(idx["doc_id"], idx["s"]):
+                for b, s_b in zip(prb["doc_id"], prb["s"]):
+                    if a == b:
+                        continue
+                    lo, hi = (a, b) if a < b else (b, a)
+                    s_lo, s_hi = (s_a, s_b) if a < b else (s_b, s_a)
+                    out_a.append(lo)
+                    out_b.append(hi)
+                    out_sa.append(s_lo)
+                    out_sb.append(s_hi)
+        if not out_a:
+            return pair_sch.empty_table()
+        pr = np.fromiter(
+            ((a * 1000003 + b) % num_partitions
+             for a, b in zip(out_a, out_b)),
+            dtype=np.int32, count=len(out_a),
+        )
+        return pa.table({
+            "doc_a": pa.array(np.asarray(out_a, np.int64)),
+            "doc_b": pa.array(np.asarray(out_b, np.int64)),
+            "sa": pa.array(out_sa, pa.string()),
+            "sb": pa.array(out_sb, pa.string()),
+            "part": pa.array(pr, pa.int32()),
+        }, schema=pair_sch)
+
+    out_sch = pa.schema([
+        ("doc_a", pa.int64()), ("doc_b", pa.int64()), ("dist", pa.int64()),
+    ])
+
+    def verify(df: pd.DataFrame) -> pa.Table:
+        if "doc_a" not in df.columns:
+            return out_sch.empty_table()
+        g = df.drop_duplicates(["doc_a", "doc_b"])
+        keep_a, keep_b, dists = [], [], []
+        for a, b, sa, sb in zip(g["doc_a"], g["doc_b"], g["sa"], g["sb"]):
+            d = _banded_levenshtein(sa, sb, k)
+            if d <= k:
+                keep_a.append(a)
+                keep_b.append(b)
+                dists.append(d)
+        return pa.table({
+            "doc_a": pa.array(np.asarray(keep_a, np.int64)),
+            "doc_b": pa.array(np.asarray(keep_b, np.int64)),
+            "dist": pa.array(np.asarray(dists, np.int64)),
+        }, schema=out_sch)
+
+    return (
+        documents(sf_dir).map_batches(emit, batch_format="pandas")
+        .groupby("part").map_groups(candidates, batch_format="pandas")
+        .groupby("part").map_groups(verify, batch_format="pandas")
+    )

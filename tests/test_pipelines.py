@@ -1552,6 +1552,41 @@ def test_bloom_incremental_dedup(ray_session, tmp_path):
     assert got["dup_of_existing"].sum() == 1  # the unique bodies are unique
 
 
+def test_edit_distance_pairs(ray_session, tmp_path):
+    """Pass-Join blocking + banded DP equals a brute-force recount on a
+    planted fixture mixing exact copies, 1-2-edit variants, >k variants,
+    differing lengths, and sub-min_len short strings."""
+    from rayld.pipelines.dedup import _banded_levenshtein, edit_distance_pairs
+
+    base = "abcabcabcabcabcabcabcabcabcabcabcabcabcd"[:40]
+    texts = [
+        base,                      # 0
+        base,                      # 1: dist 0
+        "x" + base[1:],            # 2: dist 1 (substitution)
+        base[1:],                  # 3: dist 1 (deletion -> len 39)
+        "zz" + base[2:],           # 4: dist 2
+        "zzz" + base[3:],          # 5: dist 3 (excluded at k=2)
+        "completely different body of text here!",  # 6
+        "ab", "ac", "a", "",       # 7-10: short-block strings
+        "abcdef", "abcdefg",       # 11-12: around min_len
+    ]
+    sf = _write_docs(tmp_path, texts)
+    got = edit_distance_pairs(sf, k=2, num_partitions=4).to_pandas()
+    got_set = (
+        set(zip(got["doc_a"], got["doc_b"], got["dist"]))
+        if "doc_a" in got.columns else set()
+    )
+    want = set()
+    for i in range(len(texts)):
+        for j in range(i + 1, len(texts)):
+            d = _banded_levenshtein(texts[i][:40], texts[j][:40], 2)
+            if d <= 2:
+                want.add((i, j, d))
+    assert got_set == want
+    assert (0, 1, 0) in want and (0, 2, 1) in want and (0, 4, 2) in want
+    assert not any(a == 0 and b == 5 for a, b, _ in want)  # dist 3 excluded
+
+
 def test_segment_active_customers(ray_session):
     """Semi-join counts equal a pandas isin recount and never exceed the
     per-segment customer counts."""
