@@ -226,6 +226,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_quantize": ann.embedding_quantize,
         "kmeans_train": ann.kmeans_train,
         "kmeans_check": ann.kmeans_check,
+        "hard_negatives": ann.hard_negatives,
         "logreg_train": ann.logreg_train,
         "logreg_check": ann.logreg_check,
         # relational / windowed
@@ -1246,6 +1247,16 @@ def oracle_sql() -> dict[str, str]:
             "   PARTITION BY q.vec_id"
             "   ORDER BY list_cosine_similarity(q.embedding, e.embedding) DESC,"
             "   e.vec_id) <= 10"
+        ),
+        # contrastive hard negatives: nearest DIFFERENT-label embeddings
+        "hard_negatives": (
+            "SELECT q.vec_id AS query_id, e.vec_id AS vec_id"
+            " FROM embeddings q, embeddings e"
+            " WHERE q.vec_id IN (0, 1, 2, 3) AND e.label <> q.label"
+            " QUALIFY row_number() OVER ("
+            "   PARTITION BY q.vec_id"
+            "   ORDER BY list_cosine_similarity(q.embedding, e.embedding) DESC,"
+            "   e.vec_id) <= 5"
         ),
         "media_byte_stats": (
             "SELECT doc_id AS media_id, strlen(text)::BIGINT AS n_bytes"

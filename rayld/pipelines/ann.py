@@ -864,3 +864,68 @@ def logreg_check(sf_dir: str, n_iter: int = 5, lr: float = 1.0):
         "loss_improved": [int(got["final_loss"].iloc[0] < np.log(2.0))],
         "all_rows_counted": [int(got["n_rows"].iloc[0] == len(X))],
     })
+
+
+def hard_negatives(sf_dir: str, k: int = 5, query_ids=(0, 1, 2, 3)):
+    """Hard-negative mining — for each query vector, the k most similar
+    embeddings with a DIFFERENT label (the contrastive-training batch
+    builder). Same plan as ``brute_force_topk``: broadcast query matrix +
+    labels, per-batch vectorized cosine with a per-query label mask and
+    partial top-k, tiny per-query merge. Output: (query_id, vec_id)."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+    import ray
+
+    q_ids, q_mat = query_vectors(sf_dir, query_ids)
+    lbl_tbl = pq.read_table(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "label"]
+    )
+    sel = lbl_tbl.filter(
+        pc.is_in(lbl_tbl["vec_id"], value_set=pa.array(list(query_ids)))
+    ).to_pandas().set_index("vec_id")["label"]
+    q_labels = sel.reindex(q_ids).to_numpy(np.int64)
+    ref = ray.put((q_ids, _normalize(q_mat), q_labels))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        qi, qm, ql = ray.get(ref)
+        b_ids = np.asarray(batch["vec_id"].to_pylist(), dtype=np.int64)
+        b_lbl = np.asarray(batch["label"].to_pylist(), dtype=np.int64)
+        b_mat = _normalize(
+            np.asarray(batch["embedding"].to_pylist(), dtype=np.float64)
+        )
+        sims = qm @ b_mat.T
+        out_q, out_v, out_s = [], [], []
+        for row, qid in enumerate(qi):
+            valid = b_lbl != ql[row]
+            if not valid.any():
+                continue
+            ids_v = b_ids[valid]
+            sims_v = sims[row][valid]
+            kk = min(k, len(ids_v))
+            order = np.lexsort((ids_v, -sims_v))[:kk]
+            out_q.extend([qid] * len(order))
+            out_v.extend(ids_v[order].tolist())
+            out_s.extend(sims_v[order].tolist())
+        return pa.table({
+            "query_id": pa.array(out_q, pa.int64()),
+            "vec_id": pa.array(out_v, pa.int64()),
+            "sim": pa.array(out_s, pa.float64()),
+        })
+
+    import ray.data as rd
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet",
+        columns=["vec_id", "embedding", "label"],
+    )
+    partials = ds.map_batches(partial, batch_format="pyarrow",
+                              batch_size=4096)
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["sim", "vec_id"], ascending=[False, True],
+                            kind="mergesort")
+        return df.head(k)[["query_id", "vec_id"]]
+
+    return partials.groupby("query_id").map_groups(
+        merge, batch_format="pandas"
+    )

@@ -1161,6 +1161,29 @@ def test_kmeans_train_parity_and_inertia(ray_session):
     assert seeds.shape[0] == 6
 
 
+def test_hard_negatives(ray_session):
+    """Mined negatives equal a numpy recount, never share the query's
+    label, and never include the query itself."""
+    from rayld.pipelines.ann import hard_negatives
+
+    got = hard_negatives(SF, k=5).to_pandas()
+    emb = pd.read_parquet(f"{SF}/embeddings.parquet")
+    mat = np.stack([np.asarray(e, np.float64) for e in emb["embedding"]])
+    mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+    ids = emb["vec_id"].to_numpy(np.int64)
+    lbl = emb.set_index("vec_id")["label"]
+    for qid in (0, 1, 2, 3):
+        qrow = mat[np.where(ids == qid)[0][0]]
+        sims = mat @ qrow
+        valid = (lbl.reindex(ids).to_numpy(np.int64) != lbl[qid])
+        order = np.lexsort((ids[valid], -sims[valid]))[:5]
+        want = ids[valid][order].tolist()
+        g = got[got["query_id"] == qid]["vec_id"].tolist()
+        assert g == want, (qid, g, want)
+        assert qid not in g
+        assert (lbl.reindex(g).to_numpy(np.int64) != lbl[qid]).all()
+
+
 def test_logreg_train_parity(ray_session):
     """Distributed full-batch GD == single-process GD from the same zero
     init; the loss trace improves with more steps; partition count never
