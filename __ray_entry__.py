@@ -251,6 +251,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_anomaly": relational.events_anomaly,
         "events_rollup": relational.events_rollup,
         "user_running_value": relational.user_running_value,
+        "user_trailing_window": relational.user_trailing_window,
         "events_lead_lag": relational.events_lead_lag,
         "user_event_pivot": relational.user_event_pivot,
         "grouped_median": relational.grouped_median,
@@ -1204,6 +1205,17 @@ def oracle_sql() -> dict[str, str]:
             "    JOIN e e2 ON e2.p = e1.q"
             "    JOIN e e3 ON e3.p = e1.p AND e3.q = e2.q)::BIGINT"
             "    AS n_triangles"
+        ),
+        # RANGE-frame window: trailing 1-hour per-user sum/count (value-
+        # based frame; peers at both ends included per SQL semantics)
+        "user_trailing_window": (
+            "SELECT event_id, user_id,"
+            " (sum(floor(value * 100 + 0.5)::BIGINT) OVER w) / 100.0"
+            "   AS trailing_sum,"
+            " count(*) OVER w AS trailing_n"
+            " FROM events WINDOW w AS ("
+            "   PARTITION BY user_id ORDER BY ts"
+            "   RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)"
         ),
         # per-type z-score outliers; moments in exact integer cents, the
         # z-test in the same cross-multiplied double form as the Ray side

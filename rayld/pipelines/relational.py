@@ -2388,3 +2388,70 @@ def table_profile(sf_dir: str, num_partitions: int | None = None):
         "col", "n_rows", "n_nulls", "n_distinct",
         "min_i", "max_i", "min_s", "max_s",
     ]].sort_values("col").reset_index(drop=True)
+
+
+def user_trailing_window(sf_dir: str, window_us: int = 3_600_000_000,
+                         num_partitions: int | None = None):
+    """RANGE-frame window: per event, the exact integer-cents sum and
+    count of the SAME user's events in the trailing hour
+    (``RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW`` — a
+    value-based frame, unlike the ROWS frames of ``user_running_value``).
+    One bucketed hash(user_id) exchange; in-task: sort by ts, one prefix
+    cumsum, two vectorized searchsorted calls per group — O(n log n),
+    never a per-row rescan. RANGE frames include ts PEERS on both ends
+    (side='right' on the current ts), matching the SQL semantics
+    exactly."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from .common import cluster_partitions
+
+    if num_partitions is None:
+        num_partitions = cluster_partitions()
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "user_id", "value"],
+    )
+
+    sch = pa.schema([
+        ("event_id", pa.int64()), ("user_id", pa.int64()),
+        ("trailing_sum", pa.float64()), ("trailing_n", pa.int64()),
+    ])
+
+    def window(df: pd.DataFrame) -> pa.Table:
+        if len(df) == 0:
+            return sch.empty_table()
+        df = df.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        ts_us = df["ts"].astype("datetime64[us]").astype("int64").to_numpy()
+        vc = money_cents(df["value"])
+        out_sum = np.empty(len(df), dtype=np.int64)
+        out_n = np.empty(len(df), dtype=np.int64)
+        uid = df["user_id"].to_numpy(np.int64)
+        # per-user contiguous slices after the sort
+        bounds = np.flatnonzero(np.diff(uid)) + 1
+        for lo_i, hi_i in zip(
+            np.concatenate([[0], bounds]),
+            np.concatenate([bounds, [len(df)]]),
+        ):
+            t = ts_us[lo_i:hi_i]
+            v = vc[lo_i:hi_i]
+            csum = np.concatenate([[0], np.cumsum(v)])
+            lo = np.searchsorted(t, t - window_us, side="left")
+            hi = np.searchsorted(t, t, side="right")  # include ts peers
+            out_sum[lo_i:hi_i] = csum[hi] - csum[lo]
+            out_n[lo_i:hi_i] = hi - lo
+        return pa.table({
+            "event_id": pa.array(df["event_id"].to_numpy(np.int64)),
+            "user_id": pa.array(uid),
+            "trailing_sum": pa.array(out_sum / 100.0, pa.float64()),
+            "trailing_n": pa.array(out_n),
+        }, schema=sch)
+
+    return (
+        ds.map_batches(
+            append_mod_part, batch_format="pyarrow",
+            fn_args=("user_id", num_partitions),
+        )
+        .groupby("part")
+        .map_groups(window, batch_format="pandas")
+    )

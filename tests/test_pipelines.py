@@ -1691,6 +1691,26 @@ def test_event_transitions(ray_session):
     assert got["n"].sum() == len(ev) - n_users
 
 
+def test_user_trailing_window(ray_session):
+    """RANGE-frame trailing sum equals a per-row pandas recount including
+    timestamp peers on both frame ends."""
+    from rayld.pipelines.relational import user_trailing_window
+
+    got = user_trailing_window(SF, num_partitions=4).to_pandas()
+    ev = pd.read_parquet(f"{SF}/events.parquet",
+                         columns=["event_id", "ts", "user_id", "value"])
+    ts_us = ev["ts"].astype("datetime64[us]").astype("int64")
+    vc = np.floor(ev["value"] * 100 + 0.5).astype("int64")
+    m = got.set_index("event_id")
+    for _, row in ev.sample(60, random_state=1).iterrows():
+        t = ts_us[ev.index[ev["event_id"] == row["event_id"]][0]]
+        sel = ev[(ev["user_id"] == row["user_id"])
+                 & (ts_us >= t - 3_600_000_000) & (ts_us <= t)]
+        want_sum = vc[sel.index].sum() / 100.0
+        assert m.loc[row["event_id"], "trailing_sum"] == want_sum
+        assert m.loc[row["event_id"], "trailing_n"] == len(sel)
+
+
 def test_table_profile(ray_session, tmp_path):
     """Profile equals a pandas recount on the real corpus; planted nulls
     in every column are counted and excluded from min/max/distinct."""
