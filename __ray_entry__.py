@@ -227,6 +227,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kmeans_train": ann.kmeans_train,
         "kmeans_check": ann.kmeans_check,
         "hard_negatives": ann.hard_negatives,
+        "pq_topk": ann.pq_topk,
+        "pq_recall_check": ann.pq_recall_check,
         "logreg_train": ann.logreg_train,
         "logreg_check": ann.logreg_check,
         # relational / windowed
@@ -360,6 +362,13 @@ def oracle_sql() -> dict[str, str]:
         "user_kcore_check": (
             "SELECT 1::BIGINT AS parity_ok,"
             " 1::BIGINT AS all_degrees_ge_k"
+        ),
+        # PQ shortlist + exact re-rank recovers >= 0.9 of the exact top-k
+        # (quantized codes are training-dependent, so the ranks themselves
+        # are rows-only; the recall gate is the typed contract)
+        "pq_recall_check": (
+            "SELECT 1::BIGINT AS recall_ge_090,"
+            " 1::BIGINT AS rows_per_query_ok"
         ),
         # distributed GD == single-process GD, loss improved, rows counted
         "logreg_check": (

@@ -929,3 +929,164 @@ def hard_negatives(sf_dir: str, k: int = 5, query_ids=(0, 1, 2, 3)):
     return partials.groupby("query_id").map_groups(
         merge, batch_format="pandas"
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) ANN: ADC code scan + exact shortlist re-rank
+# ---------------------------------------------------------------------------
+
+
+def _pq_train(sf_dir: str, m_sub: int, n_centroids: int,
+              sample_size: int = 2048) -> np.ndarray:
+    """Per-subspace PQ codebooks trained on the hash-scattered sample (the
+    ivf sampling contract — never a biased prefix). Returns
+    (m_sub, n_centroids, dim/m_sub) float64."""
+    _, mat = _ivf_training_sample(sf_dir, sample_size)
+    dim = mat.shape[1]
+    assert dim % m_sub == 0, (dim, m_sub)
+    sub = dim // m_sub
+    books = np.empty((m_sub, n_centroids, sub))
+    for s in range(m_sub):
+        block = np.ascontiguousarray(mat[:, s * sub:(s + 1) * sub])
+        # _kmeans_lite expects normalized rows for its dot-product assign;
+        # PQ subspaces need EUCLIDEAN kmeans — run Lloyd's directly
+        rng_idx = np.argsort(
+            (np.arange(len(block), dtype=np.uint64) * _SAMPLE_MIX)
+            >> np.uint64(32), kind="stable"
+        )[:n_centroids]
+        cents = block[rng_idx].copy()
+        for _ in range(8):
+            d2 = (
+                (block ** 2).sum(1)[:, None]
+                - 2.0 * block @ cents.T
+                + (cents ** 2).sum(1)[None, :]
+            )
+            assign = np.argmin(d2, axis=1)
+            for c in range(n_centroids):
+                mem = block[assign == c]
+                if len(mem):
+                    cents[c] = mem.mean(axis=0)
+        books[s] = cents
+    return books
+
+
+def pq_topk(sf_dir: str, k: int = 10, query_ids=(0, 1, 2, 3),
+            m_sub: int = 16, n_centroids: int = 16,
+            shortlist_factor: int = 16):
+    """Two-stage PQ retrieval — the memory-bound scale path (a 64-dim
+    float vector becomes ``m_sub`` uint8 codes, a 32x shrink, so the code
+    table for a corpus 32x too big for RAM still scans in memory):
+
+      1. ADC scan: per query, a (m_sub x n_centroids) lookup table of
+         subspace distances to the codebooks; every batch encodes its
+         vectors once (argmin over codebooks) and approximates distances
+         by LUT gather + sum — pure numpy fancy indexing, no per-row
+         loop; per-batch partial SHORTLIST of ``shortlist_factor * k``;
+      2. exact re-rank: the tiny merged shortlist's true cosine
+         similarities (one pruned filtered read) pick the final top-k —
+         PQ error costs recall inside the shortlist, never wrong order
+         of the final ranks it did keep.
+
+    Output: (query_id, vec_id), ties by vec_id — same contract as
+    ``brute_force_topk``."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+    import ray
+    import ray.data as rd
+
+    books = _pq_train(sf_dir, m_sub, n_centroids)
+    q_ids, q_mat = query_vectors(sf_dir, query_ids)
+    qn = _normalize(q_mat)
+    dim = qn.shape[1]
+    sub = dim // m_sub
+    # LUT[q, s, c] = squared distance from q's subvector s to codebook c
+    lut = np.empty((len(q_ids), m_sub, n_centroids))
+    for s in range(m_sub):
+        qb = qn[:, s * sub:(s + 1) * sub]
+        lut[:, s, :] = (
+            (qb ** 2).sum(1)[:, None]
+            - 2.0 * qb @ books[s].T
+            + (books[s] ** 2).sum(1)[None, :]
+        )
+    ref = ray.put((q_ids, books, lut))
+    n_short = shortlist_factor * k
+
+    def adc_partial(batch: pa.Table) -> pa.Table:
+        qi, bks, tables = ray.get(ref)
+        b_ids = np.asarray(batch["vec_id"].to_pylist(), dtype=np.int64)
+        b_mat = _normalize(
+            np.asarray(batch["embedding"].to_pylist(), dtype=np.float64)
+        )
+        n = len(b_ids)
+        codes = np.empty((n, m_sub), dtype=np.int64)
+        for s in range(m_sub):
+            blk = b_mat[:, s * sub:(s + 1) * sub]
+            d2 = (
+                (blk ** 2).sum(1)[:, None]
+                - 2.0 * blk @ bks[s].T
+                + (bks[s] ** 2).sum(1)[None, :]
+            )
+            codes[:, s] = np.argmin(d2, axis=1)
+        out_q, out_v, out_d = [], [], []
+        kk = min(n_short, n)
+        for row, qid in enumerate(qi):
+            # gather: approx dist = sum over subspaces of LUT[s, code]
+            approx = tables[row][np.arange(m_sub)[None, :], codes].sum(1)
+            order = np.lexsort((b_ids, approx))[:kk]
+            out_q.extend([qid] * len(order))
+            out_v.extend(b_ids[order].tolist())
+            out_d.extend(approx[order].tolist())
+        return pa.table({
+            "query_id": pa.array(out_q, pa.int64()),
+            "vec_id": pa.array(out_v, pa.int64()),
+            "adist": pa.array(out_d, pa.float64()),
+        })
+
+    partials = _embeddings(sf_dir).map_batches(
+        adc_partial, batch_format="pyarrow", batch_size=4096
+    )
+
+    def shortlist(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["adist", "vec_id"], kind="mergesort")
+        return df.head(n_short)[["query_id", "vec_id"]]
+
+    short = partials.groupby("query_id").map_groups(
+        shortlist, batch_format="pandas"
+    ).to_pandas()
+
+    # exact re-rank of the tiny shortlist (one filtered read)
+    cand_ids = sorted(set(short["vec_id"]))
+    tbl = pq.read_table(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    tbl = tbl.filter(pc.is_in(tbl["vec_id"], value_set=pa.array(cand_ids)))
+    c_ids = np.asarray(tbl["vec_id"].to_pylist(), dtype=np.int64)
+    c_mat = _normalize(np.asarray(tbl["embedding"].to_pylist(),
+                                  dtype=np.float64))
+    pos = {v: i for i, v in enumerate(c_ids)}
+    rows = []
+    for row, qid in enumerate(q_ids):
+        mine = short[short["query_id"] == qid]["vec_id"].to_numpy(np.int64)
+        idx = np.asarray([pos[v] for v in mine], dtype=np.int64)
+        sims = c_mat[idx] @ qn[row]
+        order = np.lexsort((mine, -sims))[:k]
+        rows.extend((int(qid), int(v)) for v in mine[order])
+    return pd.DataFrame(rows, columns=["query_id", "vec_id"])
+
+
+def pq_recall_check(sf_dir: str, k: int = 10) -> pd.DataFrame:
+    """Gate: PQ shortlist + exact re-rank recovers >= 90% of the exact
+    brute-force top-k on the synthetic corpus (flag row, sf-independent)."""
+    exact = brute_force_topk(sf_dir, k=k).to_pandas()
+    approx = pq_topk(sf_dir, k=k)
+    recalls = []
+    for qid in exact["query_id"].unique():
+        e = set(exact[exact["query_id"] == qid]["vec_id"])
+        a = set(approx[approx["query_id"] == qid]["vec_id"])
+        recalls.append(len(e & a) / max(1, len(e)))
+    return pd.DataFrame({
+        "recall_ge_090": [int(min(recalls) >= 0.9)],
+        "rows_per_query_ok": [
+            int((approx.groupby("query_id").size() == k).all())
+        ],
+    })

@@ -1161,6 +1161,21 @@ def test_kmeans_train_parity_and_inertia(ray_session):
     assert seeds.shape[0] == 6
 
 
+def test_pq_topk_recall(ray_session):
+    """PQ ADC scan + exact re-rank clears the 0.9 recall gate vs exact
+    brute force, and returns exactly k deterministic rows per query."""
+    from rayld.pipelines.ann import pq_recall_check, pq_topk
+
+    out = pq_recall_check(SF, k=5)
+    assert out["recall_ge_090"].iloc[0] == 1
+    assert out["rows_per_query_ok"].iloc[0] == 1
+    a = pq_topk(SF, k=5)
+    b = pq_topk(SF, k=5)
+    pd.testing.assert_frame_equal(
+        a.reset_index(drop=True), b.reset_index(drop=True)
+    )  # deterministic: seedless scattered sample + stable tie-breaks
+
+
 def test_hard_negatives(ray_session):
     """Mined negatives equal a numpy recount, never share the query's
     label, and never include the query itself."""
