@@ -148,6 +148,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_bgp_user_mentions": kg_bgp_user_mentions,
         "kg_entity_cooccurrence": kg_entity_cooccurrence,
         "user_triangles": graph.user_triangles,
+        "user_common_neighbors": graph.user_common_neighbors,
         "user_kcore": lambda sf: graph.user_kcore(sf, k=91),
         "user_kcore_check": lambda sf: graph.user_kcore_check(sf, k=91),
         # JSON-LD API surface A1-A7 + S1/S2 (non-SQL)
@@ -267,6 +268,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_transitions": relational.event_transitions,
         "table_profile": relational.table_profile,
         "power_users": relational.power_users,
+        "events_cube": relational.events_cube,
+        "user_rows_window": relational.user_rows_window,
+        "cohort_retention": relational.cohort_retention,
+        "daily_orders_purchases_balance":
+            relational.daily_orders_purchases_balance,
+        "grouped_p90_cont": relational.grouped_p90_cont,
         # multimodal plumbing
         "media_byte_stats": multimodal.media_byte_stats,
         "media_resize": multimodal.media_resize,
@@ -1214,6 +1221,87 @@ def oracle_sql() -> dict[str, str]:
             "    JOIN e e2 ON e2.p = e1.q"
             "    JOIN e e3 ON e3.p = e1.p AND e3.q = e2.q)::BIGINT"
             "    AS n_triangles"
+        ),
+        # one-pass CUBE (4 grouping levels); '' / -1 stand for NULL keys
+        "events_cube": (
+            "SELECT (CASE"
+            "   WHEN event_type IS NULL AND day_start IS NULL THEN 3"
+            "   WHEN event_type IS NULL THEN 2"
+            "   WHEN day_start IS NULL THEN 1 ELSE 0 END)::BIGINT AS level,"
+            " coalesce(event_type, '') AS event_type,"
+            " coalesce(day_start, -1)::BIGINT AS day_start,"
+            " n_events, sum_value FROM ("
+            "  SELECT event_type,"
+            "   epoch(date_trunc('day', ts))::BIGINT AS day_start,"
+            "   count(*)::BIGINT AS n_events,"
+            "   sum(floor(value * 100 + 0.5)::BIGINT) / 100.0 AS sum_value"
+            "  FROM events GROUP BY CUBE (event_type, day_start))"
+        ),
+        # ROWS-frame window: trailing 3-row per-user sum/count
+        "user_rows_window": (
+            "SELECT event_id, user_id,"
+            " count(*) OVER w AS n_in_frame,"
+            " (sum(floor(value * 100 + 0.5)::BIGINT) OVER w) / 100.0"
+            "   AS frame_sum"
+            " FROM events WINDOW w AS ("
+            "   PARTITION BY user_id ORDER BY ts, event_id"
+            "   ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)"
+        ),
+        # weekly cohort retention matrix (Monday-anchored weeks)
+        "cohort_retention": (
+            "WITH uw AS (SELECT DISTINCT user_id,"
+            "   epoch(date_trunc('week', ts))::BIGINT AS week"
+            "  FROM events),"
+            " first AS (SELECT user_id, min(week) AS cohort_week"
+            "  FROM uw GROUP BY 1)"
+            " SELECT cohort_week,"
+            "  ((week - cohort_week) // 604800)::BIGINT AS week_offset,"
+            "  count(*)::BIGINT AS n_users"
+            " FROM uw JOIN first USING (user_id) GROUP BY 1, 2"
+        ),
+        # FULL OUTER join of per-day order counts vs purchase-event counts
+        "daily_orders_purchases_balance": (
+            "WITH o AS (SELECT"
+            "   epoch(date_trunc('day', o_orderdate))::BIGINT AS day_start,"
+            "   count(*)::BIGINT AS n_orders FROM orders GROUP BY 1),"
+            " p AS (SELECT epoch(date_trunc('day', ts))::BIGINT AS day_start,"
+            "   count(*)::BIGINT AS n_purchases FROM events"
+            "  WHERE event_type = 'purchase' GROUP BY 1)"
+            " SELECT coalesce(o.day_start, p.day_start)::BIGINT AS day_start,"
+            "  coalesce(n_orders, 0)::BIGINT AS n_orders,"
+            "  coalesce(n_purchases, 0)::BIGINT AS n_purchases"
+            " FROM o FULL OUTER JOIN p ON o.day_start = p.day_start"
+        ),
+        # interpolated p90 (percentile_cont) mirrored as the SAME integer
+        # tenth-cents formula the Ray side uses, so doubles match exactly
+        "grouped_p90_cont": (
+            "WITH g AS (SELECT event_type,"
+            "   list_sort(list(floor(value * 100 + 0.5)::BIGINT)) AS vs,"
+            "   count(*)::BIGINT AS n FROM events GROUP BY 1)"
+            " SELECT event_type, n AS n_events,"
+            "  (10 * vs[(9 * (n - 1)) // 10 + 1]"
+            "   + ((9 * (n - 1)) % 10)"
+            "     * (vs[least((9 * (n - 1)) // 10 + 2, n)]"
+            "        - vs[(9 * (n - 1)) // 10 + 1])"
+            "  ) / 1000.0 AS p90_cont"
+            " FROM g"
+        ),
+        # common-neighbor link prediction over the shared-k user graph:
+        # every NON-adjacent pair with >=1 shared neighbor, exact counts
+        "user_common_neighbors": (
+            "WITH uk AS (SELECT DISTINCT user_id AS u,"
+            "   json_extract_string(props, '$.k')::BIGINT AS k"
+            "  FROM events WHERE event_type = 'purchase'),"
+            " e AS (SELECT DISTINCT a.u AS p, b.u AS q"
+            "  FROM uk a JOIN uk b USING (k) WHERE a.u < b.u),"
+            " adj AS (SELECT p AS w, q AS x FROM e"
+            "  UNION ALL SELECT q, p FROM e),"
+            " cn AS (SELECT a.x AS u, b.x AS v, count(*)::BIGINT AS n_common"
+            "  FROM adj a JOIN adj b ON a.w = b.w AND a.x < b.x"
+            "  GROUP BY 1, 2)"
+            " SELECT u, v, n_common FROM cn"
+            " WHERE NOT EXISTS (SELECT 1 FROM e"
+            "   WHERE e.p = cn.u AND e.q = cn.v)"
         ),
         # RANGE-frame window: trailing 1-hour per-user sum/count (value-
         # based frame; peers at both ends included per SQL semantics)

@@ -1135,3 +1135,116 @@ def user_kcore_check(sf_dir: str, k: int = 100) -> pd.DataFrame:
             int(all(d >= k for d in got_map.values())) if got_map else 1
         ],
     })
+
+
+def user_common_neighbors(sf_dir: str, event_type: str = "purchase",
+                          num_partitions: int | None = None,
+                          max_neighbors_per_node: int | None = None):
+    """Link prediction by common-neighbor counting over the user projection
+    graph: for every NON-adjacent user pair (u, v), the number of shared
+    neighbors — the classic exact link-prediction score (Adamic-Adar's
+    integer-exact little sibling, chosen so the DuckDB oracle matches
+    bit-for-bit with no transcendental-float drift).
+
+    Plan (bucketed exchanges only):
+      1. reuse the materialized edge set (``_projection_edges``);
+      2. explode both directions -> hash(center) exchange -> each task
+         emits per-center neighbor pairs (sorted unique => u < v) and
+         pre-aggregates (u, v) partial counts in-task;
+      3. union with the edge set tagged as facts -> one pair-key exchange
+         -> in-task sum + drop pairs that are themselves edges.
+
+    Per-center fan-out is C(deg, 2) — inherent to the score, not the plan.
+    ``max_neighbors_per_node`` defaults to None = UNCAPPED because the
+    result is SQL-oracled (same contract as ``_projection_edges``); a
+    hub-heavy caller opts in explicitly (capped centers are logged)."""
+    from .common import cluster_partitions
+
+    if num_partitions is None:
+        num_partitions = cluster_partitions()
+
+    edges = _projection_edges(sf_dir, event_type, num_partitions)
+    pair_bucket = _pair_bucket(num_partitions)
+
+    def explode(batch: pa.Table) -> pa.Table:
+        p = np.asarray(batch["p"].to_pylist(), dtype=np.int64)
+        q = np.asarray(batch["q"].to_pylist(), dtype=np.int64)
+        w = np.concatenate([p, q])
+        x = np.concatenate([q, p])
+        return pa.table({
+            "w": pa.array(w), "x": pa.array(x),
+            "part": pa.array(
+                (w % num_partitions).astype(np.int32), pa.int32()
+            ),
+        })
+
+    tagged_sch = pa.schema([
+        ("p", pa.int64()), ("q", pa.int64()),
+        ("n_common", pa.int64()), ("is_edge", pa.int8()),
+    ])
+
+    def center_pairs(df: pd.DataFrame) -> pa.Table:
+        us, vs = [], []
+        n_capped = 0
+        for _, xs in df.groupby("w")["x"]:
+            nbrs = np.unique(xs.to_numpy(np.int64))
+            if max_neighbors_per_node and len(nbrs) > max_neighbors_per_node:
+                n_capped += 1
+                nbrs = nbrs[:max_neighbors_per_node]
+            if len(nbrs) < 2:
+                continue
+            iu, iv = np.triu_indices(len(nbrs), k=1)
+            us.append(nbrs[iu])
+            vs.append(nbrs[iv])
+        if n_capped:
+            print(f"user_common_neighbors: capped {n_capped} centers "
+                  f"at {max_neighbors_per_node} neighbors")
+        if not us:
+            return tagged_sch.empty_table()
+        g = pd.DataFrame({
+            "p": np.concatenate(us), "q": np.concatenate(vs),
+        }).groupby(["p", "q"], as_index=False).size()
+        return pa.table({
+            "p": pa.array(g["p"].to_numpy(np.int64)),
+            "q": pa.array(g["q"].to_numpy(np.int64)),
+            "n_common": pa.array(g["size"].to_numpy(np.int64)),
+            "is_edge": pa.array(np.zeros(len(g), np.int8)),
+        }, schema=tagged_sch)
+
+    wedge_partials = (
+        edges.map_batches(explode, batch_format="pyarrow")
+        .groupby("part").map_groups(center_pairs, batch_format="pandas")
+    )
+
+    def edge_facts(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return pa.table({
+            "p": batch["p"], "q": batch["q"],
+            "n_common": pa.array(np.zeros(n, np.int64)),
+            "is_edge": pa.array(np.ones(n, np.int8)),
+        }, schema=tagged_sch)
+
+    out_sch = pa.schema([
+        ("u", pa.int64()), ("v", pa.int64()), ("n_common", pa.int64()),
+    ])
+
+    def combine(df: pd.DataFrame) -> pa.Table:
+        if len(df) == 0:
+            return out_sch.empty_table()
+        g = df.groupby(["p", "q"], as_index=False).agg(
+            n_common=("n_common", "sum"), is_edge=("is_edge", "max")
+        )
+        g = g[(g["is_edge"] == 0) & (g["n_common"] > 0)]
+        return pa.table({
+            "u": pa.array(g["p"].to_numpy(np.int64)),
+            "v": pa.array(g["q"].to_numpy(np.int64)),
+            "n_common": pa.array(g["n_common"].to_numpy(np.int64)),
+        }, schema=out_sch)
+
+    return (
+        wedge_partials.union(
+            edges.map_batches(edge_facts, batch_format="pyarrow")
+        )
+        .map_batches(pair_bucket, batch_format="pyarrow")
+        .groupby("part").map_groups(combine, batch_format="pandas")
+    )

@@ -2455,3 +2455,321 @@ def user_trailing_window(sf_dir: str, window_us: int = 3_600_000_000,
         .groupby("part")
         .map_groups(window, batch_format="pandas")
     )
+
+
+def events_cube(sf_dir: str):
+    """CUBE-style multi-level aggregate in ONE pass: counts and integer-
+    cents value sums at all four grouping levels of (event_type, day) —
+    (type, day), (type), (day), () — every level pre-aggregated inside the
+    batch before a single bounded combine. Extends the ROLLUP plan
+    (``events_rollup``) with the cross level SQL ROLLUP omits; the exchange
+    still moves 4-level partials bounded by |types| x |days|, never raw
+    events. '' / -1 stand for NULL keys at rolled-up levels."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from .common import bucketed_sum_combine
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "ts", "value"]
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        day = df["ts"].dt.floor("D").astype("datetime64[s]").astype("int64")
+        base = pd.DataFrame({
+            "event_type": df["event_type"],
+            "day_start": day,
+            "value_c": money_cents(df["value"]),
+            "n": 1,
+        })
+        levels = []
+        for level, keys in enumerate(
+            (["event_type", "day_start"], ["event_type"], ["day_start"])
+        ):
+            g = base.groupby(keys, as_index=False).agg(
+                n_events=("n", "sum"), sum_c=("value_c", "sum")
+            )
+            g.insert(0, "level", level)
+            if "event_type" not in keys:
+                g["event_type"] = ""
+            if "day_start" not in keys:
+                g["day_start"] = -1
+            levels.append(g)
+        levels.append(pd.DataFrame({
+            "level": [3], "event_type": [""], "day_start": [-1],
+            "n_events": [int(base["n"].sum())],
+            "sum_c": [int(base["value_c"].sum())],
+        }))
+        return pd.concat(levels, ignore_index=True)[
+            ["level", "event_type", "day_start", "n_events", "sum_c"]
+        ]
+
+    agg = bucketed_sum_combine(
+        ds.map_batches(partial, batch_format="pandas"),
+        keys=["level", "event_type", "day_start"],
+        sum_cols=["n_events", "sum_c"],
+        schema=pa.schema([
+            ("level", pa.int64()), ("event_type", pa.string()),
+            ("day_start", pa.int64()), ("n_events", pa.int64()),
+            ("sum_c", pa.int64()),
+        ]),
+    )
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        df["sum_value"] = df["sum_c"].astype("int64") / 100.0
+        return df[["level", "event_type", "day_start", "n_events",
+                   "sum_value"]]
+
+    return agg.map_batches(finish, batch_format="pandas")
+
+
+def user_rows_window(sf_dir: str, frame_rows: int = 3,
+                     num_partitions: int | None = None):
+    """ROWS-frame trailing window per user: exact integer-cents sum and
+    in-frame row count over the last ``frame_rows`` events (SQL ROWS
+    BETWEEN frame_rows-1 PRECEDING AND CURRENT ROW, ordered by
+    (ts, event_id)). Complements ``user_trailing_window`` (the RANGE/time
+    frame): the same single bucketed hash(user_id) exchange, with the
+    frame itself a vectorized cumsum-minus-shifted-cumsum inside each
+    bucket task — O(n) per bucket, no per-row loop."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from .common import cluster_partitions
+
+    if num_partitions is None:
+        num_partitions = cluster_partitions()
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "user_id", "value"],
+    )
+
+    sch = pa.schema([
+        ("event_id", pa.int64()), ("user_id", pa.int64()),
+        ("n_in_frame", pa.int64()), ("frame_sum", pa.float64()),
+    ])
+
+    def frame(df: pd.DataFrame) -> pa.Table:
+        if len(df) == 0:
+            return sch.empty_table()
+        df = df.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        vc = pd.Series(money_cents(df["value"]), index=df.index)
+        cum = vc.groupby(df["user_id"]).cumsum()
+        lag = cum.groupby(df["user_id"]).shift(frame_rows).fillna(0)
+        pos = df.groupby("user_id").cumcount()
+        n_in = np.minimum(pos.to_numpy(np.int64) + 1, frame_rows)
+        return pa.table({
+            "event_id": pa.array(df["event_id"].to_numpy(np.int64)),
+            "user_id": pa.array(df["user_id"].to_numpy(np.int64)),
+            "n_in_frame": pa.array(n_in),
+            "frame_sum": pa.array(
+                (cum - lag).to_numpy(np.int64) / 100.0, pa.float64()
+            ),
+        }, schema=sch)
+
+    return (
+        ds.map_batches(
+            append_mod_part, batch_format="pyarrow",
+            fn_args=("user_id", num_partitions),
+        )
+        .groupby("part")
+        .map_groups(frame, batch_format="pandas")
+    )
+
+
+def cohort_retention(sf_dir: str, num_partitions: int | None = None):
+    """Weekly cohort retention matrix: users cohorted by the Monday-
+    anchored week of their FIRST event; each cell counts distinct users of
+    cohort week W active in week W+offset. Plan: per-batch distinct
+    (user, week) pre-aggregation (shrinks raw events to at most
+    users x weeks rows) -> ONE bucketed hash(user_id) exchange — each task
+    then owns every week of its users, so first-week and offsets are exact
+    in-task and per-user distinctness is free — -> per-task partial cell
+    counts -> one bounded combine over (cohort_week, week_offset)
+    (≤ |weeks|^2/2 cells, corpus-size-independent)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from .common import bucketed_sum_combine, cluster_partitions
+
+    if num_partitions is None:
+        num_partitions = cluster_partitions()
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts"]
+    )
+
+    def uw_partial(df: pd.DataFrame) -> pa.Table:
+        ts = df["ts"]
+        # Monday-anchored week start (DuckDB date_trunc('week') semantics)
+        week = ts.dt.normalize() - pd.to_timedelta(ts.dt.dayofweek, unit="D")
+        week_s = week.astype("datetime64[s]").astype("int64")
+        g = pd.DataFrame({
+            "user_id": df["user_id"], "week": week_s,
+        }).drop_duplicates()
+        u = g["user_id"].to_numpy(np.int64)
+        return pa.table({
+            "user_id": pa.array(u),
+            "week": pa.array(g["week"].to_numpy(np.int64)),
+            "part": pa.array(
+                (u % num_partitions).astype(np.int32), pa.int32()
+            ),
+        })
+
+    cell_sch = pa.schema([
+        ("cohort_week", pa.int64()), ("week_offset", pa.int64()),
+        ("n_users", pa.int64()),
+    ])
+
+    def cells(df: pd.DataFrame) -> pa.Table:
+        if len(df) == 0:
+            return cell_sch.empty_table()
+        df = df.drop_duplicates(["user_id", "week"])
+        first = df.groupby("user_id")["week"].transform("min")
+        out = pd.DataFrame({
+            "cohort_week": first,
+            "week_offset": (df["week"] - first) // 604800,
+        }).groupby(["cohort_week", "week_offset"], as_index=False).size()
+        return pa.table({
+            "cohort_week": pa.array(out["cohort_week"].to_numpy(np.int64)),
+            "week_offset": pa.array(out["week_offset"].to_numpy(np.int64)),
+            "n_users": pa.array(out["size"].to_numpy(np.int64)),
+        }, schema=cell_sch)
+
+    partials = (
+        ds.map_batches(uw_partial, batch_format="pandas")
+        .groupby("part")
+        .map_groups(cells, batch_format="pandas")
+    )
+    return bucketed_sum_combine(
+        partials,
+        keys=["cohort_week", "week_offset"],
+        sum_cols=["n_users"],
+        schema=cell_sch,
+    )
+
+
+def daily_orders_purchases_balance(sf_dir: str,
+                                   num_partitions: int | None = None):
+    """FULL OUTER JOIN across two tables: per-day order counts (orders)
+    against per-day purchase-event counts (events) — days present on only
+    one side survive with 0 on the other (the TPC-H order dates and the
+    event stream barely overlap, so the outer-ness is real). Because both
+    sides aggregate to additive per-day counts first, the outer join IS a
+    union of side-tagged partials + one bounded combine: no join operator,
+    no NULL handling, nothing day-sized on the driver — the cheapest
+    correct plan for an outer join of aggregates at any scale."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from .common import bucketed_sum_combine
+
+    side_sch = pa.schema([
+        ("day_start", pa.int64()), ("n_orders", pa.int64()),
+        ("n_purchases", pa.int64()),
+    ])
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderdate"]
+    )
+    events = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "ts"]
+    )
+
+    def order_partial(df: pd.DataFrame) -> pa.Table:
+        day = (
+            df["o_orderdate"].dt.floor("D")
+            .astype("datetime64[s]").astype("int64")
+        )
+        g = day.value_counts().sort_index()
+        return pa.table({
+            "day_start": pa.array(g.index.to_numpy(np.int64)),
+            "n_orders": pa.array(g.to_numpy(np.int64)),
+            "n_purchases": pa.array(np.zeros(len(g), np.int64)),
+        }, schema=side_sch)
+
+    def purchase_partial(df: pd.DataFrame) -> pa.Table:
+        sel = df[df["event_type"] == "purchase"]
+        day = sel["ts"].dt.floor("D").astype("datetime64[s]").astype("int64")
+        g = day.value_counts().sort_index()
+        return pa.table({
+            "day_start": pa.array(g.index.to_numpy(np.int64)),
+            "n_orders": pa.array(np.zeros(len(g), np.int64)),
+            "n_purchases": pa.array(g.to_numpy(np.int64)),
+        }, schema=side_sch)
+
+    partials = orders.map_batches(
+        order_partial, batch_format="pandas"
+    ).union(events.map_batches(purchase_partial, batch_format="pandas"))
+    return bucketed_sum_combine(
+        partials,
+        keys=["day_start"],
+        sum_cols=["n_orders", "n_purchases"],
+        schema=side_sch,
+        num_partitions=num_partitions,
+    )
+
+
+def grouped_p90_cont(sf_dir: str):
+    """Exact per-type interpolated p90 (percentile_cont semantics) without
+    a distributed sort: the same cents-histogram plan as ``grouped_median``
+    (per-batch (type, cents)->count partials, one bounded combine), but the
+    final pick interpolates between the two bracketing order statistics.
+    All arithmetic stays integer until ONE final division — the interp in
+    tenth-cents is 10*v_lo + frac*(v_hi - v_lo) with frac = (9*(N-1)) mod
+    10 — so the Ray result and a SQL oracle mirroring the same integer
+    formula are bit-identical doubles (no percentile_cont float drift)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from .common import bucketed_sum_combine
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "value"]
+    )
+
+    def partial(df: pd.DataFrame) -> pa.Table:
+        g = df.assign(value_c=money_cents(df["value"]), n=1).groupby(
+            ["event_type", "value_c"], as_index=False
+        )["n"].sum()
+        return pa.table({
+            "event_type": pa.array(g["event_type"].astype(str), pa.string()),
+            "value_c": pa.array(g["value_c"].to_numpy(np.int64)),
+            "n": pa.array(g["n"].to_numpy(np.int64)),
+        })
+
+    hist = bucketed_sum_combine(
+        ds.map_batches(partial, batch_format="pandas"),
+        keys=["event_type", "value_c"],
+        sum_cols=["n"],
+        schema=pa.schema([
+            ("event_type", pa.string()), ("value_c", pa.int64()),
+            ("n", pa.int64()),
+        ]),
+    )
+
+    sch = pa.schema([
+        ("event_type", pa.string()), ("n_events", pa.int64()),
+        ("p90_cont", pa.float64()),
+    ])
+
+    def pick(df: pd.DataFrame) -> pa.Table:
+        if len(df) == 0:
+            return sch.empty_table()
+        df = df.sort_values("value_c")
+        cum = df["n"].cumsum().to_numpy(np.int64)
+        vals = df["value_c"].to_numpy(np.int64)
+        total = int(cum[-1])
+        # zero-indexed h = 0.9 * (N - 1); lo = floor(h), frac = 10*(h - lo)
+        lo, frac = divmod(9 * (total - 1), 10)
+        v_lo = int(vals[np.searchsorted(cum, lo + 1, side="left")])
+        hi = min(lo + 1, total - 1)
+        v_hi = int(vals[np.searchsorted(cum, hi + 1, side="left")])
+        tenth_cents = 10 * v_lo + frac * (v_hi - v_lo)
+        return pa.table({
+            "event_type": pa.array([str(df["event_type"].iloc[0])]),
+            "n_events": pa.array([total], pa.int64()),
+            "p90_cont": pa.array([tenth_cents / 1000.0], pa.float64()),
+        }, schema=sch)
+
+    # the merged histogram is tiny (distinct cents x 5 types)
+    return hist.groupby("event_type").map_groups(pick, batch_format="pandas")

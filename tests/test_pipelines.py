@@ -2161,3 +2161,157 @@ def test_user_spend_rank_heavy_ties(ray_session, tmp_path):
     assert np.allclose(got["spend_cume"], want_cume, rtol=0, atol=0)
     # ties exist by construction and share rank
     assert spend.duplicated().any()
+
+
+def test_events_cube_levels(ray_session):
+    """CUBE invariants: every grouping level folds to the same totals and
+    the cross level (day only) is present — the level ROLLUP omits."""
+    from rayld.pipelines.relational import events_cube
+
+    out = events_cube(SF).to_pandas()
+    ev = pd.read_parquet(f"{SF}/events.parquet", columns=["event_type", "ts"])
+    l0, l1, l2, l3 = (out[out["level"] == k] for k in range(4))
+    assert l3["n_events"].iloc[0] == len(ev)
+    assert (l0["n_events"].sum() == l1["n_events"].sum()
+            == l2["n_events"].sum() == len(ev))
+    for part in (l0, l1, l2):
+        assert abs(part["sum_value"].sum() - l3["sum_value"].iloc[0]) < 1e-6
+    days = ev["ts"].dt.floor("D").astype("datetime64[s]").astype("int64")
+    assert set(l2["day_start"]) == set(days.unique())
+    assert (l2["event_type"] == "").all() and (l1["day_start"] == -1).all()
+
+
+def test_user_rows_window(ray_session):
+    """ROWS-frame trailing sum equals a pandas rolling(3) recount in
+    integer cents; frame counts saturate at the frame size."""
+    from rayld.pipelines.relational import user_rows_window
+
+    got = user_rows_window(SF, num_partitions=4).to_pandas()
+    ev = pd.read_parquet(
+        f"{SF}/events.parquet",
+        columns=["event_id", "ts", "user_id", "value"],
+    ).sort_values(["user_id", "ts", "event_id"])
+    vc = pd.Series(
+        np.floor(ev["value"] * 100 + 0.5).astype("int64"), index=ev.index
+    )
+    want_sum = (
+        vc.groupby(ev["user_id"])
+        .rolling(3, min_periods=1).sum().reset_index(level=0, drop=True)
+        .sort_index() / 100.0
+    )
+    want_n = (
+        vc.groupby(ev["user_id"])
+        .rolling(3, min_periods=1).count().reset_index(level=0, drop=True)
+        .sort_index()
+    )
+    m = got.set_index("event_id").reindex(ev["event_id"])
+    assert np.allclose(m["frame_sum"].to_numpy(),
+                       want_sum[ev.index].to_numpy(), rtol=0, atol=0)
+    assert (m["n_in_frame"].to_numpy()
+            == want_n[ev.index].to_numpy().astype("int64")).all()
+    assert got["n_in_frame"].max() == 3
+
+
+def test_cohort_retention(ray_session):
+    """Retention cells equal a pandas recount over Monday-anchored weeks;
+    offset-0 cells partition all users into cohorts."""
+    from rayld.pipelines.relational import cohort_retention
+
+    got = cohort_retention(SF, num_partitions=4).to_pandas()
+    ev = pd.read_parquet(f"{SF}/events.parquet", columns=["user_id", "ts"])
+    week = (
+        (ev["ts"].dt.normalize()
+         - pd.to_timedelta(ev["ts"].dt.dayofweek, unit="D"))
+        .astype("datetime64[s]").astype("int64")
+    )
+    uw = pd.DataFrame({"user_id": ev["user_id"], "week": week}
+                      ).drop_duplicates()
+    first = uw.groupby("user_id")["week"].transform("min")
+    want = (
+        pd.DataFrame({
+            "cohort_week": first,
+            "week_offset": (uw["week"] - first) // 604800,
+        }).groupby(["cohort_week", "week_offset"]).size()
+    )
+    m = got.set_index(["cohort_week", "week_offset"])["n_users"].sort_index()
+    assert m.equals(want.sort_index().astype("int64"))
+    zero = got[got["week_offset"] == 0]
+    assert zero["n_users"].sum() == ev["user_id"].nunique()
+    assert got["n_users"].sum() == len(uw)
+
+
+def test_daily_orders_purchases_balance(ray_session):
+    """FULL OUTER day balance equals a pandas recount, and the outer-ness
+    is real: both one-sided kinds of day are present."""
+    from rayld.pipelines.relational import daily_orders_purchases_balance
+
+    got = daily_orders_purchases_balance(SF, num_partitions=4).to_pandas()
+    od = pd.read_parquet(f"{SF}/orders.parquet", columns=["o_orderdate"])
+    ev = pd.read_parquet(f"{SF}/events.parquet",
+                         columns=["event_type", "ts"])
+    o_days = (od["o_orderdate"].dt.floor("D").astype("datetime64[s]")
+              .astype("int64")).value_counts()
+    p_days = (ev.loc[ev["event_type"] == "purchase", "ts"].dt.floor("D")
+              .astype("datetime64[s]").astype("int64")).value_counts()
+    want = pd.DataFrame({"n_orders": o_days, "n_purchases": p_days}
+                        ).fillna(0).astype("int64")
+    m = got.set_index("day_start").sort_index()
+    assert m.equals(want.sort_index())
+    assert ((m["n_orders"] > 0) & (m["n_purchases"] == 0)).any()
+    assert ((m["n_orders"] == 0) & (m["n_purchases"] > 0)).any()
+
+
+def test_grouped_p90_cont(ray_session):
+    """Interpolated p90 equals numpy's linear-interpolation percentile on
+    integer cents (same percentile_cont semantics), per event type."""
+    from rayld.pipelines.relational import grouped_p90_cont
+
+    got = grouped_p90_cont(SF).to_pandas().set_index("event_type")
+    ev = pd.read_parquet(f"{SF}/events.parquet",
+                         columns=["event_type", "value"])
+    vc = np.floor(ev["value"] * 100 + 0.5).astype("int64")
+    for t, grp in vc.groupby(ev["event_type"]):
+        want = float(np.percentile(grp.to_numpy(), 90,
+                                   method="linear")) / 100.0
+        assert abs(got.loc[t, "p90_cont"] - want) < 1e-9
+        assert got.loc[t, "n_events"] == len(grp)
+
+
+def test_user_common_neighbors(ray_session):
+    """Common-neighbor counts equal a brute-force set recount over the
+    shared-k projection graph; adjacent pairs are excluded."""
+    import json as _json
+    from collections import defaultdict
+
+    from rayld.pipelines.graph import user_common_neighbors
+
+    got = user_common_neighbors(SF, num_partitions=4).to_pandas()
+    ev = pd.read_parquet(f"{SF}/events.parquet",
+                         columns=["user_id", "event_type", "props"])
+    sel = ev[ev["event_type"] == "purchase"]
+    by_k = defaultdict(set)
+    for _, r in sel.iterrows():
+        k = _json.loads(r["props"]).get("k") if r["props"] else None
+        if k is not None:
+            by_k[int(k)].add(int(r["user_id"]))
+    edges = set()
+    for users in by_k.values():
+        us = sorted(users)
+        for i in range(len(us)):
+            for j in range(i + 1, len(us)):
+                edges.add((us[i], us[j]))
+    nbr = defaultdict(set)
+    for p, q in edges:
+        nbr[p].add(q)
+        nbr[q].add(p)
+    want = {}
+    nodes = sorted(nbr)
+    for i, u in enumerate(nodes):
+        for v in nodes[i + 1:]:
+            if (u, v) in edges:
+                continue
+            n = len(nbr[u] & nbr[v])
+            if n:
+                want[(u, v)] = n
+    m = {(int(r.u), int(r.v)): int(r.n_common) for r in got.itertuples()}
+    assert m == want
