@@ -183,6 +183,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_quality_by_lang": text.top_quality_by_lang,
         "vocab_coverage": text.vocab_coverage,
         "doc_surprisal": text.doc_surprisal,
+        "dsir_weights": text.dsir_weights,
         # dedup family
         "dedup_exact": dedup.dedup_exact,
         "dedup_exact_normalized": dedup.dedup_exact_normalized,
@@ -201,6 +202,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "duplicate_ngram_spans": dedup.duplicate_ngram_spans,
         "embedding_neardup": dedup.embedding_neardup,
         "embedding_neardup_recall": dedup.embedding_neardup_recall,
+        "semdedup": dedup.semdedup,
         "corpus_clean": prep.corpus_clean,
         # corpus curation (training-data prep)
         "decontaminate": curation.decontaminate,
@@ -218,6 +220,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # corpus indexing / ordering
         "token_postings": indexing.token_postings,
         "shuffle_shards": indexing.shuffle_shards,
+        "bm25_scores": indexing.bm25_scores,
         # similarity search
         "ann_topk": ann.brute_force_topk,
         "ann_ivf_topk": ann.ivf_topk,
@@ -293,6 +296,7 @@ def oracle_sql() -> dict[str, str]:
     # (1 node, 5 quads; the 'mentions' value is a relative IRI and drops in
     # toRDF per spec). Roundtrip flags are spec invariants asserted as
     # constant 1 columns.
+    from rayld.pipelines import indexing
     from rayld.pipelines.jsonld_ops import TOOLDOC_CURRENT
 
     # process-scoped link: concurrent runs at different scales each resolve
@@ -583,6 +587,26 @@ def oracle_sql() -> dict[str, str]:
             " sum(p.cnt)::BIGINT AS n_tokens"
             " FROM p JOIN s USING (t) GROUP BY p.doc_id"
         ),
+        # DSIR importance weights: per-token log-ratio of the target
+        # (lang='en') vs raw unigram models, +0.5/(total+1) smoothing,
+        # rounded half-up to integer micro-nats BEFORE the per-doc sum —
+        # the same float expression in the same op order as the Ray side
+        "dsir_weights": (
+            "WITH tok AS (SELECT doc_id, lang,"
+            " unnest(regexp_extract_all(text, '[A-Za-z0-9]+')) AS t"
+            " FROM documents),"
+            " c AS (SELECT t, count(*)::BIGINT AS c,"
+            "  sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)::BIGINT AS tc"
+            "  FROM tok GROUP BY t),"
+            " tot AS (SELECT sum(c)::BIGINT AS tr, sum(tc)::BIGINT AS tt"
+            "  FROM c),"
+            " lr AS (SELECT t, floor(ln(((tc + 0.5) / (tt + 1.0))"
+            "  / ((c + 0.5) / (tr + 1.0))) * 1000000.0 + 0.5)::BIGINT"
+            "  AS lr_micro FROM c, tot)"
+            " SELECT doc_id, sum(lr_micro)::BIGINT AS logw_micro_nats,"
+            " count(*)::BIGINT AS n_tokens"
+            " FROM tok JOIN lr USING (t) GROUP BY doc_id"
+        ),
         "vocab_coverage": (
             "WITH tok AS (SELECT unnest(regexp_extract_all(text,"
             " '[A-Za-z0-9]+')) AS t FROM documents),"
@@ -694,6 +718,10 @@ def oracle_sql() -> dict[str, str]:
             "  - 1)::BIGINT AS pos"
             " FROM s"
         ),
+        # BM25 (k1=1.2, b=0.75, +1-smoothed idf): per-term scores rounded
+        # half-up to integer micro before the cross-term sum; the generated
+        # SQL mirrors the Ray side's float op order exactly
+        "bm25_scores": indexing.bm25_oracle_sql(),
         # tf-idf: idf = ln((N+1)/(df+1)) + 1 over regex tokens; top term per
         # doc with ties broken by term; score half-up-rounded to 6dp on both
         # sides (IEEE double arithmetic in the same order)

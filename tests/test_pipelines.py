@@ -329,6 +329,105 @@ def test_embedding_neardup_planted_pairs(ray_session, tmp_path):
     assert got <= {(0, 1), (10, 11), (20, 21)}, got
 
 
+def test_semdedup_planted_duplicates(ray_session, tmp_path):
+    """SemDeDup parity: the distributed result equals a single-process
+    recount using the same sample/k-means/greedy rule, planted semantic
+    duplicates are dropped (min vec_id survives), and distinct vectors
+    survive."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from rayld.functions.vectorized import l2_normalize_rows
+    from rayld.pipelines.ann import _ivf_training_sample, _kmeans_lite
+    from rayld.pipelines.dedup import semdedup
+
+    rng = np.random.default_rng(5)
+    dim, n = 16, 48
+    mat = rng.standard_normal((n, dim))
+    # two planted near-dup groups: 7~8 (pair) and 20~21~22 (triple)
+    for a, b in ((7, 8), (20, 21), (20, 22)):
+        mat[b] = mat[a] + 0.02 * rng.standard_normal(dim)
+    mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    d = tmp_path / "mini"
+    d.mkdir()
+    pq.write_table(
+        pa.table({
+            "vec_id": pa.array(range(n), pa.int64()),
+            "embedding": pa.array(mat.tolist(), pa.list_(pa.float64())),
+        }),
+        d / "embeddings.parquet",
+    )
+    out = semdedup(str(d), n_clusters=4, threshold=0.95).to_pandas()
+    got = dict(zip(out["vec_id"], out["keep"]))
+    assert len(got) == n
+
+    # single-process reference with the identical training + greedy rule
+    _, sample = _ivf_training_sample(str(d), 2048)
+    cents = _kmeans_lite(sample, 4)
+    X = l2_normalize_rows(mat)
+    cl = np.argmax(X @ cents.T, axis=1)
+    want = {}
+    for c in np.unique(cl):
+        ids = np.nonzero(cl == c)[0]
+        kept = []
+        for i in ids:
+            dup = any(float(X[i] @ X[j]) >= 0.95 for j in kept)
+            want[int(i)] = 0 if dup else 1
+            if not dup:
+                kept.append(i)
+    assert got == want
+    # the planted later twins are dropped, their originals kept
+    assert got[7] == 1 and got[8] == 0
+    assert got[20] == 1 and got[21] == 0 and got[22] == 0
+    # cluster ids in output match the assignment
+    cmap = dict(zip(out["vec_id"], out["cluster"]))
+    assert all(cmap[i] == cl[i] for i in range(n))
+
+
+def test_dsir_weights_planted_target(ray_session, tmp_path):
+    """DSIR log-weights equal a single-process recount of the smoothed
+    unigram ratio model, and target-like docs outscore off-target docs."""
+    import math
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from rayld.pipelines.text import dsir_weights
+
+    texts = ["alpha alpha beta", "alpha beta", "gamma gamma delta",
+             "gamma delta delta", "alpha gamma"]
+    langs = ["en", "en", "de", "de", "de"]
+    d = tmp_path / "mini"
+    d.mkdir()
+    pq.write_table(
+        pa.table({"doc_id": pa.array(range(5), pa.int64()),
+                  "lang": pa.array(langs, pa.string()),
+                  "text": pa.array(texts, pa.string())}),
+        d / "documents.parquet",
+    )
+    got = dsir_weights(str(d), num_partitions=4).to_pandas()
+    got = got.set_index("doc_id").sort_index()
+
+    toks = [t.split() for t in texts]
+    c, tc = {}, {}
+    for ts, lang in zip(toks, langs):
+        for t in ts:
+            c[t] = c.get(t, 0) + 1
+            if lang == "en":
+                tc[t] = tc.get(t, 0) + 1
+    tr, tt = sum(c.values()), sum(tc.values())
+    lr = {
+        t: int(np.floor(math.log(
+            ((tc.get(t, 0) + 0.5) / (tt + 1.0)) / ((c[t] + 0.5) / (tr + 1.0))
+        ) * 1000000.0 + 0.5))
+        for t in c
+    }
+    for i, ts in enumerate(toks):
+        assert got.loc[i, "logw_micro_nats"] == sum(lr[t] for t in ts)
+        assert got.loc[i, "n_tokens"] == len(ts)
+    # en-heavy docs weigh above the de-only docs
+    assert got.loc[0, "logw_micro_nats"] > got.loc[2, "logw_micro_nats"]
+    assert got.loc[1, "logw_micro_nats"] > got.loc[3, "logw_micro_nats"]
+
+
 def test_rk_window_hashes_match_modular_definition():
     """The O(n) vectorized roll equals the per-window polynomial definition
     H_i = sum_j h[i+j] * B^(w-1-j) mod 2^64, for random inputs/windows."""
