@@ -277,6 +277,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "daily_orders_purchases_balance":
             relational.daily_orders_purchases_balance,
         "grouped_p90_cont": relational.grouped_p90_cont,
+        "user_first_last": relational.user_first_last,
+        "market_basket_pairs": relational.market_basket_pairs,
         # multimodal plumbing
         "media_byte_stats": multimodal.media_byte_stats,
         "media_resize": multimodal.media_resize,
@@ -1330,6 +1332,30 @@ def oracle_sql() -> dict[str, str]:
             " SELECT u, v, n_common FROM cn"
             " WHERE NOT EXISTS (SELECT 1 FROM e"
             "   WHERE e.p = cn.u AND e.q = cn.v)"
+        ),
+        # FIRST_VALUE / LAST_VALUE per user over (ts, event_id) order
+        "user_first_last": (
+            "SELECT DISTINCT user_id,"
+            " (first_value(event_id) OVER w)::BIGINT AS first_event_id,"
+            " first_value(event_type) OVER w AS first_type,"
+            " first_value(value) OVER w AS first_value,"
+            " (last_value(event_id) OVER w)::BIGINT AS last_event_id,"
+            " last_value(event_type) OVER w AS last_type,"
+            " last_value(value) OVER w AS last_value"
+            " FROM events WINDOW w AS (PARTITION BY user_id"
+            "  ORDER BY ts, event_id"
+            "  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)"
+        ),
+        # frequent-2-itemset mining: co-ordered part pairs with support
+        "market_basket_pairs": (
+            "WITH op AS (SELECT DISTINCT l_orderkey, l_partkey"
+            "  FROM lineitem)"
+            " SELECT a.l_partkey::BIGINT AS part_a,"
+            "  b.l_partkey::BIGINT AS part_b,"
+            "  count(*)::BIGINT AS support"
+            " FROM op a JOIN op b ON a.l_orderkey = b.l_orderkey"
+            "  AND a.l_partkey < b.l_partkey"
+            " GROUP BY 1, 2 HAVING count(*) >= 2"
         ),
         # RANGE-frame window: trailing 1-hour per-user sum/count (value-
         # based frame; peers at both ends included per SQL semantics)

@@ -2773,3 +2773,154 @@ def grouped_p90_cont(sf_dir: str):
 
     # the merged histogram is tiny (distinct cents x 5 types)
     return hist.groupby("event_type").map_groups(pick, batch_format="pandas")
+
+
+def user_first_last(sf_dir: str, num_partitions: int | None = None):
+    """FIRST_VALUE / LAST_VALUE per partition: each user's first and last
+    event (by ts, event_id) with its type and value — the classic
+    sort-free arg-min/arg-max plan. Each batch pre-reduces to AT MOST two
+    candidate rows per user (its local first and last), so the single
+    bucketed hash(user_id) exchange moves O(users x blocks) slim rows,
+    never the event stream; the in-task pick is a sorted head/tail."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from .common import cluster_partitions
+
+    if num_partitions is None:
+        num_partitions = cluster_partitions()
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "user_id", "event_type", "value"],
+    )
+
+    cand_sch = pa.schema([
+        ("user_id", pa.int64()), ("ts_us", pa.int64()),
+        ("event_id", pa.int64()), ("event_type", pa.string()),
+        ("value", pa.float64()), ("part", pa.int32()),
+    ])
+
+    def candidates(df: pd.DataFrame) -> pa.Table:
+        df = df.assign(
+            ts_us=df["ts"].astype("datetime64[us]").astype("int64")
+        ).sort_values(["user_id", "ts_us", "event_id"], kind="mergesort")
+        g = df.groupby("user_id", sort=False)
+        sel = pd.concat([g.head(1), g.tail(1)]).drop_duplicates(
+            ["user_id", "ts_us", "event_id"]
+        )
+        u = sel["user_id"].to_numpy(np.int64)
+        return pa.table({
+            "user_id": pa.array(u),
+            "ts_us": pa.array(sel["ts_us"].to_numpy(np.int64)),
+            "event_id": pa.array(sel["event_id"].to_numpy(np.int64)),
+            "event_type": pa.array(sel["event_type"].astype(str)),
+            "value": pa.array(sel["value"].to_numpy(np.float64)),
+            "part": pa.array(
+                (u % num_partitions).astype(np.int32), pa.int32()
+            ),
+        }, schema=cand_sch)
+
+    out_sch = pa.schema([
+        ("user_id", pa.int64()),
+        ("first_event_id", pa.int64()), ("first_type", pa.string()),
+        ("first_value", pa.float64()),
+        ("last_event_id", pa.int64()), ("last_type", pa.string()),
+        ("last_value", pa.float64()),
+    ])
+
+    def pick(df: pd.DataFrame) -> pa.Table:
+        if len(df) == 0:
+            return out_sch.empty_table()
+        df = df.sort_values(["user_id", "ts_us", "event_id"],
+                            kind="mergesort")
+        g = df.groupby("user_id", sort=False)
+        f, l = g.head(1).set_index("user_id"), g.tail(1).set_index("user_id")
+        return pa.table({
+            "user_id": pa.array(f.index.to_numpy(np.int64)),
+            "first_event_id": pa.array(f["event_id"].to_numpy(np.int64)),
+            "first_type": pa.array(f["event_type"].astype(str)),
+            "first_value": pa.array(f["value"].to_numpy(np.float64)),
+            "last_event_id": pa.array(l["event_id"].to_numpy(np.int64)),
+            "last_type": pa.array(l["event_type"].astype(str)),
+            "last_value": pa.array(l["value"].to_numpy(np.float64)),
+        }, schema=out_sch)
+
+    return (
+        ds.map_batches(candidates, batch_format="pandas")
+        .groupby("part")
+        .map_groups(pick, batch_format="pandas")
+    )
+
+
+def market_basket_pairs(sf_dir: str, min_support: int = 2,
+                        num_partitions: int | None = None):
+    """Market-basket co-occurrence mining over lineitem: every pair of
+    distinct parts appearing together in at least ``min_support`` orders,
+    with the exact support count (the frequent-2-itemset step of Apriori).
+
+    Plan: pruned 2-column read -> ONE hash(orderkey) exchange (each task
+    owns whole orders) -> per-order unique-sorted parts expand to triu
+    pairs, pre-aggregated to (part_a, part_b) partial counts in-task ->
+    one bucketed pair-key combine + support filter. Pair fan-out is
+    C(basket, 2) — inherent to the itemset, and baskets are bounded (7
+    lines per TPC-H order); the combine exchange moves only distinct-pair
+    partials."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from .common import bucketed_sum_combine, cluster_partitions
+
+    if num_partitions is None:
+        num_partitions = cluster_partitions()
+    ds = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_partkey"]
+    )
+
+    pair_sch = pa.schema([
+        ("part_a", pa.int64()), ("part_b", pa.int64()),
+        ("support", pa.int64()),
+    ])
+
+    def order_pairs(df: pd.DataFrame) -> pa.Table:
+        if len(df) == 0:
+            return pair_sch.empty_table()
+        a_all, b_all = [], []
+        for _, parts in df.groupby("l_orderkey")["l_partkey"]:
+            ps = np.unique(parts.to_numpy(np.int64))
+            if len(ps) < 2:
+                continue
+            iu, iv = np.triu_indices(len(ps), k=1)
+            a_all.append(ps[iu])
+            b_all.append(ps[iv])
+        if not a_all:
+            return pair_sch.empty_table()
+        g = pd.DataFrame({
+            "part_a": np.concatenate(a_all), "part_b": np.concatenate(b_all),
+        }).groupby(["part_a", "part_b"], as_index=False).size()
+        return pa.table({
+            "part_a": pa.array(g["part_a"].to_numpy(np.int64)),
+            "part_b": pa.array(g["part_b"].to_numpy(np.int64)),
+            "support": pa.array(g["size"].to_numpy(np.int64)),
+        }, schema=pair_sch)
+
+    partials = (
+        ds.map_batches(
+            append_mod_part, batch_format="pyarrow",
+            fn_args=("l_orderkey", num_partitions),
+        )
+        .groupby("part")
+        .map_groups(order_pairs, batch_format="pandas")
+    )
+    combined = bucketed_sum_combine(
+        partials, keys=["part_a", "part_b"], sum_cols=["support"],
+        schema=pair_sch, num_partitions=num_partitions,
+    )
+
+    def filt(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return batch.filter(
+            pc.greater_equal(batch["support"], min_support)
+        )
+
+    return combined.map_batches(filt, batch_format="pyarrow")

@@ -383,6 +383,50 @@ def test_semdedup_planted_duplicates(ray_session, tmp_path):
     assert all(cmap[i] == cl[i] for i in range(n))
 
 
+def test_user_first_last(ray_session):
+    """First/last event per user equals a pandas idxmin/idxmax recount on
+    the (ts, event_id) order."""
+    from rayld.pipelines.relational import user_first_last
+
+    got = user_first_last(SF, num_partitions=4).to_pandas()
+    ev = pd.read_parquet(
+        f"{SF}/events.parquet",
+        columns=["event_id", "ts", "user_id", "event_type", "value"],
+    ).sort_values(["user_id", "ts", "event_id"])
+    g = ev.groupby("user_id")
+    f, l = g.head(1).set_index("user_id"), g.tail(1).set_index("user_id")
+    m = got.set_index("user_id").sort_index()
+    assert len(m) == ev["user_id"].nunique()
+    assert (m["first_event_id"] == f["event_id"].sort_index()).all()
+    assert (m["last_event_id"] == l["event_id"].sort_index()).all()
+    assert (m["first_type"] == f["event_type"].sort_index()).all()
+    assert (m["last_value"] == l["value"].sort_index()).all()
+
+
+def test_market_basket_pairs(ray_session):
+    """Pair supports equal a brute-force per-order recount; pairs below
+    min_support are absent and keys are canonically ordered."""
+    from collections import Counter
+
+    from rayld.pipelines.relational import market_basket_pairs
+
+    got = market_basket_pairs(SF, min_support=2,
+                              num_partitions=4).to_pandas()
+    li = pd.read_parquet(f"{SF}/lineitem.parquet",
+                         columns=["l_orderkey", "l_partkey"])
+    want = Counter()
+    for _, parts in li.groupby("l_orderkey")["l_partkey"]:
+        ps = sorted(set(parts))
+        for i in range(len(ps)):
+            for j in range(i + 1, len(ps)):
+                want[(ps[i], ps[j])] += 1
+    want = {k: v for k, v in want.items() if v >= 2}
+    m = {(int(r.part_a), int(r.part_b)): int(r.support)
+         for r in got.itertuples()}
+    assert m == want
+    assert (got["part_a"] < got["part_b"]).all()
+
+
 def test_dsir_weights_planted_target(ray_session, tmp_path):
     """DSIR log-weights equal a single-process recount of the smoothed
     unigram ratio model, and target-like docs outscore off-target docs."""
