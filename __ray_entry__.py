@@ -149,6 +149,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_entity_cooccurrence": kg_entity_cooccurrence,
         "user_triangles": graph.user_triangles,
         "user_common_neighbors": graph.user_common_neighbors,
+        "user_resource_allocation": graph.user_resource_allocation,
         "user_kcore": lambda sf: graph.user_kcore(sf, k=91),
         "user_kcore_check": lambda sf: graph.user_kcore_check(sf, k=91),
         # JSON-LD API surface A1-A7 + S1/S2 (non-SQL)
@@ -279,6 +280,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "grouped_p90_cont": relational.grouped_p90_cont,
         "user_first_last": relational.user_first_last,
         "market_basket_pairs": relational.market_basket_pairs,
+        "q5_local_supplier_volume": relational.q5_local_supplier_volume,
+        "user_status_intervals": relational.user_status_intervals,
+        "events_gap_fill": relational.events_gap_fill,
         # multimodal plumbing
         "media_byte_stats": multimodal.media_byte_stats,
         "media_resize": multimodal.media_resize,
@@ -1332,6 +1336,72 @@ def oracle_sql() -> dict[str, str]:
             " SELECT u, v, n_common FROM cn"
             " WHERE NOT EXISTS (SELECT 1 FROM e"
             "   WHERE e.p = cn.u AND e.q = cn.v)"
+        ),
+        # resource-allocation link prediction: 1/deg(w) summed over common
+        # neighbors, in exact integer micro-units on both sides
+        "user_resource_allocation": (
+            "WITH uk AS (SELECT DISTINCT user_id AS u,"
+            "   json_extract_string(props, '$.k')::BIGINT AS k"
+            "  FROM events WHERE event_type = 'purchase'),"
+            " e AS (SELECT DISTINCT a.u AS p, b.u AS q"
+            "  FROM uk a JOIN uk b USING (k) WHERE a.u < b.u),"
+            " adj AS (SELECT p AS w, q AS x FROM e"
+            "  UNION ALL SELECT q, p FROM e),"
+            " deg AS (SELECT w, count(DISTINCT x)::BIGINT AS d"
+            "  FROM adj GROUP BY 1),"
+            " ra AS (SELECT a.x AS u, b.x AS v,"
+            "   sum((2000000 + d) // (2 * d))::BIGINT AS ra_micro"
+            "  FROM adj a JOIN adj b ON a.w = b.w AND a.x < b.x"
+            "  JOIN deg ON deg.w = a.w GROUP BY 1, 2)"
+            " SELECT u, v, ra_micro FROM ra"
+            " WHERE NOT EXISTS (SELECT 1 FROM e"
+            "   WHERE e.p = ra.u AND e.q = ra.v)"
+        ),
+        # TPC-H Q5: same-nation customer+supplier revenue per nation in a
+        # region; per-item integer cents, half-up, summed exactly
+        "q5_local_supplier_volume": (
+            "SELECT n_name,"
+            " sum(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5)"
+            "     ::BIGINT)::BIGINT AS revenue_c"
+            " FROM customer JOIN orders ON c_custkey = o_custkey"
+            " JOIN lineitem ON l_orderkey = o_orderkey"
+            " JOIN supplier ON l_suppkey = s_suppkey"
+            " JOIN nation ON s_nationkey = n_nationkey"
+            " JOIN region ON n_regionkey = r_regionkey"
+            " WHERE r_name = 'ASIA' AND c_nationkey = s_nationkey"
+            "  AND o_orderdate >= DATE '1996-01-01'"
+            "  AND o_orderdate < DATE '1998-01-01'"
+            " GROUP BY n_name"
+        ),
+        # SCD-2 compress-history: one interval per run of equal type; the
+        # open last interval carries -1 (NULL-free compare contract)
+        "user_status_intervals": (
+            "WITH o AS (SELECT user_id, event_type, event_id,"
+            "   epoch_us(ts) AS ts_us,"
+            "   lag(event_type) OVER (PARTITION BY user_id"
+            "    ORDER BY ts, event_id) AS prev_type FROM events),"
+            " ch AS (SELECT user_id, event_type, event_id, ts_us FROM o"
+            "  WHERE prev_type IS NULL OR prev_type <> event_type)"
+            " SELECT user_id, event_type, ts_us AS valid_from_us,"
+            "  coalesce(lead(ts_us) OVER (PARTITION BY user_id"
+            "   ORDER BY ts_us, event_id), -1)::BIGINT AS valid_to_us"
+            " FROM ch"
+        ),
+        # dense hourly resample per user: zero-filled gaps between each
+        # user's first and last active hour
+        "events_gap_fill": (
+            "WITH h AS (SELECT user_id,"
+            "   epoch_us(date_trunc('hour', ts))::BIGINT AS hour_us,"
+            "   count(*)::BIGINT AS n FROM events GROUP BY 1, 2),"
+            " s AS (SELECT user_id, min(hour_us) AS a, max(hour_us) AS b"
+            "  FROM h GROUP BY 1),"
+            " g AS (SELECT user_id, a + 3600000000 *"
+            "   unnest(range(((b - a) // 3600000000 + 1)::BIGINT))"
+            "   AS hour_us FROM s)"
+            " SELECT g.user_id, g.hour_us,"
+            "  coalesce(h.n, 0)::BIGINT AS n"
+            " FROM g LEFT JOIN h ON g.user_id = h.user_id"
+            "  AND g.hour_us = h.hour_us"
         ),
         # FIRST_VALUE / LAST_VALUE per user over (ts, event_id) order
         "user_first_last": (

@@ -2924,3 +2924,342 @@ def market_basket_pairs(sf_dir: str, min_support: int = 2,
         )
 
     return combined.map_batches(filt, batch_format="pyarrow")
+
+
+def q5_local_supplier_volume(sf_dir: str, region: str = "ASIA",
+                             date_from: str = "1996-01-01",
+                             date_to: str = "1998-01-01",
+                             num_partitions: int | None = None):
+    """TPC-H Q5-style local-supplier volume: revenue per nation for orders
+    in a date range where the CUSTOMER and the LINEITEM's SUPPLIER sit in
+    the same nation of one region — the deepest join tree in the engine
+    (lineitem x orders x customer x supplier x nation x region).
+
+    Shuffle-minimizing plan:
+    - nation x region resolves driver-side (25 x 5 rows) to the region's
+      nationkey -> name map, broadcast once;
+    - supplier prunes to the region's nations and broadcasts as sorted
+      (suppkey -> nationkey) arrays (suppliers are the smallest fact-side
+      dimension; at the 1e8+-supplier extreme switch this side to the same
+      bucketed join the customer side uses);
+    - customer x orders is a bucketed hash(custkey) % P join of pruned
+      slim rows (in-region customers only; date-filtered orders only);
+    - lineitem pre-aggregates revenue cents per (orderkey, supp_nation)
+      per batch BEFORE its one hash(orderkey) % P exchange, so the big
+      join moves ~|orders| rows, not ~|lineitem|;
+    - the same-nation filter applies inside the join task; survivors
+      pre-aggregate to (nationkey, cents) and ONE bounded combine
+      finishes. Money follows the integer-cents half-up contract."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray
+    import ray.data as rd
+
+    from ..functions.vectorized import money_cents
+    from .common import bucketed_sum_combine, cluster_partitions
+
+    if num_partitions is None:
+        num_partitions = cluster_partitions()
+    t_from, t_to = pd.Timestamp(date_from), pd.Timestamp(date_to)
+
+    nation = pq.read_table(f"{sf_dir}/nation.parquet").to_pandas()
+    reg = pq.read_table(f"{sf_dir}/region.parquet").to_pandas()
+    rkey = reg.loc[reg["r_name"] == region, "r_regionkey"]
+    nat = nation[nation["n_regionkey"].isin(set(rkey))]
+    nat_names = dict(zip(nat["n_nationkey"].astype(int), nat["n_name"]))
+    nat_keys = np.asarray(sorted(nat_names), dtype=np.int64)
+
+    supp = pq.read_table(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]
+    ).to_pandas()
+    supp = supp[supp["s_nationkey"].isin(nat_names)].sort_values("s_suppkey")
+    supp_ref = ray.put((
+        supp["s_suppkey"].to_numpy(np.int64),
+        supp["s_nationkey"].to_numpy(np.int64),
+    ))
+
+    # --- side A: in-region customers ⋈ date-filtered orders (custkey) ---
+    cust = rd.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    )
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+    )
+    ab_sch = pa.schema([
+        ("custkey", pa.int64()), ("o_orderkey", pa.int64()),
+        ("c_nat", pa.int64()), ("is_order", pa.int8()),
+    ])
+
+    def cust_rows(df: pd.DataFrame) -> pa.Table:
+        df = df[df["c_nationkey"].isin(nat_names)]
+        n = len(df)
+        return pa.table({
+            "custkey": pa.array(df["c_custkey"].to_numpy(np.int64)),
+            "o_orderkey": pa.array(np.zeros(n, np.int64)),
+            "c_nat": pa.array(df["c_nationkey"].to_numpy(np.int64)),
+            "is_order": pa.array(np.zeros(n, np.int8), pa.int8()),
+        }, schema=ab_sch)
+
+    def order_rows(df: pd.DataFrame) -> pa.Table:
+        df = df[(df["o_orderdate"] >= t_from) & (df["o_orderdate"] < t_to)]
+        n = len(df)
+        return pa.table({
+            "custkey": pa.array(df["o_custkey"].to_numpy(np.int64)),
+            "o_orderkey": pa.array(df["o_orderkey"].to_numpy(np.int64)),
+            "c_nat": pa.array(np.zeros(n, np.int64)),
+            "is_order": pa.array(np.ones(n, np.int8), pa.int8()),
+        }, schema=ab_sch)
+
+    def bucket_cust(batch: pa.Table) -> pa.Table:
+        k = np.asarray(batch["custkey"].to_pylist(), dtype=np.int64)
+        return batch.append_column(
+            "part", pa.array((k % num_partitions).astype(np.int32),
+                             pa.int32())
+        )
+
+    onat_sch = pa.schema([
+        ("o_orderkey", pa.int64()), ("c_nat", pa.int64()),
+        ("s_nat", pa.int64()), ("rev_c", pa.int64()),
+        ("is_rev", pa.int8()),
+    ])
+
+    def cust_join(df: pd.DataFrame) -> pa.Table:
+        if len(df) == 0:
+            return onat_sch.empty_table()
+        left = df[df["is_order"] == 0][["custkey", "c_nat"]]
+        right = df[df["is_order"] == 1][["custkey", "o_orderkey"]]
+        m = right.merge(left, on="custkey")
+        n = len(m)
+        return pa.table({
+            "o_orderkey": pa.array(m["o_orderkey"].to_numpy(np.int64)),
+            "c_nat": pa.array(m["c_nat"].to_numpy(np.int64)),
+            "s_nat": pa.array(np.zeros(n, np.int64)),
+            "rev_c": pa.array(np.zeros(n, np.int64)),
+            "is_rev": pa.array(np.zeros(n, np.int8), pa.int8()),
+        }, schema=onat_sch)
+
+    order_nat = (
+        cust.map_batches(cust_rows, batch_format="pandas")
+        .union(orders.map_batches(order_rows, batch_format="pandas"))
+        .map_batches(bucket_cust, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(cust_join, batch_format="pandas")
+    )
+
+    # --- side B: lineitem revenue partials per (orderkey, supp nation) ---
+    lineitem = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
+    )
+
+    def rev_partial(df: pd.DataFrame) -> pa.Table:
+        sk, snat = ray.get(supp_ref)
+        keys = df["l_suppkey"].to_numpy(np.int64)
+        if len(sk) == 0:
+            return onat_sch.empty_table()
+        pos = np.minimum(np.searchsorted(sk, keys), len(sk) - 1)
+        hit = sk[pos] == keys
+        df = df[hit].assign(s_nat=snat[pos[hit]])
+        df = df.assign(rev_c=money_cents(
+            df["l_extendedprice"] * (1 - df["l_discount"])
+        ))
+        g = df.groupby(["l_orderkey", "s_nat"], as_index=False).agg(
+            rev_c=("rev_c", "sum")
+        )
+        n = len(g)
+        return pa.table({
+            "o_orderkey": pa.array(g["l_orderkey"].to_numpy(np.int64)),
+            "c_nat": pa.array(np.zeros(n, np.int64)),
+            "s_nat": pa.array(g["s_nat"].to_numpy(np.int64)),
+            "rev_c": pa.array(g["rev_c"].to_numpy(np.int64)),
+            "is_rev": pa.array(np.ones(n, np.int8), pa.int8()),
+        }, schema=onat_sch)
+
+    def bucket_order(batch: pa.Table) -> pa.Table:
+        k = np.asarray(batch["o_orderkey"].to_pylist(), dtype=np.int64)
+        return batch.append_column(
+            "part2", pa.array(((k // 3) % num_partitions).astype(np.int32),
+                              pa.int32())
+        )
+
+    nat_part_sch = pa.schema([
+        ("nationkey", pa.int64()), ("revenue_c", pa.int64()),
+    ])
+
+    def order_join(df: pd.DataFrame) -> pa.Table:
+        if len(df) == 0 or "is_rev" not in df.columns:
+            return nat_part_sch.empty_table()
+        left = df[df["is_rev"] == 0][["o_orderkey", "c_nat"]]
+        right = df[df["is_rev"] == 1][["o_orderkey", "s_nat", "rev_c"]]
+        m = right.merge(left, on="o_orderkey")
+        m = m[m["s_nat"] == m["c_nat"]]
+        g = m.groupby("s_nat", as_index=False).agg(rev_c=("rev_c", "sum"))
+        return pa.table({
+            "nationkey": pa.array(g["s_nat"].to_numpy(np.int64)),
+            "revenue_c": pa.array(g["rev_c"].to_numpy(np.int64)),
+        }, schema=nat_part_sch)
+
+    partials = (
+        order_nat.union(
+            lineitem.map_batches(rev_partial, batch_format="pandas")
+        )
+        .map_batches(bucket_order, batch_format="pyarrow")
+        .groupby("part2")
+        .map_groups(order_join, batch_format="pandas")
+    )
+    combined = bucketed_sum_combine(
+        partials, keys=["nationkey"], sum_cols=["revenue_c"],
+        schema=nat_part_sch, num_partitions=num_partitions,
+    )
+
+    def name(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "n_name": df["nationkey"].map(nat_names).astype(str),
+            "revenue_c": df["revenue_c"].astype("int64"),
+        })
+
+    return combined.map_batches(name, batch_format="pandas")
+
+
+def user_status_intervals(sf_dir: str, num_partitions: int | None = None):
+    """Compress-history (SCD-2 interval build): collapse each user's
+    ordered event stream into validity intervals — one row per run of
+    consecutive equal event_type, `[valid_from_us, valid_to_us)` where
+    valid_to is the NEXT change's timestamp and the still-open last
+    interval carries the sentinel -1 (a NULL-free contract so the oracle
+    hash-compares exactly).
+
+    Plan: pruned slim read -> ONE bucketed hash(user_id) % P exchange of
+    (user, ts, id, type) rows -> in-task per-user ordered scan does the
+    LAG-change-point filter and the LEAD valid_to vectorized (shift
+    compare, no Python loop). The exchange moves the event stream once —
+    inherent to an ordered per-key scan, the same cost class as any SQL
+    window over the raw stream."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from .common import cluster_partitions
+
+    if num_partitions is None:
+        num_partitions = cluster_partitions()
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "user_id", "event_type"],
+    )
+
+    def slim(df: pd.DataFrame) -> pa.Table:
+        u = df["user_id"].to_numpy(np.int64)
+        return pa.table({
+            "user_id": pa.array(u),
+            "ts_us": pa.array(
+                df["ts"].astype("datetime64[us]").astype("int64").to_numpy()
+            ),
+            "event_id": pa.array(df["event_id"].to_numpy(np.int64)),
+            "event_type": pa.array(df["event_type"].astype(str)),
+            "part": pa.array(
+                (u % num_partitions).astype(np.int32), pa.int32()
+            ),
+        })
+
+    out_sch = pa.schema([
+        ("user_id", pa.int64()), ("event_type", pa.string()),
+        ("valid_from_us", pa.int64()), ("valid_to_us", pa.int64()),
+    ])
+
+    def intervals(df: pd.DataFrame) -> pa.Table:
+        if len(df) == 0:
+            return out_sch.empty_table()
+        df = df.sort_values(["user_id", "ts_us", "event_id"],
+                            kind="mergesort")
+        change = (df["user_id"].ne(df["user_id"].shift())
+                  | df["event_type"].ne(df["event_type"].shift()))
+        ch = df[change]
+        same_user = ch["user_id"].eq(ch["user_id"].shift(-1))
+        valid_to = ch["ts_us"].shift(-1).where(same_user, -1).astype("int64")
+        return pa.table({
+            "user_id": pa.array(ch["user_id"].to_numpy(np.int64)),
+            "event_type": pa.array(ch["event_type"].astype(str)),
+            "valid_from_us": pa.array(ch["ts_us"].to_numpy(np.int64)),
+            "valid_to_us": pa.array(valid_to.to_numpy(np.int64)),
+        }, schema=out_sch)
+
+    return (
+        ds.map_batches(slim, batch_format="pandas")
+        .groupby("part")
+        .map_groups(intervals, batch_format="pandas")
+    )
+
+
+def events_gap_fill(sf_dir: str, num_partitions: int | None = None):
+    """Dense time-series resample: per (user, hour) event counts with the
+    silent hours ZERO-FILLED between each user's first and last active
+    hour — the gap-filling step every per-entity time-series model needs
+    before training.
+
+    Plan: per-batch pre-aggregation to (user, hour, n) partials (the only
+    thing that ever shuffles) -> ONE bucketed hash(user) % P exchange ->
+    in-task combine + vectorized dense-grid reindex (np.arange over the
+    user's span, fill 0). The dense fan-out is |active span in hours| per
+    user — inherent to the resample semantics, generated AFTER the
+    exchange so it never crosses the wire."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from .common import cluster_partitions
+
+    HOUR_US = 3_600_000_000
+    if num_partitions is None:
+        num_partitions = cluster_partitions()
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts"]
+    )
+
+    def partial(df: pd.DataFrame) -> pa.Table:
+        hour = (
+            df["ts"].dt.floor("h").astype("datetime64[us]").astype("int64")
+        )
+        g = df.assign(hour_us=hour).groupby(
+            ["user_id", "hour_us"], as_index=False
+        ).size()
+        u = g["user_id"].to_numpy(np.int64)
+        return pa.table({
+            "user_id": pa.array(u),
+            "hour_us": pa.array(g["hour_us"].to_numpy(np.int64)),
+            "n": pa.array(g["size"].to_numpy(np.int64)),
+            "part": pa.array(
+                (u % num_partitions).astype(np.int32), pa.int32()
+            ),
+        })
+
+    out_sch = pa.schema([
+        ("user_id", pa.int64()), ("hour_us", pa.int64()),
+        ("n", pa.int64()),
+    ])
+
+    def densify(df: pd.DataFrame) -> pa.Table:
+        if len(df) == 0:
+            return out_sch.empty_table()
+        g = df.groupby(["user_id", "hour_us"], as_index=False)["n"].sum()
+        users, hours, counts = [], [], []
+        for uid, rows in g.groupby("user_id"):
+            grid = np.arange(rows["hour_us"].min(),
+                             rows["hour_us"].max() + HOUR_US, HOUR_US)
+            dense = pd.Series(
+                np.zeros(len(grid), np.int64), index=grid
+            )
+            dense.loc[rows["hour_us"].to_numpy()] = rows["n"].to_numpy()
+            users.append(np.full(len(grid), uid, np.int64))
+            hours.append(grid)
+            counts.append(dense.to_numpy(np.int64))
+        return pa.table({
+            "user_id": pa.array(np.concatenate(users)),
+            "hour_us": pa.array(np.concatenate(hours)),
+            "n": pa.array(np.concatenate(counts)),
+        }, schema=out_sch)
+
+    return (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("part")
+        .map_groups(densify, batch_format="pandas")
+    )

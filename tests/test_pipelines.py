@@ -2458,3 +2458,126 @@ def test_user_common_neighbors(ray_session):
                 want[(u, v)] = n
     m = {(int(r.u), int(r.v)): int(r.n_common) for r in got.itertuples()}
     assert m == want
+
+
+def test_user_resource_allocation(ray_session):
+    """RA micro-scores equal a brute-force recount: per common neighbor w,
+    floor(1e6/deg(w) + 0.5) summed; adjacent pairs are excluded."""
+    import json as _json
+    from collections import defaultdict
+
+    from rayld.pipelines.graph import user_resource_allocation
+
+    got = user_resource_allocation(SF, num_partitions=4).to_pandas()
+    ev = pd.read_parquet(f"{SF}/events.parquet",
+                         columns=["user_id", "event_type", "props"])
+    sel = ev[ev["event_type"] == "purchase"]
+    by_k = defaultdict(set)
+    for _, r in sel.iterrows():
+        k = _json.loads(r["props"]).get("k") if r["props"] else None
+        if k is not None:
+            by_k[int(k)].add(int(r["user_id"]))
+    edges = set()
+    for users in by_k.values():
+        us = sorted(users)
+        for i in range(len(us)):
+            for j in range(i + 1, len(us)):
+                edges.add((us[i], us[j]))
+    nbr = defaultdict(set)
+    for p, q in edges:
+        nbr[p].add(q)
+        nbr[q].add(p)
+    want = {}
+    nodes = sorted(nbr)
+    for i, u in enumerate(nodes):
+        for v in nodes[i + 1:]:
+            if (u, v) in edges:
+                continue
+            s = sum((2_000_000 + len(nbr[w])) // (2 * len(nbr[w]))
+                    for w in nbr[u] & nbr[v])
+            if s:
+                want[(u, v)] = s
+    m = {(int(r.u), int(r.v)): int(r.ra_micro) for r in got.itertuples()}
+    assert m == want
+
+
+def test_q5_local_supplier_volume(ray_session):
+    """Q5 revenue per nation equals a pandas recount of the six-table
+    join with the same integer-cents money contract."""
+    from rayld.pipelines.relational import q5_local_supplier_volume
+
+    got = q5_local_supplier_volume(SF, num_partitions=4).to_pandas()
+    li = pd.read_parquet(f"{SF}/lineitem.parquet")
+    od = pd.read_parquet(f"{SF}/orders.parquet")
+    cu = pd.read_parquet(f"{SF}/customer.parquet")
+    su = pd.read_parquet(f"{SF}/supplier.parquet")
+    na = pd.read_parquet(f"{SF}/nation.parquet")
+    re = pd.read_parquet(f"{SF}/region.parquet")
+    od = od[(od["o_orderdate"] >= pd.Timestamp("1996-01-01"))
+            & (od["o_orderdate"] < pd.Timestamp("1998-01-01"))]
+    m = (li.merge(od, left_on="l_orderkey", right_on="o_orderkey")
+           .merge(cu, left_on="o_custkey", right_on="c_custkey")
+           .merge(su, left_on="l_suppkey", right_on="s_suppkey")
+           .merge(na, left_on="s_nationkey", right_on="n_nationkey")
+           .merge(re, left_on="n_regionkey", right_on="r_regionkey"))
+    m = m[(m["r_name"] == "ASIA") & (m["c_nationkey"] == m["s_nationkey"])]
+    cents = np.floor(
+        m["l_extendedprice"] * (1 - m["l_discount"]) * 100 + 0.5
+    ).astype("int64")
+    want = m.assign(revenue_c=cents).groupby("n_name")["revenue_c"].sum()
+    gm = got.set_index("n_name")["revenue_c"].sort_index()
+    assert gm.to_dict() == want.sort_index().to_dict()
+
+
+def test_user_status_intervals(ray_session):
+    """Intervals equal a per-user run-length compression of the ordered
+    stream; runs abut exactly and the open tail carries -1."""
+    from rayld.pipelines.relational import user_status_intervals
+
+    got = user_status_intervals(SF, num_partitions=4).to_pandas()
+    ev = pd.read_parquet(
+        f"{SF}/events.parquet",
+        columns=["event_id", "ts", "user_id", "event_type"],
+    ).sort_values(["user_id", "ts", "event_id"])
+    ev["ts_us"] = ev["ts"].astype("datetime64[us]").astype("int64")
+    want = []
+    for uid, g in ev.groupby("user_id"):
+        types = g["event_type"].tolist()
+        tss = g["ts_us"].tolist()
+        starts = [i for i in range(len(types))
+                  if i == 0 or types[i] != types[i - 1]]
+        for si, i in enumerate(starts):
+            to = tss[starts[si + 1]] if si + 1 < len(starts) else -1
+            want.append((uid, types[i], tss[i], to))
+    gs = sorted(map(tuple, got[["user_id", "event_type", "valid_from_us",
+                                "valid_to_us"]].itertuples(index=False)))
+    assert gs == sorted(want)
+    # runs abut: within a user, next valid_from == previous valid_to
+    for uid, g in got.sort_values(["user_id", "valid_from_us"]).groupby(
+            "user_id"):
+        vt = g["valid_to_us"].to_numpy()
+        vf = g["valid_from_us"].to_numpy()
+        assert (vt[:-1] == vf[1:]).all()
+        assert vt[-1] == -1
+
+
+def test_events_gap_fill(ray_session):
+    """Dense hourly grid covers [first, last] per user with zero fills;
+    nonzero cells equal a pandas recount."""
+    from rayld.pipelines.relational import events_gap_fill
+
+    got = events_gap_fill(SF, num_partitions=4).to_pandas()
+    ev = pd.read_parquet(f"{SF}/events.parquet", columns=["user_id", "ts"])
+    ev["hour_us"] = (ev["ts"].dt.floor("h").astype("datetime64[us]")
+                     .astype("int64"))
+    cnt = ev.groupby(["user_id", "hour_us"]).size()
+    HOUR = 3_600_000_000
+    for uid, g in got.groupby("user_id"):
+        hrs = g.sort_values("hour_us")["hour_us"].to_numpy()
+        lo = cnt.loc[uid].index.min()
+        hi = cnt.loc[uid].index.max()
+        assert hrs[0] == lo and hrs[-1] == hi
+        assert (np.diff(hrs) == HOUR).all()
+    nz = got[got["n"] > 0].set_index(["user_id", "hour_us"])["n"]
+    assert nz.sort_index().to_dict() == cnt.sort_index().to_dict()
+    assert int(got["n"].sum()) == len(ev)
