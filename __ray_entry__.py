@@ -283,6 +283,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q5_local_supplier_volume": relational.q5_local_supplier_volume,
         "user_status_intervals": relational.user_status_intervals,
         "events_gap_fill": relational.events_gap_fill,
+        "customer_rfm": relational.customer_rfm,
+        "above_nation_avg_customers": relational.above_nation_avg_customers,
+        "monthly_revenue_growth": relational.monthly_revenue_growth,
+        "pca_project": ann.pca_project,
+        "pca_check": lambda sf: ann.pca_check(sf),
         # multimodal plumbing
         "media_byte_stats": multimodal.media_byte_stats,
         "media_resize": multimodal.media_resize,
@@ -1402,6 +1407,47 @@ def oracle_sql() -> dict[str, str]:
             "  coalesce(h.n, 0)::BIGINT AS n"
             " FROM g LEFT JOIN h ON g.user_id = h.user_id"
             "  AND g.hour_us = h.hour_us"
+        ),
+        # RFM segmentation: three exact NTILE(5) scores per user with the
+        # deterministic (metric, user_id) tie order on both sides
+        "customer_rfm": (
+            "WITH u AS (SELECT user_id,"
+            "   max(epoch_us(ts))::BIGINT AS last_us,"
+            "   count(*)::BIGINT AS n_events,"
+            "   sum(floor(value * 100 + 0.5)::BIGINT)::BIGINT AS spend_c"
+            "  FROM events GROUP BY 1),"
+            " t AS (SELECT user_id, last_us, n_events, spend_c,"
+            "   ntile(5) OVER (ORDER BY last_us, user_id)::BIGINT"
+            "    AS r_tile,"
+            "   ntile(5) OVER (ORDER BY n_events, user_id)::BIGINT"
+            "    AS f_tile,"
+            "   ntile(5) OVER (ORDER BY spend_c, user_id)::BIGINT"
+            "    AS m_tile FROM u)"
+            " SELECT *, (100 * r_tile + 10 * f_tile + m_tile)::BIGINT"
+            "  AS rfm FROM t"
+        ),
+        # decorrelated correlated subquery; exact integer cross-multiply
+        # instead of a rounded float average on both sides
+        "above_nation_avg_customers": (
+            "WITH n AS (SELECT c_nationkey,"
+            "   sum(floor(c_acctbal * 100 + 0.5)::BIGINT)::BIGINT AS s,"
+            "   count(*)::BIGINT AS cnt FROM customer GROUP BY 1)"
+            " SELECT c_custkey, c_name, c.c_nationkey::BIGINT"
+            "  AS c_nationkey"
+            " FROM customer c JOIN n USING (c_nationkey)"
+            " WHERE floor(c_acctbal * 100 + 0.5)::BIGINT * cnt > s"
+        ),
+        # period-over-period LAG on the bounded month axis; first month
+        # carries -1 (NULL-free compare contract)
+        "monthly_revenue_growth": (
+            "WITH m AS (SELECT"
+            "   epoch_us(date_trunc('month', o_orderdate))::BIGINT"
+            "    AS month_us,"
+            "   sum(floor(o_totalprice * 100 + 0.5)::BIGINT)::BIGINT"
+            "    AS rev_c FROM orders GROUP BY 1)"
+            " SELECT month_us, rev_c,"
+            "  coalesce(lag(rev_c) OVER (ORDER BY month_us), -1)::BIGINT"
+            "   AS prev_c FROM m"
         ),
         # FIRST_VALUE / LAST_VALUE per user over (ts, event_id) order
         "user_first_last": (

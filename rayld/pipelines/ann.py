@@ -1090,3 +1090,143 @@ def pq_recall_check(sf_dir: str, k: int = 10) -> pd.DataFrame:
             int((approx.groupby("query_id").size() == k).all())
         ],
     })
+
+
+# ---------------------------------------------------------------------------
+# Distributed PCA (moment partials -> driver eigh -> distributed projection)
+# ---------------------------------------------------------------------------
+
+
+def _pca_moments(sf_dir: str):
+    """One pass over embeddings reducing every block to a FIXED-SIZE moment
+    partial (n, sum vector, X^T X Gram matrix — 1 + d + d*d doubles, ~33 KB
+    at d=64 regardless of block row count). The driver merges the <= #blocks
+    partials in sorted min-vec_id order so the float reduction is
+    DETERMINISTIC across runs (Ray block arrival order is not)."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        X = np.stack(
+            [np.asarray(e, dtype=np.float64) for e in t["embedding"].to_pylist()]
+        )
+        return pa.table({
+            "key": pa.array([int(min(t["vec_id"].to_pylist()))], pa.int64()),
+            "n": pa.array([len(X)], pa.int64()),
+            "s": pa.array([X.sum(axis=0).tobytes()], pa.binary()),
+            "ss": pa.array([(X.T @ X).tobytes()], pa.binary()),
+        })
+
+    rows = sorted(
+        (
+            (r["key"], r["n"], r["s"], r["ss"])
+            for b in ds.map_batches(
+                partial, batch_format="pyarrow"
+            ).iter_batches(batch_format="pyarrow")
+            for r in b.to_pylist()
+        ),
+        key=lambda r: r[0],
+    )
+    n = sum(r[1] for r in rows)
+    d = len(np.frombuffer(rows[0][2], dtype=np.float64))
+    s = np.zeros(d)
+    ss = np.zeros((d, d))
+    for _, _, sb, ssb in rows:
+        s += np.frombuffer(sb, dtype=np.float64)
+        ss += np.frombuffer(ssb, dtype=np.float64).reshape(d, d)
+    return n, s, ss
+
+
+def pca_components(n: int, s: np.ndarray, ss: np.ndarray, k: int):
+    """Closed-form PCA from the merged moments: population covariance
+    cov = SS/n - outer(mean, mean), symmetric eigh, top-k by descending
+    eigenvalue. Sign fixed deterministically (the largest-|x| element of
+    each component is made positive — eigh's sign is arbitrary)."""
+    mean = s / n
+    cov = ss / n - np.outer(mean, mean)
+    w, v = np.linalg.eigh(cov)
+    order = np.argsort(w)[::-1][:k]
+    comps = v[:, order].T                     # (k, d)
+    for i in range(comps.shape[0]):
+        j = int(np.argmax(np.abs(comps[i])))
+        if comps[i, j] < 0:
+            comps[i] = -comps[i]
+    evr = w[order] / max(w.sum(), 1e-300)
+    return mean, comps, evr
+
+
+def pca_project(sf_dir: str, k: int = 8):
+    """Distributed PCA projection of the embeddings table onto the top-k
+    principal components: ONE moment pass (fixed-size partials, no
+    shuffle), a d x d driver eigh (d=64 — milliseconds), then one
+    stateless vectorized map projects every row; the (mean, components)
+    pair broadcasts once via ray.put. Output: vec_id + pc_0..pc_{k-1}.
+
+    Nothing materializes but the 33 KB moments; at 100 TB the projection
+    streams. Non-SQL-expressible (eigendecomposition) — correctness is
+    gated by ``pca_check`` single-process parity."""
+    import ray
+    import ray.data as rd
+
+    n, s, ss = _pca_moments(sf_dir)
+    mean, comps, _ = pca_components(n, s, ss, k)
+    ref = ray.put((mean, comps))
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    sch = pa.schema(
+        [("vec_id", pa.int64())]
+        + [(f"pc_{i}", pa.float64()) for i in range(k)]
+    )
+
+    def project(t: pa.Table) -> pa.Table:
+        m, c = ray.get(ref)
+        X = np.stack(
+            [np.asarray(e, dtype=np.float64) for e in t["embedding"].to_pylist()]
+        )
+        Y = (X - m) @ c.T
+        cols = {"vec_id": pa.array(
+            np.asarray(t["vec_id"].to_pylist(), dtype=np.int64)
+        )}
+        for i in range(c.shape[0]):
+            cols[f"pc_{i}"] = pa.array(Y[:, i], pa.float64())
+        return pa.table(cols, schema=sch)
+
+    return ds.map_batches(project, batch_format="pyarrow")
+
+
+def pca_check(sf_dir: str, k: int = 8) -> pd.DataFrame:
+    """Gate: distributed moment-PCA == single-process numpy PCA on the
+    full matrix — covariance parity, projection parity (after the shared
+    deterministic sign convention), and orthonormal components."""
+    import pyarrow.parquet as pq
+
+    n, s, ss = _pca_moments(sf_dir)
+    mean, comps, evr = pca_components(n, s, ss, k)
+
+    tbl = pq.read_table(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    ).to_pandas().sort_values("vec_id")
+    X = np.stack([np.asarray(e, dtype=np.float64) for e in tbl["embedding"]])
+    ref_mean = X.mean(axis=0)
+    ref_cov = np.cov(X, rowvar=False, bias=True)
+    got_cov = ss / n - np.outer(mean, mean)
+
+    got = pca_project(sf_dir, k=k).to_pandas().sort_values("vec_id")
+    want = (X - ref_mean) @ comps.T
+    pc_cols = [f"pc_{i}" for i in range(k)]
+    proj_err = np.abs(got[pc_cols].to_numpy() - want).max()
+
+    return pd.DataFrame({
+        "cov_parity_ok": [int(np.abs(got_cov - ref_cov).max() < 1e-9)],
+        "mean_parity_ok": [int(np.abs(mean - ref_mean).max() < 1e-12)],
+        "proj_parity_ok": [int(proj_err < 1e-8)],
+        "orthonormal_ok": [int(
+            np.abs(comps @ comps.T - np.eye(k)).max() < 1e-9
+        )],
+        "evr_descending_ok": [int((np.diff(evr) <= 1e-12).all())],
+    })

@@ -1601,13 +1601,14 @@ def _user_spend_totals(sf_dir: str):
     ).materialize()
 
 
-def _spend_range_offsets(users, range_shift: int | None):
+def _spend_range_offsets(users, range_shift: int | None,
+                         col: str = "spend_c"):
     """The range-bucket + offset-broadcast plan shared by the global
     window operators (RANK/CUME_DIST/NTILE): coarse range bucket
-    rb = spend_c >> range_shift with the shift DERIVED from the
-    materialized max spend (~128 buckets over the observed range) unless
+    rb = col >> range_shift with the shift DERIVED from the
+    materialized max value (~128 buckets over the observed range) unless
     pinned — a fixed shift collapses small ranges into one serial bucket.
-    The per-rb count table is tiny (bounded by spend RANGE / 2^shift, not
+    The per-rb count table is tiny (bounded by value RANGE / 2^shift, not
     user count), so the driver cumsums it into per-bucket global-position
     offsets. Returns (range_shift, offsets dict, total rows)."""
     import pyarrow as pa
@@ -1617,12 +1618,12 @@ def _spend_range_offsets(users, range_shift: int | None):
     if range_shift is None:
         # the max() runs over the already-materialized user table: one
         # cheap scan
-        max_spend = int(users.max("spend_c") or 0)
+        max_spend = int(users.max(col) or 0)
         range_shift = max(0, max_spend.bit_length() - 7)
 
     def rb_counts(batch: pa.Table) -> pa.Table:
         rb = np.asarray(
-            batch["spend_c"].to_pylist(), dtype=np.int64
+            batch[col].to_pylist(), dtype=np.int64
         ) >> range_shift
         u, c = np.unique(rb, return_counts=True)
         return pa.table({
@@ -1643,12 +1644,12 @@ def _spend_range_offsets(users, range_shift: int | None):
     return range_shift, offsets, total
 
 
-def _append_rb(range_shift: int):
+def _append_rb(range_shift: int, col: str = "spend_c"):
     def add_rb(batch):
         import pyarrow as pa
 
         rb = np.asarray(
-            batch["spend_c"].to_pylist(), dtype=np.int64
+            batch[col].to_pylist(), dtype=np.int64
         ) >> range_shift
         return batch.append_column("rb", pa.array(rb.astype(np.int64)))
 
@@ -3262,4 +3263,294 @@ def events_gap_fill(sf_dir: str, num_partitions: int | None = None):
         ds.map_batches(partial, batch_format="pandas")
         .groupby("part")
         .map_groups(densify, batch_format="pandas")
+    )
+
+
+def customer_rfm(sf_dir: str, n_tiles: int = 5,
+                 num_partitions: int | None = None):
+    """RFM segmentation over the event stream: per user, recency (last
+    activity), frequency (event count) and monetary (integer-cents spend)
+    each scored with an exact global NTILE(n) — the classic
+    marketing/curation segmentation, here as three instances of the
+    rank-family's range-bucket + offset-broadcast plan.
+
+    Plan: ONE combine builds the materialized per-user metric table
+    (mixed max/sum aggregation, bucketed); each metric then pays one
+    bounded rb-histogram + one bucketed rb exchange emitting a SLIM
+    (user, slot, tile) table (deterministic order: metric then user_id);
+    a final hash(user) % P exchange pivots the three tile tables against
+    the base metrics. Everything that shuffles is O(|users|) slim rows —
+    the event stream is read once. Tile arithmetic matches SQL NTILE
+    (first N % n tiles take the extra row)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from .common import cluster_partitions
+
+    if num_partitions is None:
+        num_partitions = cluster_partitions()
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts", "value"]
+    )
+    base_sch = pa.schema([
+        ("user_id", pa.int64()), ("last_us", pa.int64()),
+        ("n_events", pa.int64()), ("spend_c", pa.int64()),
+    ])
+
+    def metric_partial(df: pd.DataFrame) -> pa.Table:
+        g = df.assign(
+            last_us=df["ts"].astype("datetime64[us]").astype("int64"),
+            spend_c=money_cents(df["value"]),
+            n_events=1,
+        ).groupby("user_id", as_index=False).agg(
+            last_us=("last_us", "max"), n_events=("n_events", "sum"),
+            spend_c=("spend_c", "sum"),
+        )
+        return pa.Table.from_pandas(g, preserve_index=False).cast(base_sch)
+
+    def bucket_user(batch: pa.Table) -> pa.Table:
+        u = np.asarray(batch["user_id"].to_pylist(), dtype=np.int64)
+        return batch.append_column(
+            "part", pa.array((u % num_partitions).astype(np.int32),
+                             pa.int32())
+        )
+
+    def metric_combine(df: pd.DataFrame) -> pa.Table:
+        if len(df) == 0:
+            return base_sch.empty_table()
+        g = df.groupby("user_id", as_index=False).agg(
+            last_us=("last_us", "max"), n_events=("n_events", "sum"),
+            spend_c=("spend_c", "sum"),
+        )
+        return pa.Table.from_pandas(g, preserve_index=False).cast(base_sch)
+
+    users = (
+        ds.map_batches(metric_partial, batch_format="pandas")
+        .map_batches(bucket_user, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(metric_combine, batch_format="pandas")
+        .materialize()
+    )
+
+    wide_sch = pa.schema([
+        ("user_id", pa.int64()), ("slot", pa.int8()), ("tile", pa.int64()),
+        ("last_us", pa.int64()), ("n_events", pa.int64()),
+        ("spend_c", pa.int64()),
+    ])
+    tile_tables = []
+    for slot, col in enumerate(("last_us", "n_events", "spend_c")):
+        shift, offsets, total = _spend_range_offsets(users, None, col)
+        big = total // n_tiles + 1
+        small = max(total // n_tiles, 1)
+        n_big = total % n_tiles
+        cut = n_big * big
+
+        def ntile(df: pd.DataFrame, col=col, slot=slot, offsets=offsets,
+                  big=big, small=small, n_big=n_big, cut=cut) -> pa.Table:
+            if len(df) == 0:
+                return wide_sch.empty_table()
+            vals = df[col].to_numpy(np.int64)
+            uid = df["user_id"].to_numpy(np.int64)
+            off = offsets[int(df["rb"].iloc[0])]
+            order = np.lexsort((uid, vals))
+            rn = np.empty(len(df), dtype=np.int64)
+            rn[order] = off + np.arange(1, len(df) + 1, dtype=np.int64)
+            tile = np.where(
+                rn <= cut,
+                (rn - 1) // big + 1,
+                n_big + (rn - cut - 1) // small + 1,
+            )
+            z = np.zeros(len(df), np.int64)
+            return pa.table({
+                "user_id": pa.array(uid),
+                "slot": pa.array(np.full(len(df), slot, np.int8),
+                                 pa.int8()),
+                "tile": pa.array(tile.astype(np.int64)),
+                "last_us": pa.array(z), "n_events": pa.array(z),
+                "spend_c": pa.array(z),
+            }, schema=wide_sch)
+
+        tile_tables.append(
+            users.map_batches(_append_rb(shift, col), batch_format="pyarrow")
+            .groupby("rb")
+            .map_groups(ntile, batch_format="pandas")
+        )
+
+    def base_rows(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return pa.table({
+            "user_id": batch["user_id"],
+            "slot": pa.array(np.full(n, 3, np.int8), pa.int8()),
+            "tile": pa.array(np.zeros(n, np.int64)),
+            "last_us": batch["last_us"], "n_events": batch["n_events"],
+            "spend_c": batch["spend_c"],
+        }, schema=wide_sch)
+
+    out_sch = pa.schema([
+        ("user_id", pa.int64()), ("last_us", pa.int64()),
+        ("n_events", pa.int64()), ("spend_c", pa.int64()),
+        ("r_tile", pa.int64()), ("f_tile", pa.int64()),
+        ("m_tile", pa.int64()), ("rfm", pa.int64()),
+    ])
+
+    def pivot(df: pd.DataFrame) -> pa.Table:
+        if len(df) == 0 or "slot" not in df.columns:
+            return out_sch.empty_table()
+        base = df[df["slot"] == 3].set_index("user_id").sort_index()
+        r = df[df["slot"] == 0].set_index("user_id")["tile"]
+        f = df[df["slot"] == 1].set_index("user_id")["tile"]
+        m = df[df["slot"] == 2].set_index("user_id")["tile"]
+        idx = base.index
+        rt = r.reindex(idx).to_numpy(np.int64)
+        ft = f.reindex(idx).to_numpy(np.int64)
+        mt = m.reindex(idx).to_numpy(np.int64)
+        return pa.table({
+            "user_id": pa.array(idx.to_numpy(np.int64)),
+            "last_us": pa.array(base["last_us"].to_numpy(np.int64)),
+            "n_events": pa.array(base["n_events"].to_numpy(np.int64)),
+            "spend_c": pa.array(base["spend_c"].to_numpy(np.int64)),
+            "r_tile": pa.array(rt), "f_tile": pa.array(ft),
+            "m_tile": pa.array(mt),
+            "rfm": pa.array(100 * rt + 10 * ft + mt),
+        }, schema=out_sch)
+
+    union = users.map_batches(base_rows, batch_format="pyarrow")
+    for t in tile_tables:
+        union = union.union(t)
+    return (
+        union.map_batches(bucket_user, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(pivot, batch_format="pandas")
+    )
+
+
+def above_nation_avg_customers(sf_dir: str):
+    """Decorrelated correlated subquery: customers whose account balance
+    exceeds their NATION's average balance (the classic
+    `WHERE x > (SELECT avg(..) FROM .. WHERE same group)` plan: the
+    subquery decorrelates into one bounded per-nation aggregate that
+    broadcasts back over the fact scan — no self-join).
+
+    The comparison is the exact integer CROSS-MULTIPLY
+    bal_c * n > sum_c (the events_anomaly contract): comparing against a
+    float average would round before comparing and flip boundary rows
+    against the oracle."""
+    import pyarrow as pa
+    import ray
+    import ray.data as rd
+
+    from .common import bucketed_sum_combine
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_name", "c_nationkey", "c_acctbal"],
+    )
+
+    def partial(df: pd.DataFrame) -> pa.Table:
+        g = df.assign(
+            bal_c=money_cents(df["c_acctbal"]), n=1
+        ).groupby("c_nationkey", as_index=False).agg(
+            sum_c=("bal_c", "sum"), n=("n", "sum")
+        )
+        return pa.table({
+            "c_nationkey": pa.array(g["c_nationkey"].to_numpy(np.int64)),
+            "sum_c": pa.array(g["sum_c"].to_numpy(np.int64)),
+            "n": pa.array(g["n"].to_numpy(np.int64)),
+        })
+
+    # 25 nations -> bounded combine, tiny collect, one broadcast
+    nat = bucketed_sum_combine(
+        ds.map_batches(partial, batch_format="pandas"),
+        keys=["c_nationkey"], sum_cols=["sum_c", "n"],
+        schema=pa.schema([
+            ("c_nationkey", pa.int64()), ("sum_c", pa.int64()),
+            ("n", pa.int64()),
+        ]),
+    ).to_pandas()
+    ref = ray.put((
+        nat.set_index("c_nationkey")["sum_c"].to_dict(),
+        nat.set_index("c_nationkey")["n"].to_dict(),
+    ))
+
+    out_sch = pa.schema([
+        ("c_custkey", pa.int64()), ("c_name", pa.string()),
+        ("c_nationkey", pa.int64()),
+    ])
+
+    def filt(df: pd.DataFrame) -> pa.Table:
+        sums, ns = ray.get(ref)
+        bal_c = money_cents(df["c_acctbal"])
+        nk = df["c_nationkey"].astype("int64")
+        keep = bal_c * nk.map(ns).to_numpy(np.int64) > nk.map(
+            sums
+        ).to_numpy(np.int64)
+        sel = df[keep]
+        return pa.table({
+            "c_custkey": pa.array(sel["c_custkey"].to_numpy(np.int64)),
+            "c_name": pa.array(sel["c_name"].astype(str)),
+            "c_nationkey": pa.array(
+                sel["c_nationkey"].to_numpy(np.int64)
+            ),
+        }, schema=out_sch)
+
+    return ds.map_batches(filt, batch_format="pandas")
+
+
+def monthly_revenue_growth(sf_dir: str):
+    """Period-over-period trend: monthly order revenue with the previous
+    month's value attached (LAG over the time axis; first month carries
+    the -1 sentinel — NULL-free compare contract). Partials pre-aggregate
+    per batch; the month axis is BOUNDED (data-span months), so one
+    bounded combine collapses them and the LAG runs in one tiny
+    single-partition finish — the shuffle-free shape any bounded-axis
+    window should take."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from .common import bucketed_sum_combine
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderdate", "o_totalprice"]
+    )
+
+    def partial(df: pd.DataFrame) -> pa.Table:
+        month = (
+            df["o_orderdate"].dt.to_period("M").dt.start_time
+            .astype("datetime64[us]").astype("int64")
+        )
+        g = df.assign(month_us=month, rev_c=money_cents(df["o_totalprice"]))\
+            .groupby("month_us", as_index=False)["rev_c"].sum()
+        return pa.table({
+            "month_us": pa.array(g["month_us"].to_numpy(np.int64)),
+            "rev_c": pa.array(g["rev_c"].to_numpy(np.int64)),
+        })
+
+    monthly = bucketed_sum_combine(
+        ds.map_batches(partial, batch_format="pandas"),
+        keys=["month_us"], sum_cols=["rev_c"],
+        schema=pa.schema([
+            ("month_us", pa.int64()), ("rev_c", pa.int64()),
+        ]),
+    )
+
+    out_sch = pa.schema([
+        ("month_us", pa.int64()), ("rev_c", pa.int64()),
+        ("prev_c", pa.int64()),
+    ])
+
+    def lag(df: pd.DataFrame) -> pa.Table:
+        if len(df) == 0:
+            return out_sch.empty_table()
+        df = df.sort_values("month_us")
+        prev = df["rev_c"].shift(1, fill_value=-1).astype("int64")
+        return pa.table({
+            "month_us": pa.array(df["month_us"].to_numpy(np.int64)),
+            "rev_c": pa.array(df["rev_c"].to_numpy(np.int64)),
+            "prev_c": pa.array(prev.to_numpy(np.int64)),
+        }, schema=out_sch)
+
+    # the month axis is tiny: one partition holds every (month, rev) row
+    return monthly.repartition(1).map_batches(
+        lag, batch_size=None, batch_format="pandas"
     )

@@ -2581,3 +2581,93 @@ def test_events_gap_fill(ray_session):
     nz = got[got["n"] > 0].set_index(["user_id", "hour_us"])["n"]
     assert nz.sort_index().to_dict() == cnt.sort_index().to_dict()
     assert int(got["n"].sum()) == len(ev)
+
+
+def test_customer_rfm(ray_session):
+    """RFM tiles equal pandas qcut-free NTILE recounts with the
+    (metric, user_id) deterministic order; rfm composes the three."""
+    from rayld.pipelines.relational import customer_rfm
+
+    got = customer_rfm(SF, num_partitions=4).to_pandas()
+    ev = pd.read_parquet(f"{SF}/events.parquet",
+                         columns=["user_id", "ts", "value"])
+    ev["spend_c"] = np.floor(ev["value"] * 100 + 0.5).astype("int64")
+    ev["ts_us"] = ev["ts"].astype("datetime64[us]").astype("int64")
+    u = ev.groupby("user_id").agg(
+        last_us=("ts_us", "max"), n_events=("ts_us", "size"),
+        spend_c=("spend_c", "sum"),
+    ).reset_index()
+    n = len(u)
+
+    def ntile(col):
+        order = u.sort_values([col, "user_id"])["user_id"].to_numpy()
+        big, n_big = n // 5 + 1, n % 5
+        tiles = {}
+        for i, uid in enumerate(order):
+            rn = i + 1
+            cut = n_big * big
+            tiles[uid] = ((rn - 1) // big + 1 if rn <= cut
+                          else n_big + (rn - cut - 1) // max(n // 5, 1) + 1)
+        return tiles
+
+    r, f, m = ntile("last_us"), ntile("n_events"), ntile("spend_c")
+    got = got.set_index("user_id").sort_index()
+    assert len(got) == n
+    for uid in u["user_id"]:
+        row = got.loc[uid]
+        assert (row["r_tile"], row["f_tile"], row["m_tile"]) == \
+            (r[uid], f[uid], m[uid])
+        assert row["rfm"] == 100 * r[uid] + 10 * f[uid] + m[uid]
+
+
+def test_above_nation_avg_customers(ray_session):
+    """Survivors equal a pandas recount with the exact cross-multiplied
+    integer comparison."""
+    from rayld.pipelines.relational import above_nation_avg_customers
+
+    got = above_nation_avg_customers(SF).to_pandas()
+    cu = pd.read_parquet(f"{SF}/customer.parquet")
+    cu["bal_c"] = np.floor(cu["c_acctbal"] * 100 + 0.5).astype("int64")
+    g = cu.groupby("c_nationkey")["bal_c"].agg(["sum", "count"])
+    keep = cu.apply(
+        lambda r: r["bal_c"] * g.loc[r["c_nationkey"], "count"]
+        > g.loc[r["c_nationkey"], "sum"], axis=1)
+    assert set(got["c_custkey"]) == set(cu[keep]["c_custkey"])
+
+
+def test_monthly_revenue_growth(ray_session):
+    """Monthly sums equal a pandas recount; prev_c is the previous
+    month's value with -1 on the first month."""
+    from rayld.pipelines.relational import monthly_revenue_growth
+
+    got = monthly_revenue_growth(SF).to_pandas().sort_values("month_us")
+    od = pd.read_parquet(f"{SF}/orders.parquet")
+    od["rev_c"] = np.floor(od["o_totalprice"] * 100 + 0.5).astype("int64")
+    od["month_us"] = (od["o_orderdate"].dt.to_period("M").dt.start_time
+                      .astype("datetime64[us]").astype("int64"))
+    want = od.groupby("month_us")["rev_c"].sum().sort_index()
+    assert got["month_us"].tolist() == want.index.tolist()
+    assert got["rev_c"].tolist() == want.tolist()
+    assert got["prev_c"].iloc[0] == -1
+    assert got["prev_c"].iloc[1:].tolist() == want.tolist()[:-1]
+
+
+def test_pca_parity_gate(ray_session):
+    """Distributed moment-PCA matches single-process numpy PCA (covariance,
+    mean, projection, orthonormality) and explained variance descends."""
+    from rayld.pipelines.ann import pca_check
+
+    flags = pca_check(SF).iloc[0]
+    assert all(flags[c] == 1 for c in flags.index), flags.to_dict()
+
+
+def test_pca_project_variance_order(ray_session):
+    """Projected coordinates carry descending per-column variance (pc_0
+    explains the most) and preserve row count."""
+    from rayld.pipelines.ann import pca_project
+
+    got = pca_project(SF, k=4).to_pandas()
+    emb = pd.read_parquet(f"{SF}/embeddings.parquet")
+    assert len(got) == len(emb)
+    var = [got[f"pc_{i}"].var() for i in range(4)]
+    assert all(var[i] >= var[i + 1] - 1e-12 for i in range(3))
