@@ -288,6 +288,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "monthly_revenue_growth": relational.monthly_revenue_growth,
         "pca_project": ann.pca_project,
         "pca_check": lambda sf: ann.pca_check(sf),
+        "embedding_unpivot": ann.embedding_unpivot,
+        "customer_skyline": relational.customer_skyline,
+        "user_bfs_depth": graph.user_bfs_depth,
         # multimodal plumbing
         "media_byte_stats": multimodal.media_byte_stats,
         "media_resize": multimodal.media_resize,
@@ -1407,6 +1410,45 @@ def oracle_sql() -> dict[str, str]:
             "  coalesce(h.n, 0)::BIGINT AS n"
             " FROM g LEFT JOIN h ON g.user_id = h.user_id"
             "  AND g.hour_us = h.hour_us"
+        ),
+        # list-column unpivot; float32 -> float64 widening is exact
+        "embedding_unpivot": (
+            "SELECT vec_id,"
+            " (generate_subscripts(embedding, 1) - 1)::BIGINT AS dim_idx,"
+            " unnest(embedding)::DOUBLE AS val FROM embeddings"
+        ),
+        # 2-D Pareto skyline (maximize balance and total spend), exact
+        # integer cents; customers without orders spend 0
+        "customer_skyline": (
+            "WITH s AS (SELECT c_custkey,"
+            "   floor(c_acctbal * 100 + 0.5)::BIGINT AS bal_c,"
+            "   coalesce(o.sp, 0)::BIGINT AS spend_c"
+            "  FROM customer LEFT JOIN ("
+            "   SELECT o_custkey,"
+            "    sum(floor(o_totalprice * 100 + 0.5)::BIGINT) AS sp"
+            "   FROM orders GROUP BY 1) o ON c_custkey = o_custkey)"
+            " SELECT c_custkey, bal_c, spend_c FROM s a"
+            " WHERE NOT EXISTS (SELECT 1 FROM s b"
+            "  WHERE b.bal_c >= a.bal_c AND b.spend_c >= a.spend_c"
+            "   AND (b.bal_c > a.bal_c OR b.spend_c > a.spend_c))"
+        ),
+        # BFS depths from the smallest node over the shared-k projection
+        # graph; depth-capped recursive CTE, min(depth) = BFS distance
+        "user_bfs_depth": (
+            "WITH RECURSIVE uk AS (SELECT DISTINCT user_id AS u,"
+            "   json_extract_string(props, '$.k')::BIGINT AS k"
+            "  FROM events WHERE event_type = 'purchase'),"
+            " e AS (SELECT DISTINCT a.u AS p, b.u AS q"
+            "  FROM uk a JOIN uk b USING (k) WHERE a.u < b.u),"
+            " adj AS (SELECT p AS w, q AS x FROM e"
+            "  UNION ALL SELECT q, p FROM e),"
+            " bfs AS ("
+            "  SELECT (SELECT min(p) FROM e) AS node, 0 AS depth"
+            "  UNION"
+            "  SELECT a.x, b.depth + 1 FROM bfs b"
+            "   JOIN adj a ON a.w = b.node WHERE b.depth < 32)"
+            " SELECT node AS user_id, min(depth)::BIGINT AS depth"
+            " FROM bfs GROUP BY 1"
         ),
         # RFM segmentation: three exact NTILE(5) scores per user with the
         # deterministic (metric, user_id) tie order on both sides

@@ -1230,3 +1230,40 @@ def pca_check(sf_dir: str, k: int = 8) -> pd.DataFrame:
         )],
         "evr_descending_ok": [int((np.diff(evr) <= 1e-12).all())],
     })
+
+
+def embedding_unpivot(sf_dir: str):
+    """Columnar explode of the embedding vectors to long form
+    (vec_id, dim_idx, val) — the feature-store unpivot that turns a
+    list<float> column into a joinable per-dimension table. Pure
+    vectorized per-batch reshape (np.repeat + one flat values copy from
+    Arrow's contiguous list buffer) — no shuffle, streams at any scale.
+    float32 -> float64 widening is exact, so the DuckDB unnest oracle
+    matches bit-for-bit."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    sch = pa.schema([
+        ("vec_id", pa.int64()), ("dim_idx", pa.int64()),
+        ("val", pa.float64()),
+    ])
+
+    def explode(t: pa.Table) -> pa.Table:
+        col = t["embedding"].combine_chunks()
+        lc = col.chunk(0) if isinstance(col, pa.ChunkedArray) else col
+        offs = lc.offsets.to_numpy()
+        lens = np.diff(offs)
+        flat = lc.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+        vid = np.repeat(
+            np.asarray(t["vec_id"].to_pylist(), dtype=np.int64), lens
+        )
+        dim = np.concatenate([np.arange(n, dtype=np.int64) for n in lens]) \
+            if len(lens) else np.empty(0, np.int64)
+        return pa.table({
+            "vec_id": pa.array(vid), "dim_idx": pa.array(dim),
+            "val": pa.array(flat),
+        }, schema=sch)
+
+    return ds.map_batches(explode, batch_format="pyarrow")

@@ -1356,3 +1356,150 @@ def user_resource_allocation(sf_dir: str, event_type: str = "purchase",
         .map_batches(pair_bucket, batch_format="pyarrow")
         .groupby("part").map_groups(combine, batch_format="pandas")
     )
+
+
+def user_bfs_depth(sf_dir: str, event_type: str = "purchase",
+                   num_partitions: int | None = None,
+                   max_rounds: int = 64):
+    """Exact BFS depths from a DETERMINISTIC source (the smallest node id)
+    over the user projection graph — distributed single-source shortest
+    path on an unweighted graph, the iterative-frontier shape
+    (``connected_components``' sibling with per-round semantics instead
+    of fixpoint labels).
+
+    Per round: (1) one bucketed hash(w) exchange of the both-orientation
+    edge set + the frontier expands the frontier's neighborhoods in-task;
+    (2) one bucketed hash(node) exchange against the visited set drops
+    already-settled nodes. The driver sees only the frontier COUNT (the
+    convergence scalar); rounds = source eccentricity. Edges materialize
+    once; visited/frontier materialize per round as pipeline breakers
+    (slim 1-2 column tables)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from .common import cluster_partitions
+
+    if num_partitions is None:
+        num_partitions = cluster_partitions(minimum=8)
+
+    edges = _projection_edges(sf_dir, event_type, num_partitions)
+
+    def both(batch: pa.Table) -> pa.Table:
+        p = np.asarray(batch["p"].to_pylist(), dtype=np.int64)
+        q = np.asarray(batch["q"].to_pylist(), dtype=np.int64)
+        w = np.concatenate([p, q])
+        x = np.concatenate([q, p])
+        return pa.table({
+            "w": pa.array(w), "x": pa.array(x),
+            "is_edge": pa.array(np.ones(len(w), np.int8), pa.int8()),
+        })
+
+    adj = edges.map_batches(both, batch_format="pyarrow").materialize()
+    # every edge satisfies p < q, so the global min node id appears as a p
+    src = int(adj.min("w"))
+
+    fr_sch = pa.schema([
+        ("w", pa.int64()), ("x", pa.int64()), ("is_edge", pa.int8()),
+    ])
+    out_sch = pa.schema([("user_id", pa.int64()), ("depth", pa.int64())])
+    nd_sch = pa.schema([("node", pa.int64()), ("is_seen", pa.int8())])
+
+    def bucket_w(batch: pa.Table) -> pa.Table:
+        k = np.asarray(batch["w"].to_pylist(), dtype=np.int64)
+        return batch.append_column(
+            "part", pa.array((k % num_partitions).astype(np.int32),
+                             pa.int32())
+        )
+
+    def bucket_node(batch: pa.Table) -> pa.Table:
+        k = np.asarray(batch["node"].to_pylist(), dtype=np.int64)
+        return batch.append_column(
+            "part", pa.array((k % num_partitions).astype(np.int32),
+                             pa.int32())
+        )
+
+    def expand(df: pd.DataFrame) -> pa.Table:
+        if len(df) == 0 or "is_edge" not in df.columns:
+            return nd_sch.empty_table()
+        in_frontier = set(df.loc[df["is_edge"] == 0, "w"])
+        if not in_frontier:
+            return nd_sch.empty_table()
+        hits = df[(df["is_edge"] == 1) & df["w"].isin(in_frontier)]
+        nbrs = np.unique(hits["x"].to_numpy(np.int64))
+        return pa.table({
+            "node": pa.array(nbrs),
+            "is_seen": pa.array(np.zeros(len(nbrs), np.int8), pa.int8()),
+        }, schema=nd_sch)
+
+    def unseen(df: pd.DataFrame) -> pa.Table:
+        if len(df) == 0 or "is_seen" not in df.columns:
+            return pa.schema([("node", pa.int64())]).empty_table()
+        seen = set(df.loc[df["is_seen"] == 1, "node"])
+        new = df.loc[
+            (df["is_seen"] == 0) & ~df["node"].isin(seen), "node"
+        ].drop_duplicates()
+        return pa.table({"node": pa.array(new.to_numpy(np.int64))})
+
+    frontier = rd.from_arrow(
+        pa.table({"node": pa.array([src], pa.int64())})
+    ).materialize()
+    visited = rd.from_arrow(pa.table({
+        "user_id": pa.array([src], pa.int64()),
+        "depth": pa.array([0], pa.int64()),
+    })).materialize()
+
+    depth = 0
+    while depth < max_rounds:
+        depth += 1
+
+        def fr_rows(batch: pa.Table) -> pa.Table:
+            n = batch.num_rows
+            return pa.table({
+                "w": batch["node"],
+                "x": pa.array(np.zeros(n, np.int64)),
+                "is_edge": pa.array(np.zeros(n, np.int8), pa.int8()),
+            }, schema=fr_sch)
+
+        candidates = (
+            adj.union(frontier.map_batches(fr_rows, batch_format="pyarrow"))
+            .map_batches(bucket_w, batch_format="pyarrow")
+            .groupby("part")
+            .map_groups(expand, batch_format="pandas")
+        )
+
+        def seen_rows(batch: pa.Table) -> pa.Table:
+            n = batch.num_rows
+            return pa.table({
+                "node": batch["user_id"],
+                "is_seen": pa.array(np.ones(n, np.int8), pa.int8()),
+            }, schema=nd_sch)
+
+        new_frontier = (
+            candidates.union(
+                visited.map_batches(seen_rows, batch_format="pyarrow")
+            )
+            .map_batches(bucket_node, batch_format="pyarrow")
+            .groupby("part")
+            .map_groups(unseen, batch_format="pandas")
+            .materialize()
+        )
+        if new_frontier.count() == 0:
+            break
+
+        def depth_rows(batch: pa.Table, d=depth) -> pa.Table:
+            n = batch.num_rows
+            return pa.table({
+                "user_id": batch["node"],
+                "depth": pa.array(np.full(n, d, np.int64)),
+            }, schema=out_sch)
+
+        visited = visited.union(
+            new_frontier.map_batches(depth_rows, batch_format="pyarrow")
+        ).materialize()
+        frontier = new_frontier
+    else:
+        raise RuntimeError(
+            f"user_bfs_depth: no convergence in {max_rounds} rounds"
+        )
+
+    return visited

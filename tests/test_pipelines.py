@@ -2671,3 +2671,101 @@ def test_pca_project_variance_order(ray_session):
     assert len(got) == len(emb)
     var = [got[f"pc_{i}"].var() for i in range(4)]
     assert all(var[i] >= var[i + 1] - 1e-12 for i in range(3))
+
+
+def test_embedding_unpivot(ray_session):
+    """Long form equals a numpy reshape of the full matrix, exactly."""
+    from rayld.pipelines.ann import embedding_unpivot
+
+    got = embedding_unpivot(SF).to_pandas().sort_values(
+        ["vec_id", "dim_idx"]
+    )
+    emb = pd.read_parquet(f"{SF}/embeddings.parquet").sort_values("vec_id")
+    X = np.stack([np.asarray(e, dtype=np.float64)
+                  for e in emb["embedding"]])
+    n, d = X.shape
+    assert len(got) == n * d
+    assert (got["vec_id"].to_numpy()
+            == np.repeat(emb["vec_id"].to_numpy(), d)).all()
+    assert (got["dim_idx"].to_numpy() == np.tile(np.arange(d), n)).all()
+    assert (got["val"].to_numpy() == X.ravel()).all()
+
+
+def test_customer_skyline(ray_session):
+    """Skyline equals a brute-force dominance recount; equal points
+    both survive, dominated points never do."""
+    from rayld.pipelines.relational import customer_skyline
+
+    got = customer_skyline(SF, num_partitions=4).to_pandas()
+    cu = pd.read_parquet(f"{SF}/customer.parquet",
+                         columns=["c_custkey", "c_acctbal"])
+    od = pd.read_parquet(f"{SF}/orders.parquet",
+                         columns=["o_custkey", "o_totalprice"])
+    sp = (np.floor(od["o_totalprice"] * 100 + 0.5).astype("int64")
+          .groupby(od["o_custkey"]).sum())
+    pts = pd.DataFrame({
+        "key": cu["c_custkey"],
+        "bal": np.floor(cu["c_acctbal"] * 100 + 0.5).astype("int64"),
+        "sp": cu["c_custkey"].map(sp).fillna(0).astype("int64"),
+    })
+    want = set()
+    arr = pts[["bal", "sp"]].to_numpy()
+    for i, (b, s) in enumerate(arr):
+        dominated = ((arr[:, 0] >= b) & (arr[:, 1] >= s)
+                     & ((arr[:, 0] > b) | (arr[:, 1] > s))).any()
+        if not dominated:
+            want.add(int(pts["key"].iloc[i]))
+    assert set(got["c_custkey"]) == want
+
+
+def test_customer_skyline_pareto_ties(ray_session):
+    """Pure-function check on the sweep: duplicate points both survive,
+    anti-correlated chains fully survive, dominated interiors drop."""
+    from rayld.pipelines.relational import _pareto_sweep
+
+    df = pd.DataFrame({
+        "c_custkey": [1, 2, 3, 4, 5, 6],
+        "bal_c":   [10, 10, 5, 8, 1, 10],
+        "spend_c": [1, 1, 9, 2, 20, 0],
+    })
+    out = _pareto_sweep(df)
+    # (10,1)x2 tie both survive; (5,9) and (1,20) survive (chain);
+    # (8,2) survives (beats 1 at higher bal is 1 < 2); (10,0) dominated
+    assert set(out["c_custkey"]) == {1, 2, 3, 4, 5}
+
+
+def test_user_bfs_depth(ray_session):
+    """Depths equal a single-process BFS from the smallest node over the
+    recomputed projection graph."""
+    import json as _json
+    from collections import defaultdict, deque
+
+    from rayld.pipelines.graph import user_bfs_depth
+
+    got = user_bfs_depth(SF, num_partitions=4).to_pandas()
+    ev = pd.read_parquet(f"{SF}/events.parquet",
+                         columns=["user_id", "event_type", "props"])
+    sel = ev[ev["event_type"] == "purchase"]
+    by_k = defaultdict(set)
+    for _, r in sel.iterrows():
+        k = _json.loads(r["props"]).get("k") if r["props"] else None
+        if k is not None:
+            by_k[int(k)].add(int(r["user_id"]))
+    nbr = defaultdict(set)
+    for users in by_k.values():
+        us = sorted(users)
+        for i in range(len(us)):
+            for j in range(i + 1, len(us)):
+                nbr[us[i]].add(us[j])
+                nbr[us[j]].add(us[i])
+    src = min(nbr)
+    want = {src: 0}
+    dq = deque([src])
+    while dq:
+        u = dq.popleft()
+        for v in nbr[u]:
+            if v not in want:
+                want[v] = want[u] + 1
+                dq.append(v)
+    m = dict(zip(got["user_id"].astype(int), got["depth"].astype(int)))
+    assert m == want
