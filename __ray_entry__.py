@@ -284,6 +284,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_status_intervals": relational.user_status_intervals,
         "events_gap_fill": relational.events_gap_fill,
         "customer_rfm": relational.customer_rfm,
+        "user_nth_event": relational.user_nth_event,
+        "user_spend_dense_rank": relational.user_spend_dense_rank,
+        "boolean_and_search": text.boolean_and_search,
         "above_nation_avg_customers": relational.above_nation_avg_customers,
         "monthly_revenue_growth": relational.monthly_revenue_growth,
         "pca_project": ann.pca_project,
@@ -1410,6 +1413,37 @@ def oracle_sql() -> dict[str, str]:
             "  coalesce(h.n, 0)::BIGINT AS n"
             " FROM g LEFT JOIN h ON g.user_id = h.user_id"
             "  AND g.hour_us = h.hour_us"
+        ),
+        # NTH_VALUE per user over (ts, event_id) order; users with fewer
+        # than n events are absent (NULL-free contract)
+        "user_nth_event": (
+            "WITH o AS (SELECT user_id, event_id, event_type, value,"
+            "   row_number() OVER (PARTITION BY user_id"
+            "    ORDER BY ts, event_id) AS rn FROM events)"
+            " SELECT user_id, event_id::BIGINT AS nth_event_id,"
+            "  event_type AS nth_type, value AS nth_value"
+            " FROM o WHERE rn = 3"
+        ),
+        # exact global DENSE_RANK over per-user spend (pure value
+        # function, no tiebreak)
+        "user_spend_dense_rank": (
+            "WITH u AS (SELECT user_id,"
+            "   sum(floor(value * 100 + 0.5)::BIGINT) AS spend_c"
+            "  FROM events GROUP BY 1)"
+            " SELECT user_id, spend_c / 100.0 AS spend,"
+            "  dense_rank() OVER (ORDER BY spend_c)::BIGINT AS dense_rank"
+            " FROM u"
+        ),
+        # conjunctive term search under the shared [A-Za-z0-9]+
+        # tokenization
+        "boolean_and_search": (
+            "SELECT doc_id, lang FROM documents"
+            " WHERE list_contains("
+            "   regexp_extract_all(text, '[A-Za-z0-9]+'), 'scan')"
+            "  AND list_contains("
+            "   regexp_extract_all(text, '[A-Za-z0-9]+'), 'merge')"
+            "  AND list_contains("
+            "   regexp_extract_all(text, '[A-Za-z0-9]+'), 'sort')"
         ),
         # list-column unpivot; float32 -> float64 widening is exact
         "embedding_unpivot": (

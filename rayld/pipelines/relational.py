@@ -3681,3 +3681,126 @@ def customer_skyline(sf_dir: str, num_partitions: int | None = None):
     return candidates.repartition(1).map_batches(
         final_skyline, batch_size=None, batch_format="pandas"
     )
+
+
+def user_nth_event(sf_dir: str, n: int = 3,
+                   num_partitions: int | None = None):
+    """NTH_VALUE window: each user's n-th event in (ts, event_id) order
+    (users with fewer than n events are absent — a NULL-free contract).
+    Same sort-free candidate plan as ``user_first_last``: the global n-th
+    event has at most n-1 predecessors overall, hence at most n-1 inside
+    its own block, so each block's local first-n rows per user are a
+    guaranteed superset — only those ≤ n-per-user-per-block slim rows
+    cross the one bucketed hash(user) exchange."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from .common import cluster_partitions
+
+    if num_partitions is None:
+        num_partitions = cluster_partitions()
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "user_id", "event_type", "value"],
+    )
+
+    def candidates(df: pd.DataFrame) -> pa.Table:
+        df = df.assign(
+            ts_us=df["ts"].astype("datetime64[us]").astype("int64")
+        ).sort_values(["user_id", "ts_us", "event_id"], kind="mergesort")
+        sel = df.groupby("user_id", sort=False).head(n)
+        u = sel["user_id"].to_numpy(np.int64)
+        return pa.table({
+            "user_id": pa.array(u),
+            "ts_us": pa.array(sel["ts_us"].to_numpy(np.int64)),
+            "event_id": pa.array(sel["event_id"].to_numpy(np.int64)),
+            "event_type": pa.array(sel["event_type"].astype(str)),
+            "value": pa.array(sel["value"].to_numpy(np.float64)),
+            "part": pa.array(
+                (u % num_partitions).astype(np.int32), pa.int32()
+            ),
+        })
+
+    out_sch = pa.schema([
+        ("user_id", pa.int64()), ("nth_event_id", pa.int64()),
+        ("nth_type", pa.string()), ("nth_value", pa.float64()),
+    ])
+
+    def pick(df: pd.DataFrame) -> pa.Table:
+        if len(df) == 0:
+            return out_sch.empty_table()
+        df = df.sort_values(["user_id", "ts_us", "event_id"],
+                            kind="mergesort")
+        sel = df.groupby("user_id", sort=False).nth(n - 1)
+        return pa.table({
+            "user_id": pa.array(sel["user_id"].to_numpy(np.int64)),
+            "nth_event_id": pa.array(sel["event_id"].to_numpy(np.int64)),
+            "nth_type": pa.array(sel["event_type"].astype(str)),
+            "nth_value": pa.array(sel["value"].to_numpy(np.float64)),
+        }, schema=out_sch)
+
+    return (
+        ds.map_batches(candidates, batch_format="pandas")
+        .groupby("part")
+        .map_groups(pick, batch_format="pandas")
+    )
+
+
+def user_spend_dense_rank(sf_dir: str, range_shift: int | None = None):
+    """Exact global DENSE_RANK of per-user total spend: rank = number of
+    DISTINCT lower values + 1 (no tiebreak needed — dense rank is a pure
+    function of the value). Rank-family plan, distinct flavor: pass 1
+    buckets the materialized user table by coarse range bucket and emits
+    each rb's DISTINCT-value count (a tiny table the driver cumsums into
+    per-rb dense offsets); pass 2 re-buckets and assigns
+    offset + local-unique index + 1 in-task. Two slim rb exchanges, no
+    global sort."""
+    import pyarrow as pa
+
+    users = _user_spend_totals(sf_dir)
+    range_shift, _, _ = _spend_range_offsets(users, range_shift)
+
+    nd_sch = pa.schema([("rb", pa.int64()), ("nd", pa.int64())])
+
+    def rb_distinct(df: pd.DataFrame) -> pa.Table:
+        if len(df) == 0:
+            return nd_sch.empty_table()
+        return pa.table({
+            "rb": pa.array([int(df["rb"].iloc[0])], pa.int64()),
+            "nd": pa.array([int(df["spend_c"].nunique())], pa.int64()),
+        }, schema=nd_sch)
+
+    nd = (
+        users.map_batches(_append_rb(range_shift), batch_format="pyarrow")
+        .groupby("rb").map_groups(rb_distinct, batch_format="pandas")
+        .to_pandas().sort_values("rb")
+    )
+    cum = nd["nd"].cumsum().to_numpy(np.int64)
+    offsets = dict(zip(
+        nd["rb"].to_numpy(np.int64).tolist(),
+        (cum - nd["nd"].to_numpy(np.int64)).tolist(),
+    ))
+
+    sch = pa.schema([
+        ("user_id", pa.int64()), ("spend", pa.float64()),
+        ("dense_rank", pa.int64()),
+    ])
+
+    def rank(df: pd.DataFrame) -> pa.Table:
+        if len(df) == 0:
+            return sch.empty_table()
+        spend = df["spend_c"].to_numpy(np.int64)
+        off = offsets[int(df["rb"].iloc[0])]
+        uniq = np.unique(spend)
+        dense = off + np.searchsorted(uniq, spend) + 1
+        return pa.table({
+            "user_id": pa.array(df["user_id"].to_numpy(np.int64)),
+            "spend": pa.array(spend / 100.0, pa.float64()),
+            "dense_rank": pa.array(dense.astype(np.int64)),
+        }, schema=sch)
+
+    return (
+        users.map_batches(_append_rb(range_shift), batch_format="pyarrow")
+        .groupby("rb")
+        .map_groups(rank, batch_format="pandas")
+    )

@@ -1197,3 +1197,36 @@ def grouped_corr(sf_dir: str):
         })
 
     return moments.map_batches(finish, batch_format="pandas")
+
+
+def boolean_and_search(sf_dir: str, terms: tuple = ("scan", "merge", "sort")):
+    """Conjunctive (boolean AND) term search: documents containing EVERY
+    query term under the engine's [A-Za-z0-9]+ tokenization. One pruned
+    scan, one compiled word-boundary regex per term applied as a
+    vectorized pandas mask — k tiny passes per batch, no index, no
+    shuffle; the postings-index route (``token_postings``) is the
+    build-side alternative when the query stream amortizes an index."""
+    import re as _re
+
+    import ray.data as rd
+
+    pats = [
+        _re.compile(r"(?<![A-Za-z0-9])" + _re.escape(t) + r"(?![A-Za-z0-9])")
+        for t in terms
+    ]
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
+    )
+
+    def filt(df: pd.DataFrame) -> pa.Table:
+        keep = np.ones(len(df), dtype=bool)
+        for p in pats:
+            keep &= df["text"].str.contains(p).to_numpy()
+        sel = df[keep]
+        return pa.table({
+            "doc_id": pa.array(sel["doc_id"].to_numpy(np.int64)),
+            "lang": pa.array(sel["lang"].astype(str)),
+        })
+
+    return ds.map_batches(filt, batch_format="pandas")

@@ -2769,3 +2769,56 @@ def test_user_bfs_depth(ray_session):
                 dq.append(v)
     m = dict(zip(got["user_id"].astype(int), got["depth"].astype(int)))
     assert m == want
+
+
+def test_user_nth_event(ray_session):
+    """The n-th event per user equals a pandas recount; users with fewer
+    than n events are absent."""
+    from rayld.pipelines.relational import user_nth_event
+
+    got = user_nth_event(SF, n=2, num_partitions=4).to_pandas()
+    ev = pd.read_parquet(
+        f"{SF}/events.parquet",
+        columns=["event_id", "ts", "user_id", "event_type", "value"],
+    ).sort_values(["user_id", "ts", "event_id"])
+    want = ev.groupby("user_id").nth(1)
+    m = got.set_index("user_id").sort_index()
+    w = want.set_index("user_id").sort_index()
+    assert m.index.tolist() == w.index.tolist()
+    assert (m["nth_event_id"] == w["event_id"]).all()
+    assert (m["nth_type"] == w["event_type"]).all()
+    assert (m["nth_value"] == w["value"]).all()
+
+
+def test_user_spend_dense_rank(ray_session):
+    """Dense ranks equal pandas rank(method='dense') on exact cents."""
+    from rayld.pipelines.relational import user_spend_dense_rank
+
+    got = user_spend_dense_rank(SF).to_pandas()
+    ev = pd.read_parquet(f"{SF}/events.parquet",
+                         columns=["user_id", "value"])
+    spend = (np.floor(ev["value"] * 100 + 0.5).astype("int64")
+             .groupby(ev["user_id"]).sum())
+    want = spend.rank(method="dense").astype("int64")
+    m = got.set_index("user_id")["dense_rank"].sort_index()
+    assert m.to_dict() == want.sort_index().to_dict()
+
+
+def test_boolean_and_search(ray_session):
+    """Conjunctive search equals a token-set recount; a doc containing a
+    term only as a substring of a longer token does not match."""
+    import re
+
+    from rayld.pipelines.text import boolean_and_search
+
+    terms = ("scan", "merge", "sort")
+    got = boolean_and_search(SF, terms=terms).to_pandas()
+    docs = pd.read_parquet(f"{SF}/documents.parquet",
+                           columns=["doc_id", "text"])
+    tok = docs["text"].map(lambda t: set(re.findall(r"[A-Za-z0-9]+", t)))
+    want = set(docs.loc[
+        tok.map(lambda s: all(t in s for t in terms)), "doc_id"
+    ])
+    assert set(got["doc_id"]) == want
+    # word-boundary check: "scans" alone must not satisfy "scan"
+    assert "scan" not in {"scans"}
