@@ -285,6 +285,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_gap_fill": relational.events_gap_fill,
         "customer_rfm": relational.customer_rfm,
         "user_nth_event": relational.user_nth_event,
+        "sliding_distinct_users": relational.sliding_distinct_users,
+        "merge_upsert": relational.merge_upsert,
         "user_spend_dense_rank": relational.user_spend_dense_rank,
         "boolean_and_search": text.boolean_and_search,
         "above_nation_avg_customers": relational.above_nation_avg_customers,
@@ -1413,6 +1415,32 @@ def oracle_sql() -> dict[str, str]:
             "  coalesce(h.n, 0)::BIGINT AS n"
             " FROM g LEFT JOIN h ON g.user_id = h.user_id"
             "  AND g.hour_us = h.hour_us"
+        ),
+        # trailing 24h sliding COUNT DISTINCT per active hour (distinct
+        # (hour, user) pairs fan out to the windows they serve)
+        "sliding_distinct_users": (
+            "WITH hu AS (SELECT DISTINCT"
+            "   epoch_us(date_trunc('hour', ts))::BIGINT AS h, user_id"
+            "  FROM events),"
+            " hrs AS (SELECT DISTINCT h FROM hu)"
+            " SELECT w.h AS hour_us,"
+            "  count(DISTINCT hu.user_id)::BIGINT AS n_users"
+            " FROM hrs w JOIN hu ON hu.h <= w.h"
+            "  AND hu.h >= w.h - 82800000000"
+            " GROUP BY 1"
+        ),
+        # CDC MERGE INTO (SCD-1): update-wins on matched keys, base rows
+        # pass through, inserts append under shifted keys
+        "merge_upsert": (
+            "WITH u AS (SELECT doc_id, upper(text) AS text"
+            "  FROM documents WHERE doc_id % 7 = 0)"
+            " SELECT b.doc_id::BIGINT AS doc_id,"
+            "  coalesce(u.text, b.text) AS text"
+            " FROM documents b LEFT JOIN u ON b.doc_id = u.doc_id"
+            " UNION ALL"
+            " SELECT (doc_id + 10000000)::BIGINT,"
+            "  'ins-' || doc_id::VARCHAR"
+            " FROM documents WHERE doc_id % 13 = 0"
         ),
         # NTH_VALUE per user over (ts, event_id) order; users with fewer
         # than n events are absent (NULL-free contract)

@@ -3804,3 +3804,196 @@ def user_spend_dense_rank(sf_dir: str, range_shift: int | None = None):
         .groupby("rb")
         .map_groups(rank, batch_format="pandas")
     )
+
+
+def sliding_distinct_users(sf_dir: str, window_hours: int = 24,
+                           num_partitions: int | None = None):
+    """Sliding-window COUNT DISTINCT: for every ACTIVE hour h, the number
+    of distinct users seen in the trailing ``window_hours`` window
+    [h - w + 1, h] — the streaming-dashboard distinct that resists naive
+    windowing because distinct doesn't decompose like a sum.
+
+    Exact distributed plan: (1) the event stream collapses to distinct
+    (hour, user) pairs — per-batch dedup partials, one bucketed
+    hash(user) exchange finishes the dedup (the only pass over raw
+    events); (2) each pair fans out to the ≤ w ACTIVE windows it serves
+    (the active-hour set is bounded by the data's time span and
+    broadcasts); (3) one bucketed hash(window) exchange counts distinct
+    users per window in-task. Everything after step 1 is bounded by
+    w x |distinct (hour, user)|, never the event count."""
+    import pyarrow as pa
+    import ray
+    import ray.data as rd
+
+    from .common import bucketed_sum_combine, cluster_partitions
+
+    HOUR_US = 3_600_000_000
+    if num_partitions is None:
+        num_partitions = cluster_partitions()
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts"]
+    )
+
+    hu_sch = pa.schema([
+        ("hour_us", pa.int64()), ("user_id", pa.int64()),
+        ("part", pa.int32()),
+    ])
+
+    def pair_partial(df: pd.DataFrame) -> pa.Table:
+        hour = (
+            df["ts"].dt.floor("h").astype("datetime64[us]").astype("int64")
+        )
+        g = df.assign(hour_us=hour).drop_duplicates(["hour_us", "user_id"])
+        u = g["user_id"].to_numpy(np.int64)
+        return pa.table({
+            "hour_us": pa.array(g["hour_us"].to_numpy(np.int64)),
+            "user_id": pa.array(u),
+            "part": pa.array(
+                (u % num_partitions).astype(np.int32), pa.int32()
+            ),
+        }, schema=hu_sch)
+
+    def dedup(df: pd.DataFrame) -> pa.Table:
+        g = df.drop_duplicates(["hour_us", "user_id"])
+        return pa.table({
+            "hour_us": pa.array(g["hour_us"].to_numpy(np.int64)),
+            "user_id": pa.array(g["user_id"].to_numpy(np.int64)),
+        })
+
+    pairs = (
+        ds.map_batches(pair_partial, batch_format="pandas")
+        .groupby("part")
+        .map_groups(dedup, batch_format="pandas")
+        .materialize()
+    )
+
+    # bounded: hours in the data span; broadcast as a sorted array
+    hours = np.sort(
+        pairs.groupby("hour_us").count().to_pandas()["hour_us"]
+        .to_numpy(np.int64)
+    )
+    href = ray.put(hours)
+
+    wu_sch = pa.schema([
+        ("hour_us", pa.int64()), ("user_id", pa.int64()),
+        ("part", pa.int32()),
+    ])
+
+    def fan_out(df: pd.DataFrame) -> pa.Table:
+        act = ray.get(href)
+        hs = df["hour_us"].to_numpy(np.int64)
+        us = df["user_id"].to_numpy(np.int64)
+        # windows served by pair (h, u): active hours in [h, h + w - 1]
+        lo = np.searchsorted(act, hs, side="left")
+        hi = np.searchsorted(act, hs + (window_hours - 1) * HOUR_US,
+                             side="right")
+        reps = (hi - lo).astype(np.int64)
+        if reps.sum() == 0:
+            return wu_sch.empty_table()
+        w = np.concatenate([
+            act[a:b] for a, b in zip(lo, hi) if b > a
+        ])
+        uu = np.repeat(us, reps)
+        return pa.table({
+            "hour_us": pa.array(w), "user_id": pa.array(uu),
+            "part": pa.array(
+                ((w // HOUR_US) % num_partitions).astype(np.int32),
+                pa.int32(),
+            ),
+        }, schema=wu_sch)
+
+    out_sch = pa.schema([("hour_us", pa.int64()), ("n_users", pa.int64())])
+
+    def count_distinct(df: pd.DataFrame) -> pa.Table:
+        if len(df) == 0:
+            return out_sch.empty_table()
+        g = df.groupby("hour_us")["user_id"].nunique()
+        return pa.table({
+            "hour_us": pa.array(g.index.to_numpy(np.int64)),
+            "n_users": pa.array(g.to_numpy(np.int64)),
+        }, schema=out_sch)
+
+    return (
+        pairs.map_batches(fan_out, batch_format="pandas")
+        .groupby("part")
+        .map_groups(count_distinct, batch_format="pandas")
+    )
+
+
+def merge_upsert(sf_dir: str, num_partitions: int | None = None):
+    """CDC MERGE INTO (SCD-1 upsert): apply an update/insert changelog to
+    the documents base table — updated keys take the new text, unmatched
+    base rows pass through, inserts append. The changelog here derives
+    deterministically from the base (doc_id % 7 -> uppercase rewrite;
+    doc_id % 13 -> synthetic insert under a shifted key) so the oracle
+    can replay it; in production it is a second Parquet source feeding
+    the same plan.
+
+    Plan: base and updates tag + union through ONE bucketed hash(doc_id)
+    exchange; the in-task merge applies update-wins semantics; inserts
+    are a stateless map that never shuffles. The exchange moves each row
+    once — the same cost class as any hash join on the key."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from .common import cluster_partitions
+
+    if num_partitions is None:
+        num_partitions = cluster_partitions()
+    ds = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+
+    tag_sch = pa.schema([
+        ("doc_id", pa.int64()), ("text", pa.string()),
+        ("is_update", pa.int8()), ("part", pa.int32()),
+    ])
+
+    def base_and_updates(df: pd.DataFrame) -> pa.Table:
+        upd = df[df["doc_id"] % 7 == 0]
+        out = pd.concat([
+            df.assign(is_update=np.int8(0)),
+            upd.assign(text=upd["text"].str.upper(), is_update=np.int8(1)),
+        ])
+        k = out["doc_id"].to_numpy(np.int64)
+        return pa.table({
+            "doc_id": pa.array(k),
+            "text": pa.array(out["text"].astype(str)),
+            "is_update": pa.array(
+                out["is_update"].to_numpy(np.int8), pa.int8()
+            ),
+            "part": pa.array(
+                (k % num_partitions).astype(np.int32), pa.int32()
+            ),
+        }, schema=tag_sch)
+
+    out_sch = pa.schema([("doc_id", pa.int64()), ("text", pa.string())])
+
+    def apply_merge(df: pd.DataFrame) -> pa.Table:
+        if len(df) == 0:
+            return out_sch.empty_table()
+        # update-wins: one row per key, is_update desc picks the new text
+        g = df.sort_values(["doc_id", "is_update"], ascending=[True, False])
+        g = g.drop_duplicates("doc_id", keep="first")
+        return pa.table({
+            "doc_id": pa.array(g["doc_id"].to_numpy(np.int64)),
+            "text": pa.array(g["text"].astype(str)),
+        }, schema=out_sch)
+
+    def inserts(df: pd.DataFrame) -> pa.Table:
+        ins = df[df["doc_id"] % 13 == 0]
+        return pa.table({
+            "doc_id": pa.array(
+                ins["doc_id"].to_numpy(np.int64) + 10_000_000
+            ),
+            "text": pa.array(
+                ("ins-" + ins["doc_id"].astype(str)).astype(str)
+            ),
+        }, schema=out_sch)
+
+    merged = (
+        ds.map_batches(base_and_updates, batch_format="pandas")
+        .groupby("part")
+        .map_groups(apply_merge, batch_format="pandas")
+    )
+    return merged.union(ds.map_batches(inserts, batch_format="pandas"))

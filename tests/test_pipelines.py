@@ -2822,3 +2822,41 @@ def test_boolean_and_search(ray_session):
     assert set(got["doc_id"]) == want
     # word-boundary check: "scans" alone must not satisfy "scan"
     assert "scan" not in {"scans"}
+
+
+def test_sliding_distinct_users(ray_session):
+    """Trailing-24h distinct counts equal a brute-force recount per
+    active hour, including hours whose window spans quiet gaps."""
+    from rayld.pipelines.relational import sliding_distinct_users
+
+    got = sliding_distinct_users(SF, num_partitions=4).to_pandas()
+    ev = pd.read_parquet(f"{SF}/events.parquet", columns=["user_id", "ts"])
+    ev["h"] = (ev["ts"].dt.floor("h").astype("datetime64[us]")
+               .astype("int64"))
+    HOUR = 3_600_000_000
+    want = {}
+    for h in ev["h"].unique():
+        sel = ev[(ev["h"] <= h) & (ev["h"] >= h - 23 * HOUR)]
+        want[int(h)] = sel["user_id"].nunique()
+    m = dict(zip(got["hour_us"].astype(int), got["n_users"].astype(int)))
+    assert m == want
+
+
+def test_merge_upsert(ray_session):
+    """Update-wins on matched keys, pass-through elsewhere, inserts
+    appended — equals a pandas replay of the same changelog."""
+    from rayld.pipelines.relational import merge_upsert
+
+    got = merge_upsert(SF, num_partitions=4).to_pandas()
+    docs = pd.read_parquet(f"{SF}/documents.parquet",
+                           columns=["doc_id", "text"])
+    want = docs.set_index("doc_id")["text"].to_dict()
+    for did, txt in list(want.items()):
+        if did % 7 == 0:
+            want[did] = txt.upper()
+    for did in docs["doc_id"]:
+        if did % 13 == 0:
+            want[did + 10_000_000] = f"ins-{did}"
+    m = dict(zip(got["doc_id"].astype(int), got["text"]))
+    assert m == want
+    assert len(got) == len(want)
