@@ -32,6 +32,7 @@ def entry() -> Any:
 def queries() -> dict[str, Callable[[str], Any]]:
     from rayld.pipelines import (
         ann,
+        bpe,
         curation,
         dedup,
         graph,
@@ -289,6 +290,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "merge_upsert": relational.merge_upsert,
         "user_spend_dense_rank": relational.user_spend_dense_rank,
         "boolean_and_search": text.boolean_and_search,
+        # BPE tokenizer induction (non-SQL; parity gate bpe_check)
+        "bpe_vocab": lambda sf: bpe.bpe_train(sf),
+        "bpe_segment_count": bpe.bpe_segment_count,
+        "bpe_check": lambda sf: bpe.bpe_check(sf),
         "above_nation_avg_customers": relational.above_nation_avg_customers,
         "monthly_revenue_growth": relational.monthly_revenue_growth,
         "pca_project": ann.pca_project,

@@ -2860,3 +2860,61 @@ def test_merge_upsert(ray_session):
     m = dict(zip(got["doc_id"].astype(int), got["text"]))
     assert m == want
     assert len(got) == len(want)
+
+
+def test_bpe_reference_known_merges():
+    """Hand-checkable corpus: 'aaab' x3 + 'aab' x1 merges (a,a) first
+    (count 7), then the tie-break picks lexicographically smallest."""
+    from rayld.pipelines.bpe import bpe_reference
+
+    merges = bpe_reference({"aaab": 3, "aab": 1}, 2)
+    # pairs: (a,a): 3*2+1=7, (a,b): 4 -> first merge (a,a)
+    assert merges[0] == ("a", "a")
+    # then 'aaab' = (aa,a,b), 'aab' = (aa,b): (aa,a)=3, (a,b)=3, (aa,b)=1
+    # tie 3 vs 3 -> lexicographically smallest pair ('a','b')
+    assert merges[1] == ("a", "b")
+
+
+def test_bpe_distributed_parity(ray_session, tmp_path):
+    """Forced-distributed training equals the reference on a planted
+    corpus large enough to exercise multi-block pair combines."""
+    from rayld.pipelines import bpe
+
+    rng = np.random.RandomState(7)
+    vocab = ["stream", "streams", "streaming", "batch", "batches",
+             "shuffle", "shuffles", "reduce", "reducer", "mapper"]
+    texts = [" ".join(rng.choice(vocab, size=30)) for _ in range(400)]
+    pd.DataFrame({"doc_id": range(400), "text": texts}).to_parquet(
+        tmp_path / "documents.parquet")
+    dist = bpe.bpe_train(str(tmp_path), n_merges=8, driver_vocab_max=0,
+                         num_partitions=4)
+    local = bpe.bpe_train(str(tmp_path), n_merges=8,
+                          driver_vocab_max=10**6, num_partitions=4)
+    assert dist.to_pandas().values.tolist() == \
+        local.to_pandas().values.tolist()
+
+
+def test_bpe_check_gate(ray_session):
+    """All gate flags green on the real corpus."""
+    from rayld.pipelines.bpe import bpe_check
+
+    flags = bpe_check(SF).iloc[0]
+    assert all(flags[c] == 1 for c in
+               ["merges_parity_ok", "tokens_le_chars_ok",
+                "merges_reduce_ok"]), flags.to_dict()
+
+
+def test_bpe_segment_count_invariants(ray_session):
+    """Per-doc BPE token counts: bounded above by char count of tokens,
+    below by word count, and a zero-merge tokenizer counts chars."""
+    from rayld.pipelines import bpe
+
+    got = bpe.bpe_segment_count(SF, n_merges=10).to_pandas()
+    docs = pd.read_parquet(f"{SF}/documents.parquet",
+                           columns=["doc_id", "text"])
+    import re
+    toks = docs.set_index("doc_id")["text"].map(
+        lambda t: re.findall(r"[A-Za-z0-9]+", t))
+    m = got.set_index("doc_id")["n_bpe_tokens"]
+    for did, words in toks.items():
+        assert len(words) <= m[did] <= sum(len(w) for w in words)
