@@ -2918,3 +2918,77 @@ def test_bpe_segment_count_invariants(ray_session):
     m = got.set_index("doc_id")["n_bpe_tokens"]
     for did, words in toks.items():
         assert len(words) <= m[did] <= sum(len(w) for w in words)
+
+
+def test_market_basket_bounded_stress(ray_session, tmp_path):
+    """50k orders with unique-ish baskets: the pair exchange stays
+    bounded by distinct pairs (never one Ray group per order or per
+    pair) and partition count doesn't change the result."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from rayld.pipelines.relational import market_basket_pairs
+
+    rng = np.random.RandomState(11)
+    n_orders = 50_000
+    # 3-item baskets over 100 parts: mean pair support ~30
+    ords = np.repeat(np.arange(n_orders, dtype=np.int64), 3)
+    parts = rng.randint(0, 100, size=3 * n_orders).astype(np.int64)
+    d = tmp_path / "mb"
+    d.mkdir()
+    pq.write_table(
+        pa.table({"l_orderkey": pa.array(ords),
+                  "l_partkey": pa.array(parts)}),
+        d / "lineitem.parquet",
+    )
+    out4 = market_basket_pairs(str(d), min_support=20,
+                               num_partitions=4).to_pandas()
+    out9 = market_basket_pairs(str(d), min_support=20,
+                               num_partitions=9).to_pandas()
+    k4 = set(zip(out4["part_a"], out4["part_b"], out4["support"]))
+    k9 = set(zip(out9["part_a"], out9["part_b"], out9["support"]))
+    assert k4 == k9 and len(k4) > 0
+    # spot-exactness on the heaviest pair
+    top = out4.sort_values("support").iloc[-1]
+    li = pd.DataFrame({"o": ords, "p": parts}).drop_duplicates()
+    byo = li.groupby("o")["p"].agg(frozenset)
+    want = sum(1 for s in byo
+               if {int(top["part_a"]), int(top["part_b"])} <= s)
+    assert int(top["support"]) == want
+
+
+def test_sliding_distinct_bounded_stress(ray_session, tmp_path):
+    """300k events over a 90-day span: the fan-out is bounded by
+    24 x |distinct (hour, user)| and window counts are exact at two
+    partition counts."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from rayld.pipelines.relational import sliding_distinct_users
+
+    rng = np.random.RandomState(13)
+    n = 300_000
+    HOUR = 3_600_000_000
+    base = 1_700_000_000_000_000
+    ts_us = base + rng.randint(0, 90 * 24, size=n).astype(np.int64) * HOUR \
+        + rng.randint(0, HOUR, size=n).astype(np.int64)
+    users = rng.randint(0, 2_000, size=n).astype(np.int64)
+    d = tmp_path / "sw"
+    d.mkdir()
+    pq.write_table(
+        pa.table({
+            "user_id": pa.array(users),
+            "ts": pa.array(ts_us, pa.timestamp("us")),
+        }),
+        d / "events.parquet",
+    )
+    out = sliding_distinct_users(str(d), num_partitions=6).to_pandas()
+    # exact recount on 5 sampled hours
+    ev = pd.DataFrame({"u": users, "h": (ts_us // HOUR) * HOUR})
+    hours = np.sort(ev["h"].unique())
+    m = dict(zip(out["hour_us"].astype(int), out["n_users"].astype(int)))
+    assert len(out) == len(hours)
+    for h in hours[[0, len(hours) // 3, len(hours) // 2,
+                    2 * len(hours) // 3, -1]]:
+        sel = ev[(ev["h"] <= h) & (ev["h"] >= h - 23 * HOUR)]
+        assert m[int(h)] == sel["u"].nunique()
