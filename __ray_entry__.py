@@ -287,6 +287,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customer_rfm": relational.customer_rfm,
         "user_nth_event": relational.user_nth_event,
         "sliding_distinct_users": relational.sliding_distinct_users,
+        "grouped_mode": relational.grouped_mode,
+        "user_event_type_agg": relational.user_event_type_agg,
+        "bigram_pmi": text.bigram_pmi,
         "merge_upsert": relational.merge_upsert,
         "user_spend_dense_rank": relational.user_spend_dense_rank,
         "boolean_and_search": text.boolean_and_search,
@@ -1420,6 +1423,48 @@ def oracle_sql() -> dict[str, str]:
             "  coalesce(h.n, 0)::BIGINT AS n"
             " FROM g LEFT JOIN h ON g.user_id = h.user_id"
             "  AND g.hour_us = h.hour_us"
+        ),
+        # exact MODE per group, ties to the smallest value
+        "grouped_mode": (
+            "WITH h AS (SELECT event_type,"
+            "   floor(value * 100 + 0.5)::BIGINT AS v,"
+            "   count(*)::BIGINT AS n FROM events GROUP BY 1, 2),"
+            " r AS (SELECT *, row_number() OVER (PARTITION BY event_type"
+            "   ORDER BY n DESC, v ASC) AS rn FROM h)"
+            " SELECT event_type, v AS mode_value_c, n AS n_occurrences"
+            " FROM r WHERE rn = 1"
+        ),
+        # ordered STRING_AGG of distinct event types per user
+        "user_event_type_agg": (
+            "SELECT user_id,"
+            " string_agg(DISTINCT event_type, ',' ORDER BY event_type)"
+            "  AS types,"
+            " count(DISTINCT event_type)::BIGINT AS n_types"
+            " FROM events GROUP BY 1"
+        ),
+        # PMI collocations as an exact half-up integer micro-ratio
+        # (monotone in PMI; HUGEINT arithmetic mirrors Python ints)
+        "bigram_pmi": (
+            "WITH toks AS (SELECT"
+            "   regexp_extract_all(text, '[A-Za-z0-9]+') AS t"
+            "  FROM documents),"
+            " b AS (SELECT t[i] AS x, t[i + 1] AS y"
+            "  FROM toks, unnest(range(1, len(t))) AS u(i)),"
+            " bc AS (SELECT x, y, count(*)::HUGEINT AS n_xy"
+            "  FROM b GROUP BY 1, 2),"
+            " uc AS (SELECT tok, count(*)::HUGEINT AS n"
+            "  FROM toks, unnest(t) AS v(tok) GROUP BY 1),"
+            " tot AS (SELECT sum(n)::HUGEINT AS nn FROM uc)"
+            " SELECT bc.x || ' ' || bc.y AS bigram,"
+            "  bc.n_xy::BIGINT AS n_xy, ux.n::BIGINT AS n_x,"
+            "  uy.n::BIGINT AS n_y,"
+            "  ((2000000 * tot.nn * bc.n_xy + ux.n * uy.n)"
+            "   // (2 * ux.n * uy.n))::BIGINT AS pmi_ratio_micro"
+            " FROM bc CROSS JOIN tot"
+            "  JOIN uc ux ON bc.x = ux.tok"
+            "  JOIN uc uy ON bc.y = uy.tok"
+            " WHERE bc.n_xy >= 5"
+            " ORDER BY pmi_ratio_micro DESC, bigram LIMIT 100"
         ),
         # trailing 24h sliding COUNT DISTINCT per active hour (distinct
         # (hour, user) pairs fan out to the windows they serve)

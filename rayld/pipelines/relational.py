@@ -3997,3 +3997,112 @@ def merge_upsert(sf_dir: str, num_partitions: int | None = None):
         .map_groups(apply_merge, batch_format="pandas")
     )
     return merged.union(ds.map_batches(inserts, batch_format="pandas"))
+
+
+def grouped_mode(sf_dir: str):
+    """Exact MODE per group (most frequent value, ties to the SMALLEST
+    value — deterministic): same value-histogram plan as
+    ``grouped_median`` — per-batch (type, cents) count partials, one
+    bounded combine (histogram size follows the value RANGE, not the
+    event count), and a per-type argmax over the merged histogram."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from .common import bucketed_sum_combine
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "value"]
+    )
+
+    def partial(df: pd.DataFrame) -> pa.Table:
+        g = df.assign(value_c=money_cents(df["value"]), n=1).groupby(
+            ["event_type", "value_c"], as_index=False
+        )["n"].sum()
+        return pa.table({
+            "event_type": pa.array(g["event_type"].astype(str)),
+            "value_c": pa.array(g["value_c"].to_numpy(np.int64)),
+            "n": pa.array(g["n"].to_numpy(np.int64)),
+        })
+
+    hist = bucketed_sum_combine(
+        ds.map_batches(partial, batch_format="pandas"),
+        keys=["event_type", "value_c"],
+        sum_cols=["n"],
+        schema=pa.schema([
+            ("event_type", pa.string()), ("value_c", pa.int64()),
+            ("n", pa.int64()),
+        ]),
+    )
+
+    sch = pa.schema([
+        ("event_type", pa.string()), ("mode_value_c", pa.int64()),
+        ("n_occurrences", pa.int64()),
+    ])
+
+    def pick(df: pd.DataFrame) -> pa.Table:
+        if len(df) == 0:
+            return sch.empty_table()
+        df = df.sort_values(["n", "value_c"], ascending=[False, True],
+                            kind="mergesort")
+        return pa.table({
+            "event_type": pa.array([str(df["event_type"].iloc[0])]),
+            "mode_value_c": pa.array([int(df["value_c"].iloc[0])],
+                                     pa.int64()),
+            "n_occurrences": pa.array([int(df["n"].iloc[0])], pa.int64()),
+        }, schema=sch)
+
+    return hist.groupby("event_type").map_groups(pick, batch_format="pandas")
+
+
+def user_event_type_agg(sf_dir: str, num_partitions: int | None = None):
+    """Ordered STRING_AGG / LIST aggregate: per user, the sorted distinct
+    event types joined with ',' plus the distinct count. Distinct (user,
+    type) pairs are the per-batch partials (types are bounded, so the
+    partial is tiny); one bucketed hash(user) exchange finishes the dedup
+    and the deterministic in-task sort + join produces the string."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from .common import cluster_partitions
+
+    if num_partitions is None:
+        num_partitions = cluster_partitions()
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_type"]
+    )
+
+    def partial(df: pd.DataFrame) -> pa.Table:
+        g = df.drop_duplicates(["user_id", "event_type"])
+        u = g["user_id"].to_numpy(np.int64)
+        return pa.table({
+            "user_id": pa.array(u),
+            "event_type": pa.array(g["event_type"].astype(str)),
+            "part": pa.array(
+                (u % num_partitions).astype(np.int32), pa.int32()
+            ),
+        })
+
+    sch = pa.schema([
+        ("user_id", pa.int64()), ("types", pa.string()),
+        ("n_types", pa.int64()),
+    ])
+
+    def agg(df: pd.DataFrame) -> pa.Table:
+        if len(df) == 0:
+            return sch.empty_table()
+        g = df.drop_duplicates(["user_id", "event_type"]).sort_values(
+            ["user_id", "event_type"]
+        ).groupby("user_id", sort=False)["event_type"]
+        joined = g.agg(",".join)
+        counts = g.size()
+        return pa.table({
+            "user_id": pa.array(joined.index.to_numpy(np.int64)),
+            "types": pa.array(joined.astype(str)),
+            "n_types": pa.array(counts.to_numpy(np.int64)),
+        }, schema=sch)
+
+    return (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("part")
+        .map_groups(agg, batch_format="pandas")
+    )

@@ -1230,3 +1230,196 @@ def boolean_and_search(sf_dir: str, terms: tuple = ("scan", "merge", "sort")):
         })
 
     return ds.map_batches(filt, batch_format="pandas")
+
+
+def bigram_pmi(sf_dir: str, min_count: int = 5, top_n: int = 100,
+               num_partitions: int | None = None):
+    """Collocation extraction by pointwise mutual information (Church &
+    Hanks 1990): for every adjacent token bigram seen >= ``min_count``
+    times, the association ratio P(x,y)/(P(x)P(y)) = N*n_xy/(n_x*n_y) in
+    exact half-up integer MICRO-units — the transcendental log is
+    monotone in the ratio, so ranking by the exact ratio IS the PMI
+    ranking and the oracle compares integers, not libm outputs.
+
+    Plan: bigram and unigram count tables build like
+    ``bigram_frequencies`` (per-batch partials, spilling aggregate —
+    token keys are unbounded at corpus scale); the bigram table then
+    attaches n_x and n_y through TWO slim bucketed token-hash exchanges
+    (union + in-task merge), never broadcasting the vocabulary; N is one
+    scalar sum. The final ratio arithmetic runs in unbounded Python ints
+    per surviving bigram (the min_count filter bounds it) — mirroring the
+    oracle's HUGEINT."""
+    import zlib
+
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from .common import cluster_partitions
+
+    if num_partitions is None:
+        num_partitions = cluster_partitions()
+
+    docs = documents(sf_dir)
+
+    def uni_partial(df: pd.DataFrame) -> pa.Table:
+        ex = df["text"].str.findall(_TOKEN_RE).explode().dropna()
+        g = ex.value_counts()
+        return pa.table({
+            "token": pa.array(g.index.to_list(), pa.string()),
+            "partial": pa.array(g.to_numpy(np.int64), pa.int64()),
+        })
+
+    def bi_partial(df: pd.DataFrame) -> pa.Table:
+        ex = df["text"].str.findall(_TOKEN_RE).explode().dropna()
+        nxt = ex.groupby(level=0).shift(-1)
+        mask = nxt.notna()
+        g = pd.DataFrame({
+            "x": ex[mask].to_numpy(dtype=object),
+            "y": nxt[mask].to_numpy(dtype=object),
+        }).groupby(["x", "y"], as_index=False).size()
+        return pa.table({
+            "bigram": pa.array(
+                (g["x"] + " " + g["y"]).to_list(), pa.string()
+            ),
+            "partial": pa.array(g["size"].to_numpy(np.int64), pa.int64()),
+        })
+
+    uni = docs.map_batches(uni_partial, batch_format="pandas").groupby(
+        "token"
+    ).aggregate(Sum("partial", alias_name="n")).materialize()
+    bi = docs.map_batches(bi_partial, batch_format="pandas").groupby(
+        "bigram"
+    ).aggregate(Sum("partial", alias_name="n_xy"))
+    total = int(uni.sum("n"))
+
+    def bucket_tok(col):
+        def add(df: pd.DataFrame) -> pa.Table:
+            parts = np.fromiter(
+                (zlib.crc32(str(t).encode()) % num_partitions
+                 for t in df[col]),
+                dtype=np.int32, count=len(df),
+            )
+            return pa.Table.from_pandas(
+                df.assign(part=parts), preserve_index=False
+            )
+        return add
+
+    # exchange 1: attach n_x on hash(x)
+    b1_sch = pa.schema([
+        ("x", pa.string()), ("y", pa.string()),
+        ("n_xy", pa.int64()), ("n_x", pa.int64()),
+    ])
+
+    def bi_rows(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0 or "bigram" not in df.columns:
+            return pd.DataFrame({"x": pd.Series(dtype=str),
+                                 "y": pd.Series(dtype=str),
+                                 "n_xy": pd.Series(dtype="int64"),
+                                 "n_tok": pd.Series(dtype="int64"),
+                                 "is_uni": pd.Series(dtype="int8")})
+        sp = df["bigram"].str.split(" ", n=1, expand=True)
+        keep = df[df["n_xy"] >= min_count]
+        sp = sp.loc[keep.index]
+        return pd.DataFrame({
+            "x": sp[0].astype(str), "y": sp[1].astype(str),
+            "n_xy": keep["n_xy"].astype("int64"),
+            "n_tok": np.int64(0),
+            "is_uni": np.int8(0),
+        })
+
+    def uni_rows(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "x": df["token"].astype(str), "y": "",
+            "n_xy": np.int64(0),
+            "n_tok": df["n"].astype("int64"),
+            "is_uni": np.int8(1),
+        })
+
+    def join_x(df: pd.DataFrame) -> pa.Table:
+        if len(df) == 0 or "is_uni" not in df.columns:
+            return b1_sch.empty_table()
+        left = df[df["is_uni"] == 0][["x", "y", "n_xy"]]
+        right = df[df["is_uni"] == 1][["x", "n_tok"]].rename(
+            columns={"n_tok": "n_x"}
+        )
+        m = left.merge(right, on="x")
+        return pa.table({
+            "x": pa.array(m["x"].astype(str)),
+            "y": pa.array(m["y"].astype(str)),
+            "n_xy": pa.array(m["n_xy"].to_numpy(np.int64)),
+            "n_x": pa.array(m["n_x"].to_numpy(np.int64)),
+        }, schema=b1_sch)
+
+    b1 = (
+        bi.map_batches(bi_rows, batch_format="pandas")
+        .union(uni.map_batches(uni_rows, batch_format="pandas"))
+        .map_batches(bucket_tok("x"), batch_format="pandas")
+        .groupby("part")
+        .map_groups(join_x, batch_format="pandas")
+    )
+
+    out_sch = pa.schema([
+        ("bigram", pa.string()), ("n_xy", pa.int64()),
+        ("n_x", pa.int64()), ("n_y", pa.int64()),
+        ("pmi_ratio_micro", pa.int64()),
+    ])
+
+    def b1_rows(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0 or "n_x" not in df.columns:
+            return pd.DataFrame({"y": pd.Series(dtype=str),
+                                 "x": pd.Series(dtype=str),
+                                 "n_xy": pd.Series(dtype="int64"),
+                                 "n_x": pd.Series(dtype="int64"),
+                                 "n_tok": pd.Series(dtype="int64"),
+                                 "is_uni": pd.Series(dtype="int8")})
+        return pd.DataFrame({
+            "y": df["y"].astype(str), "x": df["x"].astype(str),
+            "n_xy": df["n_xy"].astype("int64"),
+            "n_x": df["n_x"].astype("int64"),
+            "n_tok": np.int64(0), "is_uni": np.int8(0),
+        })
+
+    def uni_rows_y(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "y": df["token"].astype(str), "x": "",
+            "n_xy": np.int64(0), "n_x": np.int64(0),
+            "n_tok": df["n"].astype("int64"),
+            "is_uni": np.int8(1),
+        })
+
+    def join_y(df: pd.DataFrame) -> pa.Table:
+        if len(df) == 0 or "is_uni" not in df.columns:
+            return out_sch.empty_table()
+        left = df[df["is_uni"] == 0][["x", "y", "n_xy", "n_x"]]
+        right = df[df["is_uni"] == 1][["y", "n_tok"]].rename(
+            columns={"n_tok": "n_y"}
+        )
+        m = left.merge(right, on="y")
+        # exact rational -> micro units, unbounded ints (HUGEINT mirror)
+        ratios = [
+            (2_000_000 * total * int(nxy) + int(nx) * int(ny))
+            // (2 * int(nx) * int(ny))
+            for nxy, nx, ny in zip(m["n_xy"], m["n_x"], m["n_y"])
+        ]
+        return pa.table({
+            "bigram": pa.array(
+                (m["x"] + " " + m["y"]).to_list(), pa.string()
+            ),
+            "n_xy": pa.array(m["n_xy"].to_numpy(np.int64)),
+            "n_x": pa.array(m["n_x"].to_numpy(np.int64)),
+            "n_y": pa.array(m["n_y"].to_numpy(np.int64)),
+            "pmi_ratio_micro": pa.array(
+                np.asarray(ratios, dtype=np.int64)
+            ),
+        }, schema=out_sch)
+
+    b2 = (
+        b1.map_batches(b1_rows, batch_format="pandas")
+        .union(uni.map_batches(uni_rows_y, batch_format="pandas"))
+        .map_batches(bucket_tok("y"), batch_format="pandas")
+        .groupby("part")
+        .map_groups(join_y, batch_format="pandas")
+    )
+    return b2.sort(
+        ["pmi_ratio_micro", "bigram"], descending=[True, False]
+    ).limit(top_n)

@@ -2992,3 +2992,63 @@ def test_sliding_distinct_bounded_stress(ray_session, tmp_path):
                     2 * len(hours) // 3, -1]]:
         sel = ev[(ev["h"] <= h) & (ev["h"] >= h - 23 * HOUR)]
         assert m[int(h)] == sel["u"].nunique()
+
+
+def test_grouped_mode(ray_session):
+    """Per-type mode equals a pandas value_counts recount with the
+    smallest-value tie rule."""
+    from rayld.pipelines.relational import grouped_mode
+
+    got = grouped_mode(SF).to_pandas().set_index("event_type")
+    ev = pd.read_parquet(f"{SF}/events.parquet",
+                         columns=["event_type", "value"])
+    ev["v"] = np.floor(ev["value"] * 100 + 0.5).astype("int64")
+    for t, g in ev.groupby("event_type"):
+        vc = g["v"].value_counts()
+        top = vc.max()
+        want_v = min(vc[vc == top].index)
+        assert int(got.loc[t, "mode_value_c"]) == want_v
+        assert int(got.loc[t, "n_occurrences"]) == top
+
+
+def test_user_event_type_agg(ray_session):
+    """Sorted-distinct string agg equals a pandas recount."""
+    from rayld.pipelines.relational import user_event_type_agg
+
+    got = user_event_type_agg(SF, num_partitions=4).to_pandas()
+    ev = pd.read_parquet(f"{SF}/events.parquet",
+                         columns=["user_id", "event_type"])
+    want = ev.groupby("user_id")["event_type"].agg(
+        lambda s: ",".join(sorted(set(s))))
+    m = got.set_index("user_id").sort_index()
+    assert m["types"].to_dict() == want.sort_index().to_dict()
+    assert (m["n_types"] ==
+            m["types"].str.count(",") + 1).all()
+
+
+def test_bigram_pmi(ray_session):
+    """Micro-ratio PMI equals an exact integer recount; ranking is by
+    the ratio (monotone in PMI) with the bigram tiebreak."""
+    import re
+    from collections import Counter
+
+    from rayld.pipelines.text import bigram_pmi
+
+    got = bigram_pmi(SF, min_count=5, top_n=50).to_pandas()
+    docs = pd.read_parquet(f"{SF}/documents.parquet", columns=["text"])
+    uni, bi = Counter(), Counter()
+    for t in docs["text"]:
+        toks = re.findall(r"[A-Za-z0-9]+", t)
+        uni.update(toks)
+        bi.update(zip(toks, toks[1:]))
+    N = sum(uni.values())
+    rows = []
+    for (x, y), nxy in bi.items():
+        if nxy < 5:
+            continue
+        ratio = (2_000_000 * N * nxy + uni[x] * uni[y]) \
+            // (2 * uni[x] * uni[y])
+        rows.append((f"{x} {y}", nxy, uni[x], uni[y], ratio))
+    rows.sort(key=lambda r: (-r[4], r[0]))
+    want = rows[:50]
+    assert [tuple(r) for r in got.itertuples(index=False)] == want
