@@ -3275,17 +3275,20 @@ def customer_rfm(sf_dir: str, n_tiles: int = 5,
     rank-family's range-bucket + offset-broadcast plan.
 
     Plan: ONE combine builds the materialized per-user metric table
-    (mixed max/sum aggregation, bucketed); each metric then pays one
-    bounded rb-histogram + one bucketed rb exchange emitting a SLIM
-    (user, slot, tile) table (deterministic order: metric then user_id);
-    a final hash(user) % P exchange pivots the three tile tables against
-    the base metrics. Everything that shuffles is O(|users|) slim rows —
-    the event stream is read once. Tile arithmetic matches SQL NTILE
-    (first N % n tiles take the extra row)."""
+    (mixed max/sum aggregation, bucketed); then ONE histogram combine
+    covers all three metrics at once (rows keyed by a packed
+    (slot, range-bucket) id — per-metric histograms would pay the fixed
+    combine setup three times for the same data movement), ONE bucketed
+    exchange over the 3x-tagged slim rows assigns all three NTILEs
+    in-task (deterministic order: metric then user_id), and a final
+    hash(user) % P exchange pivots tiles against the base metrics.
+    Everything that shuffles is O(|users|) slim rows — the event stream
+    is read once. Tile arithmetic matches SQL NTILE (first N % n tiles
+    take the extra row)."""
     import pyarrow as pa
     import ray.data as rd
 
-    from .common import cluster_partitions
+    from .common import bucketed_sum_combine, cluster_partitions
 
     if num_partitions is None:
         num_partitions = cluster_partitions()
@@ -3338,44 +3341,103 @@ def customer_rfm(sf_dir: str, n_tiles: int = 5,
         ("last_us", pa.int64()), ("n_events", pa.int64()),
         ("spend_c", pa.int64()),
     ])
-    tile_tables = []
-    for slot, col in enumerate(("last_us", "n_events", "spend_c")):
-        shift, offsets, total = _spend_range_offsets(users, None, col)
-        big = total // n_tiles + 1
-        small = max(total // n_tiles, 1)
-        n_big = total % n_tiles
-        cut = n_big * big
+    cols = ("last_us", "n_events", "spend_c")
 
-        def ntile(df: pd.DataFrame, col=col, slot=slot, offsets=offsets,
-                  big=big, small=small, n_big=n_big, cut=cut) -> pa.Table:
-            if len(df) == 0:
-                return wide_sch.empty_table()
-            vals = df[col].to_numpy(np.int64)
-            uid = df["user_id"].to_numpy(np.int64)
-            off = offsets[int(df["rb"].iloc[0])]
-            order = np.lexsort((uid, vals))
-            rn = np.empty(len(df), dtype=np.int64)
-            rn[order] = off + np.arange(1, len(df) + 1, dtype=np.int64)
-            tile = np.where(
-                rn <= cut,
-                (rn - 1) // big + 1,
-                n_big + (rn - cut - 1) // small + 1,
+    # derived per-metric shifts (~128 buckets over each observed range)
+    # from one pass of per-block maxes over the materialized user table
+    def block_maxes(df: pd.DataFrame) -> pa.Table:
+        return pa.table({
+            f"m{i}": pa.array([int(df[c].max())], pa.int64())
+            for i, c in enumerate(cols)
+        })
+
+    mx = users.map_batches(block_maxes, batch_format="pandas").to_pandas()
+    shifts = [
+        max(0, int(mx[f"m{i}"].max()).bit_length() - 7) for i in range(3)
+    ]
+
+    # one packed (slot << 40 | rb) key covers all three histograms:
+    # derived shifts bound |rb| ~ 128, so slots can never collide
+    def _grb(df: pd.DataFrame) -> np.ndarray:
+        out = np.empty(3 * len(df), np.int64)
+        for s, (c, sh) in enumerate(zip(cols, shifts)):
+            out[s * len(df):(s + 1) * len(df)] = (
+                (np.int64(s) << 40) + (df[c].to_numpy(np.int64) >> sh)
             )
-            z = np.zeros(len(df), np.int64)
-            return pa.table({
-                "user_id": pa.array(uid),
-                "slot": pa.array(np.full(len(df), slot, np.int8),
-                                 pa.int8()),
-                "tile": pa.array(tile.astype(np.int64)),
-                "last_us": pa.array(z), "n_events": pa.array(z),
-                "spend_c": pa.array(z),
-            }, schema=wide_sch)
+        return out
 
-        tile_tables.append(
-            users.map_batches(_append_rb(shift, col), batch_format="pyarrow")
-            .groupby("rb")
-            .map_groups(ntile, batch_format="pandas")
+    hist_sch = pa.schema([("grb", pa.int64()), ("n", pa.int64())])
+
+    def hist_partial(df: pd.DataFrame) -> pa.Table:
+        grb, n = np.unique(_grb(df), return_counts=True)
+        return pa.table({
+            "grb": pa.array(grb), "n": pa.array(n.astype(np.int64)),
+        }, schema=hist_sch)
+
+    counts = bucketed_sum_combine(
+        users.map_batches(hist_partial, batch_format="pandas"),
+        keys=["grb"], sum_cols=["n"], schema=hist_sch,
+        num_partitions=num_partitions,
+    ).to_pandas().sort_values("grb")
+    counts["slot"] = counts["grb"].to_numpy(np.int64) >> 40
+    offsets = {}
+    for _, g in counts.groupby("slot"):
+        cum = g["n"].cumsum().to_numpy(np.int64)
+        offsets.update(zip(
+            g["grb"].to_numpy(np.int64).tolist(),
+            (cum - g["n"].to_numpy(np.int64)).tolist(),
+        ))
+    total = int(counts[counts["slot"] == 0]["n"].sum())
+    big = total // n_tiles + 1
+    small = max(total // n_tiles, 1)
+    n_big = total % n_tiles
+    cut = n_big * big
+
+    tag_sch = pa.schema([
+        ("user_id", pa.int64()), ("val", pa.int64()), ("grb", pa.int64()),
+    ])
+
+    def tag_rows(df: pd.DataFrame) -> pa.Table:
+        uid = df["user_id"].to_numpy(np.int64)
+        return pa.table({
+            "user_id": pa.array(np.tile(uid, 3)),
+            "val": pa.array(np.concatenate(
+                [df[c].to_numpy(np.int64) for c in cols]
+            )),
+            "grb": pa.array(_grb(df)),
+        }, schema=tag_sch)
+
+    def ntile(df: pd.DataFrame) -> pa.Table:
+        if len(df) == 0:
+            return wide_sch.empty_table()
+        vals = df["val"].to_numpy(np.int64)
+        uid = df["user_id"].to_numpy(np.int64)
+        grb = int(df["grb"].iloc[0])
+        off = offsets[grb]
+        order = np.lexsort((uid, vals))
+        rn = np.empty(len(df), dtype=np.int64)
+        rn[order] = off + np.arange(1, len(df) + 1, dtype=np.int64)
+        tile = np.where(
+            rn <= cut,
+            (rn - 1) // big + 1,
+            n_big + (rn - cut - 1) // small + 1,
         )
+        z = np.zeros(len(df), np.int64)
+        return pa.table({
+            "user_id": pa.array(uid),
+            "slot": pa.array(
+                np.full(len(df), grb >> 40, np.int8), pa.int8()
+            ),
+            "tile": pa.array(tile.astype(np.int64)),
+            "last_us": pa.array(z), "n_events": pa.array(z),
+            "spend_c": pa.array(z),
+        }, schema=wide_sch)
+
+    tile_tables = [
+        users.map_batches(tag_rows, batch_format="pandas")
+        .groupby("grb")
+        .map_groups(ntile, batch_format="pandas")
+    ]
 
     def base_rows(batch: pa.Table) -> pa.Table:
         n = batch.num_rows
