@@ -186,6 +186,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "vocab_coverage": text.vocab_coverage,
         "doc_surprisal": text.doc_surprisal,
         "dsir_weights": text.dsir_weights,
+        "token_entropy": text.token_entropy,
+        "zipf_slope": text.zipf_slope,
+        "mad_length_outliers": text.mad_length_outliers,
         # dedup family
         "dedup_exact": dedup.dedup_exact,
         "dedup_exact_normalized": dedup.dedup_exact_normalized,
@@ -258,6 +261,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "funnel_conversion": relational.funnel_conversion,
         "events_anomaly": relational.events_anomaly,
         "events_rollup": relational.events_rollup,
+        "events_grouping_sets": relational.events_grouping_sets,
+        "last_touch_attribution": relational.last_touch_attribution,
         "user_running_value": relational.user_running_value,
         "user_trailing_window": relational.user_trailing_window,
         "events_lead_lag": relational.events_lead_lag,
@@ -633,6 +638,63 @@ def oracle_sql() -> dict[str, str]:
             " SELECT doc_id, sum(lr_micro)::BIGINT AS logw_micro_nats,"
             " count(*)::BIGINT AS n_tokens"
             " FROM tok JOIN lr USING (t) GROUP BY doc_id"
+        ),
+        # corpus unigram entropy: per-type n*ln(n) rounds half-up ONCE to
+        # integer micro-nats (the doc_surprisal contract); the final double
+        # is the same expression over the same integers on both sides
+        "token_entropy": (
+            "WITH c AS (SELECT count(*)::BIGINT AS n FROM documents,"
+            " unnest(regexp_extract_all(text, '[A-Za-z0-9]+')) AS u(t)"
+            " GROUP BY t),"
+            " m AS (SELECT count(*)::BIGINT AS n_types,"
+            "  sum(n)::BIGINT AS n_tokens,"
+            "  sum(floor(n * ln(n) * 1000000.0 + 0.5)::BIGINT)::BIGINT"
+            "   AS s_nlogn_micro FROM c)"
+            " SELECT n_types, n_tokens, s_nlogn_micro,"
+            " ln(n_tokens) - (s_nlogn_micro / n_tokens) / 1000000.0"
+            "  AS entropy_nats FROM m"
+        ),
+        # Zipf rank-frequency OLS over the top-256 tokens: integer
+        # micro-nat logs -> exact moment sums -> closed form on identical
+        # integers (the grouped_corr contract)
+        "zipf_slope": (
+            "WITH c AS (SELECT t AS token, count(*)::BIGINT AS n"
+            "  FROM documents,"
+            "  unnest(regexp_extract_all(text, '[A-Za-z0-9]+')) AS u(t)"
+            "  GROUP BY t ORDER BY n DESC, token LIMIT 256),"
+            " r AS (SELECT n,"
+            "  row_number() OVER (ORDER BY n DESC, token) AS rank FROM c),"
+            " lg AS (SELECT"
+            "  floor(ln(rank) * 1000000.0 + 0.5)::BIGINT AS x,"
+            "  floor(ln(n) * 1000000.0 + 0.5)::BIGINT AS y FROM r),"
+            " m AS (SELECT count(*)::BIGINT AS k, sum(x)::HUGEINT AS sx,"
+            "  sum(y)::HUGEINT AS sy, sum(x*x)::HUGEINT AS sxx,"
+            "  sum(x*y)::HUGEINT AS sxy FROM lg)"
+            " SELECT k AS n_ranks,"
+            " (k*sxy - sx*sy)::DOUBLE / (k*sxx - sx*sx)::DOUBLE"
+            "  AS zipf_slope,"
+            " (sy::DOUBLE - ((k*sxy - sx*sy)::DOUBLE"
+            "   / (k*sxx - sx*sx)::DOUBLE) * sx::DOUBLE) / k::DOUBLE"
+            "  AS zipf_intercept FROM m"
+        ),
+        # robust per-lang length outliers: percentile_disc medians + MAD,
+        # all-integer compare
+        "mad_length_outliers": (
+            "WITH med AS (SELECT lang,"
+            "  percentile_disc(0.5) WITHIN GROUP (ORDER BY n_chars)::BIGINT"
+            "   AS med FROM documents GROUP BY lang),"
+            " d AS (SELECT d.lang, abs(d.n_chars - med.med)::BIGINT AS dev"
+            "  FROM documents d JOIN med USING (lang)),"
+            " mad AS (SELECT lang,"
+            "  percentile_disc(0.5) WITHIN GROUP (ORDER BY dev)::BIGINT"
+            "   AS mad FROM d GROUP BY lang)"
+            " SELECT d.lang, count(*)::BIGINT AS n_docs,"
+            " any_value(med.med)::BIGINT AS median_chars,"
+            " any_value(mad.mad)::BIGINT AS mad_chars,"
+            " count(*) FILTER (WHERE d.dev > 3 * mad.mad)::BIGINT"
+            "  AS n_outliers"
+            " FROM d JOIN med USING (lang) JOIN mad USING (lang)"
+            " GROUP BY d.lang"
         ),
         "vocab_coverage": (
             "WITH tok AS (SELECT unnest(regexp_extract_all(text,"
@@ -1106,6 +1168,34 @@ def oracle_sql() -> dict[str, str]:
             "   count(*)::BIGINT AS n_events,"
             "   sum(floor(value * 100 + 0.5)::BIGINT) / 100.0 AS sum_value"
             "  FROM events GROUP BY ROLLUP (event_type, window_start))"
+        ),
+        # GROUPING SETS ((event_type),(isodow),()) — disjoint sets, one pass
+        "events_grouping_sets": (
+            "SELECT (CASE g WHEN 1 THEN 0 WHEN 2 THEN 1 ELSE 2 END)::BIGINT"
+            "   AS level,"
+            " coalesce(event_type, '') AS event_type,"
+            " coalesce(isodow, -1)::BIGINT AS isodow,"
+            " n_events, sum_value FROM ("
+            "  SELECT event_type, isodow(ts)::BIGINT AS isodow,"
+            "   grouping(event_type, isodow(ts)) AS g,"
+            "   count(*)::BIGINT AS n_events,"
+            "   sum(floor(value * 100 + 0.5)::BIGINT) / 100.0 AS sum_value"
+            "  FROM events"
+            "  GROUP BY GROUPING SETS ((event_type), (isodow(ts)), ()))"
+        ),
+        # last-touch attribution: most recent strictly-earlier non-target
+        # event type per purchase (IGNORE NULLS window), '(none)' when bare
+        "last_touch_attribution": (
+            "WITH w AS (SELECT event_type, value,"
+            "  last_value(CASE WHEN event_type <> 'purchase'"
+            "    THEN event_type END IGNORE NULLS) OVER ("
+            "   PARTITION BY user_id ORDER BY ts, event_id"
+            "   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)"
+            "   AS channel FROM events)"
+            " SELECT coalesce(channel, '(none)') AS channel,"
+            " count(*)::BIGINT AS n_purchases,"
+            " sum(floor(value * 100 + 0.5)::BIGINT) / 100.0 AS sum_value"
+            " FROM w WHERE event_type = 'purchase' GROUP BY 1"
         ),
         # bottom-k quantile sketch accuracy gate (constant-1 on a correct
         # sample/merge; n_total pins the exact pass)

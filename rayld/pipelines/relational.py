@@ -4168,3 +4168,140 @@ def user_event_type_agg(sf_dir: str, num_partitions: int | None = None):
         .groupby("part")
         .map_groups(agg, batch_format="pandas")
     )
+
+
+def last_touch_attribution(sf_dir: str, target: str = "purchase",
+                           num_partitions: int | None = None):
+    """Last-touch channel attribution: every ``target`` event is credited
+    to the user's most recent STRICTLY-EARLIER non-target event type (SQL:
+    last_value(... IGNORE NULLS) OVER (PARTITION BY user ORDER BY ts,
+    event_id ROWS ... 1 PRECEDING)); purchases with no preceding touch
+    credit '(none)'. Output: per-channel purchase count and integer-cents
+    revenue sum.
+
+    ONE bucketed hash(user_id) exchange (every user's history lands in one
+    task — the user_sessions plan); inside the task a mergesort by
+    (user_id, ts, event_id) + a vectorized forward-fill of the last
+    non-target type; the per-channel totals then ride the tiny bounded
+    combine (rows bounded by distinct event types, not events)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from .common import bucketed_sum_combine, cluster_partitions
+
+    if num_partitions is None:
+        num_partitions = cluster_partitions()
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "user_id", "event_type", "value"],
+    )
+
+    part_sch = pa.schema([
+        ("channel", pa.string()), ("n_purchases", pa.int64()),
+        ("sum_c", pa.int64()),
+    ])
+
+    def attribute(df: pd.DataFrame) -> pa.Table:
+        if len(df) == 0:
+            return part_sch.empty_table()
+        df = df.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        touch = df["event_type"].where(df["event_type"] != target)
+        # forward-fill within each user: the last non-target type so far
+        last = touch.groupby(df["user_id"]).ffill()
+        hits = df["event_type"] == target
+        g = pd.DataFrame({
+            "channel": last[hits].fillna("(none)"),
+            "n": 1,
+            "vc": money_cents(df.loc[hits, "value"]),
+        }).groupby("channel", as_index=False).agg(
+            n_purchases=("n", "sum"), sum_c=("vc", "sum")
+        )
+        return pa.table({
+            "channel": pa.array(g["channel"].astype(str), pa.string()),
+            "n_purchases": pa.array(g["n_purchases"].astype("int64")),
+            "sum_c": pa.array(g["sum_c"].astype("int64")),
+        }, schema=part_sch)
+
+    partials = (
+        ds.map_batches(
+            append_mod_part, batch_format="pyarrow",
+            fn_args=("user_id", num_partitions),
+        )
+        .groupby("part")
+        .map_groups(attribute, batch_format="pandas")
+    )
+    agg = bucketed_sum_combine(
+        partials, keys=["channel"], sum_cols=["n_purchases", "sum_c"],
+        schema=part_sch,
+    )
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "channel": df["channel"].astype(str),
+            "n_purchases": df["n_purchases"].astype("int64"),
+            "sum_value": df["sum_c"].astype("int64") / 100.0,
+        })
+
+    return agg.map_batches(finish, batch_format="pandas")
+
+
+def events_grouping_sets(sf_dir: str):
+    """SQL GROUPING SETS ((event_type), (isodow), ()) in ONE pass —
+    the disjoint-sets cousin of ``events_rollup``/``events_cube``: counts
+    and integer-cents value sums by event type, by ISO day-of-week, and
+    grand-total, with every level pre-aggregated inside the batch and one
+    bounded combine moving tagged partials (level 0/1/2; '' and -1 stand
+    for the rolled-up keys so the compare is type-stable)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from .common import bucketed_sum_combine
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "ts", "value"]
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        base = pd.DataFrame({
+            "event_type": df["event_type"],
+            # pandas dayofweek is Mon=0; ISO (DuckDB isodow) is Mon=1
+            "isodow": (df["ts"].dt.dayofweek + 1).astype("int64"),
+            "value_c": money_cents(df["value"]),
+            "n": 1,
+        })
+        lv0 = base.groupby("event_type", as_index=False).agg(
+            n_events=("n", "sum"), sum_c=("value_c", "sum")
+        )
+        lv0.insert(0, "level", 0)
+        lv0["isodow"] = -1
+        lv1 = base.groupby("isodow", as_index=False).agg(
+            n_events=("n", "sum"), sum_c=("value_c", "sum")
+        )
+        lv1.insert(0, "level", 1)
+        lv1["event_type"] = ""
+        lv2 = pd.DataFrame({
+            "level": [2], "event_type": [""], "isodow": [-1],
+            "n_events": [int(base["n"].sum())],
+            "sum_c": [int(base["value_c"].sum())],
+        })
+        return pd.concat([lv0, lv1, lv2], ignore_index=True)[
+            ["level", "event_type", "isodow", "n_events", "sum_c"]
+        ]
+
+    agg = bucketed_sum_combine(
+        ds.map_batches(partial, batch_format="pandas"),
+        keys=["level", "event_type", "isodow"],
+        sum_cols=["n_events", "sum_c"],
+        schema=pa.schema([
+            ("level", pa.int64()), ("event_type", pa.string()),
+            ("isodow", pa.int64()), ("n_events", pa.int64()),
+            ("sum_c", pa.int64()),
+        ]),
+    )
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        df["sum_value"] = df["sum_c"].astype("int64") / 100.0
+        return df[["level", "event_type", "isodow", "n_events", "sum_value"]]
+
+    return agg.map_batches(finish, batch_format="pandas")

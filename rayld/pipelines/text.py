@@ -1423,3 +1423,165 @@ def bigram_pmi(sf_dir: str, min_count: int = 5, top_n: int = 100,
     return b2.sort(
         ["pmi_ratio_micro", "bigram"], descending=[True, False]
     ).limit(top_n)
+
+
+def token_entropy(sf_dir: str, num_partitions: int | None = None):
+    """Corpus-level Shannon entropy of the unigram token distribution plus
+    type/token counts — the one-row information-theoretic summary behind
+    tokenizer and mixture decisions (a low-entropy shard is boilerplate; a
+    drop after dedup quantifies removed redundancy).
+
+    H = ln(T) - (1/T) * sum_v n_v ln(n_v) over the per-type counts n_v, so
+    the whole reduction is: per-batch (token, partial) counts -> ONE
+    crc32(token) combine (each type's global count lands in exactly one
+    task) -> a three-scalar per-batch fold (types, tokens, n*ln(n) in
+    integer MICRO-NATS, rounded half-up ONCE per type so the sum is
+    int-exact and order-free — the doc_surprisal contract) -> driver adds a
+    handful of partial rows. No global sort, nothing unbounded leaves the
+    combine."""
+    from .common import bucketed_sum_combine, cluster_partitions
+
+    if num_partitions is None:
+        num_partitions = cluster_partitions()
+
+    def partial(df: pd.DataFrame) -> pa.Table:
+        toks = df["text"].str.findall(_TOKEN_RE).explode().dropna()
+        g = toks.value_counts()
+        return pa.table({
+            "token": pa.array(g.index.astype(str), pa.string()),
+            "partial": pa.array(g.to_numpy(np.int64)),
+        }, schema=pa.schema(
+            [("token", pa.string()), ("partial", pa.int64())]
+        ))
+
+    counts = bucketed_sum_combine(
+        documents(sf_dir).map_batches(partial, batch_format="pandas"),
+        keys=["token"], sum_cols=["partial"],
+        schema=pa.schema([("token", pa.string()), ("partial", pa.int64())]),
+        num_partitions=num_partitions,
+    )
+
+    fold_sch = pa.schema([
+        ("n_types", pa.int64()), ("n_tokens", pa.int64()),
+        ("s_nlogn_micro", pa.int64()),
+    ])
+
+    def fold(batch: pa.Table) -> pa.Table:
+        n = np.asarray(batch["partial"].to_pylist(), dtype=np.float64)
+        s = np.floor(n * np.log(n) * 1000000.0 + 0.5).astype(np.int64)
+        return pa.table({
+            "n_types": pa.array([len(n)], pa.int64()),
+            "n_tokens": pa.array([int(n.sum())], pa.int64()),
+            "s_nlogn_micro": pa.array([int(s.sum())], pa.int64()),
+        }, schema=fold_sch)
+
+    parts = counts.map_batches(fold, batch_format="pyarrow").to_pandas()
+    n_types = int(parts["n_types"].sum())
+    total = int(parts["n_tokens"].sum())
+    s_micro = int(parts["s_nlogn_micro"].sum())
+    # same expression, same op order as the SQL oracle; inputs are
+    # identical integers on both sides
+    import math
+
+    entropy = math.log(total) - (s_micro / total) / 1000000.0 if total else 0.0
+    return pd.DataFrame({
+        "n_types": np.array([n_types], dtype="int64"),
+        "n_tokens": np.array([total], dtype="int64"),
+        "s_nlogn_micro": np.array([s_micro], dtype="int64"),
+        "entropy_nats": np.array([entropy], dtype="float64"),
+    })
+
+
+def zipf_slope(sf_dir: str, top_k: int = 256):
+    """Zipf rank-frequency fit: OLS slope/intercept of ln(count) over
+    ln(rank) for the top-``top_k`` tokens (natural text sits near -1; a
+    much flatter or steeper corpus flags template spam or tiny-vocab
+    noise). Rides the ``token_frequencies`` exchange — the only distributed
+    work — then fits on the driver over the materialized top-k (bounded,
+    256 rows): per-rank logs are rounded half-up ONCE to integer
+    MICRO-NATS, the moment sums are unbounded Python ints (the oracle's
+    HUGEINT), and the closed form runs on identical integers on both
+    sides (the grouped_corr contract). Rank ties break on the token string,
+    so the rank sequence is deterministic."""
+    top = token_frequencies(sf_dir, top_n=top_k).to_pandas()
+    # token_frequencies returns (token, n) already sorted n DESC, token ASC
+    k = len(top)
+    n = top["n"].to_numpy(np.float64)
+    rank = np.arange(1, k + 1, dtype=np.float64)
+    x = np.floor(np.log(rank) * 1000000.0 + 0.5).astype(np.int64)
+    y = np.floor(np.log(n) * 1000000.0 + 0.5).astype(np.int64)
+    sx = int(x.sum()); sy = int(y.sum())
+    sxx = int((x * x).sum()); sxy = int((x * y).sum())
+    den = k * sxx - sx * sx
+    slope = float(k * sxy - sx * sy) / float(den) if den else 0.0
+    intercept = (float(sy) - slope * float(sx)) / float(k) if k else 0.0
+    return pd.DataFrame({
+        "n_ranks": np.array([k], dtype="int64"),
+        "zipf_slope": np.array([slope], dtype="float64"),
+        "zipf_intercept": np.array([intercept], dtype="float64"),
+    })
+
+
+def mad_length_outliers(sf_dir: str):
+    """Robust per-language length-outlier report: exact median of n_chars,
+    exact MAD (median absolute deviation), and the count of documents with
+    |n_chars - median| > 3 * MAD — the robust-statistics cousin of
+    ``length_outlier_filter`` (stddev thresholds move with the outliers
+    they're meant to catch; the median/MAD pair doesn't).
+
+    Single distributed pass: a (lang, n_chars) -> count histogram partial
+    per batch and ONE bounded combine (rows bounded by languages x distinct
+    lengths — the value RANGE, not the corpus — the grouped_median plan).
+    Both medians AND the outlier count are then exact order statistics of
+    that one histogram, so the deviation 'second pass' is a driver-side
+    transform of a tiny table, not another scan."""
+    from .common import bucketed_sum_combine
+
+    def partial(df: pd.DataFrame) -> pa.Table:
+        g = df.assign(n=1).groupby(
+            ["lang", "n_chars"], as_index=False
+        )["n"].sum()
+        return pa.table({
+            "lang": pa.array(g["lang"].astype(str), pa.string()),
+            "n_chars": pa.array(g["n_chars"].to_numpy(np.int64)),
+            "n": pa.array(g["n"].to_numpy(np.int64)),
+        }, schema=pa.schema([
+            ("lang", pa.string()), ("n_chars", pa.int64()),
+            ("n", pa.int64()),
+        ]))
+
+    hist = bucketed_sum_combine(
+        documents(sf_dir, columns=("doc_id", "lang", "n_chars")).map_batches(
+            partial, batch_format="pandas"
+        ),
+        keys=["lang", "n_chars"], sum_cols=["n"],
+        schema=pa.schema([
+            ("lang", pa.string()), ("n_chars", pa.int64()),
+            ("n", pa.int64()),
+        ]),
+    ).to_pandas()
+
+    def disc_median(vals: np.ndarray, cnts: np.ndarray) -> int:
+        # percentile_disc(0.5): first value with 2*cum >= N, integer-exact
+        order = np.argsort(vals, kind="mergesort")
+        vals, cnts = vals[order], cnts[order]
+        cum = cnts.cumsum()
+        idx = int(np.searchsorted(2 * cum, int(cum[-1]), side="left"))
+        return int(vals[idx])
+
+    rows = []
+    for lang, grp in hist.groupby("lang", sort=True):
+        vals = grp["n_chars"].to_numpy(np.int64)
+        cnts = grp["n"].to_numpy(np.int64)
+        med = disc_median(vals, cnts)
+        dev = np.abs(vals - med)
+        mad = disc_median(dev, cnts)
+        n_out = int(cnts[dev > 3 * mad].sum())
+        rows.append((str(lang), int(cnts.sum()), med, mad, n_out))
+    out = pd.DataFrame(
+        rows, columns=["lang", "n_docs", "median_chars", "mad_chars",
+                       "n_outliers"],
+    )
+    for c in out.columns[1:]:
+        out[c] = out[c].astype("int64")
+    return out

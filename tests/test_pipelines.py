@@ -3052,3 +3052,131 @@ def test_bigram_pmi(ray_session):
     rows.sort(key=lambda r: (-r[4], r[0]))
     want = rows[:50]
     assert [tuple(r) for r in got.itertuples(index=False)] == want
+
+
+def test_token_entropy(ray_session):
+    """Corpus entropy matches an in-process Counter recount exactly
+    (identical integer micro-nat contract) and sits in [0, ln(n_types)]."""
+    import math
+    import re
+    from collections import Counter
+
+    from rayld.pipelines.text import token_entropy
+
+    got = token_entropy(SF, num_partitions=4)
+    docs = pd.read_parquet(f"{SF}/documents.parquet", columns=["text"])
+    uni = Counter()
+    for t in docs["text"]:
+        uni.update(re.findall(r"[A-Za-z0-9]+", t))
+    total = sum(uni.values())
+    s = sum(
+        int(np.floor(n * np.log(float(n)) * 1000000.0 + 0.5))
+        for n in uni.values()
+    )
+    assert int(got["n_types"].iloc[0]) == len(uni)
+    assert int(got["n_tokens"].iloc[0]) == total
+    assert int(got["s_nlogn_micro"].iloc[0]) == s
+    h = float(got["entropy_nats"].iloc[0])
+    assert h == math.log(total) - (s / total) / 1000000.0
+    assert 0.0 <= h <= math.log(len(uni)) + 1e-9
+
+
+def test_zipf_slope(ray_session):
+    """Zipf OLS matches an independent Counter recount exactly and the
+    slope is negative (frequencies decay with rank)."""
+    import re
+    from collections import Counter
+
+    from rayld.pipelines.text import zipf_slope
+
+    got = zipf_slope(SF, top_k=256)
+    docs = pd.read_parquet(f"{SF}/documents.parquet", columns=["text"])
+    uni = Counter()
+    for t in docs["text"]:
+        uni.update(re.findall(r"[A-Za-z0-9]+", t))
+    top = sorted(uni.items(), key=lambda kv: (-kv[1], kv[0]))[:256]
+    k = len(top)
+    x = [int(np.floor(np.log(float(r)) * 1000000.0 + 0.5))
+         for r in range(1, k + 1)]
+    y = [int(np.floor(np.log(float(n)) * 1000000.0 + 0.5))
+         for _, n in top]
+    sx, sy = sum(x), sum(y)
+    sxx = sum(v * v for v in x)
+    sxy = sum(a * b for a, b in zip(x, y))
+    slope = float(k * sxy - sx * sy) / float(k * sxx - sx * sx)
+    assert int(got["n_ranks"].iloc[0]) == k
+    assert float(got["zipf_slope"].iloc[0]) == slope
+    assert slope < 0
+
+
+def test_mad_length_outliers(ray_session):
+    """Median/MAD/outlier counts match a direct per-lang recount with
+    percentile_disc (left-search) semantics."""
+    from rayld.pipelines.text import mad_length_outliers
+
+    got = mad_length_outliers(SF).set_index("lang").sort_index()
+    docs = pd.read_parquet(
+        f"{SF}/documents.parquet", columns=["lang", "n_chars"]
+    )
+
+    def disc(a: np.ndarray) -> int:
+        a = np.sort(a)
+        return int(a[(len(a) - 1) // 2])  # first idx with 2*(i+1) >= n
+
+    for lang, grp in docs.groupby("lang"):
+        x = grp["n_chars"].to_numpy(np.int64)
+        med = disc(x)
+        dev = np.abs(x - med)
+        mad = disc(dev)
+        row = got.loc[lang]
+        assert int(row["n_docs"]) == len(x)
+        assert int(row["median_chars"]) == med
+        assert int(row["mad_chars"]) == mad
+        assert int(row["n_outliers"]) == int((dev > 3 * mad).sum())
+
+
+def test_events_grouping_sets(ray_session):
+    """GROUPING SETS invariants: the three levels each total the full
+    event count, isodow keys are ISO (Mon=1..Sun=7), and rolled-up keys
+    carry the sentinels."""
+    from rayld.pipelines.relational import events_grouping_sets
+
+    out = events_grouping_sets(SF).to_pandas()
+    ev = pd.read_parquet(f"{SF}/events.parquet", columns=["event_type"])
+    l0, l1, l2 = (out[out["level"] == k] for k in (0, 1, 2))
+    assert l2["n_events"].iloc[0] == len(ev)
+    assert l0["n_events"].sum() == l1["n_events"].sum() == len(ev)
+    assert abs(l0["sum_value"].sum() - l2["sum_value"].iloc[0]) < 1e-6
+    assert set(l0["event_type"]) == set(ev["event_type"].unique())
+    assert (l0["isodow"] == -1).all() and (l1["event_type"] == "").all()
+    assert set(l1["isodow"]) <= set(range(1, 8))
+
+
+def test_last_touch_attribution(ray_session):
+    """Attribution matches a per-user sequential recount (last preceding
+    non-purchase event type), and credited purchases total all purchases."""
+    from collections import Counter
+    from rayld.pipelines.relational import last_touch_attribution
+
+    got = last_touch_attribution(SF, num_partitions=4).to_pandas()
+    ev = pd.read_parquet(f"{SF}/events.parquet").sort_values(
+        ["user_id", "ts", "event_id"], kind="mergesort"
+    )
+    want_n, want_c = Counter(), Counter()
+    for _, grp in ev.groupby("user_id", sort=False):
+        last = None
+        for r in grp.itertuples(index=False):
+            if r.event_type == "purchase":
+                ch = last if last is not None else "(none)"
+                want_n[ch] += 1
+                want_c[ch] += int(np.floor(r.value * 100 + 0.5))
+            else:
+                last = r.event_type
+    m = got.set_index("channel")
+    assert set(m.index) == set(want_n)
+    for ch in want_n:
+        assert int(m.loc[ch, "n_purchases"]) == want_n[ch]
+        assert float(m.loc[ch, "sum_value"]) == want_c[ch] / 100.0
+    assert int(got["n_purchases"].sum()) == int(
+        (ev["event_type"] == "purchase").sum()
+    )
