@@ -263,6 +263,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_rollup": relational.events_rollup,
         "events_grouping_sets": relational.events_grouping_sets,
         "last_touch_attribution": relational.last_touch_attribution,
+        "grouped_skew": relational.grouped_skew,
+        "time_to_conversion": relational.time_to_conversion,
         "user_running_value": relational.user_running_value,
         "user_trailing_window": relational.user_trailing_window,
         "events_lead_lag": relational.events_lead_lag,
@@ -1196,6 +1198,40 @@ def oracle_sql() -> dict[str, str]:
             " count(*)::BIGINT AS n_purchases,"
             " sum(floor(value * 100 + 0.5)::BIGINT) / 100.0 AS sum_value"
             " FROM w WHERE event_type = 'purchase' GROUP BY 1"
+        ),
+        # higher moments from exact HUGEINT raw-moment sums; the closed
+        # forms run on identical integers on both sides (grouped_corr
+        # contract; pow/sqrt order mirrored)
+        "grouped_skew": (
+            "WITH m AS (SELECT event_type, count(*)::HUGEINT AS n,"
+            "  sum(vc)::HUGEINT AS s1, sum(vc*vc)::HUGEINT AS s2,"
+            "  sum(vc*vc*vc)::HUGEINT AS s3,"
+            "  sum(vc*vc*vc*vc)::HUGEINT AS s4"
+            "  FROM (SELECT event_type, floor(value * 100 + 0.5)::HUGEINT"
+            "    AS vc FROM events) GROUP BY 1),"
+            " c AS (SELECT event_type, n, n*s2 - s1*s1 AS m2n,"
+            "  n*n*s3 - 3*n*s1*s2 + 2*s1*s1*s1 AS m3n,"
+            "  n*n*n*s4 - 4*n*n*s1*s3 + 6*n*s1*s1*s2 - 3*s1*s1*s1*s1"
+            "   AS m4n FROM m)"
+            " SELECT event_type, n::BIGINT AS n_events,"
+            " m3n::DOUBLE * pow(n::DOUBLE, 0.5) / pow(m2n::DOUBLE, 1.5)"
+            "  AS skewness,"
+            " n::DOUBLE * m4n::DOUBLE / (m2n::DOUBLE * m2n::DOUBLE) - 3.0"
+            "  AS kurtosis_excess"
+            " FROM c"
+        ),
+        # activation-funnel timing: first signup -> first purchase at or
+        # after it, whole seconds
+        "time_to_conversion": (
+            "WITH s AS (SELECT user_id, min(ts) AS s0 FROM events"
+            "  WHERE event_type = 'signup' GROUP BY 1),"
+            " e AS (SELECT e.user_id, s.s0, min(e.ts) AS t"
+            "  FROM events e JOIN s USING (user_id)"
+            "  WHERE e.event_type = 'purchase' AND e.ts >= s.s0"
+            "  GROUP BY e.user_id, s.s0)"
+            " SELECT user_id, epoch_us(s0)::BIGINT AS signup_ts,"
+            " ((epoch_us(t) - epoch_us(s0)) // 1000000)::BIGINT"
+            "  AS conversion_s FROM e"
         ),
         # bottom-k quantile sketch accuracy gate (constant-1 on a correct
         # sample/merge; n_total pins the exact pass)

@@ -4305,3 +4305,143 @@ def events_grouping_sets(sf_dir: str):
         return df[["level", "event_type", "isodow", "n_events", "sum_value"]]
 
     return agg.map_batches(finish, batch_format="pandas")
+
+
+def grouped_skew(sf_dir: str):
+    """Exact per-type higher-moment statistics — population skewness and
+    excess kurtosis of event value — from integer-cents raw-moment sums
+    (n, sum v, sum v^2, sum v^3, sum v^4). v^4 in cents overflows int64 at
+    ~$950 for a SINGLE event, so the big sums travel as exact DECIMAL
+    STRINGS (unbounded Python ints in the tasks, the oracle's HUGEINT on
+    the SQL side) and the closed forms run on identical integers on both
+    sides (the grouped_corr contract). Partial rows are bounded by
+    event types x blocks, so the driver fold is a tiny-table sum (the
+    corpus_summary pattern), not a data-scale reduction."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "value"]
+    )
+
+    m_sch = pa.schema([
+        ("event_type", pa.string()), ("n", pa.int64()),
+        ("s1", pa.int64()), ("s2", pa.string()),
+        ("s3", pa.string()), ("s4", pa.string()),
+    ])
+
+    def partial(df: pd.DataFrame) -> pa.Table:
+        rows = []
+        for etype, grp in df.groupby("event_type", sort=False):
+            vc = [int(v) for v in money_cents(grp["value"])]
+            rows.append((
+                str(etype), len(vc), sum(vc),
+                str(sum(v * v for v in vc)),
+                str(sum(v * v * v for v in vc)),
+                str(sum(v * v * v * v for v in vc)),
+            ))
+        return pa.table({
+            "event_type": pa.array([r[0] for r in rows], pa.string()),
+            "n": pa.array([r[1] for r in rows], pa.int64()),
+            "s1": pa.array([r[2] for r in rows], pa.int64()),
+            "s2": pa.array([r[3] for r in rows], pa.string()),
+            "s3": pa.array([r[4] for r in rows], pa.string()),
+            "s4": pa.array([r[5] for r in rows], pa.string()),
+        }, schema=m_sch)
+
+    parts = ds.map_batches(
+        partial, batch_format="pandas"
+    ).to_pandas()
+
+    rows = []
+    for etype in sorted(parts["event_type"].unique()):
+        g = parts[parts["event_type"] == etype]
+        n = int(g["n"].sum())
+        s1 = int(g["s1"].sum())
+        s2 = sum(int(s) for s in g["s2"])
+        s3 = sum(int(s) for s in g["s3"])
+        s4 = sum(int(s) for s in g["s4"])
+        # integer-exact central moment numerators scaled by n^k:
+        # n^2*m2 = n*s2 - s1^2 ; n^3*m3 = n^2*s3 - 3n*s1*s2 + 2*s1^3
+        # n^4*m4 = n^3*s4 - 4n^2*s1*s3 + 6n*s1^2*s2 - 3*s1^4
+        m2n = n * s2 - s1 * s1
+        m3n = n * n * s3 - 3 * n * s1 * s2 + 2 * s1 ** 3
+        m4n = (n ** 3 * s4 - 4 * n * n * s1 * s3
+               + 6 * n * s1 * s1 * s2 - 3 * s1 ** 4)
+        # skew = m3n*sqrt(n)/m2n^1.5 ; excess kurt = n*m4n/m2n^2 - 3
+        skew = (float(m3n) * float(n) ** 0.5 / float(m2n) ** 1.5
+                if m2n > 0 else 0.0)
+        kurt = (float(n) * float(m4n) / (float(m2n) * float(m2n)) - 3.0
+                if m2n > 0 else 0.0)
+        rows.append((etype, n, skew, kurt))
+    out = pd.DataFrame(
+        rows,
+        columns=["event_type", "n_events", "skewness", "kurtosis_excess"],
+    )
+    out["n_events"] = out["n_events"].astype("int64")
+    return out
+
+
+def time_to_conversion(sf_dir: str, start: str = "signup",
+                       end: str = "purchase",
+                       num_partitions: int | None = None):
+    """Per-user conversion latency: seconds from the user's FIRST ``start``
+    event to their first ``end`` event AT OR AFTER it (users with no start,
+    or no end after the start, don't convert and are excluded). The classic
+    activation-funnel timing; output one row per converted user.
+
+    Events prune to the two types at the read; ONE bucketed hash(user_id)
+    exchange puts each user's (first_start, first_end_after) resolution in
+    a single task as two vectorized groupby-mins."""
+    import pyarrow as pa
+    import ray.data as rd
+    import pyarrow.compute as pc
+
+    from .common import cluster_partitions
+
+    if num_partitions is None:
+        num_partitions = cluster_partitions()
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["ts", "user_id", "event_type"]
+    ).filter(
+        expr=f"event_type == '{start}' or event_type == '{end}'"
+    )
+
+    out_sch = pa.schema([
+        ("user_id", pa.int64()), ("signup_ts", pa.int64()),
+        ("conversion_s", pa.int64()),
+    ])
+
+    def resolve(df: pd.DataFrame) -> pa.Table:
+        if len(df) == 0:
+            return out_sch.empty_table()
+        t_us = df["ts"].astype("datetime64[us]").astype("int64")
+        starts = df["event_type"] == start
+        first_start = t_us[starts].groupby(df.loc[starts, "user_id"]).min()
+        e = pd.DataFrame({
+            "user_id": df.loc[~starts, "user_id"],
+            "t": t_us[~starts],
+        })
+        e["s0"] = e["user_id"].map(first_start)
+        e = e[e["s0"].notna() & (e["t"] >= e["s0"])]
+        first_end = e.groupby("user_id", as_index=False).agg(
+            t=("t", "min"), s0=("s0", "min")
+        )
+        return pa.table({
+            "user_id": pa.array(first_end["user_id"].to_numpy(np.int64)),
+            "signup_ts": pa.array(first_end["s0"].to_numpy(np.int64)),
+            "conversion_s": pa.array(
+                ((first_end["t"] - first_end["s0"]) // 1_000_000)
+                .to_numpy(np.int64)
+            ),
+        }, schema=out_sch)
+
+    return (
+        ds.map_batches(
+            append_mod_part, batch_format="pyarrow",
+            fn_args=("user_id", num_partitions),
+        )
+        .groupby("part")
+        .map_groups(resolve, batch_format="pandas")
+    )

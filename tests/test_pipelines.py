@@ -3180,3 +3180,59 @@ def test_last_touch_attribution(ray_session):
     assert int(got["n_purchases"].sum()) == int(
         (ev["event_type"] == "purchase").sum()
     )
+
+
+def test_grouped_skew(ray_session):
+    """Skewness/kurtosis match an exact integer-moment recount (unbounded
+    ints; v^4 in cents overflows int64, which the string transport must
+    survive)."""
+    from rayld.pipelines.relational import grouped_skew
+
+    got = grouped_skew(SF).set_index("event_type").sort_index()
+    ev = pd.read_parquet(
+        f"{SF}/events.parquet", columns=["event_type", "value"]
+    )
+    for etype, grp in ev.groupby("event_type"):
+        vc = [int(np.floor(v * 100 + 0.5)) for v in grp["value"]]
+        n, s1 = len(vc), sum(vc)
+        s2 = sum(v * v for v in vc)
+        s3 = sum(v ** 3 for v in vc)
+        s4 = sum(v ** 4 for v in vc)
+        m2n = n * s2 - s1 * s1
+        m3n = n * n * s3 - 3 * n * s1 * s2 + 2 * s1 ** 3
+        m4n = (n ** 3 * s4 - 4 * n * n * s1 * s3
+               + 6 * n * s1 * s1 * s2 - 3 * s1 ** 4)
+        skew = float(m3n) * float(n) ** 0.5 / float(m2n) ** 1.5
+        kurt = float(n) * float(m4n) / (float(m2n) * float(m2n)) - 3.0
+        row = got.loc[etype]
+        assert int(row["n_events"]) == n
+        assert float(row["skewness"]) == skew
+        assert float(row["kurtosis_excess"]) == kurt
+
+
+def test_time_to_conversion(ray_session):
+    """Conversion latencies match a per-user sequential recount; only
+    users with a purchase at/after their first signup appear."""
+    from rayld.pipelines.relational import time_to_conversion
+
+    got = time_to_conversion(SF, num_partitions=4).to_pandas()
+    ev = pd.read_parquet(
+        f"{SF}/events.parquet", columns=["ts", "user_id", "event_type"]
+    )
+    t_us = ev["ts"].astype("datetime64[us]").astype("int64")
+    want = {}
+    for uid, grp in ev.assign(t=t_us).groupby("user_id"):
+        sign = grp.loc[grp["event_type"] == "signup", "t"]
+        if sign.empty:
+            continue
+        s0 = int(sign.min())
+        purch = grp.loc[
+            (grp["event_type"] == "purchase") & (grp["t"] >= s0), "t"
+        ]
+        if purch.empty:
+            continue
+        want[int(uid)] = (s0, (int(purch.min()) - s0) // 1_000_000)
+    assert len(got) == len(want)
+    for r in got.itertuples(index=False):
+        s0, dt = want[int(r.user_id)]
+        assert int(r.signup_ts) == s0 and int(r.conversion_s) == dt
