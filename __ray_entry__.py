@@ -189,6 +189,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_entropy": text.token_entropy,
         "zipf_slope": text.zipf_slope,
         "mad_length_outliers": text.mad_length_outliers,
+        "doc_top_terms": text.doc_top_terms,
         # dedup family
         "dedup_exact": dedup.dedup_exact,
         "dedup_exact_normalized": dedup.dedup_exact_normalized,
@@ -678,6 +679,27 @@ def oracle_sql() -> dict[str, str]:
             " (sy::DOUBLE - ((k*sxy - sx*sy)::DOUBLE"
             "   / (k*sxx - sx*sx)::DOUBLE) * sx::DOUBLE) / k::DOUBLE"
             "  AS zipf_intercept FROM m"
+        ),
+        # per-doc top-3 TF-IDF keywords: integer-exact score
+        # cnt * floor(ln(N/df)*1e6 + 0.5), ties broken by token string
+        "doc_top_terms": (
+            "WITH tok AS (SELECT doc_id,"
+            "  unnest(regexp_extract_all(text, '[A-Za-z0-9]+')) AS t"
+            "  FROM documents),"
+            " nd AS (SELECT count(DISTINCT doc_id)::BIGINT AS n"
+            "  FROM documents),"
+            " p AS (SELECT doc_id, t, count(*)::BIGINT AS cnt FROM tok"
+            "  GROUP BY doc_id, t),"
+            " f AS (SELECT t, count(*)::BIGINT AS df FROM p GROUP BY t),"
+            " s AS (SELECT p.doc_id, p.t AS token,"
+            "  p.cnt * floor(ln((SELECT n FROM nd) / f.df)"
+            "   * 1000000 + 0.5)::BIGINT AS tfidf_micro"
+            "  FROM p JOIN f ON p.t = f.t),"
+            " r AS (SELECT doc_id, token, tfidf_micro,"
+            "  row_number() OVER (PARTITION BY doc_id"
+            "   ORDER BY tfidf_micro DESC, token) AS rank FROM s)"
+            " SELECT doc_id, token, tfidf_micro, rank::BIGINT AS rank"
+            " FROM r WHERE rank <= 3"
         ),
         # robust per-lang length outliers: percentile_disc medians + MAD,
         # all-integer compare

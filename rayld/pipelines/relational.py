@@ -4395,7 +4395,6 @@ def time_to_conversion(sf_dir: str, start: str = "signup",
     a single task as two vectorized groupby-mins."""
     import pyarrow as pa
     import ray.data as rd
-    import pyarrow.compute as pc
 
     from .common import cluster_partitions
 

@@ -1585,3 +1585,110 @@ def mad_length_outliers(sf_dir: str):
     for c in out.columns[1:]:
         out[c] = out[c].astype("int64")
     return out
+
+
+def doc_top_terms(sf_dir: str, k: int = 3,
+                  num_partitions: int | None = None):
+    """Per-document keyword extraction: the top-``k`` TF-IDF terms of every
+    document (the classic per-doc summary feature for retrieval filters and
+    topic tagging), ranked by score with the term string as tiebreak.
+
+    Score is integer-exact: tfidf_micro = cnt * idf_micro with
+    idf_micro = floor(ln(N_docs / df) * 1e6 + 0.5) rounded half-up ONCE per
+    term (the doc_surprisal contract), so ranking and oracle compare are
+    deterministic. Fully distributed, no vocabulary broadcast: (token,
+    doc_id, cnt) pair partials materialize once; ONE crc32(token) exchange
+    owns each term's document frequency and stamps the idf onto its per-doc
+    rows; ONE crc32(doc_id) exchange picks each document's top-k with a
+    vectorized lexsort + per-doc head."""
+    import zlib
+
+    from .common import cluster_partitions
+
+    if num_partitions is None:
+        num_partitions = cluster_partitions()
+
+    _pair_schema = pa.schema([
+        ("token", pa.string()), ("doc_id", pa.int64()),
+        ("cnt", pa.int64()), ("part", pa.int32()),
+    ])
+
+    def pair_partials(df: pd.DataFrame) -> pa.Table:
+        toks = df["text"].str.findall(_TOKEN_RE)
+        g = pd.DataFrame({
+            "doc_id": df["doc_id"].to_numpy(np.int64).repeat(
+                toks.str.len().to_numpy()
+            ),
+            "token": np.concatenate(
+                [np.asarray(t, dtype=object) for t in toks]
+            ) if len(df) else np.array([], dtype=object),
+        }).groupby(["token", "doc_id"], as_index=False).size()
+        parts = np.fromiter(
+            (zlib.crc32(t.encode()) % num_partitions for t in g["token"]),
+            dtype=np.int32, count=len(g),
+        )
+        return pa.table({
+            "token": pa.array(g["token"].astype(str), pa.string()),
+            "doc_id": pa.array(g["doc_id"].to_numpy(np.int64)),
+            "cnt": pa.array(g["size"].astype("int64"), pa.int64()),
+            "part": pa.array(parts, pa.int32()),
+        }, schema=_pair_schema)
+
+    pairs = documents(sf_dir).map_batches(
+        pair_partials, batch_format="pandas"
+    ).materialize()
+    n_docs = int(documents(sf_dir, columns=("doc_id",)).count())
+
+    _scored = pa.schema([
+        ("doc_id", pa.int64()), ("token", pa.string()),
+        ("tfidf_micro", pa.int64()), ("part", pa.int32()),
+    ])
+
+    def stamp_idf(df: pd.DataFrame) -> pa.Table:
+        if len(df) == 0:
+            return _scored.empty_table()
+        dfreq = df.groupby("token")["doc_id"].transform("size")
+        idf = np.floor(
+            np.log(n_docs / dfreq.to_numpy(np.float64)) * 1_000_000 + 0.5
+        ).astype(np.int64)
+        parts = (
+            df["doc_id"].to_numpy(np.int64) % num_partitions
+        ).astype(np.int32)
+        return pa.table({
+            "doc_id": pa.array(df["doc_id"].to_numpy(np.int64)),
+            "token": pa.array(df["token"].astype(str), pa.string()),
+            "tfidf_micro": pa.array(df["cnt"].to_numpy(np.int64) * idf),
+            "part": pa.array(parts, pa.int32()),
+        }, schema=_scored)
+
+    out_sch = pa.schema([
+        ("doc_id", pa.int64()), ("token", pa.string()),
+        ("tfidf_micro", pa.int64()), ("rank", pa.int64()),
+    ])
+
+    def topk(df: pd.DataFrame) -> pa.Table:
+        if len(df) == 0:
+            return out_sch.empty_table()
+        df = df.sort_values(
+            ["doc_id", "tfidf_micro", "token"],
+            ascending=[True, False, True], kind="mergesort",
+        )
+        rank = df.groupby("doc_id").cumcount().to_numpy() + 1
+        keep = rank <= k
+        return pa.table({
+            "doc_id": pa.array(df["doc_id"].to_numpy(np.int64)[keep]),
+            "token": pa.array(
+                df["token"].to_numpy(dtype=object)[keep].tolist(),
+                pa.string(),
+            ),
+            "tfidf_micro": pa.array(
+                df["tfidf_micro"].to_numpy(np.int64)[keep]
+            ),
+            "rank": pa.array(rank[keep].astype(np.int64)),
+        }, schema=out_sch)
+
+    return (
+        pairs.groupby("part").map_groups(stamp_idf, batch_format="pandas")
+        .groupby("part")
+        .map_groups(topk, batch_format="pandas")
+    )

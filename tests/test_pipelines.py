@@ -3236,3 +3236,40 @@ def test_time_to_conversion(ray_session):
     for r in got.itertuples(index=False):
         s0, dt = want[int(r.user_id)]
         assert int(r.signup_ts) == s0 and int(r.conversion_s) == dt
+
+
+def test_doc_top_terms(ray_session):
+    """Per-doc TF-IDF top-3 matches an exact integer recount (idf rounded
+    half-up once; ties break on the token string)."""
+    import re
+    from collections import Counter
+
+    from rayld.pipelines.text import doc_top_terms
+
+    got = doc_top_terms(SF, k=3, num_partitions=4).to_pandas()
+    docs = pd.read_parquet(
+        f"{SF}/documents.parquet", columns=["doc_id", "text"]
+    )
+    per_doc = {
+        int(d): Counter(re.findall(r"[A-Za-z0-9]+", t))
+        for d, t in zip(docs["doc_id"], docs["text"])
+    }
+    dfreq = Counter()
+    for c in per_doc.values():
+        dfreq.update(c.keys())
+    n_docs = len(per_doc)
+    want = []
+    for d, c in per_doc.items():
+        scored = [
+            (tok,
+             cnt * int(np.floor(np.log(n_docs / dfreq[tok]) * 1e6 + 0.5)))
+            for tok, cnt in c.items()
+        ]
+        scored.sort(key=lambda r: (-r[1], r[0]))
+        for i, (tok, s) in enumerate(scored[:3], 1):
+            want.append((d, tok, s, i))
+    got_rows = sorted(
+        (int(r.doc_id), str(r.token), int(r.tfidf_micro), int(r.rank))
+        for r in got.itertuples(index=False)
+    )
+    assert got_rows == sorted(want)
