@@ -227,6 +227,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_postings": indexing.token_postings,
         "shuffle_shards": indexing.shuffle_shards,
         "bm25_scores": indexing.bm25_scores,
+        "rrf_fusion": indexing.rrf_fusion,
         # similarity search
         "ann_topk": ann.brute_force_topk,
         "ann_ivf_topk": ann.ivf_topk,
@@ -835,6 +836,10 @@ def oracle_sql() -> dict[str, str]:
         # half-up to integer micro before the cross-term sum; the generated
         # SQL mirrors the Ray side's float op order exactly
         "bm25_scores": indexing.bm25_oracle_sql(),
+        # hybrid retrieval: reciprocal-rank fusion of the bm25 and quality
+        # rankings (both integer-exact; reciprocal terms added in a fixed
+        # order on both sides)
+        "rrf_fusion": indexing.rrf_oracle_sql(),
         # tf-idf: idf = ln((N+1)/(df+1)) + 1 over regex tokens; top term per
         # doc with ties broken by term; score half-up-rounded to 6dp on both
         # sides (IEEE double arithmetic in the same order)

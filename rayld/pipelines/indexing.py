@@ -279,3 +279,97 @@ def bm25_oracle_sql(terms: tuple[str, ...] = BM25_TERMS) -> str:
         " (" + micro + ") / 1000000.0 AS bm25"
         " FROM t, s WHERE " + n_terms + " > 0"
     )
+
+
+def rrf_fusion(sf_dir: str, terms: tuple[str, ...] = BM25_TERMS,
+               k_rrf: int = 60, list_n: int = 100, top_n: int = 20):
+    """Hybrid retrieval re-ranking: reciprocal-rank fusion (Cormack et al.
+    2009) of the BM25 relevance list and the corpus quality-score list —
+    the 'relevant AND well-formed' document selection step of a curation
+    pipeline. rrf(d) = 1/(k + rank_bm25(d)) + 1/(k + rank_quality(d)),
+    each term 0 when the doc is outside that list's top ``list_n``.
+
+    Both input rankings are integer-exact (bm25 micro-units, quality
+    6dp-quantized), ranks are total orders with doc_id tiebreak, and the
+    two reciprocal terms are added in a fixed order — so the fused score
+    is bit-identical to the SQL oracle. Distributed work = the two
+    existing shuffle-free scoring passes + two sort/limit(list_n) heads;
+    the fusion itself is a driver-side merge of two <= list_n-row lists
+    (bounded, like the ann merge)."""
+    from .text import quality_score
+
+    bm = (
+        bm25_scores(sf_dir, terms)
+        .sort(["bm25", "doc_id"], descending=[True, False])
+        .limit(list_n).to_pandas()
+    )
+    qual = (
+        quality_score(sf_dir)
+        .sort(["quality", "doc_id"], descending=[True, False])
+        .limit(list_n).to_pandas()
+    )
+    rb = {int(d): i + 1 for i, d in enumerate(bm["doc_id"])}
+    rq = {int(d): i + 1 for i, d in enumerate(qual["doc_id"])}
+    rows = []
+    for d in sorted(set(rb) | set(rq)):
+        # fixed addition order (bm25 term, then quality term) — the oracle
+        # mirrors it literally
+        score = (1.0 / (k_rrf + rb[d]) if d in rb else 0.0) + (
+            1.0 / (k_rrf + rq[d]) if d in rq else 0.0
+        )
+        rows.append((d, score, rb.get(d, -1), rq.get(d, -1)))
+    rows.sort(key=lambda r: (-r[1], r[0]))
+    out = pd.DataFrame(
+        rows[:top_n],
+        columns=["doc_id", "rrf", "rank_bm25", "rank_quality"],
+    )
+    for c in ("doc_id", "rank_bm25", "rank_quality"):
+        out[c] = out[c].astype("int64")
+    return out
+
+
+_QUALITY_SQL = (
+    "WITH x AS ("
+    " SELECT doc_id,"
+    "  greatest(length(text), 1) AS n_chars,"
+    "  greatest(len(regexp_extract_all(text, '[A-Za-z0-9]+')), 1)"
+    "    AS n_toks,"
+    "  len(list_filter(regexp_extract_all(text, '[A-Za-z0-9]+'),"
+    "      t -> lower(t) IN ('the','and','of','to','a','in','is',"
+    "      'it','for','with'))) AS stop,"
+    "  len(regexp_extract_all(text, '[.,;:!?]')) AS n_punct"
+    " FROM documents)"
+    " SELECT doc_id,"
+    " floor((0.4 * least(n_toks / 64.0, 1.0)"
+    "     + 0.3 * (1 - least(n_punct / n_chars::DOUBLE, 1.0))"
+    "     + 0.3 * least(stop / n_toks::DOUBLE, 1.0)) * 1e6 + 0.5)"
+    "   / 1e6 AS quality"
+    " FROM x"
+)
+
+
+def rrf_oracle_sql(terms: tuple[str, ...] = BM25_TERMS, k_rrf: int = 60,
+                   list_n: int = 100, top_n: int = 20) -> str:
+    """DuckDB mirror of ``rrf_fusion``: the bm25 and quality oracle bodies
+    as subqueries, row_number ranks with the doc_id tiebreak, and the two
+    reciprocal terms added in the same literal order (quality SQL kept
+    bit-identical to the quality_score oracle; a drift would fail THIS
+    gate too)."""
+    return (
+        "WITH rb AS (SELECT doc_id, r FROM ("
+        "  SELECT doc_id, row_number() OVER (ORDER BY bm25 DESC, doc_id)"
+        "   AS r FROM (" + bm25_oracle_sql(terms) + ")) WHERE r <= "
+        + str(list_n) + "),"
+        " rq AS (SELECT doc_id, r FROM ("
+        "  SELECT doc_id, row_number() OVER (ORDER BY quality DESC, doc_id)"
+        "   AS r FROM (" + _QUALITY_SQL + ")) WHERE r <= " + str(list_n)
+        + "),"
+        " f AS (SELECT coalesce(rb.doc_id, rq.doc_id) AS doc_id,"
+        "  coalesce(1.0 / (" + str(k_rrf) + " + rb.r), 0.0)"
+        "   + coalesce(1.0 / (" + str(k_rrf) + " + rq.r), 0.0) AS rrf,"
+        "  coalesce(rb.r, -1)::BIGINT AS rank_bm25,"
+        "  coalesce(rq.r, -1)::BIGINT AS rank_quality"
+        " FROM rb FULL OUTER JOIN rq ON rb.doc_id = rq.doc_id)"
+        " SELECT doc_id::BIGINT AS doc_id, rrf, rank_bm25, rank_quality"
+        " FROM f ORDER BY rrf DESC, doc_id LIMIT " + str(top_n)
+    )

@@ -3273,3 +3273,35 @@ def test_doc_top_terms(ray_session):
         for r in got.itertuples(index=False)
     )
     assert got_rows == sorted(want)
+
+
+def test_rrf_fusion(ray_session):
+    """RRF output matches a pandas recount that ranks the FULL bm25 and
+    quality score tables (exercises the distributed sort/limit heads and
+    the fixed-order fusion arithmetic)."""
+    from rayld.pipelines.indexing import rrf_fusion
+    from rayld.pipelines.indexing import bm25_scores
+    from rayld.pipelines.text import quality_score
+
+    got = rrf_fusion(SF, list_n=100, top_n=20)
+    bm = bm25_scores(SF).to_pandas().sort_values(
+        ["bm25", "doc_id"], ascending=[False, True], kind="mergesort"
+    ).head(100)
+    qual = quality_score(SF).to_pandas().sort_values(
+        ["quality", "doc_id"], ascending=[False, True], kind="mergesort"
+    ).head(100)
+    rb = {int(d): i + 1 for i, d in enumerate(bm["doc_id"])}
+    rq = {int(d): i + 1 for i, d in enumerate(qual["doc_id"])}
+    rows = []
+    for d in sorted(set(rb) | set(rq)):
+        s = (1.0 / (60 + rb[d]) if d in rb else 0.0) + (
+            1.0 / (60 + rq[d]) if d in rq else 0.0
+        )
+        rows.append((d, s, rb.get(d, -1), rq.get(d, -1)))
+    rows.sort(key=lambda r: (-r[1], r[0]))
+    want = rows[:20]
+    assert [
+        (int(r.doc_id), float(r.rrf), int(r.rank_bm25),
+         int(r.rank_quality))
+        for r in got.itertuples(index=False)
+    ] == want
