@@ -267,6 +267,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "last_touch_attribution": relational.last_touch_attribution,
         "grouped_skew": relational.grouped_skew,
         "time_to_conversion": relational.time_to_conversion,
+        "q18_large_orders": relational.q18_large_orders,
         "user_running_value": relational.user_running_value,
         "user_trailing_window": relational.user_trailing_window,
         "events_lead_lag": relational.events_lead_lag,
@@ -1225,6 +1226,17 @@ def oracle_sql() -> dict[str, str]:
             " count(*)::BIGINT AS n_purchases,"
             " sum(floor(value * 100 + 0.5)::BIGINT) / 100.0 AS sum_value"
             " FROM w WHERE event_type = 'purchase' GROUP BY 1"
+        ),
+        # TPC-H Q18 shape: HAVING-filtered aggregated-key semi-join
+        "q18_large_orders": (
+            "WITH big AS (SELECT l_orderkey,"
+            "  sum(floor(l_quantity * 100 + 0.5)::BIGINT)::BIGINT AS qc"
+            "  FROM lineitem GROUP BY 1"
+            "  HAVING sum(floor(l_quantity * 100 + 0.5)::BIGINT) > 20000)"
+            " SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_totalprice,"
+            " big.qc / 100.0 AS total_qty"
+            " FROM big JOIN orders o ON o.o_orderkey = big.l_orderkey"
+            " JOIN customer c ON c.c_custkey = o.o_custkey"
         ),
         # higher moments from exact HUGEINT raw-moment sums; the closed
         # forms run on identical integers on both sides (grouped_corr

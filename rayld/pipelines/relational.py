@@ -4444,3 +4444,118 @@ def time_to_conversion(sf_dir: str, start: str = "signup",
         .groupby("part")
         .map_groups(resolve, batch_format="pandas")
     )
+
+
+def q18_large_orders(sf_dir: str, qty_threshold: int = 200,
+                     num_partitions: int | None = None):
+    """TPC-H Q18 shape (large-volume orders): customers whose orders total
+    more than ``qty_threshold`` quantity units across line items — the
+    IN-subquery-on-an-aggregated-key pattern (HAVING-filtered semi-join).
+
+    Plan: lineitem pre-aggregates (orderkey, qty cents) per batch, ONE
+    bucketed hash(orderkey) exchange applies the HAVING filter, and the
+    qualifying set — tiny by construction (the filter is the point of the
+    query) — broadcasts via the object store into two map-side joins over
+    orders then customer. No large-large shuffle anywhere: the only
+    all-to-all moves one compact row per orderkey, pre-summed."""
+    import pyarrow as pa
+    import ray
+    import ray.data as rd
+
+    from .common import cluster_partitions
+
+    if num_partitions is None:
+        num_partitions = cluster_partitions()
+
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_quantity"]
+    )
+
+    def partial(df: pd.DataFrame) -> pa.Table:
+        g = pd.Series(
+            money_cents(df["l_quantity"]), index=df.index
+        ).groupby(df["l_orderkey"]).sum()
+        return pa.table({
+            "l_orderkey": pa.array(g.index.to_numpy(np.int64)),
+            "qc": pa.array(g.to_numpy(np.int64)),
+            "part": pa.array(
+                (g.index.to_numpy(np.int64) % num_partitions)
+                .astype(np.int32)
+            ),
+        })
+
+    big_sch = pa.schema([("l_orderkey", pa.int64()), ("qc", pa.int64())])
+
+    def having(df: pd.DataFrame) -> pa.Table:
+        if len(df) == 0:
+            return big_sch.empty_table()
+        g = df.groupby("l_orderkey", as_index=False)["qc"].sum()
+        g = g[g["qc"] > qty_threshold * 100]
+        return pa.table({
+            "l_orderkey": pa.array(g["l_orderkey"].to_numpy(np.int64)),
+            "qc": pa.array(g["qc"].to_numpy(np.int64)),
+        }, schema=big_sch)
+
+    big = (
+        li.map_batches(partial, batch_format="pandas")
+        .groupby("part")
+        .map_groups(having, batch_format="pandas")
+        .to_pandas()
+    )
+    big_ref = ray.put(dict(zip(
+        big["l_orderkey"].astype("int64"), big["qc"].astype("int64")
+    )))
+
+    ord_sch = pa.schema([
+        ("o_custkey", pa.int64()), ("o_orderkey", pa.int64()),
+        ("o_totalprice", pa.float64()), ("qc", pa.int64()),
+    ])
+
+    def pick_orders(df: pd.DataFrame) -> pa.Table:
+        qmap = ray.get(big_ref)
+        hit = df["o_orderkey"].isin(qmap)
+        sel = df[hit]
+        return pa.table({
+            "o_custkey": pa.array(sel["o_custkey"].to_numpy(np.int64)),
+            "o_orderkey": pa.array(sel["o_orderkey"].to_numpy(np.int64)),
+            "o_totalprice": pa.array(
+                sel["o_totalprice"].to_numpy(np.float64)
+            ),
+            "qc": pa.array(
+                np.asarray([qmap[int(k)] for k in sel["o_orderkey"]],
+                           dtype=np.int64)
+            ),
+        }, schema=ord_sch)
+
+    hits = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_totalprice"],
+    ).map_batches(pick_orders, batch_format="pandas").to_pandas()
+    hits_ref = ray.put(hits)
+
+    out_sch = pa.schema([
+        ("c_custkey", pa.int64()), ("c_name", pa.string()),
+        ("o_orderkey", pa.int64()), ("o_totalprice", pa.float64()),
+        ("total_qty", pa.float64()),
+    ])
+
+    def attach_customer(df: pd.DataFrame) -> pa.Table:
+        h = ray.get(hits_ref)
+        m = df[["c_custkey", "c_name"]].merge(
+            h, left_on="c_custkey", right_on="o_custkey"
+        )
+        return pa.table({
+            "c_custkey": pa.array(m["c_custkey"].to_numpy(np.int64)),
+            "c_name": pa.array(m["c_name"].astype(str), pa.string()),
+            "o_orderkey": pa.array(m["o_orderkey"].to_numpy(np.int64)),
+            "o_totalprice": pa.array(
+                m["o_totalprice"].to_numpy(np.float64)
+            ),
+            "total_qty": pa.array(
+                m["qc"].to_numpy(np.int64) / 100.0, pa.float64()
+            ),
+        }, schema=out_sch)
+
+    return rd.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name"]
+    ).map_batches(attach_customer, batch_format="pandas")

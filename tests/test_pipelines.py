@@ -3305,3 +3305,41 @@ def test_rrf_fusion(ray_session):
          int(r.rank_quality))
         for r in got.itertuples(index=False)
     ] == want
+
+
+def test_q18_large_orders(ray_session):
+    """Q18 matches a pandas recount: orders over the quantity threshold,
+    joined to their order and customer rows."""
+    from rayld.pipelines.relational import q18_large_orders
+
+    got = q18_large_orders(SF, qty_threshold=200, num_partitions=4)
+    got = got.to_pandas().sort_values("o_orderkey").reset_index(drop=True)
+    li = pd.read_parquet(
+        f"{SF}/lineitem.parquet", columns=["l_orderkey", "l_quantity"]
+    )
+    qc = (
+        pd.Series(
+            np.floor(li["l_quantity"] * 100 + 0.5).astype("int64"),
+            index=li.index,
+        ).groupby(li["l_orderkey"]).sum()
+    )
+    qc = qc[qc > 20000]
+    orders = pd.read_parquet(
+        f"{SF}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_totalprice"],
+    )
+    cust = pd.read_parquet(
+        f"{SF}/customer.parquet", columns=["c_custkey", "c_name"]
+    )
+    want = (
+        orders[orders["o_orderkey"].isin(qc.index)]
+        .merge(cust, left_on="o_custkey", right_on="c_custkey")
+        .assign(total_qty=lambda d: d["o_orderkey"].map(qc) / 100.0)
+        .sort_values("o_orderkey").reset_index(drop=True)
+    )
+    assert len(got) == len(want) > 0
+    assert (got["o_orderkey"] == want["o_orderkey"]).all()
+    assert (got["c_custkey"] == want["c_custkey"]).all()
+    assert (got["c_name"] == want["c_name"]).all()
+    assert (got["o_totalprice"] == want["o_totalprice"]).all()
+    assert (got["total_qty"] == want["total_qty"]).all()
