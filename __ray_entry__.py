@@ -190,6 +190,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "zipf_slope": text.zipf_slope,
         "mad_length_outliers": text.mad_length_outliers,
         "doc_top_terms": text.doc_top_terms,
+        "source_vocab_overlap": text.source_vocab_overlap,
         # dedup family
         "dedup_exact": dedup.dedup_exact,
         "dedup_exact_normalized": dedup.dedup_exact_normalized,
@@ -681,6 +682,23 @@ def oracle_sql() -> dict[str, str]:
             " (sy::DOUBLE - ((k*sxy - sx*sy)::DOUBLE"
             "   / (k*sxx - sx*sx)::DOUBLE) * sx::DOUBLE) / k::DOUBLE"
             "  AS zipf_intercept FROM m"
+        ),
+        # pairwise Jaccard of per-source distinct token sets (exact set
+        # sizes; double division of identical integers on both sides)
+        "source_vocab_overlap": (
+            "WITH ts AS (SELECT DISTINCT source, t FROM documents,"
+            "  unnest(regexp_extract_all(text, '[A-Za-z0-9]+')) AS u(t)),"
+            " c AS (SELECT source, count(*)::BIGINT AS n FROM ts"
+            "  GROUP BY 1),"
+            " p AS (SELECT a.source AS source_a, b.source AS source_b,"
+            "   count(*)::BIGINT AS n_inter FROM ts a JOIN ts b"
+            "   ON a.t = b.t AND a.source < b.source GROUP BY 1, 2)"
+            " SELECT p.source_a, p.source_b, p.n_inter,"
+            " (ca.n + cb.n - p.n_inter)::BIGINT AS n_union,"
+            " p.n_inter::DOUBLE / (ca.n + cb.n - p.n_inter)::DOUBLE"
+            "  AS jaccard"
+            " FROM p JOIN c ca ON ca.source = p.source_a"
+            " JOIN c cb ON cb.source = p.source_b"
         ),
         # per-doc top-3 TF-IDF keywords: integer-exact score
         # cnt * floor(ln(N/df)*1e6 + 0.5), ties broken by token string

@@ -1692,3 +1692,98 @@ def doc_top_terms(sf_dir: str, k: int = 3,
         .groupby("part")
         .map_groups(topk, batch_format="pandas")
     )
+
+
+def source_vocab_overlap(sf_dir: str, num_partitions: int | None = None):
+    """Cross-source vocabulary similarity: pairwise Jaccard of the distinct
+    token sets of every pair of document sources (which feeds/crawls
+    duplicate each other's language; a near-1 pair is a candidate for
+    source-level dedup, a near-0 pair signals domain shift).
+
+    ONE crc32(token) exchange sees every (token, source) incidence of a
+    token in one task, so intersections are exact set intersections per
+    token, pre-aggregated per pair in-task; output is bounded by
+    sources^2 pairs. No cross join of documents anywhere — the classic
+    'co-occurrence through the inverted key' plan (same skeleton as
+    kg_entity_cooccurrence)."""
+    import zlib
+
+    from .common import bucketed_sum_combine, cluster_partitions
+
+    if num_partitions is None:
+        num_partitions = cluster_partitions()
+
+    pair_sch = pa.schema([
+        ("source_a", pa.string()), ("source_b", pa.string()),
+        ("n", pa.int64()),
+    ])
+
+    def incid(df: pd.DataFrame) -> pa.Table:
+        toks = df["text"].str.findall(_TOKEN_RE)
+        g = pd.DataFrame({
+            "source": df["source"].to_numpy(dtype=object).repeat(
+                toks.str.len().to_numpy()
+            ),
+            "token": np.concatenate(
+                [np.asarray(t, dtype=object) for t in toks]
+            ) if len(df) else np.array([], dtype=object),
+        }).drop_duplicates()
+        parts = np.fromiter(
+            (zlib.crc32(t.encode()) % num_partitions for t in g["token"]),
+            dtype=np.int32, count=len(g),
+        )
+        return pa.table({
+            "token": pa.array(g["token"].astype(str), pa.string()),
+            "source": pa.array(g["source"].astype(str), pa.string()),
+            "part": pa.array(parts, pa.int32()),
+        })
+
+    def pair_counts(df: pd.DataFrame) -> pa.Table:
+        if len(df) == 0:
+            return pair_sch.empty_table()
+        df = df.drop_duplicates(["token", "source"])
+        rows: dict[tuple[str, str], int] = {}
+        for _, grp in df.groupby("token", sort=False):
+            srcs = sorted(grp["source"])
+            for s in srcs:                      # per-source vocab size
+                key = (s, "")
+                rows[key] = rows.get(key, 0) + 1
+            for i in range(len(srcs)):          # pairwise intersections
+                for j in range(i + 1, len(srcs)):
+                    key = (srcs[i], srcs[j])
+                    rows[key] = rows.get(key, 0) + 1
+        return pa.table({
+            "source_a": pa.array([k[0] for k in rows], pa.string()),
+            "source_b": pa.array([k[1] for k in rows], pa.string()),
+            "n": pa.array(list(rows.values()), pa.int64()),
+        }, schema=pair_sch)
+
+    agg = bucketed_sum_combine(
+        documents(sf_dir, columns=("doc_id", "source", "text"))
+        .map_batches(incid, batch_format="pandas")
+        .groupby("part")
+        .map_groups(pair_counts, batch_format="pandas"),
+        keys=["source_a", "source_b"], sum_cols=["n"],
+        schema=pair_sch,
+    ).to_pandas()
+
+    sizes = {
+        r.source_a: int(r.n)
+        for r in agg[agg["source_b"] == ""].itertuples(index=False)
+    }
+    pairs = agg[agg["source_b"] != ""].sort_values(
+        ["source_a", "source_b"]
+    )
+    inter = pairs["n"].astype("int64")
+    uni = np.array(
+        [sizes[a] + sizes[b] for a, b in
+         zip(pairs["source_a"], pairs["source_b"])],
+        dtype=np.int64,
+    ) - inter.to_numpy()
+    return pd.DataFrame({
+        "source_a": pairs["source_a"].astype(str).to_numpy(),
+        "source_b": pairs["source_b"].astype(str).to_numpy(),
+        "n_inter": inter.to_numpy(),
+        "n_union": uni,
+        "jaccard": inter.to_numpy() / uni,
+    })

@@ -3343,3 +3343,35 @@ def test_q18_large_orders(ray_session):
     assert (got["c_name"] == want["c_name"]).all()
     assert (got["o_totalprice"] == want["o_totalprice"]).all()
     assert (got["total_qty"] == want["total_qty"]).all()
+
+
+def test_source_vocab_overlap(ray_session):
+    """Pairwise source-vocabulary Jaccard matches a set recount, and the
+    set identities hold (inter <= min size, union >= max size)."""
+    import re
+    from collections import defaultdict
+
+    from rayld.pipelines.text import source_vocab_overlap
+
+    got = source_vocab_overlap(SF, num_partitions=4)
+    docs = pd.read_parquet(
+        f"{SF}/documents.parquet", columns=["source", "text"]
+    )
+    vocab = defaultdict(set)
+    for s, t in zip(docs["source"], docs["text"]):
+        vocab[s].update(re.findall(r"[A-Za-z0-9]+", t))
+    srcs = sorted(vocab)
+    want = {}
+    for i in range(len(srcs)):
+        for j in range(i + 1, len(srcs)):
+            a, b = srcs[i], srcs[j]
+            inter = len(vocab[a] & vocab[b])
+            if inter:
+                want[(a, b)] = (inter, len(vocab[a] | vocab[b]))
+    assert len(got) == len(want)
+    for r in got.itertuples(index=False):
+        inter, uni = want[(str(r.source_a), str(r.source_b))]
+        assert int(r.n_inter) == inter and int(r.n_union) == uni
+        assert float(r.jaccard) == inter / uni
+        assert inter <= min(len(vocab[r.source_a]), len(vocab[r.source_b]))
+        assert uni >= max(len(vocab[r.source_a]), len(vocab[r.source_b]))
