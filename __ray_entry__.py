@@ -191,6 +191,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mad_length_outliers": text.mad_length_outliers,
         "doc_top_terms": text.doc_top_terms,
         "source_vocab_overlap": text.source_vocab_overlap,
+        "quality_deciles_by_lang": text.quality_deciles_by_lang,
         # dedup family
         "dedup_exact": dedup.dedup_exact,
         "dedup_exact_normalized": dedup.dedup_exact_normalized,
@@ -682,6 +683,15 @@ def oracle_sql() -> dict[str, str]:
             " (sy::DOUBLE - ((k*sxy - sx*sy)::DOUBLE"
             "   / (k*sxx - sx*sx)::DOUBLE) * sx::DOUBLE) / k::DOUBLE"
             "  AS zipf_intercept FROM m"
+        ),
+        # grouped NTILE: per-lang quality deciles (quality is the shared
+        # 6dp-quantized contract; ntile over (quality, doc_id) total order)
+        "quality_deciles_by_lang": (
+            "WITH q AS (" + indexing._QUALITY_SQL + ")"
+            " SELECT q.doc_id, d.lang, q.quality,"
+            " ntile(10) OVER (PARTITION BY d.lang"
+            "  ORDER BY q.quality, q.doc_id)::BIGINT AS tile"
+            " FROM q JOIN documents d USING (doc_id)"
         ),
         # pairwise Jaccard of per-source distinct token sets (exact set
         # sizes; double division of identical integers on both sides)

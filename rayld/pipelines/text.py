@@ -1787,3 +1787,80 @@ def source_vocab_overlap(sf_dir: str, num_partitions: int | None = None):
         "n_union": uni,
         "jaccard": inter.to_numpy() / uni,
     })
+
+
+def quality_deciles_by_lang(sf_dir: str, n_tiles: int = 10,
+                            num_partitions: int | None = None):
+    """Per-language quality deciles: NTILE(n) OVER (PARTITION BY lang
+    ORDER BY quality, doc_id) — the grouped-window complement of the
+    engine's global NTILE (user_spend_ntile), used to build per-language
+    curriculum buckets without letting a high-resource language's score
+    distribution set the cutoffs for a low-resource one.
+
+    ONE bucketed hash(lang) exchange (languages are bounded, so each
+    group is one task); the tile is exact NTILE arithmetic over the
+    in-task lexsort position (first N % n tiles get ceil(N/n) rows),
+    deterministic via the doc_id tiebreak. At much higher per-key row
+    counts the same op would switch to the range-bucket +
+    offset-broadcast plan of user_spend_ntile applied per language."""
+    import zlib
+
+    from .common import cluster_partitions
+
+    if num_partitions is None:
+        num_partitions = cluster_partitions()
+
+    def score(df: pd.DataFrame) -> pa.Table:
+        _, q = quality_cols(df["text"])
+        parts = np.fromiter(
+            (zlib.crc32(s.encode()) % num_partitions for s in df["lang"]),
+            dtype=np.int32, count=len(df),
+        )
+        return pa.table({
+            "doc_id": pa.array(df["doc_id"].to_numpy(np.int64)),
+            "lang": pa.array(df["lang"].astype(str), pa.string()),
+            "q_micro": pa.array(
+                np.floor(q * 1e6 + 0.5).astype(np.int64)
+            ),
+            "part": pa.array(parts, pa.int32()),
+        })
+
+    out_sch = pa.schema([
+        ("doc_id", pa.int64()), ("lang", pa.string()),
+        ("quality", pa.float64()), ("tile", pa.int64()),
+    ])
+
+    def ntile(df: pd.DataFrame) -> pa.Table:
+        if len(df) == 0:
+            return out_sch.empty_table()
+        outs = []
+        for lang, grp in df.groupby("lang", sort=False):
+            q = grp["q_micro"].to_numpy(np.int64)
+            d = grp["doc_id"].to_numpy(np.int64)
+            order = np.lexsort((d, q))
+            n = len(grp)
+            big = n // n_tiles + 1
+            small = max(n // n_tiles, 1)
+            n_big = n % n_tiles
+            cut = n_big * big
+            rn = np.empty(n, dtype=np.int64)
+            rn[order] = np.arange(1, n + 1, dtype=np.int64)
+            tile = np.where(
+                rn <= cut,
+                (rn - 1) // big + 1,
+                n_big + (rn - cut - 1) // small + 1,
+            )
+            outs.append(pa.table({
+                "doc_id": pa.array(d),
+                "lang": pa.array([str(lang)] * n, pa.string()),
+                "quality": pa.array(q / 1e6, pa.float64()),
+                "tile": pa.array(tile.astype(np.int64)),
+            }, schema=out_sch))
+        return pa.concat_tables(outs)
+
+    return (
+        documents(sf_dir, columns=("doc_id", "lang", "text"))
+        .map_batches(score, batch_format="pandas")
+        .groupby("part")
+        .map_groups(ntile, batch_format="pandas")
+    )

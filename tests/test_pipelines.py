@@ -3375,3 +3375,31 @@ def test_source_vocab_overlap(ray_session):
         assert float(r.jaccard) == inter / uni
         assert inter <= min(len(vocab[r.source_a]), len(vocab[r.source_b]))
         assert uni >= max(len(vocab[r.source_a]), len(vocab[r.source_b]))
+
+
+def test_quality_deciles_by_lang(ray_session):
+    """Grouped NTILE matches a per-lang pandas recount (SQL NTILE
+    semantics: first N % n tiles take the extra row) over the shared
+    quality contract."""
+    from rayld.pipelines.text import quality_cols, quality_deciles_by_lang
+
+    got = quality_deciles_by_lang(SF, num_partitions=4).to_pandas()
+    docs = pd.read_parquet(
+        f"{SF}/documents.parquet", columns=["doc_id", "lang", "text"]
+    )
+    _, q = quality_cols(docs["text"])
+    docs = docs.assign(quality=q)
+    m = got.set_index("doc_id")
+    for lang, grp in docs.groupby("lang"):
+        grp = grp.sort_values(["quality", "doc_id"], kind="mergesort")
+        n = len(grp)
+        big, small = n // 10 + 1, max(n // 10, 1)
+        n_big = n % 10
+        cut = n_big * big
+        for pos, r in enumerate(grp.itertuples(index=False), 1):
+            tile = ((pos - 1) // big + 1 if pos <= cut
+                    else n_big + (pos - cut - 1) // small + 1)
+            row = m.loc[int(r.doc_id)]
+            assert str(row["lang"]) == lang
+            assert float(row["quality"]) == float(r.quality)
+            assert int(row["tile"]) == tile
