@@ -192,6 +192,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_top_terms": text.doc_top_terms,
         "source_vocab_overlap": text.source_vocab_overlap,
         "quality_deciles_by_lang": text.quality_deciles_by_lang,
+        "table_checksum": text.table_checksum,
         # dedup family
         "dedup_exact": dedup.dedup_exact,
         "dedup_exact_normalized": dedup.dedup_exact_normalized,
@@ -683,6 +684,15 @@ def oracle_sql() -> dict[str, str]:
             " (sy::DOUBLE - ((k*sxy - sx*sy)::DOUBLE"
             "   / (k*sxx - sx*sx)::DOUBLE) * sx::DOUBLE) / k::DOUBLE"
             "  AS zipf_intercept FROM m"
+        ),
+        # per-bucket anti-entropy checksum: commutative sum mod 2^64 of the
+        # md5 low half (md5_number_lower == the Python little-endian low
+        # half), decimal-string compare
+        "table_checksum": (
+            "SELECT doc_id % 16 AS bucket, count(*)::BIGINT AS n_docs,"
+            " CAST(sum(md5_number_lower(text)::HUGEINT)"
+            "  % 18446744073709551616 AS VARCHAR) AS checksum"
+            " FROM documents GROUP BY 1"
         ),
         # grouped NTILE: per-lang quality deciles (quality is the shared
         # 6dp-quantized contract; ntile over (quality, doc_id) total order)

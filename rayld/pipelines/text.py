@@ -1864,3 +1864,56 @@ def quality_deciles_by_lang(sf_dir: str, n_tiles: int = 10,
         .groupby("part")
         .map_groups(ntile, batch_format="pandas")
     )
+
+
+def table_checksum(sf_dir: str, n_buckets: int = 16):
+    """Distributed content checksum of the documents table, per key-range
+    bucket — the anti-entropy primitive for verifying replicated or
+    re-ingested shards at scale without moving the data (compare 16 rows,
+    not the corpus). checksum(bucket) = sum mod 2^64 of the low half of
+    md5(text) over the bucket's docs: commutative, so block order,
+    partitioning and retries can't change it.
+
+    One pass, no shuffle of row data: per-batch partials are (bucket,
+    count, wrapped sum) and the combine moves n_buckets rows per block.
+    The wrapped sum rides int64 transport via the two's-complement bit
+    pattern (numpy int64 addition wraps exactly like uint64 mod 2^64);
+    the final value is re-viewed as uint64 and emitted as a decimal
+    string (the oracle's HUGEINT % 2^64 cast to VARCHAR)."""
+    from .common import bucketed_sum_combine
+
+    part_sch = pa.schema([
+        ("bucket", pa.int64()), ("n_docs", pa.int64()),
+        ("csum_bits", pa.int64()),
+    ])
+
+    def partial(df: pd.DataFrame) -> pa.Table:
+        lows = np.fromiter(
+            (int.from_bytes(
+                hashlib.md5(t.encode()).digest()[8:], "little"
+            ) for t in df["text"]),
+            dtype=np.uint64, count=len(df),
+        )
+        buckets = (df["doc_id"].to_numpy(np.int64) % n_buckets)
+        g = pd.DataFrame({"bucket": buckets, "low": lows.view(np.int64)})
+        out = g.groupby("bucket").agg(
+            n_docs=("low", "size"), csum_bits=("low", "sum")
+        ).reset_index()
+        return pa.table({
+            "bucket": pa.array(out["bucket"].to_numpy(np.int64)),
+            "n_docs": pa.array(out["n_docs"].to_numpy(np.int64)),
+            "csum_bits": pa.array(out["csum_bits"].to_numpy(np.int64)),
+        }, schema=part_sch)
+
+    agg = bucketed_sum_combine(
+        documents(sf_dir).map_batches(partial, batch_format="pandas"),
+        keys=["bucket"], sum_cols=["n_docs", "csum_bits"],
+        schema=part_sch,
+    ).to_pandas()
+
+    csum = agg["csum_bits"].to_numpy(np.int64).view(np.uint64)
+    return pd.DataFrame({
+        "bucket": agg["bucket"].astype("int64"),
+        "n_docs": agg["n_docs"].astype("int64"),
+        "checksum": [str(int(c)) for c in csum],
+    })

