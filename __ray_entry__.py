@@ -253,6 +253,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hourly": relational.events_hourly,
         "events_sliding": relational.events_sliding,
         "user_sessions": relational.user_sessions,
+        "session_concurrency": relational.session_concurrency,
         "asof_join_attribution": relational.asof_join_attribution,
         "range_join_signup_clicks": relational.range_join_signup_clicks,
         "supplier_account_rank": relational.supplier_account_rank,
@@ -1117,6 +1118,30 @@ def oracle_sql() -> dict[str, str]:
             "  FROM x"
             ") SELECT user_id, session_id, count(*)::BIGINT AS n_events"
             " FROM y GROUP BY user_id, session_id"
+        ),
+        # hourly session concurrency: sessions (user_sessions definition)
+        # exploded to the hour buckets their [min ts, max ts] span covers
+        "session_concurrency": (
+            "WITH x AS ("
+            "  SELECT user_id, ts,"
+            "   CASE WHEN lag(ts) OVER w IS NULL"
+            "     OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE"
+            "   THEN 1 ELSE 0 END AS new_s"
+            "  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)"
+            "), y AS ("
+            "  SELECT user_id, ts,"
+            "   sum(new_s) OVER (PARTITION BY user_id ORDER BY ts"
+            "     ROWS UNBOUNDED PRECEDING)::BIGINT AS session_id"
+            "  FROM x"
+            "), s AS ("
+            "  SELECT epoch(date_trunc('hour', min(ts)))::BIGINT AS h0,"
+            "   epoch(date_trunc('hour', max(ts)))::BIGINT AS h1"
+            "  FROM y GROUP BY user_id, session_id"
+            "), e AS ("
+            "  SELECT h0 + 3600 * u.i AS window_start"
+            "  FROM s, unnest(range(0, (h1 - h0) // 3600 + 1)) AS u(i)"
+            ") SELECT window_start, count(*)::BIGINT AS n_active"
+            " FROM e GROUP BY 1"
         ),
         # as-of join: DuckDB's native ASOF JOIN is the oracle; timestamps
         # compare as epoch-microsecond BIGINTs on both sides

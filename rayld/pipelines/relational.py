@@ -4559,3 +4559,77 @@ def q18_large_orders(sf_dir: str, qty_threshold: int = 200,
     return rd.read_parquet(
         f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name"]
     ).map_batches(attach_customer, batch_format="pandas")
+
+
+def session_concurrency(sf_dir: str, gap_minutes: int = 30,
+                        num_partitions: int | None = None):
+    """Hourly session concurrency: for every hour bucket, how many
+    gap-based user sessions (the ``user_sessions`` definition) are ACTIVE
+    — i.e. the session's [first event, last event] span overlaps the hour.
+    The capacity-planning view of the session table (peak concurrency =
+    the max row).
+
+    Same ONE bucketed hash(user_id) exchange as ``user_sessions``; each
+    task sessionizes its users, explodes every session to the hour buckets
+    its span covers (bounded by session length — the 30-minute gap rule
+    caps realistic spans), and pre-counts per hour, so the second combine
+    moves one row per (hour x block): bounded by the TIME RANGE, not the
+    event count."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from .common import bucketed_sum_combine, cluster_partitions
+
+    if num_partitions is None:
+        num_partitions = cluster_partitions()
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts"]
+    )
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        parts = crc32_buckets(batch["user_id"].to_pylist(), num_partitions)
+        return batch.append_column("part", pa.array(parts, pa.int32()))
+
+    hour_sch = pa.schema([
+        ("window_start", pa.int64()), ("n_active", pa.int64()),
+    ])
+
+    def explode_hours(part: pd.DataFrame) -> pa.Table:
+        if len(part) == 0:
+            return hour_sch.empty_table()
+        part = part.sort_values(["user_id", "ts"], kind="mergesort")
+        gaps = part.groupby("user_id")["ts"].diff()
+        new_s = gaps.isna() | (gaps > pd.Timedelta(minutes=gap_minutes))
+        sid = new_s.groupby(part["user_id"]).cumsum()
+        spans = part.assign(session_id=sid).groupby(
+            ["user_id", "session_id"]
+        )["ts"].agg(["min", "max"])
+        h0 = (
+            spans["min"].dt.floor("h").astype("datetime64[s]")
+            .astype("int64").to_numpy()
+        )
+        h1 = (
+            spans["max"].dt.floor("h").astype("datetime64[s]")
+            .astype("int64").to_numpy()
+        )
+        n_hours = (h1 - h0) // 3600 + 1
+        starts = np.repeat(h0, n_hours)
+        offs = np.concatenate(
+            [np.arange(k, dtype=np.int64) for k in n_hours]
+        ) if len(n_hours) else np.array([], dtype=np.int64)
+        hours = starts + 3600 * offs
+        u, c = np.unique(hours, return_counts=True)
+        return pa.table({
+            "window_start": pa.array(u),
+            "n_active": pa.array(c.astype(np.int64)),
+        }, schema=hour_sch)
+
+    partials = (
+        ds.map_batches(add_part, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(explode_hours, batch_format="pandas")
+    )
+    return bucketed_sum_combine(
+        partials, keys=["window_start"], sum_cols=["n_active"],
+        schema=hour_sch,
+    )

@@ -3426,3 +3426,30 @@ def test_table_checksum(ray_session):
     for b, (n, s) in want.items():
         assert int(got.loc[b, "n_docs"]) == n
         assert got.loc[b, "checksum"] == str(s)
+
+
+def test_session_concurrency(ray_session):
+    """Hourly active-session counts match a pandas sweep recount, and the
+    total session-hours equal the sum of per-session hour spans."""
+    from rayld.pipelines.relational import session_concurrency
+
+    got = session_concurrency(SF, num_partitions=4).to_pandas()
+    ev = pd.read_parquet(f"{SF}/events.parquet", columns=["user_id", "ts"])
+    ev = ev.sort_values(["user_id", "ts"], kind="mergesort")
+    gaps = ev.groupby("user_id")["ts"].diff()
+    new_s = gaps.isna() | (gaps > pd.Timedelta(minutes=30))
+    sid = new_s.groupby(ev["user_id"]).cumsum()
+    spans = ev.assign(session_id=sid).groupby(["user_id", "session_id"])[
+        "ts"
+    ].agg(["min", "max"])
+    want = {}
+    for t0, t1 in zip(spans["min"], spans["max"]):
+        h0 = int(pd.Timestamp(t0).floor("h").timestamp())
+        h1 = int(pd.Timestamp(t1).floor("h").timestamp())
+        for h in range(h0, h1 + 3600, 3600):
+            want[h] = want.get(h, 0) + 1
+    m = got.set_index("window_start")["n_active"]
+    assert len(m) == len(want)
+    for h, n in want.items():
+        assert int(m.loc[h]) == n
+    assert int(got["n_active"].sum()) == sum(want.values())
