@@ -254,6 +254,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sliding": relational.events_sliding,
         "user_sessions": relational.user_sessions,
         "session_concurrency": relational.session_concurrency,
+        "gap_percentiles_by_type": relational.gap_percentiles_by_type,
         "asof_join_attribution": relational.asof_join_attribution,
         "range_join_signup_clicks": relational.range_join_signup_clicks,
         "supplier_account_rank": relational.supplier_account_rank,
@@ -1118,6 +1119,21 @@ def oracle_sql() -> dict[str, str]:
             "  FROM x"
             ") SELECT user_id, session_id, count(*)::BIGINT AS n_events"
             " FROM y GROUP BY user_id, session_id"
+        ),
+        # per-type inter-event gap percentiles (percentile_disc over the
+        # LAG gaps within (user, type); whole seconds)
+        "gap_percentiles_by_type": (
+            "WITH g AS (SELECT event_type,"
+            "  (epoch_us(ts) - lag(epoch_us(ts)) OVER ("
+            "   PARTITION BY user_id, event_type ORDER BY ts, event_id))"
+            "   // 1000000 AS gap_s"
+            " FROM events)"
+            " SELECT event_type, count(*)::BIGINT AS n_gaps,"
+            " percentile_disc(0.5) WITHIN GROUP (ORDER BY gap_s)::BIGINT"
+            "  AS median_gap_s,"
+            " percentile_disc(0.9) WITHIN GROUP (ORDER BY gap_s)::BIGINT"
+            "  AS p90_gap_s"
+            " FROM g WHERE gap_s IS NOT NULL GROUP BY 1"
         ),
         # hourly session concurrency: sessions (user_sessions definition)
         # exploded to the hour buckets their [min ts, max ts] span covers

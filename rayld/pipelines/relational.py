@@ -4633,3 +4633,95 @@ def session_concurrency(sf_dir: str, gap_minutes: int = 30,
         partials, keys=["window_start"], sum_cols=["n_active"],
         schema=hour_sch,
     )
+
+
+def gap_percentiles_by_type(sf_dir: str, num_partitions: int | None = None):
+    """Per-type inter-event dwell time percentiles: exact median and p90 of
+    the gap (whole seconds) between a user's consecutive events of the
+    same type — the latency-distribution view behind polling-interval and
+    session-gap choices.
+
+    Window-then-order-statistics composite: ONE bucketed hash(user_id)
+    exchange computes per-user LAG gaps in-task (every user's history in
+    one task), the gaps collapse to a (type, gap_s) -> count histogram
+    partial, and ONE bounded combine + per-type scan picks the exact
+    percentile_disc values by integer cross-multiplication (the
+    grouped_median plan: the exchange is bounded by the gap-value RANGE,
+    never the event count)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from .common import bucketed_sum_combine, cluster_partitions
+
+    if num_partitions is None:
+        num_partitions = cluster_partitions()
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "event_type", "ts", "event_id"],
+    )
+
+    hist_sch = pa.schema([
+        ("event_type", pa.string()), ("gap_s", pa.int64()),
+        ("n", pa.int64()),
+    ])
+
+    def gaps(df: pd.DataFrame) -> pa.Table:
+        if len(df) == 0:
+            return hist_sch.empty_table()
+        df = df.sort_values(
+            ["user_id", "event_type", "ts", "event_id"], kind="mergesort"
+        )
+        t_us = df["ts"].astype("datetime64[us]").astype("int64")
+        prev = t_us.groupby(
+            [df["user_id"], df["event_type"]]
+        ).shift()
+        ok = prev.notna()
+        g = pd.DataFrame({
+            "event_type": df.loc[ok, "event_type"],
+            "gap_s": ((t_us[ok] - prev[ok].astype("int64")) // 1_000_000),
+            "n": 1,
+        }).groupby(["event_type", "gap_s"], as_index=False)["n"].sum()
+        return pa.table({
+            "event_type": pa.array(g["event_type"].astype(str), pa.string()),
+            "gap_s": pa.array(g["gap_s"].to_numpy(np.int64)),
+            "n": pa.array(g["n"].to_numpy(np.int64)),
+        }, schema=hist_sch)
+
+    hist = bucketed_sum_combine(
+        ds.map_batches(
+            append_mod_part, batch_format="pyarrow",
+            fn_args=("user_id", num_partitions),
+        )
+        .groupby("part")
+        .map_groups(gaps, batch_format="pandas"),
+        keys=["event_type", "gap_s"], sum_cols=["n"],
+        schema=hist_sch,
+    )
+
+    out_sch = pa.schema([
+        ("event_type", pa.string()), ("n_gaps", pa.int64()),
+        ("median_gap_s", pa.int64()), ("p90_gap_s", pa.int64()),
+    ])
+
+    def pick(df: pd.DataFrame) -> pa.Table:
+        if len(df) == 0:
+            return out_sch.empty_table()
+        df = df.sort_values("gap_s")
+        cum = df["n"].cumsum().to_numpy(np.int64)
+        vals = df["gap_s"].to_numpy(np.int64)
+        total = int(cum[-1])
+
+        def disc(num: int, den: int) -> int:
+            idx = int(np.searchsorted(den * cum, num * total, side="left"))
+            return int(vals[idx])
+
+        return pa.table({
+            "event_type": pa.array([str(df["event_type"].iloc[0])]),
+            "n_gaps": pa.array([total], pa.int64()),
+            "median_gap_s": pa.array([disc(1, 2)], pa.int64()),
+            "p90_gap_s": pa.array([disc(9, 10)], pa.int64()),
+        }, schema=out_sch)
+
+    return hist.groupby("event_type").map_groups(
+        pick, batch_format="pandas"
+    )

@@ -3453,3 +3453,34 @@ def test_session_concurrency(ray_session):
     for h, n in want.items():
         assert int(m.loc[h]) == n
     assert int(got["n_active"].sum()) == sum(want.values())
+
+
+def test_gap_percentiles_by_type(ray_session):
+    """Per-type gap percentiles match a pandas LAG recount with
+    percentile_disc (left-search) semantics."""
+    from rayld.pipelines.relational import gap_percentiles_by_type
+
+    got = gap_percentiles_by_type(SF, num_partitions=4).to_pandas()
+    got = got.set_index("event_type").sort_index()
+    ev = pd.read_parquet(f"{SF}/events.parquet").sort_values(
+        ["user_id", "event_type", "ts", "event_id"], kind="mergesort"
+    )
+    t_us = ev["ts"].astype("datetime64[us]").astype("int64")
+    prev = t_us.groupby([ev["user_id"], ev["event_type"]]).shift()
+    ok = prev.notna()
+    gaps = pd.DataFrame({
+        "event_type": ev.loc[ok, "event_type"],
+        "gap_s": (t_us[ok] - prev[ok].astype("int64")) // 1_000_000,
+    })
+
+    def disc(a: np.ndarray, num: int, den: int) -> int:
+        a = np.sort(a)
+        cum = np.arange(1, len(a) + 1)
+        return int(a[np.searchsorted(den * cum, num * len(a), "left")])
+
+    for etype, grp in gaps.groupby("event_type"):
+        a = grp["gap_s"].to_numpy(np.int64)
+        row = got.loc[etype]
+        assert int(row["n_gaps"]) == len(a)
+        assert int(row["median_gap_s"]) == disc(a, 1, 2)
+        assert int(row["p90_gap_s"]) == disc(a, 9, 10)
