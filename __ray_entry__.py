@@ -255,6 +255,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_sessions": relational.user_sessions,
         "session_concurrency": relational.session_concurrency,
         "gap_percentiles_by_type": relational.gap_percentiles_by_type,
+        "late_event_stats": relational.late_event_stats,
         "asof_join_attribution": relational.asof_join_attribution,
         "range_join_signup_clicks": relational.range_join_signup_clicks,
         "supplier_account_rank": relational.supplier_account_rank,
@@ -1119,6 +1120,24 @@ def oracle_sql() -> dict[str, str]:
             "  FROM x"
             ") SELECT user_id, session_id, count(*)::BIGINT AS n_events"
             " FROM y GROUP BY user_id, session_id"
+        ),
+        # late-data diagnostics: running-max-over-arrival-order window;
+        # an event is late when ts < max ts of earlier-arrived (event_id)
+        # events of the same user
+        "late_event_stats": (
+            "WITH w AS (SELECT event_type,"
+            "  (max(epoch_us(ts)) OVER (PARTITION BY user_id"
+            "    ORDER BY event_id"
+            "    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)"
+            "   - epoch_us(ts)) // 1000000 AS late_s"
+            " FROM events)"
+            " SELECT event_type, count(*)::BIGINT AS n_events,"
+            " (count(*) FILTER (WHERE late_s > 0))::BIGINT AS n_late,"
+            " coalesce(max(CASE WHEN late_s > 0 THEN late_s END), 0)"
+            "  ::BIGINT AS max_late_s,"
+            " (count(*) FILTER (WHERE late_s > 0))::DOUBLE"
+            "  / count(*)::DOUBLE AS late_rate"
+            " FROM w GROUP BY 1"
         ),
         # per-type inter-event gap percentiles (percentile_disc over the
         # LAG gaps within (user, type); whole seconds)

@@ -4725,3 +4725,78 @@ def gap_percentiles_by_type(sf_dir: str, num_partitions: int | None = None):
     return hist.groupby("event_type").map_groups(
         pick, batch_format="pandas"
     )
+
+
+def late_event_stats(sf_dir: str, num_partitions: int | None = None):
+    """Out-of-order (late-data) diagnostics per event type: an event is
+    LATE when its timestamp is earlier than the running maximum timestamp
+    of the same user's previously-ARRIVED events (arrival order =
+    event_id). The watermark-design input for any streaming consumer of
+    this feed: late_rate bounds how much reordering a window operator must
+    absorb, max_lateness_s sizes the allowed watermark delay.
+
+    ONE bucketed hash(user_id) exchange; in-task vectorized running max
+    over arrival order (grouped cummax + grouped shift, both cython
+    kernels); each task emits one (type, n, n_late, max_late_s) partial
+    row per type, and the driver folds the types x buckets tiny table
+    (sums + max — the corpus_summary pattern)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from .common import bucketed_sum_combine, cluster_partitions
+
+    if num_partitions is None:
+        num_partitions = cluster_partitions()
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "event_type", "ts", "event_id"],
+    )
+
+    part_sch = pa.schema([
+        ("event_type", pa.string()), ("n_events", pa.int64()),
+        ("n_late", pa.int64()), ("max_late_s", pa.int64()),
+    ])
+
+    def late(df: pd.DataFrame) -> pa.Table:
+        if len(df) == 0:
+            return part_sch.empty_table()
+        df = df.sort_values(["user_id", "event_id"], kind="mergesort")
+        t_us = df["ts"].astype("datetime64[us]").astype("int64")
+        cm = t_us.groupby(df["user_id"]).cummax()
+        run_max = cm.groupby(df["user_id"].to_numpy()).shift()
+        lateness = ((run_max - t_us) // 1_000_000).fillna(-1).astype("int64")
+        g = pd.DataFrame({
+            "event_type": df["event_type"],
+            "n": 1,
+            "is_late": (lateness > 0).astype("int64"),
+            "late_s": lateness.clip(lower=0),
+        }).groupby("event_type", as_index=False).agg(
+            n_events=("n", "sum"), n_late=("is_late", "sum"),
+            max_late_s=("late_s", "max"),
+        )
+        return pa.table({
+            "event_type": pa.array(g["event_type"].astype(str), pa.string()),
+            "n_events": pa.array(g["n_events"].astype("int64")),
+            "n_late": pa.array(g["n_late"].astype("int64")),
+            "max_late_s": pa.array(g["max_late_s"].astype("int64")),
+        }, schema=part_sch)
+
+    partials = (
+        ds.map_batches(
+            append_mod_part, batch_format="pyarrow",
+            fn_args=("user_id", num_partitions),
+        )
+        .groupby("part")
+        .map_groups(late, batch_format="pandas")
+        .to_pandas()
+    )
+    g = partials.groupby("event_type", as_index=False).agg(
+        n_events=("n_events", "sum"), n_late=("n_late", "sum"),
+        max_late_s=("max_late_s", "max"),
+    )
+    g["late_rate"] = g["n_late"].astype("int64") / g["n_events"].astype(
+        "int64"
+    )
+    for c in ("n_events", "n_late", "max_late_s"):
+        g[c] = g[c].astype("int64")
+    return g

@@ -3484,3 +3484,40 @@ def test_gap_percentiles_by_type(ray_session):
         assert int(row["n_gaps"]) == len(a)
         assert int(row["median_gap_s"]) == disc(a, 1, 2)
         assert int(row["p90_gap_s"]) == disc(a, 9, 10)
+
+
+def test_late_event_stats(ray_session):
+    """On the (in-order) corpus every type reports zero late events; on a
+    crafted out-of-order feed the lateness counts and max match a
+    sequential recount."""
+    import os
+    import tempfile
+
+    from rayld.pipelines.relational import late_event_stats
+
+    got = late_event_stats(SF, num_partitions=4)
+    ev = pd.read_parquet(f"{SF}/events.parquet", columns=["event_type"])
+    assert int(got["n_events"].sum()) == len(ev)
+    assert (got["n_late"] == 0).all() and (got["late_rate"] == 0.0).all()
+
+    # user 1: arrival order 1..4 with ts 10:00, 10:10, 10:03, 10:20
+    # -> event 3 is 7 min late; user 2 in order
+    with tempfile.TemporaryDirectory() as d:
+        ts = pd.to_datetime([
+            "2024-01-01 10:00", "2024-01-01 10:10", "2024-01-01 10:03",
+            "2024-01-01 10:20", "2024-01-01 11:00", "2024-01-01 11:30",
+        ])
+        pd.DataFrame({
+            "event_id": [1, 2, 3, 4, 5, 6],
+            "ts": ts.astype("datetime64[us]"),
+            "user_id": [1, 1, 1, 1, 2, 2],
+            "event_type": ["click"] * 4 + ["view"] * 2,
+            "value": [1.0] * 6,
+            "props": ["{}"] * 6,
+        }).to_parquet(os.path.join(d, "events.parquet"))
+        out = late_event_stats(d, num_partitions=2)
+        m = out.set_index("event_type")
+        assert int(m.loc["click", "n_late"]) == 1
+        assert int(m.loc["click", "max_late_s"]) == 420
+        assert float(m.loc["click", "late_rate"]) == 0.25
+        assert int(m.loc["view", "n_late"]) == 0
