@@ -233,6 +233,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rrf_fusion": indexing.rrf_fusion,
         # similarity search
         "ann_topk": ann.brute_force_topk,
+        "embedding_norm_stats": ann.embedding_norm_stats,
         "ann_ivf_topk": ann.ivf_topk,
         "ann_ivf_recall": ann.ivf_recall,
         "label_centroids": ann.label_centroids,
@@ -1120,6 +1121,20 @@ def oracle_sql() -> dict[str, str]:
             "  FROM x"
             ") SELECT user_id, session_id, count(*)::BIGINT AS n_events"
             " FROM y GROUP BY user_id, session_id"
+        ),
+        # embedding hygiene: per-vector integer-micro squared norm + the
+        # unit-norm band flag (0.99..1.01 as exact integer bounds)
+        "embedding_norm_stats": (
+            "SELECT vec_id, len(embedding)::BIGINT AS n_dims,"
+            " list_aggregate(list_transform(embedding,"
+            "  x -> floor(x::DOUBLE * 1000000 + 0.5)::BIGINT"
+            "   * floor(x::DOUBLE * 1000000 + 0.5)::BIGINT),"
+            "  'sum')::BIGINT AS norm2_micro2,"
+            " (list_aggregate(list_transform(embedding,"
+            "  x -> floor(x::DOUBLE * 1000000 + 0.5)::BIGINT"
+            "   * floor(x::DOUBLE * 1000000 + 0.5)::BIGINT), 'sum')"
+            "  BETWEEN 980100000000 AND 1020100000000)::BIGINT AS is_unit"
+            " FROM embeddings"
         ),
         # late-data diagnostics: running-max-over-arrival-order window;
         # an event is late when ts < max ts of earlier-arrived (event_id)

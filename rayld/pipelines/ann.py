@@ -1267,3 +1267,44 @@ def embedding_unpivot(sf_dir: str):
         }, schema=sch)
 
     return ds.map_batches(explode, batch_format="pyarrow")
+
+
+def embedding_norm_stats(sf_dir: str):
+    """Embedding hygiene validation: per-vector dimensionality and squared
+    L2 norm, plus a unit-norm flag — the ingest gate that catches the
+    zero/huge/truncated vectors that silently corrupt every cosine op
+    downstream. Shuffle-free single pass.
+
+    Integer-exact contract: each element quantizes ONCE to micro units
+    (floor(x*1e6+0.5), float32 -> float64 promotion is exact) and the
+    squared norm is the int64 sum of squared micro values — so the value,
+    and the unit-band compare (0.99..1.01 as integer bounds), are
+    bit-identical to the SQL oracle with no float-summation-order
+    hazard."""
+    _LO = int((0.99 * 1_000_000) ** 2)   # 980100000000
+    _HI = int((1.01 * 1_000_000) ** 2)   # 1020100000000
+
+    sch = pa.schema([
+        ("vec_id", pa.int64()), ("n_dims", pa.int64()),
+        ("norm2_micro2", pa.int64()), ("is_unit", pa.int64()),
+    ])
+
+    def stats(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch["vec_id"].to_pylist(), dtype=np.int64)
+        mat = np.asarray(batch["embedding"].to_pylist(), dtype=np.float64)
+        q = np.floor(mat * 1_000_000.0 + 0.5).astype(np.int64)
+        norm2 = (q * q).sum(axis=1)
+        return pa.table({
+            "vec_id": pa.array(ids),
+            "n_dims": pa.array(
+                np.full(len(ids), mat.shape[1], dtype=np.int64)
+            ),
+            "norm2_micro2": pa.array(norm2),
+            "is_unit": pa.array(
+                ((norm2 >= _LO) & (norm2 <= _HI)).astype(np.int64)
+            ),
+        }, schema=sch)
+
+    return _embeddings(sf_dir).map_batches(
+        stats, batch_format="pyarrow", batch_size=4096
+    )

@@ -3521,3 +3521,19 @@ def test_late_event_stats(ray_session):
         assert int(m.loc["click", "max_late_s"]) == 420
         assert float(m.loc["click", "late_rate"]) == 0.25
         assert int(m.loc["view", "n_late"]) == 0
+
+
+def test_embedding_norm_stats(ray_session):
+    """Integer-micro squared norms match a numpy recount; the synthetic
+    embeddings are unit-normalized so every vector passes the unit band."""
+    from rayld.pipelines.ann import embedding_norm_stats
+
+    got = embedding_norm_stats(SF).to_pandas().set_index("vec_id")
+    emb = pd.read_parquet(f"{SF}/embeddings.parquet")
+    mat = np.asarray(emb["embedding"].to_list(), dtype=np.float64)
+    q = np.floor(mat * 1_000_000.0 + 0.5).astype(np.int64)
+    want = (q * q).sum(axis=1)
+    g = got.reindex(emb["vec_id"].to_numpy())
+    assert (g["norm2_micro2"].to_numpy() == want).all()
+    assert (g["n_dims"] == mat.shape[1]).all()
+    assert (g["is_unit"] == 1).all()
