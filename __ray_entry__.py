@@ -257,6 +257,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "session_concurrency": relational.session_concurrency,
         "gap_percentiles_by_type": relational.gap_percentiles_by_type,
         "late_event_stats": relational.late_event_stats,
+        "conversion_rate_by_signup_day": (
+            relational.conversion_rate_by_signup_day),
         "asof_join_attribution": relational.asof_join_attribution,
         "range_join_signup_clicks": relational.range_join_signup_clicks,
         "supplier_account_rank": relational.supplier_account_rank,
@@ -1371,6 +1373,25 @@ def oracle_sql() -> dict[str, str]:
             " n::DOUBLE * m4n::DOUBLE / (m2n::DOUBLE * m2n::DOUBLE) - 3.0"
             "  AS kurtosis_excess"
             " FROM c"
+        ),
+        # cohort-level activation rate: per signup day, fraction of users
+        # purchasing within 24h of their first signup (microsecond epoch
+        # arithmetic; day bucket = floor to 86400s)
+        "conversion_rate_by_signup_day": (
+            "WITH s AS (SELECT user_id, min(epoch_us(ts))::BIGINT AS s0"
+            "  FROM events WHERE event_type = 'signup' GROUP BY 1),"
+            " p AS (SELECT s.user_id, min(epoch_us(e.ts))::BIGINT AS t"
+            "  FROM events e JOIN s USING (user_id)"
+            "  WHERE e.event_type = 'purchase'"
+            "   AND epoch_us(e.ts) >= s.s0 GROUP BY s.user_id),"
+            " u AS (SELECT (s.s0 // 86400000000) * 86400 AS day_start,"
+            "  CASE WHEN p.t IS NOT NULL"
+            "   AND p.t - s.s0 <= 86400000000 THEN 1 ELSE 0 END AS conv"
+            "  FROM s LEFT JOIN p USING (user_id))"
+            " SELECT day_start, count(*)::BIGINT AS n_signups,"
+            " sum(conv)::BIGINT AS n_converted,"
+            " sum(conv)::DOUBLE / count(*)::DOUBLE AS conversion_rate"
+            " FROM u GROUP BY 1"
         ),
         # activation-funnel timing: first signup -> first purchase at or
         # after it, whole seconds

@@ -4800,3 +4800,85 @@ def late_event_stats(sf_dir: str, num_partitions: int | None = None):
     for c in ("n_events", "n_late", "max_late_s"):
         g[c] = g[c].astype("int64")
     return g
+
+
+def conversion_rate_by_signup_day(sf_dir: str, within_hours: int = 24,
+                                  num_partitions: int | None = None):
+    """Daily activation report: per signup DAY, how many users signed up
+    and what fraction purchased within ``within_hours`` of their first
+    signup — the day-over-day health metric a growth dashboard tracks
+    (time_to_conversion gives the latency distribution; this gives the
+    cohort-level rate including the non-converters).
+
+    Same type-pruned read + ONE hash(user_id) exchange as
+    time_to_conversion; each task resolves (first signup, converted-in-
+    window flag) per user and pre-counts per day, so the second combine is
+    bounded by the DATE RANGE."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from .common import bucketed_sum_combine, cluster_partitions
+
+    if num_partitions is None:
+        num_partitions = cluster_partitions()
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["ts", "user_id", "event_type"]
+    ).filter(expr="event_type == 'signup' or event_type == 'purchase'")
+
+    day_sch = pa.schema([
+        ("day_start", pa.int64()), ("n_signups", pa.int64()),
+        ("n_converted", pa.int64()),
+    ])
+
+    def resolve(df: pd.DataFrame) -> pa.Table:
+        if len(df) == 0:
+            return day_sch.empty_table()
+        t_us = df["ts"].astype("datetime64[us]").astype("int64")
+        signs = df["event_type"] == "signup"
+        s0 = t_us[signs].groupby(df.loc[signs, "user_id"]).min()
+        if not len(s0):
+            return day_sch.empty_table()
+        p = pd.DataFrame({
+            "user_id": df.loc[~signs, "user_id"], "t": t_us[~signs],
+        })
+        p["s0"] = p["user_id"].map(s0)
+        p = p[p["s0"].notna() & (p["t"] >= p["s0"])]
+        first_p = p.groupby("user_id")["t"].min()
+        win_us = within_hours * 3600 * 1_000_000
+        conv = (
+            (first_p - s0.reindex(first_p.index)) <= win_us
+        ).astype("int64")
+        per_user = pd.DataFrame({
+            "day_start": (s0 // 86_400_000_000) * 86_400,
+            "converted": conv.reindex(s0.index).fillna(0).astype("int64"),
+        })
+        g = per_user.assign(n=1).groupby("day_start", as_index=False).agg(
+            n_signups=("n", "sum"), n_converted=("converted", "sum")
+        )
+        return pa.table({
+            "day_start": pa.array(g["day_start"].to_numpy(np.int64)),
+            "n_signups": pa.array(g["n_signups"].astype("int64")),
+            "n_converted": pa.array(g["n_converted"].astype("int64")),
+        }, schema=day_sch)
+
+    agg = bucketed_sum_combine(
+        ds.map_batches(
+            append_mod_part, batch_format="pyarrow",
+            fn_args=("user_id", num_partitions),
+        )
+        .groupby("part")
+        .map_groups(resolve, batch_format="pandas"),
+        keys=["day_start"], sum_cols=["n_signups", "n_converted"],
+        schema=day_sch,
+    )
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        df["conversion_rate"] = (
+            df["n_converted"].astype("int64")
+            / df["n_signups"].astype("int64")
+        )
+        return df[["day_start", "n_signups", "n_converted",
+                   "conversion_rate"]]
+
+    return agg.map_batches(finish, batch_format="pandas")

@@ -3537,3 +3537,37 @@ def test_embedding_norm_stats(ray_session):
     assert (g["norm2_micro2"].to_numpy() == want).all()
     assert (g["n_dims"] == mat.shape[1]).all()
     assert (g["is_unit"] == 1).all()
+
+
+def test_conversion_rate_by_signup_day(ray_session):
+    """Daily activation rates match a sequential per-user recount, and
+    signup totals reconcile with the distinct signup-user count."""
+    from rayld.pipelines.relational import conversion_rate_by_signup_day
+
+    got = conversion_rate_by_signup_day(SF, num_partitions=4).to_pandas()
+    ev = pd.read_parquet(
+        f"{SF}/events.parquet", columns=["ts", "user_id", "event_type"]
+    )
+    t_us = ev["ts"].astype("datetime64[us]").astype("int64")
+    want = {}
+    for uid, grp in ev.assign(t=t_us).groupby("user_id"):
+        sign = grp.loc[grp["event_type"] == "signup", "t"]
+        if sign.empty:
+            continue
+        s0 = int(sign.min())
+        day = (s0 // 86_400_000_000) * 86_400
+        purch = grp.loc[
+            (grp["event_type"] == "purchase") & (grp["t"] >= s0), "t"
+        ]
+        conv = int(
+            not purch.empty and int(purch.min()) - s0 <= 86_400_000_000
+        )
+        n, c = want.get(day, (0, 0))
+        want[day] = (n + 1, c + conv)
+    assert len(got) == len(want)
+    for r in got.itertuples(index=False):
+        n, c = want[int(r.day_start)]
+        assert int(r.n_signups) == n and int(r.n_converted) == c
+        assert float(r.conversion_rate) == c / n
+    n_signup_users = ev.loc[ev["event_type"] == "signup", "user_id"].nunique()
+    assert int(got["n_signups"].sum()) == n_signup_users
