@@ -259,6 +259,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "late_event_stats": relational.late_event_stats,
         "conversion_rate_by_signup_day": (
             relational.conversion_rate_by_signup_day),
+        "event_path_trigrams": relational.event_path_trigrams,
+        "nation_revenue_share": relational.nation_revenue_share,
         "asof_join_attribution": relational.asof_join_attribution,
         "range_join_signup_clicks": relational.range_join_signup_clicks,
         "supplier_account_rank": relational.supplier_account_rank,
@@ -1373,6 +1375,29 @@ def oracle_sql() -> dict[str, str]:
             " n::DOUBLE * m4n::DOUBLE / (m2n::DOUBLE * m2n::DOUBLE) - 3.0"
             "  AS kurtosis_excess"
             " FROM c"
+        ),
+        # top event-type trigram paths over each user's timeline
+        "event_path_trigrams": (
+            "WITH w AS (SELECT event_type AS t1,"
+            "  lead(event_type, 1) OVER win AS t2,"
+            "  lead(event_type, 2) OVER win AS t3"
+            " FROM events WINDOW win AS ("
+            "  PARTITION BY user_id ORDER BY ts, event_id))"
+            " SELECT t1 || ' > ' || t2 || ' > ' || t3 AS path,"
+            " count(*)::BIGINT AS n FROM w"
+            " WHERE t2 IS NOT NULL AND t3 IS NOT NULL"
+            " GROUP BY 1 ORDER BY n DESC, path LIMIT 20"
+        ),
+        # RATIO_TO_REPORT: per-nation share of total order revenue
+        "nation_revenue_share": (
+            "WITH r AS (SELECT n.n_name,"
+            "  sum(floor(o.o_totalprice * 100 + 0.5)::BIGINT)::BIGINT"
+            "   AS rev_c"
+            "  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey"
+            "  JOIN nation n ON n.n_nationkey = c.c_nationkey GROUP BY 1),"
+            " t AS (SELECT sum(rev_c)::BIGINT AS total FROM r)"
+            " SELECT n_name, rev_c / 100.0 AS revenue,"
+            " rev_c::DOUBLE / total::DOUBLE AS revenue_share FROM r, t"
         ),
         # cohort-level activation rate: per signup day, fraction of users
         # purchasing within 24h of their first signup (microsecond epoch

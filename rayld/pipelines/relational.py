@@ -4882,3 +4882,115 @@ def conversion_rate_by_signup_day(sf_dir: str, within_hours: int = 24,
                    "conversion_rate"]]
 
     return agg.map_batches(finish, batch_format="pandas")
+
+
+def event_path_trigrams(sf_dir: str, top_n: int = 20,
+                        num_partitions: int | None = None):
+    """Sequence mining one step deeper than the Markov transition matrix:
+    the top-``top_n`` consecutive event-type TRIGRAMS over each user's
+    timeline (ts, event_id order) — the path motifs behind funnel design.
+
+    ONE bucketed hash(user_id) exchange; in-task double shift produces the
+    (t1, t2, t3) triples vectorized, per-task value_counts pre-aggregates,
+    and the bounded combine moves one row per distinct trigram per block
+    (event-type alphabet cubed, tiny). Deterministic final order:
+    (count DESC, path ASC)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from .common import bucketed_sum_combine, cluster_partitions
+
+    if num_partitions is None:
+        num_partitions = cluster_partitions()
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "event_type", "ts", "event_id"],
+    )
+
+    tri_sch = pa.schema([("path", pa.string()), ("n", pa.int64())])
+
+    def trigrams(df: pd.DataFrame) -> pa.Table:
+        if len(df) == 0:
+            return tri_sch.empty_table()
+        df = df.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        uid = df["user_id"]
+        t1 = df["event_type"]
+        t2 = t1.shift(-1).where(uid.shift(-1).eq(uid))
+        t3 = t1.shift(-2).where(uid.shift(-2).eq(uid))
+        ok = t2.notna() & t3.notna()
+        paths = (t1[ok] + " > " + t2[ok] + " > " + t3[ok]).value_counts()
+        return pa.table({
+            "path": pa.array(paths.index.astype(str), pa.string()),
+            "n": pa.array(paths.to_numpy(np.int64)),
+        }, schema=tri_sch)
+
+    agg = bucketed_sum_combine(
+        ds.map_batches(
+            append_mod_part, batch_format="pyarrow",
+            fn_args=("user_id", num_partitions),
+        )
+        .groupby("part")
+        .map_groups(trigrams, batch_format="pandas"),
+        keys=["path"], sum_cols=["n"],
+        schema=tri_sch,
+    )
+    return agg.sort(["n", "path"], descending=[True, False]).limit(top_n)
+
+
+def nation_revenue_share(sf_dir: str, num_partitions: int | None = None):
+    """RATIO_TO_REPORT window shape: each nation's share of total order
+    revenue (integer-cents exact; the share is the double division of
+    identical integers on both sides). Orders pre-aggregate to per-customer
+    cents partials, the broadcast customer->nation map (dimension tables
+    are tiny by definition) attaches the nation in-task, and ONE bounded
+    combine yields 25 rows; the grand total is their sum — no second
+    pass."""
+    import pyarrow as pa
+    import ray
+    import ray.data as rd
+
+    from .common import bucketed_sum_combine
+
+    cust = rd.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    ).to_pandas()
+    nat = rd.read_parquet(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
+    ).to_pandas()
+    c2n = dict(zip(
+        cust["c_custkey"].astype("int64"),
+        cust["c_nationkey"].map(
+            dict(zip(nat["n_nationkey"].astype("int64"),
+                     nat["n_name"].astype(str)))
+        ),
+    ))
+    ref = ray.put(c2n)
+
+    part_sch = pa.schema([("n_name", pa.string()), ("rev_c", pa.int64())])
+
+    def partial(df: pd.DataFrame) -> pa.Table:
+        m = ray.get(ref)
+        g = pd.Series(
+            money_cents(df["o_totalprice"]), index=df.index
+        ).groupby(df["o_custkey"].map(m)).sum()
+        return pa.table({
+            "n_name": pa.array(g.index.astype(str), pa.string()),
+            "rev_c": pa.array(g.to_numpy(np.int64)),
+        }, schema=part_sch)
+
+    agg = bucketed_sum_combine(
+        rd.read_parquet(
+            f"{sf_dir}/orders.parquet",
+            columns=["o_custkey", "o_totalprice"],
+        ).map_batches(partial, batch_format="pandas"),
+        keys=["n_name"], sum_cols=["rev_c"],
+        schema=part_sch,
+    ).to_pandas()
+
+    total = int(agg["rev_c"].sum())
+    agg = agg.sort_values("n_name").reset_index(drop=True)
+    return pd.DataFrame({
+        "n_name": agg["n_name"].astype(str),
+        "revenue": agg["rev_c"].astype("int64") / 100.0,
+        "revenue_share": agg["rev_c"].astype("int64") / total,
+    })

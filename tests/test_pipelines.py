@@ -3571,3 +3571,52 @@ def test_conversion_rate_by_signup_day(ray_session):
         assert float(r.conversion_rate) == c / n
     n_signup_users = ev.loc[ev["event_type"] == "signup", "user_id"].nunique()
     assert int(got["n_signups"].sum()) == n_signup_users
+
+
+def test_event_path_trigrams(ray_session):
+    """Top trigram paths match a sequential per-user recount with the
+    (count desc, path asc) ordering."""
+    from collections import Counter
+
+    from rayld.pipelines.relational import event_path_trigrams
+
+    got = event_path_trigrams(SF, top_n=20, num_partitions=4).to_pandas()
+    ev = pd.read_parquet(f"{SF}/events.parquet").sort_values(
+        ["user_id", "ts", "event_id"], kind="mergesort"
+    )
+    want = Counter()
+    for _, grp in ev.groupby("user_id", sort=False):
+        ts = grp["event_type"].tolist()
+        for a, b, c in zip(ts, ts[1:], ts[2:]):
+            want[f"{a} > {b} > {c}"] += 1
+    top = sorted(want.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    assert [(str(r.path), int(r.n))
+            for r in got.itertuples(index=False)] == top
+
+
+def test_nation_revenue_share(ray_session):
+    """Revenue shares match an exact integer-cents recount and sum to 1."""
+    from rayld.pipelines.relational import nation_revenue_share
+
+    got = nation_revenue_share(SF, num_partitions=4)
+    orders = pd.read_parquet(
+        f"{SF}/orders.parquet", columns=["o_custkey", "o_totalprice"]
+    )
+    cust = pd.read_parquet(
+        f"{SF}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    )
+    nat = pd.read_parquet(
+        f"{SF}/nation.parquet", columns=["n_nationkey", "n_name"]
+    )
+    j = orders.merge(
+        cust, left_on="o_custkey", right_on="c_custkey"
+    ).merge(nat, left_on="c_nationkey", right_on="n_nationkey")
+    rc = np.floor(j["o_totalprice"] * 100 + 0.5).astype("int64")
+    want = rc.groupby(j["n_name"]).sum()
+    total = int(want.sum())
+    m = got.set_index("n_name")
+    assert len(m) == len(want)
+    for name, c in want.items():
+        assert float(m.loc[name, "revenue"]) == int(c) / 100.0
+        assert float(m.loc[name, "revenue_share"]) == int(c) / total
+    assert abs(got["revenue_share"].sum() - 1.0) < 1e-9
