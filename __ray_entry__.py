@@ -261,6 +261,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             relational.conversion_rate_by_signup_day),
         "event_path_trigrams": relational.event_path_trigrams,
         "nation_revenue_share": relational.nation_revenue_share,
+        "q14_promo_revenue": relational.q14_promo_revenue,
         "asof_join_attribution": relational.asof_join_attribution,
         "range_join_signup_clicks": relational.range_join_signup_clicks,
         "supplier_account_rank": relational.supplier_account_rank,
@@ -1387,6 +1388,23 @@ def oracle_sql() -> dict[str, str]:
             " count(*)::BIGINT AS n FROM w"
             " WHERE t2 IS NOT NULL AND t3 IS NOT NULL"
             " GROUP BY 1 ORDER BY n DESC, path LIMIT 20"
+        ),
+        # TPC-H Q14: per ship month, promo parts' share of revenue
+        "q14_promo_revenue": (
+            "WITH l AS (SELECT"
+            "  epoch(date_trunc('month', l_shipdate))::BIGINT"
+            "   AS month_start,"
+            "  floor(l_extendedprice * (1 - l_discount) * 100 + 0.5)"
+            "   ::BIGINT AS rc,"
+            "  (p.p_type = 'PROMO') AS is_promo"
+            " FROM lineitem JOIN part p ON p.p_partkey = l_partkey)"
+            " SELECT month_start,"
+            " sum(CASE WHEN is_promo THEN rc ELSE 0 END)::BIGINT / 100.0"
+            "  AS promo_revenue,"
+            " sum(rc)::BIGINT / 100.0 AS total_revenue,"
+            " sum(CASE WHEN is_promo THEN rc ELSE 0 END)::DOUBLE"
+            "  / sum(rc)::DOUBLE AS promo_share"
+            " FROM l GROUP BY 1"
         ),
         # RATIO_TO_REPORT: per-nation share of total order revenue
         "nation_revenue_share": (

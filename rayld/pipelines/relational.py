@@ -4994,3 +4994,70 @@ def nation_revenue_share(sf_dir: str, num_partitions: int | None = None):
         "revenue": agg["rev_c"].astype("int64") / 100.0,
         "revenue_share": agg["rev_c"].astype("int64") / total,
     })
+
+
+def q14_promo_revenue(sf_dir: str):
+    """TPC-H Q14 shape (promotion effect): per ship MONTH, the share of
+    line-item revenue from parts of type 'PROMO'. The classic
+    fact-to-small-dimension pattern: the part table is tiny by definition,
+    so the partkey -> is_promo bitmap broadcasts via the object store and
+    lineitem streams through ONE pass with a months-bounded combine — no
+    join shuffle at any corpus size (revenue in integer cents, the
+    order_revenue_by_status contract; the share divides identical
+    integers on both sides)."""
+    import pyarrow as pa
+    import ray
+    import ray.data as rd
+
+    from .common import bucketed_sum_combine
+
+    part = rd.read_parquet(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_type"]
+    ).to_pandas()
+    promo = set(
+        part.loc[part["p_type"] == "PROMO", "p_partkey"].astype("int64")
+    )
+    ref = ray.put(promo)
+
+    m_sch = pa.schema([
+        ("month_start", pa.int64()), ("promo_c", pa.int64()),
+        ("total_c", pa.int64()),
+    ])
+
+    def partial(df: pd.DataFrame) -> pa.Table:
+        pset = ray.get(ref)
+        rc = money_cents(df["l_extendedprice"] * (1 - df["l_discount"]))
+        month = (
+            df["l_shipdate"].dt.to_period("M").dt.start_time
+            .astype("datetime64[s]").astype("int64")
+        )
+        is_promo = df["l_partkey"].isin(pset).to_numpy()
+        g = pd.DataFrame({
+            "month_start": month,
+            "promo_c": np.where(is_promo, rc, 0),
+            "total_c": rc,
+        }).groupby("month_start", as_index=False).sum()
+        return pa.Table.from_pandas(g, preserve_index=False).cast(m_sch)
+
+    agg = bucketed_sum_combine(
+        rd.read_parquet(
+            f"{sf_dir}/lineitem.parquet",
+            columns=["l_partkey", "l_shipdate", "l_extendedprice",
+                     "l_discount"],
+        ).map_batches(partial, batch_format="pandas"),
+        keys=["month_start"], sum_cols=["promo_c", "total_c"],
+        schema=m_sch,
+    )
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "month_start": df["month_start"].astype("int64"),
+            "promo_revenue": df["promo_c"].astype("int64") / 100.0,
+            "total_revenue": df["total_c"].astype("int64") / 100.0,
+            "promo_share": (
+                df["promo_c"].astype("int64")
+                / df["total_c"].astype("int64")
+            ),
+        })
+
+    return agg.map_batches(finish, batch_format="pandas")

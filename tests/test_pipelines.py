@@ -3620,3 +3620,39 @@ def test_nation_revenue_share(ray_session):
         assert float(m.loc[name, "revenue"]) == int(c) / 100.0
         assert float(m.loc[name, "revenue_share"]) == int(c) / total
     assert abs(got["revenue_share"].sum() - 1.0) < 1e-9
+
+
+def test_q14_promo_revenue(ray_session):
+    """Q14 matches an exact integer-cents recount; promo <= total and
+    shares sit in [0, 1]."""
+    from rayld.pipelines.relational import q14_promo_revenue
+
+    got = q14_promo_revenue(SF).to_pandas().set_index("month_start")
+    li = pd.read_parquet(
+        f"{SF}/lineitem.parquet",
+        columns=["l_partkey", "l_shipdate", "l_extendedprice",
+                 "l_discount"],
+    )
+    part = pd.read_parquet(
+        f"{SF}/part.parquet", columns=["p_partkey", "p_type"]
+    )
+    promo = set(part.loc[part["p_type"] == "PROMO", "p_partkey"])
+    rc = np.floor(
+        li["l_extendedprice"] * (1 - li["l_discount"]) * 100 + 0.5
+    ).astype("int64")
+    month = (
+        li["l_shipdate"].dt.to_period("M").dt.start_time
+        .astype("datetime64[s]").astype("int64")
+    )
+    j = pd.DataFrame({
+        "m": month, "rc": rc,
+        "pc": np.where(li["l_partkey"].isin(promo), rc, 0),
+    }).groupby("m").sum()
+    assert len(got) == len(j)
+    for m, row in j.iterrows():
+        assert float(got.loc[m, "total_revenue"]) == int(row["rc"]) / 100.0
+        assert float(got.loc[m, "promo_revenue"]) == int(row["pc"]) / 100.0
+        assert float(got.loc[m, "promo_share"]) == int(row["pc"]) / int(
+            row["rc"]
+        )
+    assert ((got["promo_share"] >= 0) & (got["promo_share"] <= 1)).all()
