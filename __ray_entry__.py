@@ -193,6 +193,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_vocab_overlap": text.source_vocab_overlap,
         "quality_deciles_by_lang": text.quality_deciles_by_lang,
         "table_checksum": text.table_checksum,
+        "token_weighted_quality": text.token_weighted_quality,
         # dedup family
         "dedup_exact": dedup.dedup_exact,
         "dedup_exact_normalized": dedup.dedup_exact_normalized,
@@ -693,6 +694,38 @@ def oracle_sql() -> dict[str, str]:
             " (sy::DOUBLE - ((k*sxy - sx*sy)::DOUBLE"
             "   / (k*sxx - sx*sx)::DOUBLE) * sx::DOUBLE) / k::DOUBLE"
             "  AS zipf_intercept FROM m"
+        ),
+        # weighted order statistic: token-weighted vs doc median of the
+        # shared quality contract (weighted percentile_disc semantics:
+        # smallest value with 2*cumweight >= total)
+        "token_weighted_quality": (
+            "WITH q AS (SELECT"
+            "  floor((0.4 * least(greatest(len(regexp_extract_all(text,"
+            "    '[A-Za-z0-9]+')), 1) / 64.0, 1.0)"
+            "   + 0.3 * (1 - least(len(regexp_extract_all(text,"
+            "    '[.,;:!?]')) / greatest(length(text), 1)::DOUBLE, 1.0))"
+            "   + 0.3 * least(len(list_filter(regexp_extract_all(text,"
+            "     '[A-Za-z0-9]+'), t -> lower(t) IN ('the','and','of',"
+            "     'to','a','in','is','it','for','with')))"
+            "    / greatest(len(regexp_extract_all(text, '[A-Za-z0-9]+')),"
+            "      1)::DOUBLE, 1.0)) * 1e6 + 0.5)::BIGINT AS q_micro,"
+            "  len(regexp_extract_all(text, '[A-Za-z0-9]+'))::BIGINT AS w"
+            " FROM documents),"
+            " g AS (SELECT q_micro, sum(w)::BIGINT AS w,"
+            "  count(*)::BIGINT AS n FROM q GROUP BY 1),"
+            " c AS (SELECT q_micro,"
+            "  sum(w) OVER (ORDER BY q_micro ROWS UNBOUNDED PRECEDING)"
+            "   AS cw,"
+            "  sum(n) OVER (ORDER BY q_micro ROWS UNBOUNDED PRECEDING)"
+            "   AS cn FROM g),"
+            " t AS (SELECT sum(w)::BIGINT AS tw, sum(n)::BIGINT AS tn"
+            "  FROM g)"
+            " SELECT t.tn AS n_docs, t.tw AS total_weight,"
+            " (SELECT min(q_micro) FROM c WHERE 2 * cw >= t.tw) / 1e6"
+            "  AS weighted_median_quality,"
+            " (SELECT min(q_micro) FROM c WHERE 2 * cn >= t.tn) / 1e6"
+            "  AS doc_median_quality"
+            " FROM t"
         ),
         # per-bucket anti-entropy checksum: commutative sum mod 2^64 of the
         # md5 low half (md5_number_lower == the Python little-endian low

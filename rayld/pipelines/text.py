@@ -1917,3 +1917,52 @@ def table_checksum(sf_dir: str, n_buckets: int = 16):
         "n_docs": agg["n_docs"].astype("int64"),
         "checksum": [str(int(c)) for c in csum],
     })
+
+
+def token_weighted_quality(sf_dir: str):
+    """Exact WEIGHTED median of document quality, weighted by token count
+    — the token-weighted view a mixture designer needs (a corpus can have
+    a high doc-median quality while most TOKENS sit in low-quality giants;
+    this op exposes that gap). Also reports the plain doc-median for the
+    contrast.
+
+    Weighted order statistic over a bounded histogram: quality is the
+    6dp-quantized shared contract, so the per-batch partial is a
+    (quality_micro -> total weight, doc count) table and ONE bounded
+    combine moves one row per distinct score; both medians are then exact
+    integer cross-multiplication picks on the merged histogram."""
+    from .common import bucketed_sum_combine
+
+    h_sch = pa.schema([
+        ("q_micro", pa.int64()), ("w", pa.int64()), ("n", pa.int64()),
+    ])
+
+    def partial(df: pd.DataFrame) -> pa.Table:
+        n_tokens, q = quality_cols(df["text"])
+        g = pd.DataFrame({
+            "q_micro": np.floor(q * 1e6 + 0.5).astype(np.int64),
+            "w": n_tokens.to_numpy(np.int64),
+            "n": 1,
+        }).groupby("q_micro", as_index=False).sum()
+        return pa.Table.from_pandas(g, preserve_index=False).cast(h_sch)
+
+    hist = bucketed_sum_combine(
+        documents(sf_dir).map_batches(partial, batch_format="pandas"),
+        keys=["q_micro"], sum_cols=["w", "n"],
+        schema=h_sch,
+    ).to_pandas().sort_values("q_micro")
+
+    def disc(weights: np.ndarray) -> int:
+        cum = weights.cumsum()
+        total = int(cum[-1])
+        idx = int(np.searchsorted(2 * cum, total, side="left"))
+        return int(hist["q_micro"].to_numpy(np.int64)[idx])
+
+    w_med = disc(hist["w"].to_numpy(np.int64))
+    d_med = disc(hist["n"].to_numpy(np.int64))
+    return pd.DataFrame({
+        "n_docs": np.array([int(hist["n"].sum())], dtype="int64"),
+        "total_weight": np.array([int(hist["w"].sum())], dtype="int64"),
+        "weighted_median_quality": np.array([w_med / 1e6], dtype="float64"),
+        "doc_median_quality": np.array([d_med / 1e6], dtype="float64"),
+    })

@@ -3656,3 +3656,28 @@ def test_q14_promo_revenue(ray_session):
             row["rc"]
         )
     assert ((got["promo_share"] >= 0) & (got["promo_share"] <= 1)).all()
+
+
+def test_token_weighted_quality(ray_session):
+    """Weighted and doc medians match a direct recount (weighted
+    percentile_disc: smallest value with 2*cumweight >= total)."""
+    from rayld.pipelines.text import quality_cols, token_weighted_quality
+
+    got = token_weighted_quality(SF)
+    docs = pd.read_parquet(f"{SF}/documents.parquet", columns=["text"])
+    n_tokens, q = quality_cols(docs["text"])
+    qm = np.floor(np.asarray(q) * 1e6 + 0.5).astype(np.int64)
+    w = n_tokens.to_numpy(np.int64)
+
+    def disc(vals, weights):
+        order = np.argsort(vals, kind="mergesort")
+        vals, weights = vals[order], weights[order]
+        cum = weights.cumsum()
+        return int(vals[np.searchsorted(2 * cum, int(cum[-1]), "left")])
+
+    assert int(got["n_docs"].iloc[0]) == len(docs)
+    assert int(got["total_weight"].iloc[0]) == int(w.sum())
+    assert float(got["weighted_median_quality"].iloc[0]) == disc(qm, w) / 1e6
+    assert float(got["doc_median_quality"].iloc[0]) == disc(
+        qm, np.ones(len(qm), dtype=np.int64)
+    ) / 1e6
