@@ -263,6 +263,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_path_trigrams": relational.event_path_trigrams,
         "nation_revenue_share": relational.nation_revenue_share,
         "q14_promo_revenue": relational.q14_promo_revenue,
+        "spend_concentration": relational.spend_concentration,
         "asof_join_attribution": relational.asof_join_attribution,
         "range_join_signup_clicks": relational.range_join_signup_clicks,
         "supplier_account_rank": relational.supplier_account_rank,
@@ -1421,6 +1422,26 @@ def oracle_sql() -> dict[str, str]:
             " count(*)::BIGINT AS n FROM w"
             " WHERE t2 IS NOT NULL AND t3 IS NOT NULL"
             " GROUP BY 1 ORDER BY n DESC, path LIMIT 20"
+        ),
+        # exact Gini + top-1% share of per-user spend (sorted-index
+        # formula over the deterministic (spend, user_id) total order)
+        "spend_concentration": (
+            "WITH u AS (SELECT user_id,"
+            "  sum(floor(value * 100 + 0.5)::BIGINT)::BIGINT AS c"
+            "  FROM events GROUP BY 1),"
+            " o AS (SELECT c,"
+            "  row_number() OVER (ORDER BY c, user_id) AS rn FROM u),"
+            " t AS (SELECT count(*)::BIGINT AS n, sum(c)::BIGINT AS s,"
+            "  ceil(count(*) * 1 / 100.0)::BIGINT AS k FROM u),"
+            " g AS (SELECT sum(rn * c)::HUGEINT AS sr,"
+            "  sum(c) FILTER (WHERE rn > (SELECT n - k FROM t))::BIGINT"
+            "   AS top_c FROM o)"
+            " SELECT t.n AS n_users, t.s / 100.0 AS total_spend,"
+            " t.k AS top_users,"
+            " g.top_c::DOUBLE / t.s::DOUBLE AS top_share,"
+            " (2 * g.sr - (t.n + 1) * t.s)::DOUBLE"
+            "  / (t.n * t.s)::DOUBLE AS gini"
+            " FROM t, g"
         ),
         # TPC-H Q14: per ship month, promo parts' share of revenue
         "q14_promo_revenue": (

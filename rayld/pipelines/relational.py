@@ -5061,3 +5061,71 @@ def q14_promo_revenue(sf_dir: str):
         })
 
     return agg.map_batches(finish, batch_format="pandas")
+
+
+def spend_concentration(sf_dir: str, top_pct: int = 1,
+                        range_shift: int | None = None):
+    """Spend-concentration report: the exact Gini coefficient of per-user
+    total spend plus the share held by the top ``top_pct`` percent of
+    users — the whale-detection statistic behind sampling and abuse
+    decisions. One row.
+
+    Distributed exact rank statistic on the range-bucket +
+    offset-broadcast plan (the user_spend_rank machinery): each rb-bucket
+    task knows its rows' GLOBAL sorted positions from the broadcast
+    offsets, so it emits exact integer partials (sum of rank*cents as a
+    decimal string — it overflows int64 at scale — plus the top-k cents
+    sum) and the driver folds one row per bucket into the closed forms
+    gini = (2*sr - (n+1)*s) / (n*s) and top_share = top_c / s, both
+    double divisions of identical integers on both sides."""
+    import math
+
+    import pyarrow as pa
+
+    users = _user_spend_totals(sf_dir)
+    range_shift, offsets, total = _spend_range_offsets(users, range_shift)
+    k_top = math.ceil(total * top_pct / 100)
+    cut = total - k_top  # rows with global rn > cut are the top slice
+
+    part_sch = pa.schema([
+        ("n", pa.int64()), ("s_c", pa.int64()),
+        ("sr_str", pa.string()), ("top_c", pa.int64()),
+    ])
+
+    def partials(df: pd.DataFrame) -> pa.Table:
+        if len(df) == 0:
+            return part_sch.empty_table()
+        spend = df["spend_c"].to_numpy(np.int64)
+        uid = df["user_id"].to_numpy(np.int64)
+        off = offsets[int(df["rb"].iloc[0])]
+        order = np.lexsort((uid, spend))
+        rn = np.empty(len(df), dtype=np.int64)
+        rn[order] = off + np.arange(1, len(df) + 1, dtype=np.int64)
+        sr = sum(int(r) * int(c) for r, c in zip(rn, spend))
+        top_c = int(spend[rn > cut].sum())
+        return pa.table({
+            "n": pa.array([len(df)], pa.int64()),
+            "s_c": pa.array([int(spend.sum())], pa.int64()),
+            "sr_str": pa.array([str(sr)], pa.string()),
+            "top_c": pa.array([top_c], pa.int64()),
+        }, schema=part_sch)
+
+    parts = (
+        users.map_batches(_append_rb(range_shift), batch_format="pyarrow")
+        .groupby("rb")
+        .map_groups(partials, batch_format="pandas")
+        .to_pandas()
+    )
+    n = int(parts["n"].sum())
+    s = int(parts["s_c"].sum())
+    sr = sum(int(x) for x in parts["sr_str"])
+    top_c = int(parts["top_c"].sum())
+    gini = float(2 * sr - (n + 1) * s) / float(n * s) if n and s else 0.0
+    return pd.DataFrame({
+        "n_users": np.array([n], dtype="int64"),
+        "total_spend": np.array([s], dtype="int64") / 100.0,
+        "top_users": np.array([k_top], dtype="int64"),
+        "top_share": np.array([top_c], dtype="int64")
+        / np.array([s], dtype="int64"),
+        "gini": np.array([gini], dtype="float64"),
+    })

@@ -3681,3 +3681,34 @@ def test_token_weighted_quality(ray_session):
     assert float(got["doc_median_quality"].iloc[0]) == disc(
         qm, np.ones(len(qm), dtype=np.int64)
     ) / 1e6
+
+
+def test_spend_concentration(ray_session):
+    """Gini and top-1% share match an exact sorted recount; Gini sits in
+    [0, 1) and the top slice holds at least its proportional share."""
+    import math
+
+    from rayld.pipelines.relational import spend_concentration
+
+    got = spend_concentration(SF)
+    ev = pd.read_parquet(f"{SF}/events.parquet", columns=["user_id", "value"])
+    vc = np.floor(ev["value"] * 100 + 0.5).astype("int64")
+    u = vc.groupby(ev["user_id"]).sum().reset_index()
+    u.columns = ["user_id", "c"]
+    u = u.sort_values(["c", "user_id"], kind="mergesort").reset_index(
+        drop=True
+    )
+    n = len(u)
+    s = int(u["c"].sum())
+    rn = np.arange(1, n + 1, dtype=np.int64)
+    sr = int((rn * u["c"].to_numpy(np.int64)).sum())
+    k = math.ceil(n * 1 / 100)
+    top_c = int(u["c"].to_numpy(np.int64)[n - k:].sum())
+    assert int(got["n_users"].iloc[0]) == n
+    assert float(got["total_spend"].iloc[0]) == s / 100.0
+    assert int(got["top_users"].iloc[0]) == k
+    assert float(got["top_share"].iloc[0]) == top_c / s
+    gini = float(2 * sr - (n + 1) * s) / float(n * s)
+    assert float(got["gini"].iloc[0]) == gini
+    assert 0.0 <= gini < 1.0
+    assert top_c / s >= k / n
