@@ -194,6 +194,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_deciles_by_lang": text.quality_deciles_by_lang,
         "table_checksum": text.table_checksum,
         "token_weighted_quality": text.token_weighted_quality,
+        "lang_confusion": text.lang_confusion,
         # dedup family
         "dedup_exact": dedup.dedup_exact,
         "dedup_exact_normalized": dedup.dedup_exact_normalized,
@@ -360,7 +361,7 @@ def oracle_sql() -> dict[str, str]:
         " THEN 2 * json_array_length(doc, '$.tags') + 3"
         " ELSE 5 END)::BIGINT AS n_lines"
     )
-    return {
+    o = {
         "jsonld_expand": (
             "SELECT conv_id, turn_idx::BIGINT AS turn_idx,"
             " (CASE WHEN " + _graph + " IS NOT NULL"
@@ -2203,3 +2204,11 @@ def oracle_sql() -> dict[str, str]:
             " AS u(k)"
         ),
     }
+    # label-quality confusion matrix: reuses the lang_id oracle verbatim so
+    # the two can never drift apart
+    o["lang_confusion"] = (
+        "WITH p AS (" + o["lang_id"] + ")"
+        " SELECT d.lang, p.lang_pred, count(*)::BIGINT AS n"
+        " FROM p JOIN documents d USING (doc_id) GROUP BY 1, 2"
+    )
+    return o

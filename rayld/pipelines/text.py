@@ -1966,3 +1966,41 @@ def token_weighted_quality(sf_dir: str):
         "weighted_median_quality": np.array([w_med / 1e6], dtype="float64"),
         "doc_median_quality": np.array([d_med / 1e6], dtype="float64"),
     })
+
+
+def lang_confusion(sf_dir: str, concurrency: int = 2):
+    """Label-quality audit: the confusion matrix between the stored
+    ``lang`` column and the heuristic detector's prediction — off-diagonal
+    mass is either label noise or detector blind spots, and it's the
+    first thing to read before trusting either side for mixture weights.
+
+    Same stateful LangId actor pool as ``lang_id`` (markers compiled once
+    per actor) with the label carried through; per-batch partials collapse
+    to (lang, lang_pred) counts and ONE bounded combine moves at most
+    |langs|^2 rows."""
+    from .common import bucketed_sum_combine
+
+    cm_sch = pa.schema([
+        ("lang", pa.string()), ("lang_pred", pa.string()),
+        ("n", pa.int64()),
+    ])
+
+    class _Audit(LangId):
+        def __call__(self, df: pd.DataFrame) -> pa.Table:
+            g = pd.DataFrame({
+                "lang": df["lang"],
+                "lang_pred": [self.predict(t) for t in df["text"]],
+                "n": 1,
+            }).groupby(["lang", "lang_pred"], as_index=False)["n"].sum()
+            return pa.Table.from_pandas(g, preserve_index=False).cast(
+                cm_sch
+            )
+
+    partials = documents(
+        sf_dir, columns=("doc_id", "lang", "text")
+    ).map_batches(_Audit, concurrency=(2, max(2, concurrency)),
+                  batch_format="pandas")
+    return bucketed_sum_combine(
+        partials, keys=["lang", "lang_pred"], sum_cols=["n"],
+        schema=cm_sch,
+    )

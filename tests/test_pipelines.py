@@ -3712,3 +3712,27 @@ def test_spend_concentration(ray_session):
     assert float(got["gini"].iloc[0]) == gini
     assert 0.0 <= gini < 1.0
     assert top_c / s >= k / n
+
+
+def test_lang_confusion(ray_session):
+    """Confusion-matrix cells match a direct predict() recount, total to
+    the corpus size, and every stored lang appears as a row."""
+    from rayld.pipelines.text import LangId, lang_confusion
+
+    got = lang_confusion(SF).to_pandas()
+    docs = pd.read_parquet(
+        f"{SF}/documents.parquet", columns=["lang", "text"]
+    )
+    lid = LangId()
+    want = (
+        pd.DataFrame({
+            "lang": docs["lang"],
+            "lang_pred": [lid.predict(t) for t in docs["text"]],
+            "n": 1,
+        }).groupby(["lang", "lang_pred"])["n"].sum()
+    )
+    assert int(got["n"].sum()) == len(docs)
+    assert len(got) == len(want)
+    for r in got.itertuples(index=False):
+        assert int(r.n) == int(want.loc[(str(r.lang), str(r.lang_pred))])
+    assert set(got["lang"]) == set(docs["lang"].unique())
