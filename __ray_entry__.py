@@ -201,6 +201,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_incremental": dedup.bloom_incremental_dedup,
         "edit_distance_pairs": dedup.edit_distance_pairs,
         "dedup_survivor_map": dedup.dedup_survivor_map,
+        "dup_rate_by_source": dedup.dup_rate_by_source,
         "dedup_minhash": dedup.minhash_dedup,
         "dedup_minhash_recall": dedup.minhash_dedup_recall,
         "dedup_clusters": dedup.dedup_clusters,
@@ -1054,6 +1055,17 @@ def oracle_sql() -> dict[str, str]:
         "dedup_survivor_map": (
             "SELECT doc_id, min(doc_id) OVER (PARTITION BY md5(text))::BIGINT"
             " AS survivor_id FROM documents"
+        ),
+        # per-source exact-duplicate rate (crawl-health diagnostic)
+        "dup_rate_by_source": (
+            "WITH s AS (SELECT source, doc_id,"
+            "  min(doc_id) OVER (PARTITION BY md5(text)) AS surv"
+            " FROM documents)"
+            " SELECT source, count(*)::BIGINT AS n_docs,"
+            " (count(*) FILTER (WHERE doc_id <> surv))::BIGINT AS n_dups,"
+            " (count(*) FILTER (WHERE doc_id <> surv))::DOUBLE"
+            "  / count(*)::DOUBLE AS dup_rate"
+            " FROM s GROUP BY 1"
         ),
         "token_frequencies": (
             "SELECT t AS token, count(*)::BIGINT AS n FROM documents,"

@@ -1870,3 +1870,73 @@ def edit_distance_pairs(sf_dir: str, k: int = 2, prefix_chars: int = 40,
         .groupby("part").map_groups(candidates, batch_format="pandas")
         .groupby("part").map_groups(verify, batch_format="pandas")
     )
+
+
+def dup_rate_by_source(sf_dir: str, num_partitions: int | None = None):
+    """Per-source exact-duplicate rate: for each document source, the
+    fraction of its docs that are NON-survivors of content-hash dedup
+    (min doc_id per md5(text) survives) — the crawl-health diagnostic
+    that tells you WHICH feed to dedup or drop, where dedup_exact only
+    says how much survives overall.
+
+    Same single bucketed content-hash exchange as dedup_survivor_map with
+    the source carried through; each hash bucket resolves survivors
+    in-task and pre-counts per source, so the second combine moves one
+    row per (source x bucket) — bounded by the source alphabet."""
+    import zlib
+
+    from .common import bucketed_sum_combine, cluster_partitions
+
+    if num_partitions is None:
+        num_partitions = cluster_partitions()
+
+    def add_hash(batch: pa.Table) -> pa.Table:
+        hs = [
+            hashlib.md5(t.encode("utf-8")).hexdigest()
+            for t in batch["text"].to_pylist()
+        ]
+        parts = np.fromiter(
+            (zlib.crc32(h.encode()) % num_partitions for h in hs),
+            dtype=np.int32, count=len(hs),
+        )
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "source": batch["source"],
+            "h": pa.array(hs, pa.string()),
+            "part": pa.array(parts, pa.int32()),
+        })
+
+    cnt_sch = pa.schema([
+        ("source", pa.string()), ("n_docs", pa.int64()),
+        ("n_dups", pa.int64()),
+    ])
+
+    def count_dups(df: pd.DataFrame) -> pa.Table:
+        if len(df) == 0:
+            return cnt_sch.empty_table()
+        surv = df.groupby("h")["doc_id"].transform("min")
+        g = pd.DataFrame({
+            "source": df["source"],
+            "n_docs": 1,
+            "n_dups": (df["doc_id"] != surv).astype("int64"),
+        }).groupby("source", as_index=False).sum()
+        return pa.Table.from_pandas(g, preserve_index=False).cast(cnt_sch)
+
+    partials = (
+        documents(sf_dir, columns=("doc_id", "source", "text"))
+        .map_batches(add_hash, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(count_dups, batch_format="pandas")
+    )
+    agg = bucketed_sum_combine(
+        partials, keys=["source"], sum_cols=["n_docs", "n_dups"],
+        schema=cnt_sch,
+    )
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        df["dup_rate"] = (
+            df["n_dups"].astype("int64") / df["n_docs"].astype("int64")
+        )
+        return df[["source", "n_docs", "n_dups", "dup_rate"]]
+
+    return agg.map_batches(finish, batch_format="pandas")

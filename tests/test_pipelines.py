@@ -3736,3 +3736,32 @@ def test_lang_confusion(ray_session):
     for r in got.itertuples(index=False):
         assert int(r.n) == int(want.loc[(str(r.lang), str(r.lang_pred))])
     assert set(got["lang"]) == set(docs["lang"].unique())
+
+
+def test_dup_rate_by_source(ray_session):
+    """Per-source duplicate counts match a direct survivor recount and
+    reconcile with the global exact-dedup survivor count."""
+    import hashlib
+
+    from rayld.pipelines.dedup import dup_rate_by_source
+
+    got = dup_rate_by_source(SF, num_partitions=4).to_pandas()
+    docs = pd.read_parquet(
+        f"{SF}/documents.parquet", columns=["doc_id", "source", "text"]
+    )
+    h = docs["text"].map(lambda t: hashlib.md5(t.encode()).hexdigest())
+    surv = docs.groupby(h)["doc_id"].transform("min")
+    dup = docs["doc_id"] != surv
+    want = pd.DataFrame({
+        "source": docs["source"], "n": 1, "d": dup.astype("int64")
+    }).groupby("source").sum()
+    m = got.set_index("source")
+    assert len(m) == len(want)
+    for src_name, row in want.iterrows():
+        assert int(m.loc[src_name, "n_docs"]) == int(row["n"])
+        assert int(m.loc[src_name, "n_dups"]) == int(row["d"])
+        assert float(m.loc[src_name, "dup_rate"]) == int(row["d"]) / int(
+            row["n"]
+        )
+    n_survivors = docs.groupby(h)["doc_id"].min().nunique()
+    assert int(got["n_docs"].sum() - got["n_dups"].sum()) == n_survivors
