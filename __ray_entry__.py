@@ -266,6 +266,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nation_revenue_share": relational.nation_revenue_share,
         "q14_promo_revenue": relational.q14_promo_revenue,
         "spend_concentration": relational.spend_concentration,
+        "order_dow_chisq": relational.order_dow_chisq,
+        "brand_price_cv": relational.brand_price_cv,
         "asof_join_attribution": relational.asof_join_attribution,
         "range_join_signup_clicks": relational.range_join_signup_clicks,
         "supplier_account_rank": relational.supplier_account_rank,
@@ -1435,6 +1437,29 @@ def oracle_sql() -> dict[str, str]:
             " count(*)::BIGINT AS n FROM w"
             " WHERE t2 IS NOT NULL AND t3 IS NOT NULL"
             " GROUP BY 1 ORDER BY n DESC, path LIMIT 20"
+        ),
+        # chi-square weekday-uniformity test in closed integer form:
+        # (7*sum(o^2) - n^2) / n — missing weekdays handled automatically
+        "order_dow_chisq": (
+            "WITH c AS (SELECT isodow(o_orderdate)::BIGINT AS d,"
+            "  count(*)::BIGINT AS n FROM orders GROUP BY 1),"
+            " t AS (SELECT sum(n)::BIGINT AS n, count(*)::BIGINT AS k,"
+            "  sum(n * n)::HUGEINT AS s2 FROM c)"
+            " SELECT n AS n_orders, k AS n_days_seen,"
+            " (7 * s2 - n * n)::DOUBLE / n::DOUBLE AS chi2_uniform FROM t"
+        ),
+        # per-brand price dispersion from exact integer-cents moments;
+        # sqrt (IEEE correctly rounded) mirrors Python math.sqrt
+        "brand_price_cv": (
+            "WITH m AS (SELECT p_brand, count(*)::BIGINT AS n,"
+            "  sum(pc)::BIGINT AS s1, sum(pc * pc)::BIGINT AS s2"
+            "  FROM (SELECT p_brand,"
+            "   floor(p_retailprice * 100 + 0.5)::BIGINT AS pc FROM part)"
+            "  GROUP BY 1)"
+            " SELECT p_brand, n AS n_parts,"
+            " s1::DOUBLE / n::DOUBLE / 100.0 AS mean_price,"
+            " sqrt((n * s2 - s1 * s1)::DOUBLE) / s1::DOUBLE AS price_cv"
+            " FROM m"
         ),
         # exact Gini + top-1% share of per-user spend (sorted-index
         # formula over the deterministic (spend, user_id) total order)

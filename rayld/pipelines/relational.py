@@ -5129,3 +5129,111 @@ def spend_concentration(sf_dir: str, top_pct: int = 1,
         / np.array([s], dtype="int64"),
         "gini": np.array([gini], dtype="float64"),
     })
+
+
+def order_dow_chisq(sf_dir: str):
+    """Weekday-seasonality hypothesis test: chi-square statistic of the
+    order-date ISO-weekday distribution against uniform — the one-row
+    screen for "is this feed's time dimension synthetic/batched or
+    organic?". Counts are exact (one 7-row bounded combine off per-batch
+    partials); the statistic collapses to the closed form
+    chi2 = (7*sum(o_i^2) - n^2) / n — missing weekdays contribute their
+    expected mass automatically — so it's ONE double division of
+    identical integers on both sides, with no float summation order to
+    match."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from .common import bucketed_sum_combine
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderdate"]
+    )
+
+    cnt_sch = pa.schema([("isodow", pa.int64()), ("n", pa.int64())])
+
+    def partial(df: pd.DataFrame) -> pa.Table:
+        g = pd.DataFrame({
+            "isodow": (df["o_orderdate"].dt.dayofweek + 1).astype("int64"),
+            "n": 1,
+        }).groupby("isodow", as_index=False)["n"].sum()
+        return pa.Table.from_pandas(g, preserve_index=False).cast(cnt_sch)
+
+    counts = bucketed_sum_combine(
+        ds.map_batches(partial, batch_format="pandas"),
+        keys=["isodow"], sum_cols=["n"], schema=cnt_sch,
+    ).to_pandas().sort_values("isodow")
+
+    n = int(counts["n"].sum())
+    obs = counts["n"].to_numpy(np.int64)
+    s2 = sum(int(o) * int(o) for o in obs)
+    chi2 = float(7 * s2 - n * n) / float(n) if n else 0.0
+    return pd.DataFrame({
+        "n_orders": np.array([n], dtype="int64"),
+        "n_days_seen": np.array([len(counts)], dtype="int64"),
+        "chi2_uniform": np.array([chi2], dtype="float64"),
+    })
+
+
+def brand_price_cv(sf_dir: str):
+    """Per-brand retail-price dispersion: exact mean and coefficient of
+    variation from integer-cents moment sums — the assortment-pricing
+    diagnostic (a near-zero CV brand is single-price; a huge CV brand
+    mixes tiers). One bounded combine of (n, sum, sum of squares) per
+    brand; the doubles derive from identical integers in the mirrored op
+    order (population variance, the grouped_corr contract)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from .common import bucketed_sum_combine
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/part.parquet", columns=["p_brand", "p_retailprice"]
+    )
+
+    m_sch = pa.schema([
+        ("p_brand", pa.string()), ("n", pa.int64()),
+        ("s1", pa.int64()), ("s2", pa.int64()),
+    ])
+
+    def partial(df: pd.DataFrame) -> pa.Table:
+        pc = pd.Series(money_cents(df["p_retailprice"]), index=df.index)
+        g = df.assign(s1=pc, s2=pc * pc, n=1).groupby(
+            "p_brand", as_index=False
+        ).agg(n=("n", "sum"), s1=("s1", "sum"), s2=("s2", "sum"))
+        return pa.Table.from_pandas(g, preserve_index=False).select(
+            m_sch.names
+        ).cast(m_sch)
+
+    agg = bucketed_sum_combine(
+        ds.map_batches(partial, batch_format="pandas"),
+        keys=["p_brand"], sum_cols=["n", "s1", "s2"],
+        schema=m_sch,
+    )
+
+    out_sch = pa.schema([
+        ("p_brand", pa.string()), ("n_parts", pa.int64()),
+        ("mean_price", pa.float64()), ("price_cv", pa.float64()),
+    ])
+
+    def finish(df: pd.DataFrame) -> pa.Table:
+        if len(df) == 0:
+            return out_sch.empty_table()
+        import math
+
+        rows = []
+        for r in df.itertuples(index=False):
+            n, s1, s2 = int(r.n), int(r.s1), int(r.s2)
+            mean = float(s1) / float(n) / 100.0
+            var_n2 = n * s2 - s1 * s1        # n^2 * population variance
+            # math.sqrt == SQL sqrt: both IEEE correctly rounded
+            cv = (math.sqrt(float(var_n2)) / float(s1) if s1 > 0 else 0.0)
+            rows.append((str(r.p_brand), n, mean, cv))
+        return pa.table({
+            "p_brand": pa.array([x[0] for x in rows], pa.string()),
+            "n_parts": pa.array([x[1] for x in rows], pa.int64()),
+            "mean_price": pa.array([x[2] for x in rows], pa.float64()),
+            "price_cv": pa.array([x[3] for x in rows], pa.float64()),
+        }, schema=out_sch)
+
+    return agg.map_batches(finish, batch_format="pandas")

@@ -3765,3 +3765,46 @@ def test_dup_rate_by_source(ray_session):
         )
     n_survivors = docs.groupby(h)["doc_id"].min().nunique()
     assert int(got["n_docs"].sum() - got["n_dups"].sum()) == n_survivors
+
+
+def test_order_dow_chisq(ray_session):
+    """Chi-square statistic matches the direct definition sum((o-e)^2/e)
+    within float tolerance and the closed form exactly."""
+    from rayld.pipelines.relational import order_dow_chisq
+
+    got = order_dow_chisq(SF)
+    od = pd.read_parquet(f"{SF}/orders.parquet", columns=["o_orderdate"])
+    dow = (od["o_orderdate"].dt.dayofweek + 1).astype("int64")
+    counts = dow.value_counts()
+    n = len(od)
+    s2 = sum(int(c) ** 2 for c in counts)
+    assert int(got["n_orders"].iloc[0]) == n
+    assert int(got["n_days_seen"].iloc[0]) == len(counts)
+    assert float(got["chi2_uniform"].iloc[0]) == float(7 * s2 - n * n) / n
+    e = n / 7.0
+    direct = sum(
+        (counts.get(d, 0) - e) ** 2 / e for d in range(1, 8)
+    )
+    assert abs(float(got["chi2_uniform"].iloc[0]) - direct) < 1e-6
+
+
+def test_brand_price_cv(ray_session):
+    """Per-brand mean and CV match an exact integer-moment recount."""
+    import math
+
+    from rayld.pipelines.relational import brand_price_cv
+
+    got = brand_price_cv(SF).to_pandas().set_index("p_brand")
+    part = pd.read_parquet(
+        f"{SF}/part.parquet", columns=["p_brand", "p_retailprice"]
+    )
+    pc = np.floor(part["p_retailprice"] * 100 + 0.5).astype("int64")
+    for brand, grp in pc.groupby(part["p_brand"]):
+        n, s1 = len(grp), int(grp.sum())
+        s2 = sum(int(v) ** 2 for v in grp)
+        row = got.loc[brand]
+        assert int(row["n_parts"]) == n
+        assert float(row["mean_price"]) == float(s1) / float(n) / 100.0
+        assert float(row["price_cv"]) == math.sqrt(
+            float(n * s2 - s1 * s1)
+        ) / float(s1)
