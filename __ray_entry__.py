@@ -268,6 +268,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "spend_concentration": relational.spend_concentration,
         "order_dow_chisq": relational.order_dow_chisq,
         "brand_price_cv": relational.brand_price_cv,
+        "benford_value_digits": relational.benford_value_digits,
+        "order_size_histogram": relational.order_size_histogram,
         "asof_join_attribution": relational.asof_join_attribution,
         "range_join_signup_clicks": relational.range_join_signup_clicks,
         "supplier_account_rank": relational.supplier_account_rank,
@@ -1437,6 +1439,28 @@ def oracle_sql() -> dict[str, str]:
             " count(*)::BIGINT AS n FROM w"
             " WHERE t2 IS NOT NULL AND t3 IS NOT NULL"
             " GROUP BY 1 ORDER BY n DESC, path LIMIT 20"
+        ),
+        # Benford first-digit profile: per-digit rows keep every float a
+        # row-local expression over identical integers
+        "benford_value_digits": (
+            "WITH c AS (SELECT"
+            "  left(CAST(floor(value * 100 + 0.5)::BIGINT AS VARCHAR),"
+            "   1)::BIGINT AS digit, count(*)::BIGINT AS n"
+            "  FROM events WHERE floor(value * 100 + 0.5)::BIGINT > 0"
+            "  GROUP BY 1),"
+            " t AS (SELECT sum(n)::BIGINT AS total FROM c)"
+            " SELECT digit, n AS n_obs,"
+            " log10(1.0 + 1.0 / digit) AS benford_p,"
+            " (n - total * log10(1.0 + 1.0 / digit))"
+            "  * (n - total * log10(1.0 + 1.0 / digit))"
+            "  / (total * log10(1.0 + 1.0 / digit)) AS chi2_contrib"
+            " FROM c, t"
+        ),
+        # order fan-out histogram: lineitems-per-order distribution
+        "order_size_histogram": (
+            "SELECT k AS n_items, count(*)::BIGINT AS n_orders FROM ("
+            " SELECT count(*)::BIGINT AS k FROM lineitem"
+            " GROUP BY l_orderkey) GROUP BY 1"
         ),
         # chi-square weekday-uniformity test in closed integer form:
         # (7*sum(o^2) - n^2) / n — missing weekdays handled automatically

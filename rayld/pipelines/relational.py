@@ -5237,3 +5237,103 @@ def brand_price_cv(sf_dir: str):
         }, schema=out_sch)
 
     return agg.map_batches(finish, batch_format="pandas")
+
+
+def benford_value_digits(sf_dir: str):
+    """Benford first-digit profile of event values — the classic
+    fabricated-numbers screen: per leading digit 1-9, the observed count,
+    Benford's expected probability log10(1+1/d), and that digit's
+    chi-square contribution. Emitting PER-DIGIT rows keeps every float a
+    row-local expression over identical integers (no cross-digit float
+    sum to order-match); the driver-side screen is then 'read the contrib
+    column'. Zero-value events have no leading digit and are excluded.
+
+    One pass: per-batch digit counts (the leading digit of integer cents
+    is a string op) -> one 9-row bounded combine."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from .common import bucketed_sum_combine
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["value"])
+
+    d_sch = pa.schema([("digit", pa.int64()), ("n", pa.int64())])
+
+    def partial(df: pd.DataFrame) -> pa.Table:
+        vc = money_cents(df["value"])
+        vc = vc[vc > 0]
+        digits = pd.Series(vc).astype(str).str[0].astype("int64")
+        g = digits.value_counts().sort_index()
+        return pa.table({
+            "digit": pa.array(g.index.to_numpy(np.int64)),
+            "n": pa.array(g.to_numpy(np.int64)),
+        }, schema=d_sch)
+
+    counts = bucketed_sum_combine(
+        ds.map_batches(partial, batch_format="pandas"),
+        keys=["digit"], sum_cols=["n"], schema=d_sch,
+    ).to_pandas().sort_values("digit")
+
+    import math
+
+    total = int(counts["n"].sum())
+    rows = []
+    for r in counts.itertuples(index=False):
+        d, n = int(r.digit), int(r.n)
+        p = math.log10(1.0 + 1.0 / d)
+        e = total * p
+        contrib = (n - e) * (n - e) / e if e else 0.0
+        rows.append((d, n, p, contrib))
+    out = pd.DataFrame(
+        rows, columns=["digit", "n_obs", "benford_p", "chi2_contrib"]
+    )
+    out["digit"] = out["digit"].astype("int64")
+    out["n_obs"] = out["n_obs"].astype("int64")
+    return out
+
+
+def order_size_histogram(sf_dir: str):
+    """Order fan-out distribution: how many orders have k line items —
+    the histogram that sizes the pre-aggregation win of every
+    lineitem-side join (a heavy tail means per-order partials matter
+    more). Two bounded exchanges: per-batch (orderkey, partial count)
+    partials -> one hash(orderkey) combine -> per-batch (k, n_orders)
+    partials -> one k-bounded combine."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from .common import bucketed_sum_combine
+
+    per_order = bucketed_sum_combine(
+        rd.read_parquet(
+            f"{sf_dir}/lineitem.parquet", columns=["l_orderkey"]
+        ).map_batches(
+            lambda df: pa.table({
+                "l_orderkey": pa.array(
+                    df["l_orderkey"].value_counts().index.to_numpy(
+                        np.int64
+                    )
+                ),
+                "k": pa.array(
+                    df["l_orderkey"].value_counts().to_numpy(np.int64)
+                ),
+            }),
+            batch_format="pandas",
+        ),
+        keys=["l_orderkey"], sum_cols=["k"],
+        schema=pa.schema([("l_orderkey", pa.int64()), ("k", pa.int64())]),
+    )
+
+    h_sch = pa.schema([("n_items", pa.int64()), ("n_orders", pa.int64())])
+
+    def hist(df: pd.DataFrame) -> pa.Table:
+        g = df["k"].value_counts().sort_index()
+        return pa.table({
+            "n_items": pa.array(g.index.to_numpy(np.int64)),
+            "n_orders": pa.array(g.to_numpy(np.int64)),
+        }, schema=h_sch)
+
+    return bucketed_sum_combine(
+        per_order.map_batches(hist, batch_format="pandas"),
+        keys=["n_items"], sum_cols=["n_orders"], schema=h_sch,
+    )

@@ -3808,3 +3808,42 @@ def test_brand_price_cv(ray_session):
         assert float(row["price_cv"]) == math.sqrt(
             float(n * s2 - s1 * s1)
         ) / float(s1)
+
+
+def test_benford_value_digits(ray_session):
+    """Per-digit counts match a direct recount; probabilities sum to 1
+    and each chi-square contribution matches its row-local formula."""
+    import math
+
+    from rayld.pipelines.relational import benford_value_digits
+
+    got = benford_value_digits(SF)
+    ev = pd.read_parquet(f"{SF}/events.parquet", columns=["value"])
+    vc = np.floor(ev["value"] * 100 + 0.5).astype("int64")
+    vc = vc[vc > 0]
+    digits = vc.astype(str).str[0].astype("int64")
+    want = digits.value_counts().sort_index()
+    total = int(want.sum())
+    assert got["digit"].tolist() == want.index.tolist()
+    assert got["n_obs"].tolist() == want.tolist()
+    assert abs(sum(math.log10(1 + 1 / d) for d in range(1, 10)) - 1.0) < 1e-12
+    for r in got.itertuples(index=False):
+        p = math.log10(1.0 + 1.0 / int(r.digit))
+        e = total * p
+        assert float(r.benford_p) == p
+        assert float(r.chi2_contrib) == (int(r.n_obs) - e) ** 2 / e
+
+
+def test_order_size_histogram(ray_session):
+    """Order-size histogram matches a direct recount and totals to the
+    order and lineitem counts."""
+    from rayld.pipelines.relational import order_size_histogram
+
+    got = order_size_histogram(SF).to_pandas().sort_values("n_items")
+    li = pd.read_parquet(f"{SF}/lineitem.parquet", columns=["l_orderkey"])
+    sizes = li["l_orderkey"].value_counts()
+    want = sizes.value_counts().sort_index()
+    assert got["n_items"].tolist() == want.index.tolist()
+    assert got["n_orders"].tolist() == want.tolist()
+    assert int((got["n_items"] * got["n_orders"]).sum()) == len(li)
+    assert int(got["n_orders"].sum()) == li["l_orderkey"].nunique()
