@@ -270,6 +270,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "brand_price_cv": relational.brand_price_cv,
         "benford_value_digits": relational.benford_value_digits,
         "order_size_histogram": relational.order_size_histogram,
+        "segment_priority_independence": (
+            relational.segment_priority_independence),
         "asof_join_attribution": relational.asof_join_attribution,
         "range_join_signup_clicks": relational.range_join_signup_clicks,
         "supplier_account_rank": relational.supplier_account_rank,
@@ -1439,6 +1441,24 @@ def oracle_sql() -> dict[str, str]:
             " count(*)::BIGINT AS n FROM w"
             " WHERE t2 IS NOT NULL AND t3 IS NOT NULL"
             " GROUP BY 1 ORDER BY n DESC, path LIMIT 20"
+        ),
+        # chi-square independence cells (segment x priority): per-cell
+        # rows keep every float row-local over identical integers
+        "segment_priority_independence": (
+            "WITH cell AS (SELECT c.c_mktsegment, o.o_orderpriority,"
+            "  count(*)::BIGINT AS n FROM orders o"
+            "  JOIN customer c ON c.c_custkey = o.o_custkey GROUP BY 1, 2),"
+            " t AS (SELECT sum(n)::BIGINT AS total FROM cell),"
+            " m AS (SELECT cell.*,"
+            "  sum(n) OVER (PARTITION BY c_mktsegment)::BIGINT AS rs,"
+            "  sum(n) OVER (PARTITION BY o_orderpriority)::BIGINT AS cs"
+            "  FROM cell)"
+            " SELECT c_mktsegment, o_orderpriority, n AS n_obs,"
+            " (rs * cs)::DOUBLE / t.total::DOUBLE AS expected,"
+            " (n - (rs * cs)::DOUBLE / t.total::DOUBLE)"
+            "  * (n - (rs * cs)::DOUBLE / t.total::DOUBLE)"
+            "  / ((rs * cs)::DOUBLE / t.total::DOUBLE) AS chi2_contrib"
+            " FROM m, t"
         ),
         # Benford first-digit profile: per-digit rows keep every float a
         # row-local expression over identical integers

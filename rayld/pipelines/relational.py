@@ -5337,3 +5337,106 @@ def order_size_histogram(sf_dir: str):
         per_order.map_batches(hist, batch_format="pandas"),
         keys=["n_items"], sum_cols=["n_orders"], schema=h_sch,
     )
+
+
+def segment_priority_independence(sf_dir: str,
+                                  num_partitions: int | None = None):
+    """Chi-square INDEPENDENCE test cells: the (market segment x order
+    priority) contingency table with each cell's expected count under
+    independence and its chi-square contribution — the "does customer
+    segment drive order urgency?" screen. Per-CELL rows keep every float
+    a row-local expression over identical integers (the benford pattern),
+    so nothing float-summation-order-dependent crosses the oracle.
+
+    Large-large join done the house way (the doc_embedding_features /
+    _bucketed_hash_join plan): tag + union customer(custkey, segment) and
+    orders(custkey, priority), ONE crc32(custkey) bucket exchange, pandas
+    merge inside each task, per-task cell counts, then a bounded combine
+    (segments x priorities rows). Margins and expecteds compute on the
+    driver from that tiny table."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from .common import bucketed_sum_combine, cluster_partitions
+    from .dedup import _bucketed_hash_join
+
+    if num_partitions is None:
+        num_partitions = cluster_partitions()
+
+    cust = rd.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+    )
+
+    def left(df: pd.DataFrame) -> pa.Table:
+        return pa.table({
+            "custkey": pa.array(df["c_custkey"].to_numpy(np.int64)),
+            "seg": pa.array(df["c_mktsegment"].astype(str), pa.string()),
+            "prio": pa.array([""] * len(df), pa.string()),
+            "is_right": pa.array(np.zeros(len(df), np.int8), pa.int8()),
+        })
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_orderpriority"]
+    )
+
+    def right(df: pd.DataFrame) -> pa.Table:
+        return pa.table({
+            "custkey": pa.array(df["o_custkey"].to_numpy(np.int64)),
+            "seg": pa.array([""] * len(df), pa.string()),
+            "prio": pa.array(
+                df["o_orderpriority"].astype(str), pa.string()
+            ),
+            "is_right": pa.array(np.ones(len(df), np.int8), pa.int8()),
+        })
+
+    cell_sch = pa.schema([
+        ("c_mktsegment", pa.string()), ("o_orderpriority", pa.string()),
+        ("n", pa.int64()),
+    ])
+
+    def merge(df: pd.DataFrame) -> pa.Table:
+        l = df[df["is_right"] == 0][["custkey", "seg"]]
+        r = df[df["is_right"] == 1][["custkey", "prio"]]
+        if len(l) == 0 or len(r) == 0:
+            return cell_sch.empty_table()
+        m = r.merge(l, on="custkey")
+        g = m.assign(n=1).groupby(["seg", "prio"], as_index=False)[
+            "n"
+        ].sum()
+        return pa.table({
+            "c_mktsegment": pa.array(g["seg"].astype(str), pa.string()),
+            "o_orderpriority": pa.array(g["prio"].astype(str), pa.string()),
+            "n": pa.array(g["n"].astype("int64")),
+        }, schema=cell_sch)
+
+    joined = _bucketed_hash_join(
+        cust.map_batches(left, batch_format="pandas"),
+        orders.map_batches(right, batch_format="pandas"),
+        key="custkey", num_partitions=num_partitions, merge_fn=merge,
+    )
+    cells = bucketed_sum_combine(
+        joined, keys=["c_mktsegment", "o_orderpriority"], sum_cols=["n"],
+        schema=cell_sch,
+    ).to_pandas()
+
+    n = int(cells["n"].sum())
+    row_t = cells.groupby("c_mktsegment")["n"].sum()
+    col_t = cells.groupby("o_orderpriority")["n"].sum()
+    rows = []
+    for r in cells.sort_values(
+        ["c_mktsegment", "o_orderpriority"]
+    ).itertuples(index=False):
+        rs = int(row_t[r.c_mktsegment])
+        cs = int(col_t[r.o_orderpriority])
+        e = float(rs * cs) / float(n)
+        o = int(r.n)
+        rows.append((
+            str(r.c_mktsegment), str(r.o_orderpriority), o, e,
+            (o - e) * (o - e) / e,
+        ))
+    out = pd.DataFrame(rows, columns=[
+        "c_mktsegment", "o_orderpriority", "n_obs", "expected",
+        "chi2_contrib",
+    ])
+    out["n_obs"] = out["n_obs"].astype("int64")
+    return out

@@ -3847,3 +3847,32 @@ def test_order_size_histogram(ray_session):
     assert got["n_orders"].tolist() == want.tolist()
     assert int((got["n_items"] * got["n_orders"]).sum()) == len(li)
     assert int(got["n_orders"].sum()) == li["l_orderkey"].nunique()
+
+
+def test_segment_priority_independence(ray_session):
+    """Contingency cells match a pandas crosstab recount; margins
+    reconcile and each chi-square contribution matches its formula."""
+    from rayld.pipelines.relational import segment_priority_independence
+
+    got = segment_priority_independence(SF, num_partitions=4)
+    orders = pd.read_parquet(
+        f"{SF}/orders.parquet", columns=["o_custkey", "o_orderpriority"]
+    )
+    cust = pd.read_parquet(
+        f"{SF}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+    )
+    j = orders.merge(cust, left_on="o_custkey", right_on="c_custkey")
+    want = j.groupby(
+        ["c_mktsegment", "o_orderpriority"]
+    ).size()
+    n = len(j)
+    rt = j.groupby("c_mktsegment").size()
+    ct = j.groupby("o_orderpriority").size()
+    assert len(got) == len(want)
+    assert int(got["n_obs"].sum()) == n
+    for r in got.itertuples(index=False):
+        o = int(want.loc[(str(r.c_mktsegment), str(r.o_orderpriority))])
+        assert int(r.n_obs) == o
+        e = float(int(rt[r.c_mktsegment]) * int(ct[r.o_orderpriority])) / n
+        assert float(r.expected) == e
+        assert float(r.chi2_contrib) == (o - e) * (o - e) / e
