@@ -218,6 +218,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_clean": prep.corpus_clean,
         # corpus curation (training-data prep)
         "decontaminate": curation.decontaminate,
+        "contamination_by_source": curation.contamination_by_source,
         "pii_redact": curation.pii_redact,
         "hash_split": curation.hash_split,
         "leakage_safe_split": curation.leakage_safe_split,
@@ -2291,5 +2292,15 @@ def oracle_sql() -> dict[str, str]:
         "WITH p AS (" + o["lang_id"] + ")"
         " SELECT d.lang, p.lang_pred, count(*)::BIGINT AS n"
         " FROM p JOIN documents d USING (doc_id) GROUP BY 1, 2"
+    )
+    # per-source contamination rollup: derives from the decontaminate
+    # oracle verbatim so the flag definition can never drift
+    o["contamination_by_source"] = (
+        "WITH base AS (" + o["decontaminate"] + ")"
+        " SELECT d.source, count(*)::BIGINT AS n_docs,"
+        " sum(base.contaminated)::BIGINT AS n_contaminated,"
+        " sum(base.contaminated)::DOUBLE / count(*)::DOUBLE"
+        "  AS contamination_rate"
+        " FROM base JOIN documents d USING (doc_id) GROUP BY 1"
     )
     return o

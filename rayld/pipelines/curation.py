@@ -644,3 +644,80 @@ def leakage_safe_split_check(sf_dir: str, threshold: float = 0.5):
         "no_cluster_straddles": [int(n_bad == 0)],
         "all_docs_assigned_once": [int(n_assigned == n_docs)],
     })
+
+
+def contamination_by_source(sf_dir: str, ngram_n: int = 3,
+                            bench_mod: int = 29):
+    """Per-source benchmark-contamination rates: which feed leaks eval
+    n-grams — the rollup that turns ``decontaminate``'s per-doc flags into
+    a remove-the-source decision. Same two-pass broadcast plan (benchmark
+    window hashes collected once, one vectorized searchsorted map) with
+    the source carried through; per-batch partials collapse to (source,
+    n_docs, n_contaminated) and ONE bounded combine finishes."""
+    import ray
+
+    from .common import bucketed_sum_combine
+
+    def bench_partial(df: pd.DataFrame) -> pa.Table:
+        sel = df[(df["doc_id"] % bench_mod) == 0]
+        if len(sel) == 0:
+            hs = np.empty(0, dtype=np.uint64)
+        else:
+            hs = np.unique(
+                np.concatenate(
+                    [_doc_window_hashes(t, ngram_n) for t in sel["text"]]
+                    or [np.empty(0, dtype=np.uint64)]
+                )
+            )
+        return pa.table({"h": pa.array(hs, pa.uint64())})
+
+    bench_tbl = (
+        documents(sf_dir)
+        .map_batches(bench_partial, batch_format="pandas")
+        .to_pandas()
+    )
+    bench = (
+        np.unique(bench_tbl["h"].to_numpy(dtype=np.uint64))
+        if "h" in bench_tbl.columns
+        else np.empty(0, dtype=np.uint64)
+    )
+    ref = ray.put(bench)
+
+    cnt_sch = pa.schema([
+        ("source", pa.string()), ("n_docs", pa.int64()),
+        ("n_contaminated", pa.int64()),
+    ])
+
+    def score(df: pd.DataFrame) -> pa.Table:
+        grams = ray.get(ref)
+        df = df[(df["doc_id"] % bench_mod) != 0]
+        if len(df) == 0:
+            return cnt_sch.empty_table()
+        flags = np.zeros(len(df), dtype=np.int64)
+        for i, t in enumerate(df["text"]):
+            ws = _doc_window_hashes(t, ngram_n)
+            if len(ws) and len(grams):
+                idx = np.searchsorted(grams, ws)
+                idx[idx == len(grams)] = 0
+                flags[i] = int((grams[idx] == ws).any())
+        g = pd.DataFrame({
+            "source": df["source"], "n_docs": 1, "n_contaminated": flags,
+        }).groupby("source", as_index=False).sum()
+        return pa.Table.from_pandas(g, preserve_index=False).cast(cnt_sch)
+
+    agg = bucketed_sum_combine(
+        documents(sf_dir, columns=("doc_id", "source", "text"))
+        .map_batches(score, batch_format="pandas"),
+        keys=["source"], sum_cols=["n_docs", "n_contaminated"],
+        schema=cnt_sch,
+    )
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        df["contamination_rate"] = (
+            df["n_contaminated"].astype("int64")
+            / df["n_docs"].astype("int64")
+        )
+        return df[["source", "n_docs", "n_contaminated",
+                   "contamination_rate"]]
+
+    return agg.map_batches(finish, batch_format="pandas")

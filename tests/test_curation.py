@@ -364,3 +364,29 @@ def test_weighted_sample_is_proportional_and_deterministic(ray_session):
     # the top-16 of k=32 equals the k=16 sample (prefix property of top-k)
     small = weighted_sample(SF, k=16).to_pandas()
     assert small["doc_id"].tolist() == a["doc_id"].head(16).tolist()
+
+
+def test_contamination_by_source(ray_session):
+    """Per-source rollup reconciles exactly with the per-doc decontaminate
+    flags joined to the source column."""
+    import pandas as pd
+
+    from rayld.pipelines.curation import contamination_by_source, decontaminate
+
+    SF = "/root/testdata/sf0.001"
+    got = contamination_by_source(SF).to_pandas().set_index("source")
+    flags = decontaminate(SF).to_pandas()
+    src = pd.read_parquet(
+        f"{SF}/documents.parquet", columns=["doc_id", "source"]
+    )
+    j = flags.merge(src, on="doc_id")
+    want = j.groupby("source").agg(
+        n=("doc_id", "size"), c=("contaminated", "sum")
+    )
+    assert len(got) == len(want)
+    for s, row in want.iterrows():
+        assert int(got.loc[s, "n_docs"]) == int(row["n"])
+        assert int(got.loc[s, "n_contaminated"]) == int(row["c"])
+        assert float(got.loc[s, "contamination_rate"]) == int(
+            row["c"]
+        ) / int(row["n"])
