@@ -334,6 +334,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "monthly_revenue_growth": relational.monthly_revenue_growth,
         "pca_project": ann.pca_project,
         "pca_check": lambda sf: ann.pca_check(sf),
+        "semdedup_check": dedup.semdedup_check,
         "embedding_unpivot": ann.embedding_unpivot,
         "customer_skyline": relational.customer_skyline,
         "user_bfs_depth": graph.user_bfs_depth,
@@ -356,7 +357,7 @@ def oracle_sql() -> dict[str, str]:
     # (1 node, 5 quads; the 'mentions' value is a relative IRI and drops in
     # toRDF per spec). Roundtrip flags are spec invariants asserted as
     # constant 1 columns.
-    from rayld.pipelines import indexing
+    from rayld.pipelines import indexing, relational
     from rayld.pipelines.jsonld_ops import TOOLDOC_CURRENT
 
     # process-scoped link: concurrent runs at different scales each resolve
@@ -416,6 +417,27 @@ def oracle_sql() -> dict[str, str]:
         # same sampled edge list
         "kg_pagerank_check": (
             "SELECT 1::BIGINT AS parity_ok, 1::BIGINT AS rank_sums_to_one"
+        ),
+        # distributed moment-PCA == single-process numpy PCA (covariance,
+        # mean, projection, orthonormality, EVR ordering)
+        "pca_check": (
+            "SELECT 1::BIGINT AS cov_parity_ok,"
+            " 1::BIGINT AS mean_parity_ok, 1::BIGINT AS proj_parity_ok,"
+            " 1::BIGINT AS orthonormal_ok,"
+            " 1::BIGINT AS evr_descending_ok"
+        ),
+        # distributed BPE trainer == single-process reference merge
+        # sequence on the real word-frequency table
+        "bpe_check": (
+            "SELECT 1::BIGINT AS merges_parity_ok,"
+            " 1::BIGINT AS n_merges_ok, 1::BIGINT AS tokens_le_chars_ok,"
+            " 1::BIGINT AS merges_reduce_ok"
+        ),
+        # distributed SemDeDup == single-process recount (same sample /
+        # k-means / greedy lower-id rule)
+        "semdedup_check": (
+            "SELECT 1::BIGINT AS parity_ok, 1::BIGINT AS clusters_ok,"
+            " 1::BIGINT AS all_tagged_once"
         ),
         # distributed Lloyd's == single-process Lloyd's from the same init
         "kmeans_check": (
@@ -478,24 +500,7 @@ def oracle_sql() -> dict[str, str]:
         # evaluation order on both sides; both sides round half-up via
         # floor(x*1e6+0.5) (plain round() is half-even in numpy vs half-away
         # in DuckDB and diverges on exact ties)
-        "quality_score": (
-            "WITH x AS ("
-            " SELECT doc_id,"
-            "  greatest(length(text), 1) AS n_chars,"
-            "  greatest(len(regexp_extract_all(text, '[A-Za-z0-9]+')), 1)"
-            "    AS n_toks,"
-            "  len(list_filter(regexp_extract_all(text, '[A-Za-z0-9]+'),"
-            "      t -> lower(t) IN ('the','and','of','to','a','in','is',"
-            "      'it','for','with'))) AS stop,"
-            "  len(regexp_extract_all(text, '[.,;:!?]')) AS n_punct"
-            " FROM documents)"
-            " SELECT doc_id,"
-            " floor((0.4 * least(n_toks / 64.0, 1.0)"
-            "     + 0.3 * (1 - least(n_punct / n_chars::DOUBLE, 1.0))"
-            "     + 0.3 * least(stop / n_toks::DOUBLE, 1.0)) * 1e6 + 0.5)"
-            "   / 1e6 AS quality"
-            " FROM x"
-        ),
+        "quality_score": indexing._QUALITY_SQL,
         "dedup_exact": (
             "SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)"
         ),
@@ -1385,31 +1390,10 @@ def oracle_sql() -> dict[str, str]:
             "  FROM events"
             "  GROUP BY GROUPING SETS ((event_type), (isodow(ts)), ()))"
         ),
-        # last-touch attribution: most recent strictly-earlier non-target
-        # event type per purchase (IGNORE NULLS window), '(none)' when bare
-        "last_touch_attribution": (
-            "WITH w AS (SELECT event_type, value,"
-            "  last_value(CASE WHEN event_type <> 'purchase'"
-            "    THEN event_type END IGNORE NULLS) OVER ("
-            "   PARTITION BY user_id ORDER BY ts, event_id"
-            "   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)"
-            "   AS channel FROM events)"
-            " SELECT coalesce(channel, '(none)') AS channel,"
-            " count(*)::BIGINT AS n_purchases,"
-            " sum(floor(value * 100 + 0.5)::BIGINT) / 100.0 AS sum_value"
-            " FROM w WHERE event_type = 'purchase' GROUP BY 1"
-        ),
-        # TPC-H Q18 shape: HAVING-filtered aggregated-key semi-join
-        "q18_large_orders": (
-            "WITH big AS (SELECT l_orderkey,"
-            "  sum(floor(l_quantity * 100 + 0.5)::BIGINT)::BIGINT AS qc"
-            "  FROM lineitem GROUP BY 1"
-            "  HAVING sum(floor(l_quantity * 100 + 0.5)::BIGINT) > 20000)"
-            " SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_totalprice,"
-            " big.qc / 100.0 AS total_qty"
-            " FROM big JOIN orders o ON o.o_orderkey = big.l_orderkey"
-            " JOIN customer c ON c.c_custkey = o.o_custkey"
-        ),
+        # last-touch attribution / Q18: oracles GENERATED from the same
+        # default parameters the queries() callables use (advice-r3)
+        "last_touch_attribution": relational.last_touch_oracle_sql(),
+        "q18_large_orders": relational.q18_oracle_sql(),
         # higher moments from exact HUGEINT raw-moment sums; the closed
         # forms run on identical integers on both sides (grouped_corr
         # contract; pow/sqrt order mirrored)
@@ -1425,9 +1409,9 @@ def oracle_sql() -> dict[str, str]:
             "  n*n*n*s4 - 4*n*n*s1*s3 + 6*n*s1*s1*s2 - 3*s1*s1*s1*s1"
             "   AS m4n FROM m)"
             " SELECT event_type, n::BIGINT AS n_events,"
-            " m3n::DOUBLE * pow(n::DOUBLE, 0.5) / pow(m2n::DOUBLE, 1.5)"
+            " m3n::DOUBLE / pow(m2n::DOUBLE, 1.5)"
             "  AS skewness,"
-            " n::DOUBLE * m4n::DOUBLE / (m2n::DOUBLE * m2n::DOUBLE) - 3.0"
+            " m4n::DOUBLE / (m2n::DOUBLE * m2n::DOUBLE) - 3.0"
             "  AS kurtosis_excess"
             " FROM c"
         ),
@@ -1506,26 +1490,9 @@ def oracle_sql() -> dict[str, str]:
             " sqrt((n * s2 - s1 * s1)::DOUBLE) / s1::DOUBLE AS price_cv"
             " FROM m"
         ),
-        # exact Gini + top-1% share of per-user spend (sorted-index
-        # formula over the deterministic (spend, user_id) total order)
-        "spend_concentration": (
-            "WITH u AS (SELECT user_id,"
-            "  sum(floor(value * 100 + 0.5)::BIGINT)::BIGINT AS c"
-            "  FROM events GROUP BY 1),"
-            " o AS (SELECT c,"
-            "  row_number() OVER (ORDER BY c, user_id) AS rn FROM u),"
-            " t AS (SELECT count(*)::BIGINT AS n, sum(c)::BIGINT AS s,"
-            "  ceil(count(*) * 1 / 100.0)::BIGINT AS k FROM u),"
-            " g AS (SELECT sum(rn * c)::HUGEINT AS sr,"
-            "  sum(c) FILTER (WHERE rn > (SELECT n - k FROM t))::BIGINT"
-            "   AS top_c FROM o)"
-            " SELECT t.n AS n_users, t.s / 100.0 AS total_spend,"
-            " t.k AS top_users,"
-            " g.top_c::DOUBLE / t.s::DOUBLE AS top_share,"
-            " (2 * g.sr - (t.n + 1) * t.s)::DOUBLE"
-            "  / (t.n * t.s)::DOUBLE AS gini"
-            " FROM t, g"
-        ),
+        # exact Gini + top-pct share: oracle generated from the same
+        # top_pct default as the pipeline (advice-r3)
+        "spend_concentration": relational.spend_concentration_oracle_sql(),
         # TPC-H Q14: per ship month, promo parts' share of revenue
         "q14_promo_revenue": (
             "WITH l AS (SELECT"

@@ -1269,6 +1269,34 @@ def embedding_unpivot(sf_dir: str):
     return ds.map_batches(explode, batch_format="pyarrow")
 
 
+def _norm_stats_batch(batch: pa.Table, sch: pa.Schema,
+                      lo: int, hi: int) -> pa.Table:
+    """Per-vector (n_dims, integer-micro squared norm, unit flag) from the
+    ListArray offsets directly — a ragged/truncated embedding is REPORTED
+    with its true length instead of crashing a rectangular ``np.asarray``
+    conversion (advice-r3 item). Segment sums via cumsum difference; no
+    per-row Python."""
+    import pyarrow.compute as pc
+
+    ids = np.asarray(batch["vec_id"].to_pylist(), dtype=np.int64)
+    col = batch["embedding"].combine_chunks()
+    n_dims = pc.list_value_length(col).fill_null(0).to_numpy(
+        zero_copy_only=False).astype(np.int64)
+    vals = col.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+    q = np.floor(vals * 1_000_000.0 + 0.5).astype(np.int64)
+    csum = np.concatenate(([0], np.cumsum(q * q)))
+    ends = np.cumsum(n_dims)
+    norm2 = csum[ends] - csum[ends - n_dims]
+    return pa.table({
+        "vec_id": pa.array(ids),
+        "n_dims": pa.array(n_dims),
+        "norm2_micro2": pa.array(norm2),
+        "is_unit": pa.array(
+            ((norm2 >= lo) & (norm2 <= hi)).astype(np.int64)
+        ),
+    }, schema=sch)
+
+
 def embedding_norm_stats(sf_dir: str):
     """Embedding hygiene validation: per-vector dimensionality and squared
     L2 norm, plus a unit-norm flag — the ingest gate that catches the
@@ -1290,20 +1318,7 @@ def embedding_norm_stats(sf_dir: str):
     ])
 
     def stats(batch: pa.Table) -> pa.Table:
-        ids = np.asarray(batch["vec_id"].to_pylist(), dtype=np.int64)
-        mat = np.asarray(batch["embedding"].to_pylist(), dtype=np.float64)
-        q = np.floor(mat * 1_000_000.0 + 0.5).astype(np.int64)
-        norm2 = (q * q).sum(axis=1)
-        return pa.table({
-            "vec_id": pa.array(ids),
-            "n_dims": pa.array(
-                np.full(len(ids), mat.shape[1], dtype=np.int64)
-            ),
-            "norm2_micro2": pa.array(norm2),
-            "is_unit": pa.array(
-                ((norm2 >= _LO) & (norm2 <= _HI)).astype(np.int64)
-            ),
-        }, schema=sch)
+        return _norm_stats_batch(batch, sch, _LO, _HI)
 
     return _embeddings(sf_dir).map_batches(
         stats, batch_format="pyarrow", batch_size=4096

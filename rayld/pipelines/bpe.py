@@ -310,7 +310,7 @@ def bpe_check(sf_dir: str, n_merges: int = 10) -> pd.DataFrame:
     n_tok = sum(len(enc[w]) * n for w, n in freqs.items())
     return pd.DataFrame({
         "merges_parity_ok": [int(got == want)],
-        "n_merges": [len(got)],
+        "n_merges_ok": [int(len(got) == n_merges)],
         "tokens_le_chars_ok": [int(n_tok <= n_char)],
         "merges_reduce_ok": [int(n_tok < n_char if want else n_tok == n_char)],
     })

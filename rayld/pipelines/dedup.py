@@ -850,6 +850,60 @@ def semdedup(sf_dir: str, n_clusters: int = 16, threshold: float = 0.95,
     )
 
 
+def semdedup_check(sf_dir: str, n_clusters: int = 16,
+                   threshold: float = 0.95, sample_size: int = 2048,
+                   seed: int = 42) -> pd.DataFrame:
+    """Gate: the DISTRIBUTED SemDeDup result equals a single-process
+    recount with the identical scattered sample, k-means, assignment and
+    greedy lower-id rule — so a regression in the broadcast/groupby
+    plumbing or the in-task gram-matrix greedy fails the driver's
+    hash-checked constant oracle (verdict-r3 item 1; the recount
+    previously lived only in pytest)."""
+    import pyarrow.parquet as pq
+
+    from .ann import _ivf_training_sample, _kmeans_lite, _normalize
+
+    out = semdedup(
+        sf_dir, n_clusters=n_clusters, threshold=threshold,
+        sample_size=sample_size, seed=seed,
+    ).to_pandas()
+
+    tbl = pq.read_table(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    ).to_pandas().sort_values("vec_id")
+    ids = tbl["vec_id"].to_numpy(np.int64)
+    X = _normalize(np.stack(
+        [np.asarray(e, dtype=np.float64) for e in tbl["embedding"]]
+    ))
+    _, sample = _ivf_training_sample(sf_dir, sample_size)
+    cents = _kmeans_lite(sample, n_clusters, seed=seed)
+    cl = np.argmax(X @ cents.T, axis=1).astype(np.int64)
+
+    want_keep: dict[int, int] = {}
+    for c in np.unique(cl):
+        idx = np.nonzero(cl == c)[0]  # ids sorted -> idx in vec_id order
+        kept: list[int] = []
+        for i in idx:
+            dup = any(float(X[i] @ X[j]) >= threshold for j in kept)
+            want_keep[int(ids[i])] = 0 if dup else 1
+            if not dup:
+                kept.append(i)
+
+    got_keep = dict(zip(out["vec_id"].astype(int),
+                        out["keep"].astype(int)))
+    got_cl = dict(zip(out["vec_id"].astype(int),
+                      out["cluster"].astype(int)))
+    want_cl = dict(zip(ids.tolist(), cl.tolist()))
+    return pd.DataFrame({
+        "parity_ok": [int(got_keep == want_keep)],
+        "clusters_ok": [int(got_cl == want_cl)],
+        "all_tagged_once": [int(
+            len(out) == len(ids)
+            and out["vec_id"].nunique() == len(ids)
+        )],
+    })
+
+
 def _planted_doc_corpus(sf_dir: str, offset: int, tag: str) -> tuple[str, int]:
     """Write a doubled documents corpus (each doc plus an EXACT copy at
     doc_id+offset) under a pid-scoped /tmp sf_dir; returns (tmp_sf_dir,
@@ -1703,7 +1757,8 @@ def _banded_levenshtein(a: str, b: str, k: int) -> int:
 
 
 def edit_distance_pairs(sf_dir: str, k: int = 2, prefix_chars: int = 40,
-                        num_partitions: int | None = None):
+                        num_partitions: int | None = None,
+                        max_block_pairs: int = 4_000_000):
     """All unordered document pairs whose ``prefix_chars``-char text
     prefixes are within Levenshtein distance ``k`` — EXACT fuzzy string
     self-join via Pass-Join-style segment blocking (Li et al., PVLDB
@@ -1717,11 +1772,17 @@ def edit_distance_pairs(sf_dir: str, k: int = 2, prefix_chars: int = 40,
       positions (probe role); a probe/index content match inside one
       (slot, content) block is a candidate.
 
-    One blocking exchange on crc32(slot:content), in-task index x probe
-    pair generation (a hub segment shared by many strings fans out — the
-    block size is logged above a threshold, never truncated: the verify
-    keeps the result exact), one pair-key exchange dedups the (k+1)(2k+1)
-    re-discoveries, and the banded DP confirms dist <= k in-task. Strings
+    One blocking exchange on crc32(slot:content); then a SALTING pass
+    bounds hub blocks (verdict-r3 item 2): a (slot, content) block whose
+    index x probe product exceeds ``max_block_pairs`` has its LARGER side
+    hash-split by doc_id into S = ceil(pairs / max_block_pairs)
+    sub-blocks with the smaller side replicated into each — every pair
+    still meets in exactly the sub-block its split-side doc hashes to, so
+    the result stays EXACT while per-task pair fan-out is bounded (an OOM
+    at 100 TB becomes S parallel tasks; the split is logged, never a
+    truncation). In-task index x probe pair generation follows, one
+    pair-key exchange dedups the (k+1)(2k+1) + salting re-discoveries,
+    and the banded DP confirms dist <= k in-task. Strings
     shorter than 2(k+1) chars fall back to one brute-force short block
     (sound because ed <= k forces |len diff| <= k). Result is exactly the
     SQL levenshtein cross-join (oracle-checked)."""
@@ -1800,6 +1861,57 @@ def edit_distance_pairs(sf_dir: str, k: int = 2, prefix_chars: int = 40,
             "part": pa.array(parts, pa.int32()),
         }, schema=cand_sch)
 
+    def salt_hubs(df: pd.DataFrame) -> pa.Table:
+        if "slot" not in df.columns or len(df) == 0:
+            return cand_sch.empty_table()
+        outs = []
+        for (sl, ct), g in df.groupby(["slot", "content"], sort=False):
+            is_prb = g["is_probe"].to_numpy() == 1
+            n_idx = int((~is_prb).sum())
+            n_prb = int(is_prb.sum())
+            if n_idx * n_prb <= max_block_pairs:
+                outs.append(g)
+                continue
+            # 2-D grid split: cell (i, j) holds index rows with
+            # hash(doc) % s_idx == i and probe rows with
+            # hash(doc) % s_prb == j, so every (index-doc, probe-doc)
+            # pair meets in EXACTLY one cell. Grid shape balances
+            # replication (idx rows copy s_prb times, probe rows s_idx
+            # times) — for a one-sided hub this degenerates to splitting
+            # the big side only; for a symmetric mega-hub replication
+            # stays O(sqrt(pairs/T)) per row instead of O(pairs/T).
+            s_tot = -(-n_idx * n_prb // max_block_pairs)
+            s_idx = min(n_idx, max(
+                1, int(round((s_tot * n_idx / n_prb) ** 0.5))))
+            s_prb = min(n_prb, -(-s_tot // s_idx))
+            print(f"edit_distance_pairs: hub block {n_idx}x{n_prb} "
+                  f"split into {s_idx}x{s_prb} grid cells (exact)")
+            idx_rows = g[~is_prb]
+            prb_rows = g[is_prb]
+            hi = idx_rows["doc_id"].to_numpy(np.int64) % s_idx
+            hp = prb_rows["doc_id"].to_numpy(np.int64) % s_prb
+            for i in range(s_idx):
+                sub_i = idx_rows[hi == i]
+                if len(sub_i) == 0:
+                    continue
+                for j in range(s_prb):
+                    sub_p = prb_rows[hp == j]
+                    if len(sub_p) == 0:
+                        continue
+                    blk = pd.concat([sub_i, sub_p]).copy()
+                    blk["slot"] = f"{sl}~{i}x{j}"
+                    outs.append(blk)
+        res = pd.concat(outs) if outs else df.iloc[:0]
+        parts = np.fromiter(
+            (zlib.crc32(f"{sl}:{c}".encode("utf-8")) % num_partitions
+             for sl, c in zip(res["slot"], res["content"])),
+            dtype=np.int32, count=len(res),
+        )
+        res = res.assign(part=parts)
+        return pa.Table.from_pandas(res, preserve_index=False).cast(
+            cand_sch
+        )
+
     pair_sch = pa.schema([
         ("doc_a", pa.int64()), ("doc_b", pa.int64()),
         ("sa", pa.string()), ("sb", pa.string()), ("part", pa.int32()),
@@ -1814,9 +1926,6 @@ def edit_distance_pairs(sf_dir: str, k: int = 2, prefix_chars: int = 40,
             prb = g[g["is_probe"] == 1]
             if len(idx) == 0 or len(prb) == 0:
                 continue
-            if len(idx) * len(prb) > 1_000_000:
-                print(f"edit_distance_pairs: hub block "
-                      f"{len(idx)}x{len(prb)} (kept exact)")
             prb = prb.drop_duplicates("doc_id")
             idx = idx.drop_duplicates("doc_id")
             for a, s_a in zip(idx["doc_id"], idx["s"]):
@@ -1867,6 +1976,7 @@ def edit_distance_pairs(sf_dir: str, k: int = 2, prefix_chars: int = 40,
 
     return (
         documents(sf_dir).map_batches(emit, batch_format="pandas")
+        .groupby("part").map_groups(salt_hubs, batch_format="pandas")
         .groupby("part").map_groups(candidates, batch_format="pandas")
         .groupby("part").map_groups(verify, batch_format="pandas")
     )

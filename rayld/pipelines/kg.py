@@ -116,9 +116,30 @@ def expand_turns(batch: pa.Table) -> pa.Table:
 # Stage: conversation group -> canonical triples (groupby(conv_id).map_groups)
 # ---------------------------------------------------------------------------
 
+# Per-conversation turn cap: the synthetic generator tops out at 200
+# turns, but a REAL 100-TB corpus has no cap and a million-turn
+# conversation would land its whole node map in one task (verdict-r3
+# item 4). Turns past the cap are QUARANTINED into the @error graph —
+# logged, counted in the bucket manifests, never silently dropped — so
+# per-task memory is bounded by max_turns x turn size.
+MAX_TURNS_PER_CONV = 100_000
+
+
 def _conv_rows_to_triples(conv_id: str, turn_idxs: list, expanded: list,
-                          errors: list) -> pa.Table:
+                          errors: list,
+                          max_turns: int | None = None) -> pa.Table:
     """One conversation's (sorted) rows -> canonical triples table."""
+    if max_turns is None:
+        max_turns = MAX_TURNS_PER_CONV
+    over: list = []
+    if len(turn_idxs) > max_turns:
+        print(f"[kg] conversation {conv_id}: {len(turn_idxs)} turns exceed "
+              f"the per-conversation cap {max_turns}; tail quarantined to "
+              "@error")
+        over = turn_idxs[max_turns:]
+        turn_idxs = turn_idxs[:max_turns]
+        expanded = expanded[:max_turns]
+        errors = errors[:max_turns]
     nodes: list = []
     # conversation head node expanded against the cached context
     conv_node = build_conv_node(conv_id, turn_idxs)
@@ -129,6 +150,12 @@ def _conv_rows_to_triples(conv_id: str, turn_idxs: list, expanded: list,
             quarantined.append((int(turn_idx), err))
             continue
         nodes.extend(json.loads(expanded_json))
+    for turn_idx in over:
+        quarantined.append((
+            int(turn_idx),
+            f"loading document failed: turn-cap exceeded "
+            f"(conversation has >{max_turns} turns)",
+        ))
     cols = expanded_to_canonical_triples(conv_id, nodes, JsonLdOptions(""))
     # quarantined turns surface as rows in the reserved "@error" graph —
     # the side output travels with the data and is counted in manifests
@@ -146,7 +173,8 @@ def _conv_rows_to_triples(conv_id: str, turn_idxs: list, expanded: list,
     return pa.Table.from_pydict(cols, schema=TRIPLES_SCHEMA)
 
 
-def conv_partition_to_triples(part: pd.DataFrame) -> pa.Table:
+def conv_partition_to_triples(part: pd.DataFrame,
+                              max_turns: int | None = None) -> pa.Table:
     """Process ONE hash partition holding MANY conversations inside the task
     (the bucketed variant of the conv_id shuffle — thousands of per-conv Ray
     groups would otherwise dominate wall time). Grouping is one numpy
@@ -174,7 +202,7 @@ def conv_partition_to_triples(part: pd.DataFrame) -> pa.Table:
             tables.append(
                 _conv_rows_to_triples(
                     conv_l[start], turn_l[start:i], expanded_l[start:i],
-                    err_l[start:i],
+                    err_l[start:i], max_turns=max_turns,
                 )
             )
             start = i
@@ -188,7 +216,8 @@ def conv_partition_to_triples(part: pd.DataFrame) -> pa.Table:
 def build_triples(transcripts_ds, gazetteer=None, link_concurrency=None,
                   num_partitions: int | None = None,
                   late_expand: bool = False,
-                  link_tasks: bool = False):
+                  link_tasks: bool = False,
+                  max_turns: int | None = None):
     """transcripts Dataset -> triples Dataset (lazy; nothing materializes).
 
     The conv_id shuffle is bucketed: rows get a ``part = hash(conv_id) % P``
@@ -266,13 +295,19 @@ def build_triples(transcripts_ds, gazetteer=None, link_concurrency=None,
     ds = ds.repartition(num_partitions)
     if late_expand:
         def expand_and_conv(group: pa.Table) -> pa.Table:
-            return conv_partition_to_triples(expand_turns(group).to_pandas())
+            return conv_partition_to_triples(
+                expand_turns(group).to_pandas(), max_turns=max_turns
+            )
 
         return ds.groupby("part").map_groups(
             expand_and_conv, batch_format="pyarrow"
         )
+
+    def conv_to_triples(part: pd.DataFrame) -> pa.Table:
+        return conv_partition_to_triples(part, max_turns=max_turns)
+
     return ds.groupby("part").map_groups(
-        conv_partition_to_triples, batch_format="pandas"
+        conv_to_triples, batch_format="pandas"
     )
 
 
@@ -419,7 +454,8 @@ def completed_buckets(out_dir: str, num_buckets: int) -> set:
 
 def run_kg_pipeline(transcripts_ds, out_dir: str, num_buckets: int = 16,
                     gazetteer=None, link_concurrency=None,
-                    resume: bool = True) -> dict:
+                    resume: bool = True,
+                    max_turns: int | None = None) -> dict:
     """Run the full pipeline with bucketed output + per-bucket lineage
     manifests. A re-run skips buckets whose manifest already exists (pruned at
     the read by a vectorized hash filter), and re-writes partial buckets.
@@ -453,7 +489,7 @@ def run_kg_pipeline(transcripts_ds, out_dir: str, num_buckets: int = 16,
 
     triples = build_triples(
         filtered.drop_columns(["bucket"]), gazetteer=gazetteer,
-        link_concurrency=link_concurrency,
+        link_concurrency=link_concurrency, max_turns=max_turns,
     )
 
     def re_bucket(batch: pa.Table) -> pa.Table:

@@ -4368,10 +4368,12 @@ def grouped_skew(sf_dir: str):
         m3n = n * n * s3 - 3 * n * s1 * s2 + 2 * s1 ** 3
         m4n = (n ** 3 * s4 - 4 * n * n * s1 * s3
                + 6 * n * s1 * s1 * s2 - 3 * s1 ** 4)
-        # skew = m3n*sqrt(n)/m2n^1.5 ; excess kurt = n*m4n/m2n^2 - 3
-        skew = (float(m3n) * float(n) ** 0.5 / float(m2n) ** 1.5
+        # the n^k scalings cancel: skew = m3/m2^1.5 = (m3n/n^3) /
+        # (m2n/n^2)^1.5 = m3n/m2n^1.5 ; excess kurt = m4/m2^2 - 3 =
+        # (m4n/n^4)/(m2n/n^2)^2 - 3 = m4n/m2n^2 - 3
+        skew = (float(m3n) / float(m2n) ** 1.5
                 if m2n > 0 else 0.0)
-        kurt = (float(n) * float(m4n) / (float(m2n) * float(m2n)) - 3.0
+        kurt = (float(m4n) / (float(m2n) * float(m2n)) - 3.0
                 if m2n > 0 else 0.0)
         rows.append((etype, n, skew, kurt))
     out = pd.DataFrame(
@@ -4443,6 +4445,64 @@ def time_to_conversion(sf_dir: str, start: str = "signup",
         )
         .groupby("part")
         .map_groups(resolve, batch_format="pandas")
+    )
+
+
+def last_touch_oracle_sql(target: str = "purchase") -> str:
+    """DuckDB mirror of ``last_touch_attribution`` generated from the SAME
+    ``target`` parameter, so a non-default invocation keeps a matching
+    oracle (advice-r3: the gate must check what the pipeline computes)."""
+    return (
+        "WITH w AS (SELECT event_type, value,"
+        f"  last_value(CASE WHEN event_type <> '{target}'"
+        "    THEN event_type END IGNORE NULLS) OVER ("
+        "   PARTITION BY user_id ORDER BY ts, event_id"
+        "   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)"
+        "   AS channel FROM events)"
+        " SELECT coalesce(channel, '(none)') AS channel,"
+        " count(*)::BIGINT AS n_purchases,"
+        " sum(floor(value * 100 + 0.5)::BIGINT) / 100.0 AS sum_value"
+        f" FROM w WHERE event_type = '{target}' GROUP BY 1"
+    )
+
+
+def q18_oracle_sql(qty_threshold: int = 200) -> str:
+    """DuckDB mirror of ``q18_large_orders``; the HAVING bound derives
+    from the same ``qty_threshold`` (in quantity units; compared in
+    cents on both sides)."""
+    cents = int(qty_threshold) * 100
+    return (
+        "WITH big AS (SELECT l_orderkey,"
+        "  sum(floor(l_quantity * 100 + 0.5)::BIGINT)::BIGINT AS qc"
+        "  FROM lineitem GROUP BY 1"
+        f"  HAVING sum(floor(l_quantity * 100 + 0.5)::BIGINT) > {cents})"
+        " SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_totalprice,"
+        " big.qc / 100.0 AS total_qty"
+        " FROM big JOIN orders o ON o.o_orderkey = big.l_orderkey"
+        " JOIN customer c ON c.c_custkey = o.o_custkey"
+    )
+
+
+def spend_concentration_oracle_sql(top_pct: int = 1) -> str:
+    """DuckDB mirror of ``spend_concentration``; the top-slice size k =
+    ceil(n * top_pct / 100) uses the same ``top_pct`` as the pipeline."""
+    return (
+        "WITH u AS (SELECT user_id,"
+        "  sum(floor(value * 100 + 0.5)::BIGINT)::BIGINT AS c"
+        "  FROM events GROUP BY 1),"
+        " o AS (SELECT c,"
+        "  row_number() OVER (ORDER BY c, user_id) AS rn FROM u),"
+        " t AS (SELECT count(*)::BIGINT AS n, sum(c)::BIGINT AS s,"
+        f"  ceil(count(*) * {int(top_pct)} / 100.0)::BIGINT AS k FROM u),"
+        " g AS (SELECT sum(rn * c)::HUGEINT AS sr,"
+        "  sum(c) FILTER (WHERE rn > (SELECT n - k FROM t))::BIGINT"
+        "   AS top_c FROM o)"
+        " SELECT t.n AS n_users, t.s / 100.0 AS total_spend,"
+        " t.k AS top_users,"
+        " g.top_c::DOUBLE / t.s::DOUBLE AS top_share,"
+        " (2 * g.sr - (t.n + 1) * t.s)::DOUBLE"
+        "  / (t.n * t.s)::DOUBLE AS gini"
+        " FROM t, g"
     )
 
 

@@ -8,6 +8,7 @@ hashlib over Arrow columns); reads prune to the needed columns.
 from __future__ import annotations
 
 import hashlib
+import os
 import re
 
 import numpy as np
@@ -1998,8 +1999,11 @@ def lang_confusion(sf_dir: str, concurrency: int = 2):
 
     partials = documents(
         sf_dir, columns=("doc_id", "lang", "text")
-    ).map_batches(_Audit, concurrency=(2, max(2, concurrency)),
-                  batch_format="pandas")
+    ).map_batches(
+        _Audit,
+        concurrency=(2, max(concurrency, os.cpu_count() or 2)),
+        batch_format="pandas",
+    )
     return bucketed_sum_combine(
         partials, keys=["lang", "lang_pred"], sum_cols=["n"],
         schema=cm_sch,

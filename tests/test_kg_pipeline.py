@@ -266,6 +266,65 @@ def test_error_quarantine(ray_session, tmp_path):
     assert total_errors == 1
 
 
+def test_long_conversation_turn_cap(ray_session, tmp_path):
+    """A pathological conversation longer than ``max_turns`` has its tail
+    QUARANTINED into the @error graph (one row per capped turn, typed
+    turn-cap error), the head keeps exactly the capped turns, manifests
+    count the quarantine, and the capped prefix's triples are identical to
+    a run over just that prefix (verdict-r3 item 4: a million-turn real
+    conversation must not OOM one task)."""
+    import json as _json
+
+    import pyarrow as pa
+    import ray.data as rd
+    from rayld.pipelines.kg import build_triples, run_kg_pipeline
+
+    n, cap = 30, 10
+
+    def conv_table(n_turns):
+        return pa.table({
+            "conv_id": pa.array(["conv-long"] * n_turns, pa.string()),
+            "turn_idx": pa.array(range(n_turns), pa.int32()),
+            "role": pa.array(
+                ["user" if i % 2 == 0 else "assistant"
+                 for i in range(n_turns)], pa.string()),
+            "text": pa.array(
+                [f"turn {i} about Paris" for i in range(n_turns)],
+                pa.string()),
+            "tool": pa.array([""] * n_turns, pa.string()),
+            "ts": pa.array(range(1, n_turns + 1), pa.timestamp("us")),
+        })
+
+    out = build_triples(
+        rd.from_arrow(conv_table(n)), link_concurrency=2, max_turns=cap
+    ).to_pandas()
+    errs = out[out["graph"] == "@error"].sort_values("subj")
+    assert len(errs) == n - cap
+    assert all("turn-cap exceeded" in v for v in errs["obj_value"])
+    capped_subjs = {s.rsplit("/turn/", 1)[1] for s in errs["subj"]}
+    assert capped_subjs == {str(i) for i in range(cap, n)}
+
+    # capped prefix triples == an uncapped run over just the prefix
+    want = build_triples(
+        rd.from_arrow(conv_table(cap)), link_concurrency=2
+    ).to_pandas()
+    cols = list(want.columns)
+    got_core = (out[out["graph"] != "@error"][cols]
+                .sort_values(cols).reset_index(drop=True))
+    want_core = want.sort_values(cols).reset_index(drop=True)
+    assert got_core.equals(want_core)
+
+    # manifests count the quarantined turns
+    odir = str(tmp_path / "cap")
+    run_kg_pipeline(rd.from_arrow(conv_table(n)), odir, num_buckets=2,
+                    link_concurrency=2, max_turns=cap)
+    total_errors = sum(
+        _json.load(open(f"{odir}/bucket={b}/_manifest.json"))["n_errors"]
+        for b in range(2)
+    )
+    assert total_errors == n - cap
+
+
 def test_unicode_content_end_to_end(ray_session, tmp_path):
     """CJK / emoji / astral-plane text survives the full pipeline: triples,
     canonical export, reparse (escape + UTF-16 ordinal sort paths)."""
