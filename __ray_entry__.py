@@ -55,14 +55,25 @@ def queries() -> dict[str, Callable[[str], Any]]:
         document per conversation via distributed fromRDF."""
         from rayld.pipelines.kg import triples_to_documents
 
-        n = max(50, jsonld_ops.n_conversations_for(sf_dir) // 5)
-        return triples_to_documents(build_triples(transcripts_dataset(n)))
+        return triples_to_documents(_kg_parquet_ds(sf_dir, "small"))
+
+    def _kg_parquet_ds(sf_dir: str, tag: str):
+        """Triples sample materialized ONCE to the process-scoped parquet
+        (jsonld_ops path contract) and read back — the kg_* structural
+        oracles recount the SAME file in DuckDB, so these aggregates are
+        value-hash-checked rather than rows-only (verdict-r3 item 5)."""
+        import ray.data as rd
+
+        n = jsonld_ops.n_conversations_for(sf_dir)
+        if tag == "small":
+            n = max(50, n // 5)
+        return rd.read_parquet(jsonld_ops.kg_triples_parquet(sf_dir, n, tag))
 
     def kg_triple_counts(sf_dir: str):
         """Aggregated view of the flagship output: triples per predicate."""
         from ray.data.aggregate import Count
 
-        ds = kg_triples(sf_dir)
+        ds = _kg_parquet_ds(sf_dir, "full")
         return ds.groupby("pred").aggregate(Count(alias_name="n_triples"))
 
     def kg_triples_global_dedup(sf_dir: str):
@@ -73,7 +84,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         collapse."""
         from ray.data.aggregate import Count
 
-        ds = kg_triples(sf_dir).drop_columns(["conv_id"])
+        ds = _kg_parquet_ds(sf_dir, "full").drop_columns(["conv_id"])
         cols = ["graph", "subj", "pred", "obj_kind", "obj_value",
                 "obj_datatype", "obj_lang"]
         return ds.groupby(cols).aggregate(
@@ -85,16 +96,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         flagship output)."""
         from rayld.pipelines.graph import degree_histogram
 
-        n = max(50, jsonld_ops.n_conversations_for(sf_dir) // 5)
-        return degree_histogram(build_triples(transcripts_dataset(n)))
+        return degree_histogram(_kg_parquet_ds(sf_dir, "small"))
 
     def kg_pagerank(sf_dir: str):
         """Damped PageRank over the KG entity graph (iterative weighted
         propagation on the connected_components shuffle shape)."""
         from rayld.pipelines.graph import pagerank, triples_to_edges
 
-        n = max(50, jsonld_ops.n_conversations_for(sf_dir) // 5)
-        edges = triples_to_edges(build_triples(transcripts_dataset(n)))
+        edges = triples_to_edges(_kg_parquet_ds(sf_dir, "small"))
         return pagerank(edges, n_iter=5)
 
     def kg_pagerank_gate(sf_dir: str):
@@ -108,16 +117,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         mentioning each unordered entity pair (bounded pair vocabulary)."""
         from rayld.pipelines.graph import entity_cooccurrence
 
-        n = max(50, jsonld_ops.n_conversations_for(sf_dir) // 5)
-        return entity_cooccurrence(build_triples(transcripts_dataset(n)))
+        return entity_cooccurrence(_kg_parquet_ds(sf_dir, "small"))
 
     def kg_bgp_user_mentions(sf_dir: str):
         """SPARQL-lite BGP over the KG: entities mentioned by user turns
         ({?t a rayld:Turn . ?t rayld:role 'user' . ?t schema:about ?e})."""
         from rayld.pipelines.graph import kg_user_turn_mentions
 
-        n = max(50, jsonld_ops.n_conversations_for(sf_dir) // 5)
-        return kg_user_turn_mentions(build_triples(transcripts_dataset(n)))
+        return kg_user_turn_mentions(_kg_parquet_ds(sf_dir, "small"))
 
     def kg_jsonld_roundtrip(sf_dir: str):
         """Sink/source gate: NDJSON JSON-LD export -> line-sharded read-back
@@ -174,6 +181,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_stats": text.doc_stats,
         "doc_fingerprint": text.doc_fingerprint,
         "rolling_fingerprint": text.rolling_fingerprint,
+        "rolling_fingerprint_check": text.rolling_fingerprint_check,
         "lang_distribution": text.lang_distribution,
         "lang_id": text.lang_id,
         "quality_score": text.quality_score,
@@ -209,6 +217,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_ngram_jaccard": dedup.ngram_jaccard_dedup,
         "dedup_ngram_jaccard_recall": dedup.ngram_jaccard_recall,
         "simhash": dedup.simhash,
+        "simhash_check": dedup.simhash_check,
         "simhash_neardup": dedup.simhash_neardup,
         "simhash_neardup_recall": dedup.simhash_neardup_recall,
         "duplicate_ngram_spans": dedup.duplicate_ngram_spans,
@@ -358,11 +367,16 @@ def oracle_sql() -> dict[str, str]:
     # toRDF per spec). Roundtrip flags are spec invariants asserted as
     # constant 1 columns.
     from rayld.pipelines import indexing, relational
-    from rayld.pipelines.jsonld_ops import TOOLDOC_CURRENT
+    from rayld.pipelines.jsonld_ops import TOOLDOC_CURRENT, kg_triples_current
 
     # process-scoped link: concurrent runs at different scales each resolve
     # their own corpus (see jsonld_ops.TOOLDOC_CURRENT)
     _td = f"read_parquet('{TOOLDOC_CURRENT}/*.parquet')"
+    # kg structural oracles read the SAME materialized triples parquet the
+    # Ray aggregates consume (jsonld_ops.kg_triples_parquet; two sample
+    # sizes, two process-scoped links)
+    _kgf = f"read_parquet('{kg_triples_current('full')}/*.parquet')"
+    _kgs = f"read_parquet('{kg_triples_current('small')}/*.parquet')"
     _graph = "json_extract(doc, '$.\"@graph\"')"
     _nlines = (
         "(CASE WHEN " + _graph + " IS NOT NULL THEN 3"
@@ -418,6 +432,66 @@ def oracle_sql() -> dict[str, str]:
         "kg_pagerank_check": (
             "SELECT 1::BIGINT AS parity_ok, 1::BIGINT AS rank_sums_to_one"
         ),
+        # per-predicate triple counts recounted over the materialized
+        # triples parquet (structural, verdict-r3 item 5)
+        "kg_triple_counts": (
+            "SELECT pred, count(*)::BIGINT AS n_triples FROM " + _kgf
+            + " GROUP BY pred"
+        ),
+        # global quad dedup == SQL DISTINCT over the same file
+        "kg_triples_global_dedup": (
+            "SELECT DISTINCT graph, subj, pred, obj_kind, obj_value,"
+            " obj_datatype, obj_lang FROM " + _kgf
+        ),
+        # degree histogram: same edge derivation (node-valued objects,
+        # quarantine excluded, conv-qualified bnodes) recounted in SQL
+        "kg_entity_degree": (
+            "WITH e AS (SELECT"
+            "  CASE WHEN starts_with(subj, '_:')"
+            "   THEN conv_id || '|' || subj ELSE subj END AS src,"
+            "  CASE WHEN starts_with(obj_value, '_:')"
+            "   THEN conv_id || '|' || obj_value ELSE obj_value END AS dst"
+            "  FROM " + _kgs
+            + "  WHERE obj_kind IN ('IRI', 'blank node')"
+            "   AND graph <> '@error'),"
+            " d AS (SELECT entity, count(*)::BIGINT AS degree FROM ("
+            "  SELECT src AS entity FROM e"
+            "  UNION ALL SELECT dst FROM e) GROUP BY 1)"
+            " SELECT degree, count(*)::BIGINT AS n_entities FROM d"
+            " GROUP BY 1"
+        ),
+        # unordered within-conversation mention pairs (distinct per conv,
+        # per-conv entity cap mirrored as HAVING)
+        "kg_entity_cooccurrence": (
+            "WITH m AS (SELECT DISTINCT conv_id, obj_value AS entity"
+            "  FROM " + _kgs
+            + "  WHERE pred = 'http://schema.org/about'"
+            "   AND obj_kind = 'IRI'),"
+            " sz AS (SELECT conv_id FROM m GROUP BY 1"
+            "  HAVING count(*) <= 512),"
+            " f AS (SELECT m.* FROM m JOIN sz USING (conv_id))"
+            " SELECT a.entity AS e1, b.entity AS e2,"
+            "  count(*)::BIGINT AS n_convs"
+            " FROM f a JOIN f b"
+            "  ON a.conv_id = b.conv_id AND a.entity < b.entity"
+            " GROUP BY 1, 2"
+        ),
+        # BGP {?t a rayld:Turn . ?t rayld:role 'user' . ?t schema:about ?e}
+        # as EXISTS-filtered capture rows over the same triples
+        "kg_bgp_user_mentions": (
+            "SELECT a.conv_id, a.subj AS turn, a.obj_value AS entity"
+            " FROM " + _kgs + " a"
+            " WHERE a.pred = 'http://schema.org/about'"
+            " AND EXISTS (SELECT 1 FROM " + _kgs + " t"
+            "  WHERE t.conv_id = a.conv_id AND t.subj = a.subj"
+            "  AND t.pred ="
+            "   'http://www.w3.org/1999/02/22-rdf-syntax-ns#type'"
+            "  AND t.obj_value = 'https://rayld.dev/vocab#Turn')"
+            " AND EXISTS (SELECT 1 FROM " + _kgs + " t"
+            "  WHERE t.conv_id = a.conv_id AND t.subj = a.subj"
+            "  AND t.pred = 'https://rayld.dev/vocab#role'"
+            "  AND t.obj_value = 'user')"
+        ),
         # distributed moment-PCA == single-process numpy PCA (covariance,
         # mean, projection, orthonormality, EVR ordering)
         "pca_check": (
@@ -432,6 +506,18 @@ def oracle_sql() -> dict[str, str]:
             "SELECT 1::BIGINT AS merges_parity_ok,"
             " 1::BIGINT AS n_merges_ok, 1::BIGINT AS tokens_le_chars_ok,"
             " 1::BIGINT AS merges_reduce_ok"
+        ),
+        # distributed rolling fingerprints == single-process recount +
+        # min-window containment invariant
+        "rolling_fingerprint_check": (
+            "SELECT 1::BIGINT AS parity_ok, 1::BIGINT AS one_fp_per_doc,"
+            " 1::BIGINT AS containment_ok"
+        ),
+        # distributed SimHash == single-process recount + token-set
+        # invariance
+        "simhash_check": (
+            "SELECT 1::BIGINT AS parity_ok, 1::BIGINT AS one_sig_per_doc,"
+            " 1::BIGINT AS token_set_invariance_ok"
         ),
         # distributed SemDeDup == single-process recount (same sample /
         # k-means / greedy lower-id rule)

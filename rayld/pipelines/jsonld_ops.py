@@ -150,6 +150,76 @@ def tool_docs_parquet(sf_dir: str) -> str:
     return final
 
 
+# Flagship-triples sample materialization — the same path contract as
+# tool_docs_parquet, for the kg_* STRUCTURAL oracles (verdict-r3 item 5):
+# the Ray aggregate queries and the DuckDB recount both read the one
+# materialized triples parquet, so per-pred counts / degree histograms /
+# co-occurrence / BGP results are value-hash-checked, not rows-counted.
+# Two process-scoped links because the kg queries run at two sample
+# sizes (full vs n/5).
+KGTRIPLES_ROOT = "/tmp/rayld_kgtriples"
+
+
+def kg_triples_current(tag: str) -> str:
+    return os.path.join(KGTRIPLES_ROOT, f"current-{os.getpid()}-{tag}")
+
+
+def _reap_stale_kg_links() -> None:
+    import glob
+
+    for link in glob.glob(os.path.join(KGTRIPLES_ROOT, "current-*")):
+        try:
+            pid = int(link.rsplit("-", 2)[1])
+        except (ValueError, IndexError):
+            continue
+        if pid == os.getpid():
+            continue
+        try:
+            os.kill(pid, 0)
+        except ProcessLookupError:
+            try:
+                os.unlink(link)
+            except OSError:
+                pass
+        except OSError:
+            pass
+
+
+def kg_triples_parquet(sf_dir: str, n: int, tag: str) -> str:
+    """Materialize build_triples(transcripts_dataset(n)) as Parquet once
+    per (n, corpus revision) and atomically point the process-scoped
+    ``tag`` link at it. Deterministic: the pipeline is retry-value-
+    identical (CLAUDE.md contract), so a cached materialization equals a
+    fresh one."""
+    from ..sources.transcripts import CORPUS_REV
+    from .kg import build_triples
+
+    final = os.path.join(KGTRIPLES_ROOT, f"n{n}-r{CORPUS_REV}")
+    done = final + ".done"
+    os.makedirs(KGTRIPLES_ROOT, exist_ok=True)
+    if not os.path.exists(done):
+        tmp = os.path.join(KGTRIPLES_ROOT, f".tmp-n{n}-{os.getpid()}")
+        build_triples(transcripts_dataset(n)).write_parquet(tmp)
+        if os.path.exists(final):  # lost a race; keep the winner
+            import shutil
+
+            shutil.rmtree(tmp)
+        else:
+            os.rename(tmp, final)
+        with open(done, "w") as f:
+            f.write("ok")
+    link = kg_triples_current(tag)
+    tmp_link = os.path.join(KGTRIPLES_ROOT, f".lnk-{os.getpid()}-{tag}")
+    try:
+        os.symlink(final, tmp_link)
+        os.replace(tmp_link, link)
+    except OSError:
+        if os.path.islink(tmp_link):
+            os.unlink(tmp_link)
+    _reap_stale_kg_links()
+    return final
+
+
 def _tool_docs_ds(sf_dir: str):
     import ray.data as rd
 

@@ -1094,9 +1094,17 @@ def test_top_tokens_sketch_exact(ray_session):
     """Heavy-hitter pruned top-k == the exact full-vocabulary path, and the
     pruning guarantee holds: the k-th count exceeds N/(capacity+1). A tiny
     capacity still yields a candidate SUPERSET of the true heavy hitters."""
-    from rayld.pipelines.text import token_count, token_frequencies, top_tokens_sketch
+    from rayld.pipelines.text import _TOKEN_RE, token_count, top_tokens_sketch
 
-    exact = token_frequencies(SF, top_n=20).to_pandas().reset_index(drop=True)
+    # independent single-process recount (token_frequencies now IS the
+    # sketch plan, so it can no longer serve as the reference here)
+    toks = (pd.read_parquet(f"{SF}/documents.parquet", columns=["text"])
+            ["text"].str.findall(_TOKEN_RE).explode().dropna())
+    vc = toks.value_counts().reset_index()
+    vc.columns = ["token", "n"]
+    exact = (vc.sort_values(["n", "token"], ascending=[False, True])
+             .head(20).reset_index(drop=True))
+    exact["n"] = exact["n"].astype("int64")
     got = top_tokens_sketch(SF, k=20).to_pandas().reset_index(drop=True)
     pd.testing.assert_frame_equal(got[["token", "n"]], exact[["token", "n"]])
 
