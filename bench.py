@@ -120,33 +120,15 @@ def run_bench() -> dict:
 
 
 def run_scaling() -> dict:
-    trials = int(os.environ.get("RAY_GRAFT_SCALE_TRIALS", "2"))
+    trials = int(os.environ.get("RAY_GRAFT_SCALE_TRIALS", "3"))
 
-    def child(ncpu: int) -> dict:
-        # best-of-N trials per level: the sandbox VM shows hypervisor steal /
-        # co-tenant noise with ~2x swings; best-of damps it for both levels
-        # symmetrically. Each METRIC takes its own per-level best (max kg
-        # throughput; min total sec) — the min-noise estimate of that level's
-        # true capability, since a single noise-slammed query would otherwise
-        # poison the total of an otherwise-clean trial.
-        best = None
-        for _ in range(trials):
-            env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
-            out = subprocess.run(
-                [sys.executable, __file__], env=env, capture_output=True,
-                text=True, check=True,
-            ).stdout
-            r = json.loads(out.strip().splitlines()[-1])
-            if best is None:
-                best = dict(r)
-            else:
-                if r["kg_triples_per_sec"] > best["kg_triples_per_sec"]:
-                    best["kg_triples_per_sec"] = r["kg_triples_per_sec"]
-                    best["queries"] = r["queries"]
-                    best["kg_triples"] = r["kg_triples"]
-                if r["value"] < best["value"]:
-                    best["value"] = r["value"]
-        return best
+    def one(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run(
+            [sys.executable, __file__], env=env, capture_output=True,
+            text=True, check=True,
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
 
     # N vs 4N parallelism (sandbox stand-in for N- vs 4N-node clusters).
     # Default 4 vs 16: the single-node object store saturates the pipeline
@@ -154,23 +136,46 @@ def run_scaling() -> dict:
     # ladders are recorded in BASELINE.md.
     lo = int(os.environ.get("RAY_GRAFT_SCALE_LO", "4"))
     hi = int(os.environ.get("RAY_GRAFT_SCALE_HI", str(lo * 4)))
-    r_lo = child(lo)
-    r_hi = child(hi)
-    thr_lo = r_lo["kg_triples"] / r_lo["queries"]["kg_triples"]
-    thr_hi = r_hi["kg_triples"] / r_hi["queries"]["kg_triples"]
+
+    # INTERLEAVED (lo, hi) trial pairs: the sandbox VM shows hypervisor
+    # steal / co-tenant noise in multi-minute windows with ~2x swings.
+    # Running all lo trials then all hi trials lets one window tax a single
+    # leg, which the efficiency RATIO amplifies (measured: back-to-back
+    # ladders 0.946 then 0.663 on identical code). Adjacent lo/hi runs
+    # share the window, so its tax largely cancels in the per-pair ratio;
+    # best-of-N per level then damps what remains. Each METRIC takes its
+    # own per-level best (max kg throughput; min total sec) — the
+    # min-noise estimate of that level's capability, since one
+    # noise-slammed query would otherwise poison an otherwise-clean trial.
+    runs_lo, runs_hi = [], []
+    for _ in range(trials):
+        runs_lo.append(one(lo))
+        runs_hi.append(one(hi))
+
+    thr = lambda r: r["kg_triples"] / r["queries"]["kg_triples"]
+    thr_lo = max(thr(r) for r in runs_lo)
+    thr_hi = max(thr(r) for r in runs_hi)
+    sec_lo = min(r["value"] for r in runs_lo)
+    sec_hi = min(r["value"] for r in runs_hi)
     eff_headline = (thr_hi / thr_lo) / (hi / lo)
-    eff_total = (r_lo["value"] / r_hi["value"]) / (hi / lo)
+    eff_total = (sec_lo / sec_hi) / (hi / lo)
+    # per-pair ratios (same-window lo/hi): the noise-cancelled view
+    pair_eff = [
+        round((thr(h) / thr(l)) / (hi / lo), 3)
+        for l, h in zip(runs_lo, runs_hi)
+    ]
     return {
         "metric": "scaling_efficiency",
         "cpus_lo": lo,
         "cpus_hi": hi,
-        "sec_lo": r_lo["value"],
-        "sec_hi": r_hi["value"],
+        "sec_lo": sec_lo,
+        "sec_hi": sec_hi,
         "kg_triples_per_sec_lo": round(thr_lo, 1),
         "kg_triples_per_sec_hi": round(thr_hi, 1),
         "scaling_efficiency": round(eff_headline, 3),
         "scaling_efficiency_total": round(eff_total, 3),
-        "sf": r_hi["sf"],
+        "scaling_efficiency_pairs": pair_eff,
+        "sf": runs_hi[-1]["sf"],
     }
 
 

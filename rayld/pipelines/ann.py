@@ -19,8 +19,14 @@ import pyarrow as pa
 def _embeddings(sf_dir: str):
     import ray.data as rd
 
+    from .common import source_blocks
+
+    path = f"{sf_dir}/embeddings.parquet"
+    # data-bounded read fan-out (see common.source_blocks): Ray's default
+    # cluster-first split anti-scales the small-query bench legs
     return rd.read_parquet(
-        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+        path, columns=["vec_id", "embedding"],
+        override_num_blocks=source_blocks(path),
     )
 
 

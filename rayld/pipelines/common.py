@@ -19,6 +19,47 @@ def cluster_partitions(minimum: int = 16) -> int:
     return max(minimum, 2 * int(ray.cluster_resources().get("CPU", 8)))
 
 
+def source_blocks(path: str, per_block_bytes: int = 96 << 10,
+                  target_block_bytes: int = 32 << 20) -> int:
+    """Read block count bounded by BOTH the cluster and the data:
+    ``max(size/32MB, min(2 x cores, size/per_block_bytes))``.
+
+    The ``2 x cores`` term alone (and Ray's own default heuristic) is
+    cluster-first: a megabyte-scale file on a 16-cpu session splits into 32
+    near-empty blocks, and every downstream stage pays 32 task launches for
+    kilobytes of work — measured as the small bench queries running SLOWER
+    at 16 cpus than at 4 (anti-scaling pure overhead). Bounding the fan-out
+    at one block per ``per_block_bytes`` of source makes parallelism follow
+    the data. At 100-TB scale the ``size/32MB`` term dominates and the
+    behavior is identical to Ray's default splitting."""
+    import os as _os
+
+    import ray
+
+    try:
+        size = _os.path.getsize(path)
+    except OSError:
+        size = 0
+    ncpu = int(ray.cluster_resources().get("CPU", 8))
+    size_blocks = size // target_block_bytes + 1
+    return int(max(size_blocks, min(2 * ncpu, size // per_block_bytes + 1)))
+
+
+def sized_partitions(data_bytes: int, minimum: int = 4,
+                     per_part_bytes: int = 64 << 10) -> int:
+    """Bucketed-shuffle partition count bounded by BOTH cluster and data:
+    ``max(minimum, min(2 x cores, data_bytes/per_part_bytes))``. The
+    data-size bound matters only at the small end (a 5k-row table does not
+    need a 32-way exchange); at scale the cluster term wins, matching
+    :func:`cluster_partitions`."""
+    import ray
+
+    ncpu = int(ray.cluster_resources().get("CPU", 8))
+    return int(max(
+        minimum, min(2 * ncpu, data_bytes // per_part_bytes + 1)
+    ))
+
+
 def bucketed_sum_combine(partials, keys, sum_cols, schema,
                          num_partitions: int | None = None,
                          how: str = "sum"):

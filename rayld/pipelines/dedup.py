@@ -115,10 +115,16 @@ def dedup_exact(sf_dir: str, num_partitions: int | None = None):
     text. Shuffle key = md5(text) — md5 stays (one digest per DOCUMENT, i.e.
     proportional to I/O, unlike the per-shingle loops that were vectorized
     away) because the SQL oracle pins the exact same md5(text) key."""
-    from .common import cluster_partitions
+    import os
+
+    from .common import sized_partitions
 
     if num_partitions is None:
-        num_partitions = cluster_partitions()
+        # data-bounded exchange width: one partition per 64KB of source,
+        # capped at 2x cores (survivors are partition-count independent)
+        num_partitions = sized_partitions(
+            os.path.getsize(f"{sf_dir}/documents.parquet")
+        )
 
     def add_hash(batch: pa.Table) -> pa.Table:
         hs = [
@@ -295,7 +301,12 @@ def minhash_candidates(sf_dir: str, concurrency: int | None = None,
 
     from .common import cluster_partitions
 
-    ds = documents(sf_dir).map_batches(_minhash_batch, batch_format="pyarrow")
+    # fine-grained blocks (16KB of source each): the shingle+signature map is
+    # CPU-bound per byte, so it wants the full 2x-cores fan-out even on a
+    # sub-MB benchmark file (unlike the light per-document stages)
+    ds = documents(sf_dir, per_block_bytes=16 << 10).map_batches(
+        _minhash_batch, batch_format="pyarrow"
+    )
     bands = ds.map_batches(_explode_bands, batch_format="pyarrow")
 
     # bucket the band key: one Ray group per hash bucket (not per band value
@@ -411,7 +422,9 @@ def minhash_dedup(sf_dir: str, threshold: float = 0.5, concurrency: int | None =
     cands = minhash_candidates(
         sf_dir, concurrency=concurrency, distinct=False
     ).materialize()
-    docs = documents(sf_dir)
+    # fine-grained blocks: the verify map shingles member docs (CPU-bound
+    # per byte), same reasoning as the signature stage above
+    docs = documents(sf_dir, per_block_bytes=16 << 10)
 
     def bucket_pair(batch: pa.Table) -> pa.Table:
         a = np.asarray(batch["doc_a"].to_pylist(), dtype=np.int64)

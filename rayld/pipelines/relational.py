@@ -54,14 +54,16 @@ def q1_pricing(sf_dir: str):
     import pyarrow as pa
     import ray.data as rd
 
-    from .common import bucketed_sum_combine
+    from .common import bucketed_sum_combine, source_blocks
 
+    path = f"{sf_dir}/lineitem.parquet"
     ds = rd.read_parquet(
-        f"{sf_dir}/lineitem.parquet",
+        path,
         columns=[
             "l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice",
             "l_discount", "l_shipdate",
         ],
+        override_num_blocks=source_blocks(path),
     )
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
@@ -157,10 +159,12 @@ def events_hourly(sf_dir: str):
     import pyarrow as pa
     import ray.data as rd
 
-    from .common import bucketed_sum_combine
+    from .common import bucketed_sum_combine, source_blocks
 
+    path = f"{sf_dir}/events.parquet"
     ds = rd.read_parquet(
-        f"{sf_dir}/events.parquet", columns=["event_type", "ts", "value"]
+        path, columns=["event_type", "ts", "value"],
+        override_num_blocks=source_blocks(path),
     )
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:

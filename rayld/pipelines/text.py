@@ -28,27 +28,24 @@ _LANG_MARKERS = {
 }
 
 
-def documents(sf_dir: str, columns=("doc_id", "text")):
-    """Pruned documents read. Block count = max(2x cluster cores,
-    size/32MB): Ray's own heuristic minus its 64-block FLOOR — for a
-    megabyte-scale file the floor splits into 64 near-empty blocks and every
-    downstream stage pays 64 task launches plus a 64-wide shuffle fan-in for
-    nothing. At 100-TB scale the size term dominates and matches Ray's
-    default splitting."""
-    import os
-
-    import ray
+def documents(sf_dir: str, columns=("doc_id", "text"),
+              per_block_bytes: int = 96 << 10):
+    """Pruned documents read. Block count via ``common.source_blocks``:
+    bounded by the data (one block per ``per_block_bytes`` of source) as
+    well as the cluster (2x cores) — the earlier plain 2x-cores floor made
+    the light per-document stages run SLOWER at 16 cpus than at 4 (32
+    near-empty blocks over a sub-MB file is pure task-launch overhead).
+    Compute-heavy consumers (minhash shingling) pass a smaller
+    ``per_block_bytes`` to keep their fan-out. At 100-TB scale the
+    size/32MB term dominates either way."""
     import ray.data as rd
 
+    from .common import source_blocks
+
     path = f"{sf_dir}/documents.parquet"
-    ncpu = int(ray.cluster_resources().get("CPU", 8))
-    try:
-        size_blocks = os.path.getsize(path) // (32 << 20) + 1
-    except OSError:
-        size_blocks = 1
-    blocks = int(max(2 * ncpu, size_blocks))
     return rd.read_parquet(
-        path, columns=list(columns), override_num_blocks=blocks
+        path, columns=list(columns),
+        override_num_blocks=source_blocks(path, per_block_bytes),
     )
 
 
