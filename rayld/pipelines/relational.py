@@ -57,13 +57,16 @@ def q1_pricing(sf_dir: str):
     from .common import bucketed_sum_combine, source_blocks
 
     path = f"{sf_dir}/lineitem.parquet"
+    # coarse 1MB-per-block bound: the partial is a vectorized pandas
+    # groupby (~ns/row) — finer fan-out at 16 cpus measured SLOWER than at
+    # 4 (task launch + combine fan-in exceed the compute being split)
     ds = rd.read_parquet(
         path,
         columns=[
             "l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice",
             "l_discount", "l_shipdate",
         ],
-        override_num_blocks=source_blocks(path),
+        override_num_blocks=source_blocks(path, per_block_bytes=1 << 20),
     )
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
@@ -162,9 +165,10 @@ def events_hourly(sf_dir: str):
     from .common import bucketed_sum_combine, source_blocks
 
     path = f"{sf_dir}/events.parquet"
+    # coarse 256KB-per-block bound (vectorized partials; see q1_pricing)
     ds = rd.read_parquet(
         path, columns=["event_type", "ts", "value"],
-        override_num_blocks=source_blocks(path),
+        override_num_blocks=source_blocks(path, per_block_bytes=256 << 10),
     )
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
