@@ -324,6 +324,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_first_last": relational.user_first_last,
         "market_basket_pairs": relational.market_basket_pairs,
         "q5_local_supplier_volume": relational.q5_local_supplier_volume,
+        "q7_volume_shipping": relational.q7_volume_shipping,
+        "q8_market_share": relational.q8_market_share,
+        "q10_returned_items": relational.q10_returned_items,
+        "q13_customer_distribution": relational.q13_customer_distribution,
         "user_status_intervals": relational.user_status_intervals,
         "events_gap_fill": relational.events_gap_fill,
         "customer_rfm": relational.customer_rfm,
@@ -1925,6 +1929,67 @@ def oracle_sql() -> dict[str, str]:
             "  AND o_orderdate >= DATE '1996-01-01'"
             "  AND o_orderdate < DATE '1998-01-01'"
             " GROUP BY n_name"
+        ),
+        # Q7 volume shipping: both directions of the two-nation pair
+        "q7_volume_shipping": (
+            "SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,"
+            " year(l_shipdate)::BIGINT AS l_year,"
+            " sum(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5)"
+            "     ::BIGINT)::BIGINT AS revenue_c"
+            " FROM supplier JOIN lineitem ON s_suppkey = l_suppkey"
+            " JOIN orders ON o_orderkey = l_orderkey"
+            " JOIN customer ON c_custkey = o_custkey"
+            " JOIN nation n1 ON s_nationkey = n1.n_nationkey"
+            " JOIN nation n2 ON c_nationkey = n2.n_nationkey"
+            " WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')"
+            "     OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))"
+            "  AND l_shipdate >= TIMESTAMP '1996-01-01'"
+            "  AND l_shipdate < TIMESTAMP '1998-01-01'"
+            " GROUP BY 1, 2, 3"
+        ),
+        # Q8 market share: integer-cents volumes, final division in DOUBLE
+        "q8_market_share": (
+            "SELECT o_year,"
+            " (sum(CASE WHEN nation = 'NATION_6' THEN vol_c ELSE 0 END)"
+            "  ::DOUBLE / sum(vol_c)::DOUBLE) AS mkt_share"
+            " FROM (SELECT year(o_orderdate)::BIGINT AS o_year,"
+            "   floor(l_extendedprice * (1 - l_discount) * 100 + 0.5)"
+            "    ::BIGINT AS vol_c, n1.n_name AS nation"
+            "  FROM part JOIN lineitem ON p_partkey = l_partkey"
+            "  JOIN supplier ON s_suppkey = l_suppkey"
+            "  JOIN orders ON l_orderkey = o_orderkey"
+            "  JOIN customer ON o_custkey = c_custkey"
+            "  JOIN nation n2 ON c_nationkey = n2.n_nationkey"
+            "  JOIN region ON n2.n_regionkey = r_regionkey"
+            "  JOIN nation n1 ON s_nationkey = n1.n_nationkey"
+            "  WHERE r_name = 'AMERICA' AND p_type = 'ECONOMY'"
+            "   AND o_orderdate >= TIMESTAMP '1996-01-01'"
+            "   AND o_orderdate < TIMESTAMP '1998-01-01')"
+            " GROUP BY o_year"
+        ),
+        # Q10 returned items: top-20 cut pinned by (revenue desc, custkey)
+        "q10_returned_items": (
+            "SELECT c_custkey, c_name,"
+            " sum(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5)"
+            "     ::BIGINT)::BIGINT AS revenue_c,"
+            " c_acctbal, n_name"
+            " FROM customer JOIN orders ON c_custkey = o_custkey"
+            " JOIN lineitem ON l_orderkey = o_orderkey"
+            " JOIN nation ON c_nationkey = n_nationkey"
+            " WHERE o_orderdate >= TIMESTAMP '1996-01-01'"
+            "  AND o_orderdate < TIMESTAMP '1996-04-01'"
+            "  AND l_returnflag = 'R'"
+            " GROUP BY c_custkey, c_name, c_acctbal, n_name"
+            " ORDER BY revenue_c DESC, c_custkey LIMIT 20"
+        ),
+        # Q13: order-count distribution INCLUDING zero-order customers
+        "q13_customer_distribution": (
+            "SELECT c_count::BIGINT AS c_count,"
+            " count(*)::BIGINT AS custdist"
+            " FROM (SELECT c_custkey, count(o_orderkey) AS c_count"
+            "  FROM customer LEFT JOIN orders ON c_custkey = o_custkey"
+            "  GROUP BY c_custkey)"
+            " GROUP BY 1"
         ),
         # SCD-2 compress-history: one interval per run of equal type; the
         # open last interval carries -1 (NULL-free compare contract)

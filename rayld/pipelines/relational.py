@@ -5508,3 +5508,694 @@ def segment_priority_independence(sf_dir: str,
     ])
     out["n_obs"] = out["n_obs"].astype("int64")
     return out
+
+
+def q7_volume_shipping(sf_dir: str, nation_a: str = "NATION_1",
+                       nation_b: str = "NATION_2",
+                       date_from: str = "1996-01-01",
+                       date_to: str = "1998-01-01",
+                       num_partitions: int | None = None):
+    """TPC-H Q7-style volume shipping: revenue by (supp_nation, cust_nation,
+    ship year) for lineitems shipped between two named nations in a date
+    range, counting both directions.
+
+    Same two-exchange skeleton as q5 (the join tree differs only in which
+    side carries the nation):
+    - supplier prunes to the two nations driver-side and broadcasts as
+      sorted (suppkey -> nationkey) arrays (smallest fact-side dimension;
+      at the 1e8+-supplier extreme this side moves to the bucketed join);
+    - customers of the two nations ⋈ ALL orders ride ONE bucketed
+      hash(custkey) % P exchange -> (orderkey, cust nation);
+    - lineitem filters on shipdate at the scan, maps suppkey -> nation via
+      the broadcast, and pre-aggregates revenue cents per (orderkey,
+      supp nation, year) per batch BEFORE its one hash(orderkey) % P
+      exchange -- the big join moves ~|orders| rows, not ~|lineitem|;
+    - the cross-nation filter (supp != cust) applies inside the join task;
+      survivors pre-aggregate to the 2x2xYEARS cells and ONE bounded
+      combine finishes. Integer-cents half-up money contract throughout."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray
+    import ray.data as rd
+
+    from .common import bucketed_sum_combine, cluster_partitions
+
+    if num_partitions is None:
+        num_partitions = cluster_partitions()
+    t_from, t_to = pd.Timestamp(date_from), pd.Timestamp(date_to)
+
+    nation = pq.read_table(f"{sf_dir}/nation.parquet").to_pandas()
+    pair = nation[nation["n_name"].isin([nation_a, nation_b])]
+    nat_names = dict(zip(pair["n_nationkey"].astype(int), pair["n_name"]))
+
+    supp = pq.read_table(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]
+    ).to_pandas()
+    supp = supp[supp["s_nationkey"].isin(nat_names)].sort_values("s_suppkey")
+    supp_ref = ray.put((
+        supp["s_suppkey"].to_numpy(np.int64),
+        supp["s_nationkey"].to_numpy(np.int64),
+    ))
+
+    # --- side A: pair-nation customers ⋈ orders on custkey ---
+    cust = rd.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    )
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"]
+    )
+    ab_sch = pa.schema([
+        ("custkey", pa.int64()), ("o_orderkey", pa.int64()),
+        ("c_nat", pa.int64()), ("is_order", pa.int8()),
+    ])
+
+    def cust_rows(df: pd.DataFrame) -> pa.Table:
+        df = df[df["c_nationkey"].isin(nat_names)]
+        n = len(df)
+        return pa.table({
+            "custkey": pa.array(df["c_custkey"].to_numpy(np.int64)),
+            "o_orderkey": pa.array(np.zeros(n, np.int64)),
+            "c_nat": pa.array(df["c_nationkey"].to_numpy(np.int64)),
+            "is_order": pa.array(np.zeros(n, np.int8), pa.int8()),
+        }, schema=ab_sch)
+
+    def order_rows(df: pd.DataFrame) -> pa.Table:
+        n = len(df)
+        return pa.table({
+            "custkey": pa.array(df["o_custkey"].to_numpy(np.int64)),
+            "o_orderkey": pa.array(df["o_orderkey"].to_numpy(np.int64)),
+            "c_nat": pa.array(np.zeros(n, np.int64)),
+            "is_order": pa.array(np.ones(n, np.int8), pa.int8()),
+        }, schema=ab_sch)
+
+    def bucket_cust(batch: pa.Table) -> pa.Table:
+        k = np.asarray(batch["custkey"].to_pylist(), dtype=np.int64)
+        return batch.append_column(
+            "part", pa.array((k % num_partitions).astype(np.int32),
+                             pa.int32())
+        )
+
+    onat_sch = pa.schema([
+        ("o_orderkey", pa.int64()), ("c_nat", pa.int64()),
+        ("s_nat", pa.int64()), ("l_year", pa.int64()),
+        ("rev_c", pa.int64()), ("is_rev", pa.int8()),
+    ])
+
+    def cust_join(df: pd.DataFrame) -> pa.Table:
+        if len(df) == 0:
+            return onat_sch.empty_table()
+        left = df[df["is_order"] == 0][["custkey", "c_nat"]]
+        right = df[df["is_order"] == 1][["custkey", "o_orderkey"]]
+        m = right.merge(left, on="custkey")
+        n = len(m)
+        return pa.table({
+            "o_orderkey": pa.array(m["o_orderkey"].to_numpy(np.int64)),
+            "c_nat": pa.array(m["c_nat"].to_numpy(np.int64)),
+            "s_nat": pa.array(np.zeros(n, np.int64)),
+            "l_year": pa.array(np.zeros(n, np.int64)),
+            "rev_c": pa.array(np.zeros(n, np.int64)),
+            "is_rev": pa.array(np.zeros(n, np.int8), pa.int8()),
+        }, schema=onat_sch)
+
+    order_nat = (
+        cust.map_batches(cust_rows, batch_format="pandas")
+        .union(orders.map_batches(order_rows, batch_format="pandas"))
+        .map_batches(bucket_cust, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(cust_join, batch_format="pandas")
+    )
+
+    # --- side B: shipdate-filtered lineitem revenue partials ---
+    lineitem = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount",
+                 "l_shipdate"],
+    )
+
+    def rev_partial(df: pd.DataFrame) -> pa.Table:
+        sk, snat = ray.get(supp_ref)
+        df = df[(df["l_shipdate"] >= t_from) & (df["l_shipdate"] < t_to)]
+        if len(sk) == 0 or len(df) == 0:
+            return onat_sch.empty_table()
+        keys = df["l_suppkey"].to_numpy(np.int64)
+        pos = np.minimum(np.searchsorted(sk, keys), len(sk) - 1)
+        hit = sk[pos] == keys
+        df = df[hit].assign(
+            s_nat=snat[pos[hit]],
+            l_year=df["l_shipdate"][hit].dt.year.astype(np.int64),
+        )
+        df = df.assign(rev_c=money_cents(
+            df["l_extendedprice"] * (1 - df["l_discount"])
+        ))
+        g = df.groupby(["l_orderkey", "s_nat", "l_year"], as_index=False).agg(
+            rev_c=("rev_c", "sum")
+        )
+        n = len(g)
+        return pa.table({
+            "o_orderkey": pa.array(g["l_orderkey"].to_numpy(np.int64)),
+            "c_nat": pa.array(np.zeros(n, np.int64)),
+            "s_nat": pa.array(g["s_nat"].to_numpy(np.int64)),
+            "l_year": pa.array(g["l_year"].to_numpy(np.int64)),
+            "rev_c": pa.array(g["rev_c"].to_numpy(np.int64)),
+            "is_rev": pa.array(np.ones(n, np.int8), pa.int8()),
+        }, schema=onat_sch)
+
+    def bucket_order(batch: pa.Table) -> pa.Table:
+        k = np.asarray(batch["o_orderkey"].to_pylist(), dtype=np.int64)
+        return batch.append_column(
+            "part2", pa.array(((k // 3) % num_partitions).astype(np.int32),
+                              pa.int32())
+        )
+
+    cell_sch = pa.schema([
+        ("s_nat", pa.int64()), ("c_nat", pa.int64()),
+        ("l_year", pa.int64()), ("revenue_c", pa.int64()),
+    ])
+
+    def order_join(df: pd.DataFrame) -> pa.Table:
+        if len(df) == 0 or "is_rev" not in df.columns:
+            return cell_sch.empty_table()
+        left = df[df["is_rev"] == 0][["o_orderkey", "c_nat"]]
+        right = df[df["is_rev"] == 1][["o_orderkey", "s_nat", "l_year",
+                                       "rev_c"]]
+        m = right.merge(left, on="o_orderkey")
+        m = m[m["s_nat"] != m["c_nat"]]  # both already pair-restricted
+        g = m.groupby(["s_nat", "c_nat", "l_year"], as_index=False).agg(
+            rev_c=("rev_c", "sum")
+        )
+        return pa.table({
+            "s_nat": pa.array(g["s_nat"].to_numpy(np.int64)),
+            "c_nat": pa.array(g["c_nat"].to_numpy(np.int64)),
+            "l_year": pa.array(g["l_year"].to_numpy(np.int64)),
+            "revenue_c": pa.array(g["rev_c"].to_numpy(np.int64)),
+        }, schema=cell_sch)
+
+    partials = (
+        order_nat.union(
+            lineitem.map_batches(rev_partial, batch_format="pandas")
+        )
+        .map_batches(bucket_order, batch_format="pyarrow")
+        .groupby("part2")
+        .map_groups(order_join, batch_format="pandas")
+    )
+    combined = bucketed_sum_combine(
+        partials, keys=["s_nat", "c_nat", "l_year"], sum_cols=["revenue_c"],
+        schema=cell_sch,
+    )
+
+    def name(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "supp_nation": df["s_nat"].map(nat_names).astype(str),
+            "cust_nation": df["c_nat"].map(nat_names).astype(str),
+            "l_year": df["l_year"].astype("int64"),
+            "revenue_c": df["revenue_c"].astype("int64"),
+        })
+
+    return combined.map_batches(name, batch_format="pandas")
+
+
+def q10_returned_items(sf_dir: str, date_from: str = "1996-01-01",
+                       date_to: str = "1996-04-01", top_n: int = 20,
+                       num_partitions: int | None = None):
+    """TPC-H Q10-style returned-item reporting: the top_n customers by
+    revenue lost to returned lineitems ('R' flag) for orders placed in a
+    quarter, with name / account balance / nation attached.
+
+    Plan (two bucketed exchanges + one bounded top-k):
+    - lineitem filters returnflag='R' at the scan and pre-aggregates
+      revenue cents per orderkey per batch; quarter-filtered orders emit
+      slim (orderkey, custkey); ONE hash(orderkey) % P exchange joins them
+      -> (custkey, rev_c) partials;
+    - partials re-bucket on hash(custkey) % P TOGETHER with the slim
+      customer rows (name, acctbal, nationkey) -- the revenue collapse and
+      the attribute attach ride the same exchange;
+    - nation (25 rows) resolves driver-side; the final top-k is a
+      sort-limit over <= |customers-with-returns| aggregated rows with a
+      custkey tiebreak so the cut is deterministic. Integer-cents money."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from .common import cluster_partitions
+
+    if num_partitions is None:
+        num_partitions = cluster_partitions()
+    t_from, t_to = pd.Timestamp(date_from), pd.Timestamp(date_to)
+
+    nation = pq.read_table(f"{sf_dir}/nation.parquet").to_pandas()
+    nat_names = dict(zip(nation["n_nationkey"].astype(int),
+                         nation["n_name"]))
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+    )
+    lineitem = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_returnflag", "l_extendedprice",
+                 "l_discount"],
+    )
+
+    ok_sch = pa.schema([
+        ("o_orderkey", pa.int64()), ("custkey", pa.int64()),
+        ("rev_c", pa.int64()), ("is_rev", pa.int8()),
+    ])
+
+    def order_rows(df: pd.DataFrame) -> pa.Table:
+        df = df[(df["o_orderdate"] >= t_from) & (df["o_orderdate"] < t_to)]
+        n = len(df)
+        return pa.table({
+            "o_orderkey": pa.array(df["o_orderkey"].to_numpy(np.int64)),
+            "custkey": pa.array(df["o_custkey"].to_numpy(np.int64)),
+            "rev_c": pa.array(np.zeros(n, np.int64)),
+            "is_rev": pa.array(np.zeros(n, np.int8), pa.int8()),
+        }, schema=ok_sch)
+
+    def rev_rows(df: pd.DataFrame) -> pa.Table:
+        df = df[df["l_returnflag"] == "R"]
+        if len(df) == 0:
+            return ok_sch.empty_table()
+        df = df.assign(rev_c=money_cents(
+            df["l_extendedprice"] * (1 - df["l_discount"])
+        ))
+        g = df.groupby("l_orderkey", as_index=False).agg(
+            rev_c=("rev_c", "sum")
+        )
+        n = len(g)
+        return pa.table({
+            "o_orderkey": pa.array(g["l_orderkey"].to_numpy(np.int64)),
+            "custkey": pa.array(np.zeros(n, np.int64)),
+            "rev_c": pa.array(g["rev_c"].to_numpy(np.int64)),
+            "is_rev": pa.array(np.ones(n, np.int8), pa.int8()),
+        }, schema=ok_sch)
+
+    def bucket_order(batch: pa.Table) -> pa.Table:
+        k = np.asarray(batch["o_orderkey"].to_pylist(), dtype=np.int64)
+        return batch.append_column(
+            "part", pa.array(((k // 3) % num_partitions).astype(np.int32),
+                             pa.int32())
+        )
+
+    ck_sch = pa.schema([
+        ("custkey", pa.int64()), ("rev_c", pa.int64()),
+        ("c_name", pa.string()), ("c_acctbal", pa.float64()),
+        ("c_nat", pa.int64()), ("is_cust", pa.int8()),
+    ])
+
+    def order_join(df: pd.DataFrame) -> pa.Table:
+        if len(df) == 0 or "is_rev" not in df.columns:
+            return ck_sch.empty_table()
+        left = df[df["is_rev"] == 0][["o_orderkey", "custkey"]]
+        right = df[df["is_rev"] == 1][["o_orderkey", "rev_c"]]
+        m = right.merge(left, on="o_orderkey")
+        g = m.groupby("custkey", as_index=False).agg(rev_c=("rev_c", "sum"))
+        n = len(g)
+        return pa.table({
+            "custkey": pa.array(g["custkey"].to_numpy(np.int64)),
+            "rev_c": pa.array(g["rev_c"].to_numpy(np.int64)),
+            "c_name": pa.array([""] * n, pa.string()),
+            "c_acctbal": pa.array(np.zeros(n, np.float64)),
+            "c_nat": pa.array(np.zeros(n, np.int64)),
+            "is_cust": pa.array(np.zeros(n, np.int8), pa.int8()),
+        }, schema=ck_sch)
+
+    rev_per_cust = (
+        orders.map_batches(order_rows, batch_format="pandas")
+        .union(lineitem.map_batches(rev_rows, batch_format="pandas"))
+        .map_batches(bucket_order, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(order_join, batch_format="pandas")
+    )
+
+    cust = rd.read_parquet(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_name", "c_acctbal", "c_nationkey"],
+    )
+
+    def cust_rows(df: pd.DataFrame) -> pa.Table:
+        n = len(df)
+        return pa.table({
+            "custkey": pa.array(df["c_custkey"].to_numpy(np.int64)),
+            "rev_c": pa.array(np.zeros(n, np.int64)),
+            "c_name": pa.array(df["c_name"].astype(str), pa.string()),
+            "c_acctbal": pa.array(df["c_acctbal"].to_numpy(np.float64)),
+            "c_nat": pa.array(df["c_nationkey"].to_numpy(np.int64)),
+            "is_cust": pa.array(np.ones(n, np.int8), pa.int8()),
+        }, schema=ck_sch)
+
+    def bucket_cust(batch: pa.Table) -> pa.Table:
+        k = np.asarray(batch["custkey"].to_pylist(), dtype=np.int64)
+        return batch.append_column(
+            "part2", pa.array((k % num_partitions).astype(np.int32),
+                              pa.int32())
+        )
+
+    out_sch = pa.schema([
+        ("c_custkey", pa.int64()), ("c_name", pa.string()),
+        ("revenue_c", pa.int64()), ("c_acctbal", pa.float64()),
+        ("n_name", pa.string()),
+    ])
+
+    def cust_join(df: pd.DataFrame) -> pa.Table:
+        if len(df) == 0 or "is_cust" not in df.columns:
+            return out_sch.empty_table()
+        rev = df[df["is_cust"] == 0]
+        if len(rev) == 0:
+            return out_sch.empty_table()
+        rev = rev.groupby("custkey", as_index=False).agg(
+            rev_c=("rev_c", "sum")
+        )
+        attrs = df[df["is_cust"] == 1][
+            ["custkey", "c_name", "c_acctbal", "c_nat"]
+        ]
+        m = rev.merge(attrs, on="custkey")
+        return pa.table({
+            "c_custkey": pa.array(m["custkey"].to_numpy(np.int64)),
+            "c_name": pa.array(m["c_name"].astype(str), pa.string()),
+            "revenue_c": pa.array(m["rev_c"].to_numpy(np.int64)),
+            "c_acctbal": pa.array(m["c_acctbal"].to_numpy(np.float64)),
+            "n_name": pa.array(
+                m["c_nat"].map(nat_names).astype(str), pa.string()
+            ),
+        }, schema=out_sch)
+
+    joined = (
+        rev_per_cust.union(cust.map_batches(cust_rows, batch_format="pandas"))
+        .map_batches(bucket_cust, batch_format="pyarrow")
+        .groupby("part2")
+        .map_groups(cust_join, batch_format="pandas")
+    )
+    # deterministic top-k cut: revenue desc, custkey asc (ties pinned)
+    top = joined.to_pandas().sort_values(
+        ["revenue_c", "c_custkey"], ascending=[False, True],
+        kind="mergesort",
+    ).head(top_n).reset_index(drop=True)
+    return top
+
+
+def q13_customer_distribution(sf_dir: str,
+                              num_partitions: int | None = None):
+    """TPC-H Q13-style customer order-count distribution: how many
+    customers placed exactly k orders, INCLUDING k=0 (the left join that
+    makes Q13 awkward for naive engines).
+
+    ONE bucketed hash(custkey) % P exchange carries both sides: orders
+    pre-aggregate to (custkey, n) per batch; customer keys ride as n=0
+    rows. The in-task collapse sums per custkey (zero-order customers
+    keep 0 from their marker row), then reduces to per-task (c_count,
+    custdist) partials -- at most |distinct counts| rows per task -- and
+    ONE bounded combine finishes. No row ever moves twice."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from .common import bucketed_sum_combine, cluster_partitions
+
+    if num_partitions is None:
+        num_partitions = cluster_partitions()
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey"]
+    )
+    cust = rd.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey"]
+    )
+
+    cn_sch = pa.schema([
+        ("custkey", pa.int64()), ("n", pa.int64()), ("is_cust", pa.int8()),
+    ])
+
+    def order_partial(df: pd.DataFrame) -> pa.Table:
+        g = df.groupby("o_custkey", as_index=False).size()
+        return pa.table({
+            "custkey": pa.array(g["o_custkey"].to_numpy(np.int64)),
+            "n": pa.array(g["size"].to_numpy(np.int64)),
+            "is_cust": pa.array(np.zeros(len(g), np.int8), pa.int8()),
+        }, schema=cn_sch)
+
+    def cust_marker(df: pd.DataFrame) -> pa.Table:
+        n = len(df)
+        return pa.table({
+            "custkey": pa.array(df["c_custkey"].to_numpy(np.int64)),
+            "n": pa.array(np.zeros(n, np.int64)),
+            "is_cust": pa.array(np.ones(n, np.int8), pa.int8()),
+        }, schema=cn_sch)
+
+    def bucket(batch: pa.Table) -> pa.Table:
+        k = np.asarray(batch["custkey"].to_pylist(), dtype=np.int64)
+        return batch.append_column(
+            "part", pa.array((k % num_partitions).astype(np.int32),
+                             pa.int32())
+        )
+
+    dist_sch = pa.schema([("c_count", pa.int64()), ("custdist", pa.int64())])
+
+    def collapse(df: pd.DataFrame) -> pa.Table:
+        if len(df) == 0 or "is_cust" not in df.columns:
+            return dist_sch.empty_table()
+        # only keys present in the customer table count (an orphan order
+        # row without its customer marker is dropped, matching LEFT JOIN)
+        have = df[df["is_cust"] == 1][["custkey"]]
+        per = df.groupby("custkey", as_index=False).agg(n=("n", "sum"))
+        per = per.merge(have, on="custkey")
+        g = per.groupby("n", as_index=False).size()
+        return pa.table({
+            "c_count": pa.array(g["n"].to_numpy(np.int64)),
+            "custdist": pa.array(g["size"].to_numpy(np.int64)),
+        }, schema=dist_sch)
+
+    partials = (
+        orders.map_batches(order_partial, batch_format="pandas")
+        .union(cust.map_batches(cust_marker, batch_format="pandas"))
+        .map_batches(bucket, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(collapse, batch_format="pandas")
+    )
+    return bucketed_sum_combine(
+        partials, keys=["c_count"], sum_cols=["custdist"], schema=dist_sch,
+    )
+
+
+def q8_market_share(sf_dir: str, region: str = "AMERICA",
+                    target_nation: str = "NATION_6",
+                    p_type: str = "ECONOMY",
+                    date_from: str = "1996-01-01",
+                    date_to: str = "1998-01-01",
+                    num_partitions: int | None = None):
+    """TPC-H Q8-style national market share: the target nation's share of
+    revenue, per order year, among lineitems of one part type sold to
+    customers of one region.
+
+    Plan (q5's skeleton with a part semi-join bolted onto the lineitem
+    scan):
+    - nation x region resolves driver-side; parts of the type broadcast as
+      a sorted partkey array; supplier broadcasts the FULL (suppkey ->
+      nationkey) map (suppliers are the smallest fact-side dimension --
+      the supplier nation is needed for every surviving lineitem, there is
+      no pre-filter to prune it);
+    - in-region customers ⋈ date-filtered orders ride ONE bucketed
+      hash(custkey) % P exchange -> (orderkey, order year);
+    - lineitem semi-joins the part set AND maps supplier nation inside the
+      scan batch, pre-aggregating volume cents per (orderkey, supp
+      nation);
+    - ONE hash(orderkey) % P exchange joins the sides; survivors reduce to
+      (year, supp nation) cells, a bounded combine collapses them, and the
+      driver computes share = target / total per year from the tiny cell
+      table (exact integer-cents arithmetic until the final division)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray
+    import ray.data as rd
+
+    from .common import bucketed_sum_combine, cluster_partitions
+
+    if num_partitions is None:
+        num_partitions = cluster_partitions()
+    t_from, t_to = pd.Timestamp(date_from), pd.Timestamp(date_to)
+
+    nation = pq.read_table(f"{sf_dir}/nation.parquet").to_pandas()
+    reg = pq.read_table(f"{sf_dir}/region.parquet").to_pandas()
+    rkey = reg.loc[reg["r_name"] == region, "r_regionkey"]
+    in_region = set(
+        nation.loc[nation["n_regionkey"].isin(set(rkey)), "n_nationkey"]
+        .astype(int)
+    )
+    target_keys = set(
+        nation.loc[nation["n_name"] == target_nation, "n_nationkey"]
+        .astype(int)
+    )
+
+    parts = pq.read_table(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_type"]
+    ).to_pandas()
+    pkeys = np.sort(
+        parts.loc[parts["p_type"] == p_type, "p_partkey"]
+        .to_numpy(np.int64)
+    )
+    supp = pq.read_table(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]
+    ).to_pandas().sort_values("s_suppkey")
+    side_ref = ray.put((
+        pkeys,
+        supp["s_suppkey"].to_numpy(np.int64),
+        supp["s_nationkey"].to_numpy(np.int64),
+    ))
+
+    # --- side A: in-region customers ⋈ date-filtered orders ---
+    cust = rd.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    )
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+    )
+    ab_sch = pa.schema([
+        ("custkey", pa.int64()), ("o_orderkey", pa.int64()),
+        ("o_year", pa.int64()), ("is_order", pa.int8()),
+    ])
+
+    def cust_rows(df: pd.DataFrame) -> pa.Table:
+        df = df[df["c_nationkey"].isin(in_region)]
+        n = len(df)
+        return pa.table({
+            "custkey": pa.array(df["c_custkey"].to_numpy(np.int64)),
+            "o_orderkey": pa.array(np.zeros(n, np.int64)),
+            "o_year": pa.array(np.zeros(n, np.int64)),
+            "is_order": pa.array(np.zeros(n, np.int8), pa.int8()),
+        }, schema=ab_sch)
+
+    def order_rows(df: pd.DataFrame) -> pa.Table:
+        df = df[(df["o_orderdate"] >= t_from) & (df["o_orderdate"] < t_to)]
+        return pa.table({
+            "custkey": pa.array(df["o_custkey"].to_numpy(np.int64)),
+            "o_orderkey": pa.array(df["o_orderkey"].to_numpy(np.int64)),
+            "o_year": pa.array(
+                df["o_orderdate"].dt.year.to_numpy(np.int64)
+            ),
+            "is_order": pa.array(
+                np.ones(len(df), np.int8), pa.int8()
+            ),
+        }, schema=ab_sch)
+
+    def bucket_cust(batch: pa.Table) -> pa.Table:
+        k = np.asarray(batch["custkey"].to_pylist(), dtype=np.int64)
+        return batch.append_column(
+            "part", pa.array((k % num_partitions).astype(np.int32),
+                             pa.int32())
+        )
+
+    ov_sch = pa.schema([
+        ("o_orderkey", pa.int64()), ("o_year", pa.int64()),
+        ("s_nat", pa.int64()), ("vol_c", pa.int64()),
+        ("is_vol", pa.int8()),
+    ])
+
+    def cust_join(df: pd.DataFrame) -> pa.Table:
+        if len(df) == 0:
+            return ov_sch.empty_table()
+        left = df[df["is_order"] == 0][["custkey"]]
+        right = df[df["is_order"] == 1][["custkey", "o_orderkey", "o_year"]]
+        m = right.merge(left, on="custkey")
+        n = len(m)
+        return pa.table({
+            "o_orderkey": pa.array(m["o_orderkey"].to_numpy(np.int64)),
+            "o_year": pa.array(m["o_year"].to_numpy(np.int64)),
+            "s_nat": pa.array(np.zeros(n, np.int64)),
+            "vol_c": pa.array(np.zeros(n, np.int64)),
+            "is_vol": pa.array(np.zeros(n, np.int8), pa.int8()),
+        }, schema=ov_sch)
+
+    order_year = (
+        cust.map_batches(cust_rows, batch_format="pandas")
+        .union(orders.map_batches(order_rows, batch_format="pandas"))
+        .map_batches(bucket_cust, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(cust_join, batch_format="pandas")
+    )
+
+    # --- side B: part-filtered lineitem volume partials ---
+    lineitem = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice",
+                 "l_discount"],
+    )
+
+    def vol_partial(df: pd.DataFrame) -> pa.Table:
+        pk, sk, snat = ray.get(side_ref)
+        if len(pk) == 0 or len(df) == 0:
+            return ov_sch.empty_table()
+        keys = df["l_partkey"].to_numpy(np.int64)
+        pos = np.minimum(np.searchsorted(pk, keys), len(pk) - 1)
+        df = df[pk[pos] == keys]
+        if len(df) == 0:
+            return ov_sch.empty_table()
+        skeys = df["l_suppkey"].to_numpy(np.int64)
+        spos = np.minimum(np.searchsorted(sk, skeys), len(sk) - 1)
+        hit = sk[spos] == skeys
+        df = df[hit].assign(s_nat=snat[spos[hit]])
+        df = df.assign(vol_c=money_cents(
+            df["l_extendedprice"] * (1 - df["l_discount"])
+        ))
+        g = df.groupby(["l_orderkey", "s_nat"], as_index=False).agg(
+            vol_c=("vol_c", "sum")
+        )
+        n = len(g)
+        return pa.table({
+            "o_orderkey": pa.array(g["l_orderkey"].to_numpy(np.int64)),
+            "o_year": pa.array(np.zeros(n, np.int64)),
+            "s_nat": pa.array(g["s_nat"].to_numpy(np.int64)),
+            "vol_c": pa.array(g["vol_c"].to_numpy(np.int64)),
+            "is_vol": pa.array(np.ones(n, np.int8), pa.int8()),
+        }, schema=ov_sch)
+
+    def bucket_order(batch: pa.Table) -> pa.Table:
+        k = np.asarray(batch["o_orderkey"].to_pylist(), dtype=np.int64)
+        return batch.append_column(
+            "part2", pa.array(((k // 3) % num_partitions).astype(np.int32),
+                              pa.int32())
+        )
+
+    cell_sch = pa.schema([
+        ("o_year", pa.int64()), ("s_nat", pa.int64()),
+        ("vol_c", pa.int64()),
+    ])
+
+    def order_join(df: pd.DataFrame) -> pa.Table:
+        if len(df) == 0 or "is_vol" not in df.columns:
+            return cell_sch.empty_table()
+        left = df[df["is_vol"] == 0][["o_orderkey", "o_year"]]
+        right = df[df["is_vol"] == 1][["o_orderkey", "s_nat", "vol_c"]]
+        m = right.merge(left, on="o_orderkey")
+        g = m.groupby(["o_year", "s_nat"], as_index=False).agg(
+            vol_c=("vol_c", "sum")
+        )
+        return pa.table({
+            "o_year": pa.array(g["o_year"].to_numpy(np.int64)),
+            "s_nat": pa.array(g["s_nat"].to_numpy(np.int64)),
+            "vol_c": pa.array(g["vol_c"].to_numpy(np.int64)),
+        }, schema=cell_sch)
+
+    partials = (
+        order_year.union(
+            lineitem.map_batches(vol_partial, batch_format="pandas")
+        )
+        .map_batches(bucket_order, batch_format="pyarrow")
+        .groupby("part2")
+        .map_groups(order_join, batch_format="pandas")
+    )
+    cells = bucketed_sum_combine(
+        partials, keys=["o_year", "s_nat"], sum_cols=["vol_c"],
+        schema=cell_sch,
+    ).to_pandas()
+
+    tot = cells.groupby("o_year")["vol_c"].sum()
+    tgt = cells[cells["s_nat"].isin(target_keys)].groupby(
+        "o_year"
+    )["vol_c"].sum()
+    out = pd.DataFrame({
+        "o_year": tot.index.to_numpy(np.int64),
+        "mkt_share": (
+            tgt.reindex(tot.index).fillna(0).to_numpy(np.float64)
+            / tot.to_numpy(np.float64)
+        ),
+    })
+    return out.reset_index(drop=True)

@@ -3955,3 +3955,143 @@ def test_segment_priority_independence(ray_session):
         e = float(int(rt[r.c_mktsegment]) * int(ct[r.o_orderpriority])) / n
         assert float(r.expected) == e
         assert float(r.chi2_contrib) == (o - e) * (o - e) / e
+
+
+def test_q7_volume_shipping(ray_session):
+    """Q7 pair-nation shipping revenue equals a pandas recount of the
+    five-table join (both directions, cents contract)."""
+    from rayld.pipelines.relational import q7_volume_shipping
+
+    got = q7_volume_shipping(SF, num_partitions=4).to_pandas()
+    li = pd.read_parquet(f"{SF}/lineitem.parquet")
+    od = pd.read_parquet(f"{SF}/orders.parquet")
+    cu = pd.read_parquet(f"{SF}/customer.parquet")
+    su = pd.read_parquet(f"{SF}/supplier.parquet")
+    na = pd.read_parquet(f"{SF}/nation.parquet")
+    li = li[(li["l_shipdate"] >= pd.Timestamp("1996-01-01"))
+            & (li["l_shipdate"] < pd.Timestamp("1998-01-01"))]
+    m = (li.merge(od, left_on="l_orderkey", right_on="o_orderkey")
+           .merge(cu, left_on="o_custkey", right_on="c_custkey")
+           .merge(su, left_on="l_suppkey", right_on="s_suppkey")
+           .merge(na.rename(columns=lambda c: "s1_" + c),
+                  left_on="s_nationkey", right_on="s1_n_nationkey")
+           .merge(na.rename(columns=lambda c: "c2_" + c),
+                  left_on="c_nationkey", right_on="c2_n_nationkey"))
+    pair = {"NATION_1", "NATION_2"}
+    m = m[m["s1_n_name"].isin(pair) & m["c2_n_name"].isin(pair)
+          & (m["s1_n_name"] != m["c2_n_name"])]
+    cents = np.floor(
+        m["l_extendedprice"] * (1 - m["l_discount"]) * 100 + 0.5
+    ).astype("int64")
+    want = (
+        m.assign(revenue_c=cents, l_year=m["l_shipdate"].dt.year)
+        .groupby(["s1_n_name", "c2_n_name", "l_year"])["revenue_c"].sum()
+    )
+    gm = {(r.supp_nation, r.cust_nation, int(r.l_year)): int(r.revenue_c)
+          for r in got.itertuples()}
+    assert gm == {(a, b, int(y)): int(v)
+                  for (a, b, y), v in want.items()}
+
+
+def test_q8_market_share(ray_session):
+    """Q8 market share equals a pandas recount (cents volumes, one
+    division at the end)."""
+    from rayld.pipelines.relational import q8_market_share
+
+    got = q8_market_share(SF)
+    li = pd.read_parquet(f"{SF}/lineitem.parquet")
+    od = pd.read_parquet(f"{SF}/orders.parquet")
+    cu = pd.read_parquet(f"{SF}/customer.parquet")
+    su = pd.read_parquet(f"{SF}/supplier.parquet")
+    na = pd.read_parquet(f"{SF}/nation.parquet")
+    re = pd.read_parquet(f"{SF}/region.parquet")
+    pa_ = pd.read_parquet(f"{SF}/part.parquet")
+    od = od[(od["o_orderdate"] >= pd.Timestamp("1996-01-01"))
+            & (od["o_orderdate"] < pd.Timestamp("1998-01-01"))]
+    m = (li.merge(pa_[pa_["p_type"] == "ECONOMY"],
+                  left_on="l_partkey", right_on="p_partkey")
+           .merge(od, left_on="l_orderkey", right_on="o_orderkey")
+           .merge(cu, left_on="o_custkey", right_on="c_custkey")
+           .merge(su, left_on="l_suppkey", right_on="s_suppkey")
+           .merge(na.rename(columns=lambda c: "c2_" + c),
+                  left_on="c_nationkey", right_on="c2_n_nationkey")
+           .merge(re, left_on="c2_n_regionkey", right_on="r_regionkey")
+           .merge(na.rename(columns=lambda c: "s1_" + c),
+                  left_on="s_nationkey", right_on="s1_n_nationkey"))
+    m = m[m["r_name"] == "AMERICA"]
+    cents = np.floor(
+        m["l_extendedprice"] * (1 - m["l_discount"]) * 100 + 0.5
+    ).astype("int64")
+    m = m.assign(vol_c=cents, o_year=m["o_orderdate"].dt.year)
+    tot = m.groupby("o_year")["vol_c"].sum()
+    tgt = m[m["s1_n_name"] == "NATION_6"].groupby("o_year")["vol_c"].sum()
+    want = (tgt.reindex(tot.index).fillna(0) / tot).to_dict()
+    gm = {int(r.o_year): float(r.mkt_share) for r in got.itertuples()}
+    assert set(gm) == {int(k) for k in want}
+    for y in gm:
+        assert abs(gm[y] - float(want[y])) < 1e-12
+
+
+def test_q10_returned_items(ray_session):
+    """Q10 top-20 returned-revenue customers equal a pandas recount with
+    the same deterministic (revenue desc, custkey) cut."""
+    from rayld.pipelines.relational import q10_returned_items
+
+    got = q10_returned_items(SF)
+    li = pd.read_parquet(f"{SF}/lineitem.parquet")
+    od = pd.read_parquet(f"{SF}/orders.parquet")
+    cu = pd.read_parquet(f"{SF}/customer.parquet")
+    na = pd.read_parquet(f"{SF}/nation.parquet")
+    od = od[(od["o_orderdate"] >= pd.Timestamp("1996-01-01"))
+            & (od["o_orderdate"] < pd.Timestamp("1996-04-01"))]
+    m = (li[li["l_returnflag"] == "R"]
+         .merge(od, left_on="l_orderkey", right_on="o_orderkey")
+         .merge(cu, left_on="o_custkey", right_on="c_custkey")
+         .merge(na, left_on="c_nationkey", right_on="n_nationkey"))
+    cents = np.floor(
+        m["l_extendedprice"] * (1 - m["l_discount"]) * 100 + 0.5
+    ).astype("int64")
+    want = (
+        m.assign(revenue_c=cents)
+        .groupby(["c_custkey", "c_name", "c_acctbal", "n_name"],
+                 as_index=False)["revenue_c"].sum()
+        .sort_values(["revenue_c", "c_custkey"], ascending=[False, True],
+                     kind="mergesort")
+        .head(20).reset_index(drop=True)
+    )
+    assert len(got) == len(want)
+    assert got["c_custkey"].tolist() == want["c_custkey"].tolist()
+    assert got["revenue_c"].tolist() == want["revenue_c"].tolist()
+    assert got["n_name"].tolist() == want["n_name"].tolist()
+
+
+def test_q13_customer_distribution(ray_session):
+    """Q13 distribution equals a pandas recount and covers the zero-order
+    bucket."""
+    from rayld.pipelines.relational import q13_customer_distribution
+
+    got = q13_customer_distribution(SF, num_partitions=4).to_pandas()
+    od = pd.read_parquet(f"{SF}/orders.parquet")
+    cu = pd.read_parquet(f"{SF}/customer.parquet")
+    per = od.groupby("o_custkey").size()
+    counts = per.reindex(cu["c_custkey"]).fillna(0).astype(int)
+    want = counts.value_counts().to_dict()
+    gm = {int(r.c_count): int(r.custdist) for r in got.itertuples()}
+    assert gm == {int(k): int(v) for k, v in want.items()}
+
+
+def test_q13_zero_order_customers(ray_session, tmp_path):
+    """The LEFT-JOIN semantics: customers with no orders land in the
+    k=0 bucket (sf0.001 happens to have none, so synthesize some)."""
+    from rayld.pipelines.relational import q13_customer_distribution
+
+    pd.DataFrame({"c_custkey": [1, 2, 3, 4, 5]}).to_parquet(
+        tmp_path / "customer.parquet")
+    pd.DataFrame({"o_custkey": [1, 1, 2, 9]}).to_parquet(
+        tmp_path / "orders.parquet")
+    got = q13_customer_distribution(
+        str(tmp_path), num_partitions=2).to_pandas()
+    gm = {int(r.c_count): int(r.custdist) for r in got.itertuples()}
+    # custkey 9 has no customer row (dropped, LEFT JOIN), 3/4/5 have no
+    # orders (k=0), 1 has two, 2 has one
+    assert gm == {0: 3, 1: 1, 2: 1}
