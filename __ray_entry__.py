@@ -324,6 +324,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_first_last": relational.user_first_last,
         "market_basket_pairs": relational.market_basket_pairs,
         "q5_local_supplier_volume": relational.q5_local_supplier_volume,
+        "q6_forecast_revenue": relational.q6_forecast_revenue,
+        "q15_top_supplier": relational.q15_top_supplier,
+        "q17_small_quantity_revenue": relational.q17_small_quantity_revenue,
         "q7_volume_shipping": relational.q7_volume_shipping,
         "q8_market_share": relational.q8_market_share,
         "q10_returned_items": relational.q10_returned_items,
@@ -1930,6 +1933,10 @@ def oracle_sql() -> dict[str, str]:
             "  AND o_orderdate < DATE '1998-01-01'"
             " GROUP BY n_name"
         ),
+        # Q6/Q15/Q17: oracles generated from the pipelines' own defaults
+        "q6_forecast_revenue": relational.q6_oracle_sql(),
+        "q15_top_supplier": relational.q15_oracle_sql(),
+        "q17_small_quantity_revenue": relational.q17_oracle_sql(),
         # Q7 volume shipping: both directions of the two-nation pair
         "q7_volume_shipping": (
             "SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,"

@@ -6199,3 +6199,252 @@ def q8_market_share(sf_dir: str, region: str = "AMERICA",
         ),
     })
     return out.reset_index(drop=True)
+
+
+def q6_forecast_revenue(sf_dir: str, date_from: str = "1996-01-01",
+                        date_to: str = "1997-01-01",
+                        discount_lo: float = 0.05,
+                        discount_hi: float = 0.07,
+                        max_qty: float = 24.0):
+    """TPC-H Q6-style forecast revenue change: one filtered scan of
+    lineitem, per-batch integer-cents partials, one tiny combine — the
+    canonical predicate-pushdown + partial-aggregation shape (no shuffle
+    at all; the 'exchange' is a handful of scalar partials)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from .common import source_blocks
+
+    path = f"{sf_dir}/lineitem.parquet"
+    t_from, t_to = pd.Timestamp(date_from), pd.Timestamp(date_to)
+    ds = rd.read_parquet(
+        path,
+        columns=["l_shipdate", "l_discount", "l_quantity",
+                 "l_extendedprice"],
+        override_num_blocks=source_blocks(path, per_block_bytes=1 << 20),
+    )
+
+    def partial(df: pd.DataFrame) -> pa.Table:
+        m = df[(df["l_shipdate"] >= t_from) & (df["l_shipdate"] < t_to)
+               & (df["l_discount"] >= discount_lo - 1e-9)
+               & (df["l_discount"] <= discount_hi + 1e-9)
+               & (df["l_quantity"] < max_qty)]
+        cents = money_cents(m["l_extendedprice"] * m["l_discount"])
+        return pa.table({
+            "revenue_c": pa.array([int(cents.sum())], pa.int64()),
+        })
+
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    return pd.DataFrame({
+        "revenue_c": [int(parts["revenue_c"].sum())],
+    })
+
+
+def q15_top_supplier(sf_dir: str, date_from: str = "1996-01-01",
+                     date_to: str = "1996-04-01",
+                     num_partitions: int | None = None):
+    """TPC-H Q15-style top supplier(s): suppliers whose quarterly lineitem
+    revenue equals the global maximum (ALL ties, per the spec's view
+    semantics).
+
+    Per-batch cents partials per suppkey -> ONE bounded combine (supplier
+    cardinality), driver takes the max over the combined frame — the
+    'revenue view + scalar subquery' decorrelates into a partial-agg plus
+    a driver-side argmax over an already-small result. Supplier names
+    resolve from the broadcast-scale supplier table at the end."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from .common import bucketed_sum_combine, cluster_partitions
+
+    if num_partitions is None:
+        num_partitions = cluster_partitions()
+    t_from, t_to = pd.Timestamp(date_from), pd.Timestamp(date_to)
+
+    lineitem = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_suppkey", "l_shipdate", "l_extendedprice",
+                 "l_discount"],
+    )
+    sup_sch = pa.schema([
+        ("s_suppkey", pa.int64()), ("revenue_c", pa.int64()),
+    ])
+
+    def partial(df: pd.DataFrame) -> pa.Table:
+        m = df[(df["l_shipdate"] >= t_from) & (df["l_shipdate"] < t_to)]
+        m = m.assign(rev_c=money_cents(
+            m["l_extendedprice"] * (1 - m["l_discount"])
+        ))
+        g = m.groupby("l_suppkey", as_index=False).agg(
+            rev_c=("rev_c", "sum")
+        )
+        return pa.table({
+            "s_suppkey": pa.array(g["l_suppkey"].to_numpy(np.int64)),
+            "revenue_c": pa.array(g["rev_c"].to_numpy(np.int64)),
+        }, schema=sup_sch)
+
+    per_supp = bucketed_sum_combine(
+        lineitem.map_batches(partial, batch_format="pandas"),
+        keys=["s_suppkey"], sum_cols=["revenue_c"], schema=sup_sch,
+        num_partitions=num_partitions,
+    ).to_pandas()
+
+    top = per_supp[per_supp["revenue_c"] == per_supp["revenue_c"].max()]
+    supp = pd.read_parquet(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_name"]
+    )
+    out = top.merge(supp, on="s_suppkey").sort_values("s_suppkey")
+    return pd.DataFrame({
+        "s_suppkey": out["s_suppkey"].astype("int64").to_numpy(),
+        "s_name": out["s_name"].astype(str),
+        "revenue_c": out["revenue_c"].astype("int64").to_numpy(),
+    }).reset_index(drop=True)
+
+
+def q17_small_quantity_revenue(sf_dir: str, brand: str | None = None,
+                               frac: float = 0.5,
+                               num_partitions: int | None = None):
+    """TPC-H Q17-style small-quantity-order revenue: average yearly
+    revenue lost if orders below ``frac`` x the part's average quantity
+    were not taken — the classic correlated scalar subquery
+    (l_quantity < frac * avg(l_quantity) per part), decorrelated.
+
+    ONE bucketed hash(partkey) % P exchange carries per-batch partials of
+    (sum_qty_micro, n, sum of per-row price cents keyed by quantity): the
+    in-task collapse computes each part's average from the summed partials
+    and re-filters its OWN rows against it — the subquery never runs per
+    row and the lineitem table moves once. Quantities compare in exact
+    integer micro-units (quantity x 1e6 vs frac x mean x 1e6, both
+    integers when frac has <= 6 decimals) so the threshold is
+    deterministic on both engine and oracle."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from .common import cluster_partitions
+
+    if num_partitions is None:
+        num_partitions = cluster_partitions()
+
+    pkeys = None
+    if brand is not None:
+        parts = pq.read_table(
+            f"{sf_dir}/part.parquet", columns=["p_partkey", "p_brand"]
+        ).to_pandas()
+        pkeys = set(
+            parts.loc[parts["p_brand"] == brand, "p_partkey"].astype(int)
+        )
+
+    lineitem = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_quantity", "l_extendedprice"],
+    )
+    row_sch = pa.schema([
+        ("partkey", pa.int64()), ("qty_u", pa.int64()),
+        ("price_c", pa.int64()), ("part", pa.int32()),
+    ])
+
+    def rows(df: pd.DataFrame) -> pa.Table:
+        if pkeys is not None:
+            df = df[df["l_partkey"].isin(pkeys)]
+        k = df["l_partkey"].to_numpy(np.int64)
+        return pa.table({
+            "partkey": pa.array(k),
+            "qty_u": pa.array(np.floor(
+                df["l_quantity"].to_numpy(np.float64) * 1e6 + 0.5
+            ).astype(np.int64)),
+            "price_c": pa.array(money_cents(df["l_extendedprice"])),
+            "part": pa.array(
+                (k % num_partitions).astype(np.int32), pa.int32()
+            ),
+        }, schema=row_sch)
+
+    out_sch = pa.schema([("revenue_c", pa.int64())])
+
+    def collapse(df: pd.DataFrame) -> pa.Table:
+        if len(df) == 0:
+            return out_sch.empty_table()
+        import math
+
+        g = df.groupby("partkey")["qty_u"]
+        # threshold in micro-units: frac * mean = frac * sum / n; compare
+        # qty * n * den < sum * num (pure integer cross-multiplication,
+        # exact). gcd-reduced fraction keeps the products in int64 up to
+        # ~1e9 rows per part for frac = k/2 etc.
+        s = g.transform("sum").to_numpy(np.int64)
+        n = g.transform("size").to_numpy(np.int64)
+        q = df["qty_u"].to_numpy(np.int64)
+        fr_num, fr_den = int(round(frac * 1e6)), 1_000_000
+        gg = math.gcd(fr_num, fr_den)
+        fr_num, fr_den = fr_num // gg, fr_den // gg
+        keep = q * n * fr_den < s * fr_num
+        total = int(df["price_c"].to_numpy(np.int64)[keep].sum())
+        return pa.table({"revenue_c": pa.array([total], pa.int64())},
+                        schema=out_sch)
+
+    parts = (
+        lineitem.map_batches(rows, batch_format="pandas")
+        .groupby("part")
+        .map_groups(collapse, batch_format="pandas")
+        .to_pandas()
+    )
+    return pd.DataFrame({
+        "revenue_c": [int(parts["revenue_c"].sum())],
+    })
+
+
+def q6_oracle_sql(date_from: str = "1996-01-01",
+                  date_to: str = "1997-01-01",
+                  discount_lo: float = 0.05, discount_hi: float = 0.07,
+                  max_qty: float = 24.0) -> str:
+    """Oracle generated from the SAME defaults as q6_forecast_revenue
+    (advice-r3: parameterized oracles stay in sync by construction)."""
+    return (
+        "SELECT coalesce(sum(floor(l_extendedprice * l_discount * 100"
+        " + 0.5)::BIGINT), 0)::BIGINT AS revenue_c FROM lineitem"
+        f" WHERE l_shipdate >= TIMESTAMP '{date_from}'"
+        f"  AND l_shipdate < TIMESTAMP '{date_to}'"
+        f"  AND l_discount >= {discount_lo} - 1e-9"
+        f"  AND l_discount <= {discount_hi} + 1e-9"
+        f"  AND l_quantity < {max_qty}"
+    )
+
+
+def q15_oracle_sql(date_from: str = "1996-01-01",
+                   date_to: str = "1996-04-01") -> str:
+    """Oracle for q15_top_supplier (all max-revenue ties, spec view
+    semantics), generated from the same defaults."""
+    return (
+        "WITH rev AS (SELECT l_suppkey AS s_suppkey,"
+        " sum(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5)"
+        "     ::BIGINT)::BIGINT AS revenue_c"
+        " FROM lineitem"
+        f" WHERE l_shipdate >= TIMESTAMP '{date_from}'"
+        f"  AND l_shipdate < TIMESTAMP '{date_to}'"
+        " GROUP BY 1)"
+        " SELECT s_suppkey, s_name, revenue_c"
+        " FROM rev JOIN supplier USING (s_suppkey)"
+        " WHERE revenue_c = (SELECT max(revenue_c) FROM rev)"
+    )
+
+
+def q17_oracle_sql(frac: float = 0.5) -> str:
+    """Oracle for q17_small_quantity_revenue: the identical gcd-reduced
+    integer cross-multiplication threshold."""
+    import math
+
+    fr_num, fr_den = int(round(frac * 1e6)), 1_000_000
+    g = math.gcd(fr_num, fr_den)
+    fr_num, fr_den = fr_num // g, fr_den // g
+    return (
+        "WITH lu AS (SELECT l_partkey,"
+        "  floor(l_quantity * 1000000 + 0.5)::BIGINT AS qty_u,"
+        "  floor(l_extendedprice * 100 + 0.5)::BIGINT AS price_c"
+        " FROM lineitem),"
+        " ag AS (SELECT l_partkey, sum(qty_u)::BIGINT AS s,"
+        "  count(*)::BIGINT AS n FROM lu GROUP BY 1)"
+        " SELECT coalesce(sum(price_c), 0)::BIGINT AS revenue_c"
+        " FROM lu JOIN ag USING (l_partkey)"
+        f" WHERE qty_u * n * {fr_den} < s * {fr_num}"
+    )

@@ -4095,3 +4095,62 @@ def test_q13_zero_order_customers(ray_session, tmp_path):
     # custkey 9 has no customer row (dropped, LEFT JOIN), 3/4/5 have no
     # orders (k=0), 1 has two, 2 has one
     assert gm == {0: 3, 1: 1, 2: 1}
+
+
+def test_q6_forecast_revenue(ray_session):
+    """Q6 equals a pandas recount of the filtered scan."""
+    from rayld.pipelines.relational import q6_forecast_revenue
+
+    got = q6_forecast_revenue(SF)
+    li = pd.read_parquet(f"{SF}/lineitem.parquet")
+    m = li[(li["l_shipdate"] >= pd.Timestamp("1996-01-01"))
+           & (li["l_shipdate"] < pd.Timestamp("1997-01-01"))
+           & (li["l_discount"] >= 0.05 - 1e-9)
+           & (li["l_discount"] <= 0.07 + 1e-9)
+           & (li["l_quantity"] < 24.0)]
+    want = int(np.floor(
+        m["l_extendedprice"] * m["l_discount"] * 100 + 0.5
+    ).astype("int64").sum())
+    assert int(got["revenue_c"].iloc[0]) == want
+    assert want > 0  # the filter must select something to mean anything
+
+
+def test_q15_top_supplier(ray_session):
+    """Q15 returns ALL suppliers tied at the max quarterly revenue."""
+    from rayld.pipelines.relational import q15_top_supplier
+
+    got = q15_top_supplier(SF, num_partitions=4)
+    li = pd.read_parquet(f"{SF}/lineitem.parquet")
+    m = li[(li["l_shipdate"] >= pd.Timestamp("1996-01-01"))
+           & (li["l_shipdate"] < pd.Timestamp("1996-04-01"))]
+    cents = np.floor(
+        m["l_extendedprice"] * (1 - m["l_discount"]) * 100 + 0.5
+    ).astype("int64")
+    rev = m.assign(rev_c=cents).groupby("l_suppkey")["rev_c"].sum()
+    want_keys = sorted(rev[rev == rev.max()].index.astype(int))
+    assert got["s_suppkey"].tolist() == want_keys
+    assert (got["revenue_c"] == int(rev.max())).all()
+
+
+def test_q17_small_quantity_revenue(ray_session):
+    """Q17's decorrelated per-part threshold equals the naive per-part
+    recount (exact integer cross-multiplication)."""
+    from rayld.pipelines.relational import q17_small_quantity_revenue
+
+    got = q17_small_quantity_revenue(SF, num_partitions=4)
+    li = pd.read_parquet(f"{SF}/lineitem.parquet")
+    qty_u = np.floor(
+        li["l_quantity"].to_numpy(np.float64) * 1e6 + 0.5
+    ).astype("int64")
+    price_c = np.floor(
+        li["l_extendedprice"].to_numpy(np.float64) * 100 + 0.5
+    ).astype("int64")
+    df = pd.DataFrame({
+        "k": li["l_partkey"].to_numpy(np.int64),
+        "q": qty_u, "p": price_c,
+    })
+    s = df.groupby("k")["q"].transform("sum").to_numpy("int64")
+    n = df.groupby("k")["q"].transform("size").to_numpy("int64")
+    want = int(df["p"].to_numpy()[df["q"].to_numpy() * n * 2 < s].sum())
+    assert int(got["revenue_c"].iloc[0]) == want
+    assert want > 0
