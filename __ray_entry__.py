@@ -158,6 +158,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_triangles": graph.user_triangles,
         "user_common_neighbors": graph.user_common_neighbors,
         "user_resource_allocation": graph.user_resource_allocation,
+        "user_jaccard_similarity": graph.user_jaccard_similarity,
         "user_kcore": lambda sf: graph.user_kcore(sf, k=91),
         "user_kcore_check": lambda sf: graph.user_kcore_check(sf, k=91),
         # JSON-LD API surface A1-A7 + S1/S2 (non-SQL)
@@ -1916,6 +1917,30 @@ def oracle_sql() -> dict[str, str]:
             " SELECT u, v, ra_micro FROM ra"
             " WHERE NOT EXISTS (SELECT 1 FROM e"
             "   WHERE e.p = ra.u AND e.q = ra.v)"
+        ),
+        # neighborhood Jaccard in exact integer micro-units: cn / (du+dv-cn)
+        # half-up, pure integer arithmetic on both sides
+        "user_jaccard_similarity": (
+            "WITH uk AS (SELECT DISTINCT user_id AS u,"
+            "   json_extract_string(props, '$.k')::BIGINT AS k"
+            "  FROM events WHERE event_type = 'purchase'),"
+            " e AS (SELECT DISTINCT a.u AS p, b.u AS q"
+            "  FROM uk a JOIN uk b USING (k) WHERE a.u < b.u),"
+            " adj AS (SELECT p AS w, q AS x FROM e"
+            "  UNION ALL SELECT q, p FROM e),"
+            " deg AS (SELECT w, count(DISTINCT x)::BIGINT AS d"
+            "  FROM adj GROUP BY 1),"
+            " cn AS (SELECT a.x AS u, b.x AS v, count(*)::BIGINT AS n"
+            "  FROM adj a JOIN adj b ON a.w = b.w AND a.x < b.x"
+            "  GROUP BY 1, 2),"
+            " na AS (SELECT u, v, n FROM cn"
+            "  WHERE NOT EXISTS (SELECT 1 FROM e"
+            "   WHERE e.p = cn.u AND e.q = cn.v))"
+            " SELECT na.u, na.v,"
+            "  ((2000000 * n + (du.d + dv.d - n))"
+            "   // (2 * (du.d + dv.d - n)))::BIGINT AS jac_micro"
+            " FROM na JOIN deg du ON du.w = na.u"
+            " JOIN deg dv ON dv.w = na.v"
         ),
         # TPC-H Q5: same-nation customer+supplier revenue per nation in a
         # region; per-item integer cents, half-up, summed exactly

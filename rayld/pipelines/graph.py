@@ -1254,6 +1254,17 @@ def user_common_neighbors(sf_dir: str, event_type: str = "purchase",
         num_partitions = cluster_partitions()
 
     edges = _projection_edges(sf_dir, event_type, num_partitions)
+    return _common_neighbor_counts(
+        edges, num_partitions, max_neighbors_per_node
+    )
+
+
+def _common_neighbor_counts(edges, num_partitions: int,
+                            max_neighbors_per_node: int | None = None):
+    """Shared core of the link-prediction family: non-adjacent (u, v)
+    pairs of a materialized (p, q) edge set with their exact common-
+    neighbor count (the ``user_common_neighbors`` plan; also feeds the
+    Jaccard score)."""
     pair_bucket = _pair_bucket(num_partitions)
 
     def explode(batch: pa.Table) -> pa.Table:
@@ -1330,6 +1341,102 @@ def user_common_neighbors(sf_dir: str, event_type: str = "purchase",
         .map_batches(pair_bucket, batch_format="pyarrow")
         .groupby("part").map_groups(combine, batch_format="pandas")
     )
+
+
+def user_jaccard_similarity(sf_dir: str, event_type: str = "purchase",
+                            num_partitions: int | None = None):
+    """Neighborhood Jaccard link prediction over the user projection
+    graph: for every NON-adjacent pair (u, v) with at least one common
+    neighbor, jac = |N(u) ∩ N(v)| / |N(u) ∪ N(v)| — the third classic of
+    the CN / RA / Jaccard trio, in exact integer MICRO-units
+    (floor(1e6 * cn / (deg_u + deg_v - cn) + 0.5), pure integer
+    arithmetic on engine and oracle, no float drift).
+
+    Plan: the shared ``_common_neighbor_counts`` core (wedge partials via
+    the rank-encoded pair reduction, one pair-key exchange), then the two
+    endpoint degrees attach via TWO bucketed hash joins over the
+    RESULT-sized pair table (the triangles degree-attach shape — the
+    node-sized degree table is never broadcast, nothing node-sized
+    reaches the driver)."""
+    from .common import cluster_partitions
+    from .dedup import _bucketed_hash_join
+
+    if num_partitions is None:
+        num_partitions = cluster_partitions()
+
+    edges = _projection_edges(sf_dir, event_type, num_partitions)
+    cn = _common_neighbor_counts(edges, num_partitions).materialize()
+    degs = _edge_degrees(edges, num_partitions)
+
+    def cn_as(key: str):
+        def fn(batch: pa.Table) -> pa.Table:
+            n = batch.num_rows
+            cols = {
+                "node": batch[key],
+                "u": batch["u"], "v": batch["v"],
+                "n_common": batch["n_common"],
+                "d": pa.array(np.zeros(n, np.int64)),
+                "is_deg": pa.array(np.zeros(n, np.int8)),
+            }
+            if "du" in batch.column_names:
+                cols["du"] = batch["du"]
+            else:
+                cols["du"] = pa.array(np.zeros(n, np.int64))
+            return pa.table(cols)
+        return fn
+
+    def deg_side(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return pa.table({
+            "node": batch["node"],
+            "u": pa.array(np.full(n, -1, np.int64)),
+            "v": pa.array(np.full(n, -1, np.int64)),
+            "n_common": pa.array(np.zeros(n, np.int64)),
+            "d": batch["d"],
+            "is_deg": pa.array(np.ones(n, np.int8)),
+            "du": pa.array(np.zeros(n, np.int64)),
+        })
+
+    def merge_deg(out_col: str):
+        def fn(df: pd.DataFrame) -> pa.Table:
+            dmap = df[df["is_deg"] == 1].set_index("node")["d"]
+            e = df[df["is_deg"] == 0]
+            cols = {
+                "u": pa.array(e["u"].to_numpy(np.int64)),
+                "v": pa.array(e["v"].to_numpy(np.int64)),
+                "n_common": pa.array(e["n_common"].to_numpy(np.int64)),
+                out_col: pa.array(e["node"].map(dmap).to_numpy(np.int64)),
+            }
+            if out_col != "du":
+                cols["du"] = pa.array(e["du"].to_numpy(np.int64))
+            return pa.table(cols)
+        return fn
+
+    j1 = _bucketed_hash_join(
+        cn.map_batches(cn_as("u"), batch_format="pyarrow"),
+        degs.map_batches(deg_side, batch_format="pyarrow"),
+        key="node", num_partitions=num_partitions,
+        merge_fn=merge_deg("du"),
+    )
+    j2 = _bucketed_hash_join(
+        j1.map_batches(cn_as("v"), batch_format="pyarrow"),
+        degs.map_batches(deg_side, batch_format="pyarrow"),
+        key="node", num_partitions=num_partitions,
+        merge_fn=merge_deg("dv"),
+    )
+
+    def score(batch: pa.Table) -> pa.Table:
+        cnv = np.asarray(batch["n_common"].to_pylist(), dtype=np.int64)
+        du = np.asarray(batch["du"].to_pylist(), dtype=np.int64)
+        dv = np.asarray(batch["dv"].to_pylist(), dtype=np.int64)
+        den = du + dv - cnv
+        jac = (2_000_000 * cnv + den) // (2 * den)
+        return pa.table({
+            "u": batch["u"], "v": batch["v"],
+            "jac_micro": pa.array(jac, pa.int64()),
+        })
+
+    return j2.map_batches(score, batch_format="pyarrow")
 
 
 def user_resource_allocation(sf_dir: str, event_type: str = "purchase",

@@ -4154,3 +4154,44 @@ def test_q17_small_quantity_revenue(ray_session):
     want = int(df["p"].to_numpy()[df["q"].to_numpy() * n * 2 < s].sum())
     assert int(got["revenue_c"].iloc[0]) == want
     assert want > 0
+
+
+def test_user_jaccard_similarity(ray_session):
+    """Jaccard micro-scores equal a brute-force set recount (integer
+    half-up) over the shared-k projection graph; adjacent pairs excluded."""
+    import json as _json
+    from collections import defaultdict
+
+    from rayld.pipelines.graph import user_jaccard_similarity
+
+    got = user_jaccard_similarity(SF, num_partitions=4).to_pandas()
+    ev = pd.read_parquet(f"{SF}/events.parquet",
+                         columns=["user_id", "event_type", "props"])
+    sel = ev[ev["event_type"] == "purchase"]
+    by_k = defaultdict(set)
+    for _, r in sel.iterrows():
+        k = _json.loads(r["props"]).get("k") if r["props"] else None
+        if k is not None:
+            by_k[int(k)].add(int(r["user_id"]))
+    edges = set()
+    for users in by_k.values():
+        us = sorted(users)
+        for i in range(len(us)):
+            for j in range(i + 1, len(us)):
+                edges.add((us[i], us[j]))
+    nbr = defaultdict(set)
+    for p, q in edges:
+        nbr[p].add(q)
+        nbr[q].add(p)
+    want = {}
+    nodes = sorted(nbr)
+    for i, u in enumerate(nodes):
+        for v in nodes[i + 1:]:
+            if (u, v) in edges:
+                continue
+            cn = len(nbr[u] & nbr[v])
+            if cn:
+                den = len(nbr[u]) + len(nbr[v]) - cn
+                want[(u, v)] = (2_000_000 * cn + den) // (2 * den)
+    m = {(int(r.u), int(r.v)): int(r.jac_micro) for r in got.itertuples()}
+    assert m == want
