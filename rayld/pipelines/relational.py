@@ -5879,11 +5879,21 @@ def q10_returned_items(sf_dir: str, date_from: str = "1996-01-01",
             ),
         }, schema=out_sch)
 
+    def local_top(df: pd.DataFrame) -> pd.DataFrame:
+        # per-bucket top-k: the global cut is inside some bucket's local
+        # top-k, so the driver sees at most P x top_n candidate rows, not
+        # the customer-sized result (no full materialization at scale)
+        return df.sort_values(
+            ["revenue_c", "c_custkey"], ascending=[False, True],
+            kind="mergesort",
+        ).head(top_n)
+
     joined = (
         rev_per_cust.union(cust.map_batches(cust_rows, batch_format="pandas"))
         .map_batches(bucket_cust, batch_format="pyarrow")
         .groupby("part2")
         .map_groups(cust_join, batch_format="pandas")
+        .map_batches(local_top, batch_format="pandas")
     )
     # deterministic top-k cut: revenue desc, custkey asc (ties pinned)
     top = joined.to_pandas().sort_values(
@@ -6284,11 +6294,19 @@ def q15_top_supplier(sf_dir: str, date_from: str = "1996-01-01",
             "revenue_c": pa.array(g["rev_c"].to_numpy(np.int64)),
         }, schema=sup_sch)
 
+    def local_max(df: pd.DataFrame) -> pd.DataFrame:
+        # per-bucket max-tied rows only: the global max lives in some
+        # bucket's local maximum, so the driver sees at most P tie-groups,
+        # never the supplier-sized table
+        if len(df) == 0:
+            return df
+        return df[df["revenue_c"] == df["revenue_c"].max()]
+
     per_supp = bucketed_sum_combine(
         lineitem.map_batches(partial, batch_format="pandas"),
         keys=["s_suppkey"], sum_cols=["revenue_c"], schema=sup_sch,
         num_partitions=num_partitions,
-    ).to_pandas()
+    ).map_batches(local_max, batch_format="pandas").to_pandas()
 
     top = per_supp[per_supp["revenue_c"] == per_supp["revenue_c"].max()]
     supp = pd.read_parquet(
