@@ -2051,12 +2051,20 @@ def edit_distance_pairs(sf_dir: str, k: int = 2, prefix_chars: int = 40,
             "dist": pa.array(np.asarray(dists, np.int64)),
         }, schema=out_sch)
 
-    return (
+    # materialize = breakers between the three chained all-to-alls: fusing
+    # sort->sort chains in one streaming plan thrashes the executor (the
+    # graph family's pair exchange measured 431s fused vs ~5s broken;
+    # CLAUDE.md rule). Each breaker holds candidate-sized data only.
+    blocked = (
         documents(sf_dir).map_batches(emit, batch_format="pandas")
         .groupby("part").map_groups(salt_hubs, batch_format="pandas")
-        .groupby("part").map_groups(candidates, batch_format="pandas")
-        .groupby("part").map_groups(verify, batch_format="pandas")
-    )
+    ).materialize()
+    cands = (
+        blocked.groupby("part").map_groups(
+            candidates, batch_format="pandas"
+        )
+    ).materialize()
+    return cands.groupby("part").map_groups(verify, batch_format="pandas")
 
 
 def dup_rate_by_source(sf_dir: str, num_partitions: int | None = None):
