@@ -1412,6 +1412,9 @@ def user_jaccard_similarity(sf_dir: str, event_type: str = "purchase",
             return pa.table(cols)
         return fn
 
+    # no breaker between these two joins: A/B'd at sf0.1 (124s vs 140s
+    # with one) — the chained-sort thrash needs multi-million-row
+    # exchanges; at the result-sized 230k rows the breaker only costs
     j1 = _bucketed_hash_join(
         cn.map_batches(cn_as("u"), batch_format="pyarrow"),
         degs.map_batches(deg_side, batch_format="pyarrow"),
