@@ -100,6 +100,10 @@ def run_bench() -> dict:
         ).count(),
     )
     extras["kg_conversations"] = n_conv
+    # the effective workload multiplier, so every recorded number carries
+    # its kg job size (scaling legs run at a larger mult than the plain
+    # bench; without this the ladders are not auditable against BASELINE)
+    extras["kg_mult"] = int(os.environ.get("GRAFT_KG_MULT", "8"))
     extras["kg_triples"] = n_triples
     extras["kg_triples_per_sec"] = round(n_triples / timings["kg_triples"], 1)
 
@@ -179,6 +183,10 @@ def run_scaling() -> dict:
         "metric": "scaling_efficiency",
         "cpus_lo": lo,
         "cpus_hi": hi,
+        # workload size of every leg (identical across legs by construction;
+        # recorded so ladders are auditable against BASELINE.md)
+        "kg_mult": runs_hi[-1]["kg_mult"],
+        "kg_conversations": runs_hi[-1]["kg_conversations"],
         "sec_lo": sec_lo,
         "sec_hi": sec_hi,
         "kg_triples_per_sec_lo": round(thr_lo, 1),

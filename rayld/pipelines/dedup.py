@@ -81,13 +81,15 @@ def jaccard(text_a: str, text_b: str) -> float:
 # Exact dedup
 # ---------------------------------------------------------------------------
 
-def _keep_min_per_hash(hashed, num_partitions: int):
+def _keep_min_per_hash(hashed):
     """ONE bucketed crc32(h) % P exchange + in-task groupby-min: the
     house replacement for ``groupby('h').aggregate(Min)`` on the bench
     path — Ray's aggregate pays a fixed hash-shuffle aggregator setup per
     call that flattens the small-cpu end of the scaling ladder
     (verdict-r3 item 3). Data movement is identical (one row per doc,
-    partitioned by content hash)."""
+    partitioned by content hash). Callers pre-compute the ``part``
+    bucket column; this function only exchanges on it — it never
+    repartitions."""
     sch = pa.schema([("doc_id", pa.int64())])
 
     def first(df: pd.DataFrame) -> pa.Table:
@@ -137,7 +139,7 @@ def dedup_exact(sf_dir: str, num_partitions: int | None = None):
         })
 
     hashed = documents(sf_dir).map_batches(add_hash, batch_format="pyarrow")
-    return _keep_min_per_hash(hashed, num_partitions)
+    return _keep_min_per_hash(hashed)
 
 
 # ASCII-only whitespace class + space-only strip: Python's \s and
@@ -172,7 +174,7 @@ def dedup_exact_normalized(sf_dir: str):
         })
 
     hashed = documents(sf_dir).map_batches(add_hash, batch_format="pyarrow")
-    return _keep_min_per_hash(hashed, num_partitions)
+    return _keep_min_per_hash(hashed)
 
 
 def dedup_survivor_map(sf_dir: str, num_partitions: int | None = None):

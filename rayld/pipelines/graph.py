@@ -44,7 +44,18 @@ def _wedge_pair_sums(w: np.ndarray, x: np.ndarray, weight_fn=None,
     ``chunk_pairs``, so peak memory is the chunk plus the distinct-pair
     output — not the multiset. At sf0.1 the projection graph carries
     1.08e9 wedges; the previous pandas groupby over the materialized
-    multiset measured 370-480s per query, this path is ~20x faster."""
+    multiset measured 370-480s per query, this path is ~20x faster.
+
+    HUB-SAFE (verdict-r4 item 2): a single center's emission is itself
+    sliced into <= ``chunk_pairs``-sized row strips, so one degree-100k
+    hub (C(d,2) ~ 5e9 pairs ~ 40 GB of codes) can never allocate its full
+    pair set in one array — peak allocation is O(chunk_pairs + deg)
+    regardless of skew, and the reduction is order-independent int64
+    sums, so results are bit-identical to the unchunked emission. Exact
+    CN-family output stays inherently quadratic in hub degree in TIME
+    (every pair must be counted); ``max_per_center`` is the documented
+    100-TB knob for bounding that work when an approximate score is
+    acceptable (capped centers are counted and logged by callers)."""
     order = np.lexsort((x, w))
     w, x = w[order], x[order]
     keep = np.ones(len(w), dtype=bool)
@@ -89,13 +100,35 @@ def _wedge_pair_sums(w: np.ndarray, x: np.ndarray, weight_fn=None,
         deg = len(nb)
         if deg < 2:
             continue
-        iu, iv = np.triu_indices(deg, k=1)
-        buf_codes.append((nb[iu] << np.int64(32)) | nb[iv])
         wt = 1 if weight_fn is None else int(weight_fn(deg))
-        buf_wts.append(np.full(len(iu), wt, np.int64))
-        buffered += len(iu)
-        if buffered >= chunk_pairs:
-            flush()
+        if deg * (deg - 1) // 2 <= chunk_pairs:
+            # common case: the whole center fits one bounded allocation
+            iu, iv = np.triu_indices(deg, k=1)
+            buf_codes.append((nb[iu] << np.int64(32)) | nb[iv])
+            buf_wts.append(np.full(len(iu), wt, np.int64))
+            buffered += len(iu)
+            if buffered >= chunk_pairs:
+                flush()
+            continue
+        # hub center: emit the upper triangle in row strips of
+        # <= ~chunk_pairs pairs each (strip rows r0..r1-1 pair with all
+        # later neighbors), flushing between strips — identical pair
+        # multiset, bounded peak allocation
+        step = max(1, chunk_pairs // (deg - 1))
+        for r0 in range(0, deg - 1, step):
+            r1 = min(r0 + step, deg - 1)
+            rows = np.arange(r0, r1, dtype=np.int64)
+            counts = deg - 1 - rows
+            total = int(counts.sum())
+            rep_rows = np.repeat(rows, counts)
+            offs = np.cumsum(counts) - counts
+            jj = (np.arange(total, dtype=np.int64)
+                  - np.repeat(offs, counts) + rep_rows + 1)
+            buf_codes.append((nb[rep_rows] << np.int64(32)) | nb[jj])
+            buf_wts.append(np.full(total, wt, np.int64))
+            buffered += total
+            if buffered >= chunk_pairs:
+                flush()
     flush()
     if acc_codes is None:
         z = np.zeros(0, np.int64)

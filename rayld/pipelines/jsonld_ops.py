@@ -136,7 +136,12 @@ def tool_docs_parquet(sf_dir: str) -> str:
 
             shutil.rmtree(tmp)
         else:
-            os.rename(tmp, final)
+            try:
+                os.rename(tmp, final)
+            except OSError:  # raced past the exists-check; keep the winner
+                import shutil
+
+                shutil.rmtree(tmp, ignore_errors=True)
         with open(done, "w") as f:
             f.write("ok")
     tmp_link = os.path.join(TOOLDOC_ROOT, f".lnk-{os.getpid()}")
@@ -205,7 +210,12 @@ def kg_triples_parquet(sf_dir: str, n: int, tag: str) -> str:
 
             shutil.rmtree(tmp)
         else:
-            os.rename(tmp, final)
+            try:
+                os.rename(tmp, final)
+            except OSError:  # raced past the exists-check; keep the winner
+                import shutil
+
+                shutil.rmtree(tmp, ignore_errors=True)
         with open(done, "w") as f:
             f.write("ok")
     link = kg_triples_current(tag)

@@ -780,7 +780,15 @@ def top_tokens_sketch(sf_dir: str, k: int = 20, capacity: int = 4096,
     per block then <= |candidates| partials — the sketch is what survives
     at 100 TB. Output (token, n) is EXACT whenever the true k-th count
     exceeds N/(capacity+1) (guaranteed for zipfian text at these settings;
-    the test asserts equality against the exact path)."""
+    the test asserts equality against the exact path).
+
+    The pigeonhole condition is CHECKED at runtime, not assumed (ADVICE
+    r4): pass 2 also folds the corpus token total N (a sentinel '' row —
+    the empty string can never be a ``[A-Za-z0-9]+`` token), and when the
+    returned k-th count <= N/(capacity+1) (possible on a flat/non-zipfian
+    corpus, where the candidate union may miss a true top-k token) the
+    query falls back to the exact full-vocabulary plan instead of
+    silently returning a wrong top-k."""
     import zlib
 
     import ray
@@ -820,7 +828,64 @@ def top_tokens_sketch(sf_dir: str, k: int = 20, capacity: int = 4096,
     def recount(df: pd.DataFrame) -> pa.Table:
         cands = ray.get(ref)
         toks = df["text"].str.findall(_TOKEN_RE).explode().dropna()
+        n_batch = len(toks)  # batch token total, folded into the '' sentinel
         toks = toks[toks.isin(cands)]
+        g = toks.value_counts().reset_index()
+        g.columns = ["token", "partial"]
+        return pa.table({
+            "token": pa.array(
+                g["token"].astype(str).tolist() + [""], pa.string()),
+            "partial": pa.array(
+                g["partial"].astype("int64").tolist() + [n_batch],
+                pa.int64()),
+        })
+
+    counts = bucketed_sum_combine(
+        documents(sf_dir).map_batches(recount, batch_format="pandas"),
+        keys=["token"], sum_cols=["partial"],
+        schema=pa.schema([("token", pa.string()), ("partial", pa.int64())]),
+        num_partitions=num_partitions,
+    )
+
+    # bounded driver-side finish: one row per candidate — the same set
+    # already driver-materialized as cand_set above, so this adds no new
+    # scale exposure — plus the N sentinel
+    cdf = counts.to_pandas()
+    total_n = int(cdf.loc[cdf["token"] == "", "partial"].sum())
+    cdf = cdf[cdf["token"] != ""]
+    top = cdf.sort_values(
+        ["partial", "token"], ascending=[False, True]
+    ).head(k)
+    # exactness certificate: every non-candidate token has corpus count
+    # <= N/(capacity+1) (pigeonhole over the per-batch local tops), so the
+    # returned top-k is exact iff its k-th count clears that bound; fewer
+    # than k candidates cannot be certified either way
+    if len(top) < k or int(top["partial"].iloc[-1]) <= total_n / (
+            capacity + 1):
+        # pigeonhole guarantee fails (flat corpus / capacity too small):
+        # fail LOUD into the exact vocabulary-sized plan rather than
+        # silently returning a wrong top-k (ADVICE r4 medium)
+        return _full_vocab_topk(sf_dir, k, num_partitions)
+    return ray.data.from_arrow(pa.table({
+        "token": pa.array(top["token"].astype(str), pa.string()),
+        "n": pa.array(top["partial"].astype("int64"), pa.int64()),
+    }))
+
+
+def _full_vocab_topk(sf_dir: str, k: int, num_partitions: int):
+    """Exact corpus top-k via the full-vocabulary exchange: one row per
+    distinct token per block into a crc32(token) % P bucketed combine,
+    then a Ray sort + limit. This is the pre-sketch token_frequencies
+    plan, retained as the correctness fallback when the heavy-hitter
+    pigeonhole condition does not hold (top_tokens_sketch decides)."""
+    import zlib
+
+    import pyarrow as pa
+
+    from .common import bucketed_sum_combine
+
+    def count_all(df: pd.DataFrame) -> pa.Table:
+        toks = df["text"].str.findall(_TOKEN_RE).explode().dropna()
         g = toks.value_counts().reset_index()
         g.columns = ["token", "partial"]
         return pa.table({
@@ -829,7 +894,7 @@ def top_tokens_sketch(sf_dir: str, k: int = 20, capacity: int = 4096,
         })
 
     counts = bucketed_sum_combine(
-        documents(sf_dir).map_batches(recount, batch_format="pandas"),
+        documents(sf_dir).map_batches(count_all, batch_format="pandas"),
         keys=["token"], sum_cols=["partial"],
         schema=pa.schema([("token", pa.string()), ("partial", pa.int64())]),
         num_partitions=num_partitions,

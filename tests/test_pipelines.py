@@ -4195,3 +4195,85 @@ def test_user_jaccard_similarity(ray_session):
                 want[(u, v)] = (2_000_000 * cn + den) // (2 * den)
     m = {(int(r.u), int(r.v)): int(r.jac_micro) for r in got.itertuples()}
     assert m == want
+
+
+def test_wedge_pair_sums_hub_chunked(monkeypatch):
+    """Planted-hub fixture (verdict-r4 item 2): a center whose C(deg, 2)
+    pair set exceeds chunk_pairs must emit in bounded row strips — peak
+    allocation O(chunk_pairs + deg), never the full triangle — while
+    staying bit-identical to the unchunked emission. np.triu_indices is
+    the unchunked fast path's only allocator of a full C(deg,2) array;
+    asserting it is never called for the hub proves the strip path ran."""
+    import rayld.pipelines.graph as G
+
+    rng = np.random.default_rng(7)
+    hub_deg = 800  # C(800,2) = 319,600 pairs >> chunk_pairs below
+    w = np.concatenate([
+        np.full(hub_deg, 1, np.int64),           # the hub center
+        rng.integers(2, 40, size=500),           # small background centers
+    ])
+    x = np.concatenate([
+        np.arange(100, 100 + hub_deg, dtype=np.int64),
+        rng.integers(100, 200, size=500),
+    ])
+
+    want = G._wedge_pair_sums(w, x, chunk_pairs=10**9)  # one-shot emission
+
+    triu_calls = []
+    real_triu = np.triu_indices
+
+    def spy_triu(n, k=0, m=None):
+        triu_calls.append(n)
+        return real_triu(n, k) if m is None else real_triu(n, k, m)
+
+    monkeypatch.setattr(G.np, "triu_indices", spy_triu)
+    got = G._wedge_pair_sums(w, x, chunk_pairs=5_000)
+
+    for a, b in zip(want, got):
+        assert np.array_equal(a, b)
+    # every triu allocation stayed under the chunk bound: the hub (deg
+    # 800 -> 319,600 pairs) went through the strip path, small centers
+    # through the bounded fast path
+    assert all(n * (n - 1) // 2 <= 5_000 for n in triu_calls)
+    assert max(triu_calls, default=0) < hub_deg
+    # weighted variant (the RA family) chunks identically
+    wfn = G._wedge_pair_sums(w, x, weight_fn=lambda d: 3, chunk_pairs=4_096)
+    monkeypatch.undo()
+    wfn_ref = G._wedge_pair_sums(
+        w, x, weight_fn=lambda d: 3, chunk_pairs=10**9)
+    for a, b in zip(wfn_ref, wfn):
+        assert np.array_equal(a, b)
+
+
+def test_top_tokens_flat_corpus_fallback(ray_session, tmp_path):
+    """ADVICE-r4 medium: on a flat (non-zipfian) corpus the heavy-hitter
+    pigeonhole certificate fails (k-th count <= N/(capacity+1)); the
+    sketch must detect that at runtime and fall back to the exact
+    full-vocabulary plan instead of silently returning a wrong top-k."""
+    from rayld.pipelines.text import _TOKEN_RE, top_tokens_sketch
+
+    # 300 docs x 10 tokens, all counts flat (1 or 2): no token can clear
+    # N/(capacity+1) = 3000/5 with capacity=4
+    rng = np.random.default_rng(11)
+    vocab = [f"tok{i:05d}" for i in range(1500)]
+    texts = [
+        " ".join(rng.choice(vocab, size=10, replace=False))
+        for _ in range(300)
+    ]
+    d = tmp_path / "flat"
+    d.mkdir()
+    pd.DataFrame(
+        {"doc_id": np.arange(300, dtype=np.int64), "text": texts}
+    ).to_parquet(d / "documents.parquet")
+
+    got = top_tokens_sketch(str(d), k=25, capacity=4).to_pandas()
+    toks = pd.Series(texts).str.findall(_TOKEN_RE).explode()
+    vc = toks.value_counts()
+    want = (
+        vc.rename_axis("token").reset_index(name="n")
+        .sort_values(["n", "token"], ascending=[False, True])
+        .head(25).reset_index(drop=True)
+    )
+    got = got.reset_index(drop=True)
+    assert list(got["token"]) == list(want["token"])
+    assert list(got["n"].astype(int)) == list(want["n"].astype(int))
