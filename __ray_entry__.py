@@ -142,12 +142,40 @@ def queries() -> dict[str, Callable[[str], Any]]:
         n = min(200, max(20, jsonld_ops.n_conversations_for(sf_dir) // 10))
         return kg_parity_check(n)
 
-    return {
+    def kg_fromrdf_check(sf_dir: str):
+        """Structural oracle for the distributed fromRDF path (verdict-r4
+        item 3, the db3e5ef pattern): per-conversation top-level node
+        count of the reconstructed expanded JSON-LD documents. DuckDB
+        predicts the same count from the INPUT triples parquet — default-
+        graph subjects minus rdf:first list cons-cells (collapsed into
+        @list by R5 list reconstruction) plus named-graph names not
+        already default subjects — so the fromRDF node-map/list logic is
+        value-hash-checked, not rows-counted."""
+        import json as _json
+
+        import pyarrow as _pa
+
+        from rayld.pipelines.kg import triples_to_documents
+
+        def count_nodes(batch: _pa.Table) -> _pa.Table:
+            docs = batch["document"].to_pylist()
+            return _pa.table({
+                "conv_id": batch["conv_id"],
+                "n_nodes": _pa.array(
+                    [len(_json.loads(d)) for d in docs], _pa.int64()),
+            })
+
+        return triples_to_documents(
+            _kg_parquet_ds(sf_dir, "small")
+        ).map_batches(count_nodes, batch_format="pyarrow")
+
+    q = {
         # flagship KG construction (A5/A7 end-to-end; non-SQL)
         "kg_triples": kg_triples,
         "kg_triple_counts": kg_triple_counts,
         "kg_triples_global_dedup": kg_triples_global_dedup,
         "kg_documents_fromrdf": kg_documents_fromrdf,
+        "kg_fromrdf_check": kg_fromrdf_check,
         "kg_parity_check": kg_parity,
         "kg_entity_degree": kg_entity_degree,
         "kg_pagerank": kg_pagerank,
@@ -363,6 +391,47 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_wav_features": multimodal.media_wav_features,
     }
 
+    # The driver's CORRECTNESS window hash-checks the FIRST 50 entries in
+    # dict order. Rounds 1-4 spent that window on kg/jsonld/text rows that
+    # have been green since round 1, so the ~130 relational/curation/
+    # indexing/ann/dedup oracles (including all the TPC-H shapes) were
+    # never driver-verified (verdict-r4 item 1). Put the never-sampled
+    # families first, keeping one long-green canary per family
+    # (kg_parity_check + one row each for graph/jsonld/text); everything
+    # else follows in the legacy order. Every name below is SQL-oracled.
+    window = [
+        # canaries (families verified in r01-r04) + the new fromRDF gate
+        "kg_parity_check", "kg_fromrdf_check", "user_jaccard_similarity",
+        "jsonld_normalize_check", "token_frequencies",
+        # TPC-H (never driver-sampled)
+        "q1_pricing", "q3_shipping_priority", "q5_local_supplier_volume",
+        "q6_forecast_revenue", "q7_volume_shipping", "q8_market_share",
+        "q10_returned_items", "q13_customer_distribution",
+        "q14_promo_revenue", "q15_top_supplier",
+        "q17_small_quantity_revenue", "q18_large_orders",
+        # relational / windowed / warehouse
+        "events_hourly", "user_sessions", "asof_join_attribution",
+        "range_join_signup_clicks", "events_rollup", "events_cube",
+        "grouped_skew", "cohort_retention", "merge_upsert",
+        "customer_skyline",
+        # curation
+        "decontaminate", "pii_redact", "hash_split", "pack_sequences",
+        "leakage_safe_split_check",
+        # indexing / retrieval
+        "token_postings", "bm25_scores", "rrf_fusion",
+        # similarity / models
+        "ann_topk", "ann_ivf_recall", "kmeans_check", "logreg_check",
+        "pca_check", "pq_recall_check",
+        # dedup
+        "dedup_exact", "dedup_minhash_recall", "simhash_check",
+        "dedup_clusters_check", "semdedup_check", "edit_distance_pairs",
+        # tokenizer + multimodal
+        "bpe_check", "media_ppm_features", "media_wav_features",
+    ]
+    return {k: q[k] for k in window} | {
+        k: v for k, v in q.items() if k not in window
+    }
+
 
 def oracle_sql() -> dict[str, str]:
     # The jsonld_* oracles read the SAME tool-doc parquet the Ray ops consume
@@ -566,6 +635,34 @@ def oracle_sql() -> dict[str, str]:
         "kg_jsonld_roundtrip_check": (
             "SELECT 1::BIGINT AS ground_parity_ok, 1::BIGINT AS counts_match,"
             " 1::BIGINT AS bnode_counts_match"
+        ),
+        # distributed fromRDF structural recount (verdict-r4 item 3): the
+        # expanded document's top-level node count == default-graph
+        # subjects minus rdf:first list cons-cells (collapsed into @list
+        # by list reconstruction) plus named-graph names not already
+        # default subjects; @error quarantine rows are skipped on both
+        # sides, and convs with only @error rows reconstruct to []
+        "kg_fromrdf_check": (
+            "WITH convs AS (SELECT DISTINCT conv_id FROM " + _kgs + "),"
+            " dg AS (SELECT DISTINCT conv_id, subj FROM " + _kgs
+            + "  WHERE graph = '@default'),"
+            " lc AS (SELECT DISTINCT conv_id, subj FROM " + _kgs
+            + "  WHERE graph = '@default' AND pred ="
+            "   'http://www.w3.org/1999/02/22-rdf-syntax-ns#first'),"
+            " ng AS (SELECT DISTINCT conv_id, graph AS subj FROM " + _kgs
+            + "  WHERE graph NOT IN ('@default', '@error')),"
+            " top AS ("
+            "  SELECT conv_id, subj FROM dg"
+            "  WHERE NOT EXISTS (SELECT 1 FROM lc"
+            "   WHERE lc.conv_id = dg.conv_id AND lc.subj = dg.subj)"
+            "  UNION"
+            "  SELECT conv_id, subj FROM ng"
+            "  WHERE NOT EXISTS (SELECT 1 FROM dg"
+            "   WHERE dg.conv_id = ng.conv_id AND dg.subj = ng.subj)),"
+            " n AS (SELECT conv_id, count(*)::BIGINT AS n_nodes FROM top"
+            "  GROUP BY 1)"
+            " SELECT c.conv_id, coalesce(n.n_nodes, 0)::BIGINT AS n_nodes"
+            " FROM convs c LEFT JOIN n USING (conv_id)"
         ),
         "token_count": (
             "SELECT doc_id, len(regexp_extract_all(text, '[A-Za-z0-9]+'))::BIGINT"
