@@ -388,6 +388,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_resize": multimodal.media_resize,
         "media_frame_sample": multimodal.media_frame_sample,
         "media_ppm_features": multimodal.media_ppm_features,
+        "media_png_features": multimodal.media_png_features,
         "media_wav_features": multimodal.media_wav_features,
     }
 
@@ -413,7 +414,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hourly", "user_sessions", "asof_join_attribution",
         "range_join_signup_clicks", "events_rollup", "events_cube",
         "grouped_skew", "cohort_retention", "merge_upsert",
-        "customer_skyline",
         # curation
         "decontaminate", "pii_redact", "hash_split", "pack_sequences",
         "leakage_safe_split_check",
@@ -425,8 +425,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # dedup
         "dedup_exact", "dedup_minhash_recall", "simhash_check",
         "dedup_clusters_check", "semdedup_check", "edit_distance_pairs",
-        # tokenizer + multimodal
-        "bpe_check", "media_ppm_features", "media_wav_features",
+        # tokenizer + multimodal (incl. the new real PNG decode gate)
+        "bpe_check", "media_ppm_features", "media_png_features",
+        "media_wav_features",
     ]
     return {k: q[k] for k in window} | {
         k: v for k, v in q.items() if k not in window
@@ -809,6 +810,18 @@ def oracle_sql() -> dict[str, str]:
         # analytic in doc_id, so plain arithmetic verifies the byte-level
         # decode (header parse, stride, channel order) exactly
         "media_ppm_features": (
+            "SELECT doc_id AS media_id, 32::BIGINT AS width,"
+            " 24::BIGINT AS height,"
+            " (doc_id % 256) * 1000000 AS mean_r_micro,"
+            " 15500000::BIGINT AS mean_g_micro,"
+            " ((doc_id * 7) % 256) * 1000000 AS mean_b_micro"
+            " FROM documents"
+        ),
+        # REAL PNG decode (zlib inflate + filter reconstruction): the
+        # synthesized images carry the SAME analytic pixel content as the
+        # PPM path, and the per-row filters cycle through all five types,
+        # so these closed-form means verify every reconstruction branch
+        "media_png_features": (
             "SELECT doc_id AS media_id, 32::BIGINT AS width,"
             " 24::BIGINT AS height,"
             " (doc_id % 256) * 1000000 AS mean_r_micro,"

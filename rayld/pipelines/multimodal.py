@@ -1,11 +1,15 @@
 """Multimodal-column plumbing: opaque binary payloads + typed metadata through
 actor-pool decode/feature stages.
 
-The container has no image/audio codecs, so the decode kernel is STUBBED with
-a deterministic fake (documented; raise_on_decode=True surfaces the
-NotImplementedError seam a real codec would fill). Everything Ray-side —
-binary column handling, Arrow schema, actor signature, batch sizing, output
-layout — is real and tested."""
+Three REAL dependency-free decoders — PNG (zlib inflate + full filter
+reconstruction, below), P6 PPM, and PCM WAV (RIFF walk) — each verified
+end-to-end by an analytic SQL oracle over synthesized media. The generic
+``MediaDecoder`` stage sniffs payload magic and routes recognized formats
+to the real kernels; unrecognized payloads (the synthetic ``*/fake`` media
+table built from document text bytes) get a documented deterministic fake
+so the Ray-side plumbing — binary column handling, Arrow schema, actor
+signature, batch sizing, output layout — is exercised for arbitrary
+formats too."""
 
 from __future__ import annotations
 
@@ -45,23 +49,37 @@ def media_dataset(sf_dir: str):
 
 
 class MediaDecoder:
-    """Actor-pool decode/feature stage. A real deployment loads the codec /
-    model in __init__ (once per actor); here the codec is a deterministic
-    fake keyed on the payload hash.
+    """Actor-pool decode/feature stage. Codec state loads once per actor in
+    __init__ (the stateful-stage contract). Recognized magic bytes route to
+    the REAL kernels (PNG here); unrecognized payloads (the synthetic
+    ``*/fake`` media types) get a deterministic fake keyed on the payload
+    hash so plumbing for arbitrary formats stays exercised.
 
     batch_size should be SMALL for real media (payload x concurrency must fit
     worker heap — see module docstring)."""
 
-    def __init__(self, raise_on_decode: bool = False):
-        self.raise_on_decode = raise_on_decode
-        # real version: self.codec = load_codec(); here: nothing to load
+    def __init__(self):
+        # real-codec state shared across batches (once per actor)
+        self._png_sig = b"\x89PNG\r\n\x1a\n"
 
     def _decode(self, payload: bytes, media_type: str) -> dict:
-        if self.raise_on_decode:
-            raise NotImplementedError(
-                "media codecs are not available in this environment; "
-                "plug a real decoder here"
-            )
+        if payload[:8] == self._png_sig:
+            img = _png_decode(payload)  # raises ValueError on a bad file
+            h, w = img.shape[0], img.shape[1]
+            # feature: per-channel means + per-channel top-half means
+            top = img[: max(1, h // 2)]
+            return {
+                "n_bytes": len(payload),
+                "width": w,
+                "height": h,
+                "feature": [
+                    float(x) for x in (
+                        list(img.mean(axis=(0, 1)) / 255.0)
+                        + list(top.mean(axis=(0, 1)) / 255.0)
+                        + [w / 4096.0, h / 4096.0]
+                    )
+                ],
+            }
         h = hashlib.md5(payload).digest()
         return {
             "n_bytes": len(payload),
@@ -440,5 +458,259 @@ def media_wav_features(sf_dir: str, concurrency=None):
 
     return wav_media_dataset(sf_dir).map_batches(
         WavDecoder, concurrency=concurrency, batch_size=64,
+        batch_format="pyarrow",
+    ).map_batches(keep_ok, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# REAL image decode path: PNG (zlib inflate + filter reconstruction, pure
+# numpy/stdlib — closes the last codec seam, verdict-r4 item 7)
+# ---------------------------------------------------------------------------
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+_PNG_W, _PNG_H = 32, 24
+
+
+def _paeth_vec(left, up, upleft):
+    """Vectorized Paeth predictor (PNG spec 9.4) over int arrays."""
+    import numpy as np
+
+    p = left + up - upleft
+    pa_ = np.abs(p - left)
+    pb = np.abs(p - up)
+    pc = np.abs(p - upleft)
+    return np.where(
+        (pa_ <= pb) & (pa_ <= pc), left, np.where(pb <= pc, up, upleft)
+    )
+
+
+def _png_encode(img, filter_types=None, level: int = 6) -> bytes:
+    """Minimal RGB8 PNG writer (true zlib IDAT, per-chunk CRCs). Exists to
+    synthesize REAL test files; ``filter_types`` (one of 0-4 per row,
+    default cycling 0..4) forces every reconstruction branch of the
+    decoder to be exercised. Filtering is fully vectorized: predictors
+    use the ORIGINAL scanline bytes, so each row filters in one shot."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    img = np.asarray(img, dtype=np.uint8)
+    h, w, _ = img.shape
+    if filter_types is None:
+        filter_types = [r % 5 for r in range(h)]
+    raw = img.reshape(h, w, 3).astype(np.int16)
+    zero_row = np.zeros((w, 3), np.int16)
+    out = []
+    for r in range(h):
+        row = raw[r]
+        prev = raw[r - 1] if r > 0 else zero_row
+        left = np.vstack([np.zeros((1, 3), np.int16), row[:-1]])
+        upleft = np.vstack([np.zeros((1, 3), np.int16), prev[:-1]])
+        ft = int(filter_types[r])
+        if ft == 0:
+            filt = row
+        elif ft == 1:
+            filt = row - left
+        elif ft == 2:
+            filt = row - prev
+        elif ft == 3:
+            filt = row - (left + prev) // 2
+        else:
+            filt = row - _paeth_vec(left, prev, upleft)
+        out.append(bytes([ft]) + (filt % 256).astype(np.uint8).tobytes())
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        return (struct.pack(">I", len(data)) + typ + data
+                + struct.pack(">I", zlib.crc32(typ + data)))
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    idat = zlib.compress(b"".join(out), level)
+    return (_PNG_SIG + chunk(b"IHDR", ihdr) + chunk(b"IDAT", idat)
+            + chunk(b"IEND", b""))
+
+
+def _png_decode(payload: bytes):
+    """RGB8 PNG reader: signature + chunk walk with CRC verification, IHDR
+    validation (8-bit, color type 2, no interlace), concatenated-IDAT
+    zlib inflate, and full filter reconstruction (None/Sub/Up/Average/
+    Paeth). Sub reconstructs via per-channel cumulative sums mod 256
+    (recon[x] = filt[x] + recon[x-1 px] telescopes); Average/Paeth carry
+    a true left-to-right dependency, so those rows walk pixels with the
+    3-channel predictor vectorized. Raises ValueError on malformed input;
+    returns an (h, w, 3) uint8 array."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    if payload[:8] != _PNG_SIG:
+        raise ValueError("not a PNG signature")
+    pos = 8
+    ihdr = None
+    idat = []
+    while pos + 12 <= len(payload):
+        (length,) = struct.unpack(">I", payload[pos:pos + 4])
+        typ = payload[pos + 4:pos + 8]
+        data = payload[pos + 8:pos + 8 + length]
+        if len(data) != length:
+            raise ValueError("truncated chunk")
+        (crc,) = struct.unpack(
+            ">I", payload[pos + 8 + length:pos + 12 + length])
+        if zlib.crc32(typ + data) & 0xFFFFFFFF != crc:
+            raise ValueError(f"bad CRC in {typ!r} chunk")
+        if typ == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif typ == b"IDAT":
+            idat.append(data)
+        elif typ == b"IEND":
+            break
+        pos += 12 + length
+    if ihdr is None or not idat:
+        raise ValueError("missing IHDR/IDAT")
+    w, h, depth, color, comp, filt_m, interlace = ihdr
+    if (depth, color, comp, filt_m, interlace) != (8, 2, 0, 0, 0):
+        raise ValueError("unsupported png variant (need RGB8 progressive)")
+    try:
+        dec = zlib.decompress(b"".join(idat))
+    except zlib.error as e:
+        raise ValueError(f"bad IDAT stream: {e}") from None
+    stride = w * 3
+    if len(dec) != h * (1 + stride):
+        raise ValueError("wrong decompressed length")
+    arr = np.frombuffer(dec, np.uint8).reshape(h, 1 + stride)
+    fts = arr[:, 0]
+    rows = arr[:, 1:].astype(np.int32).reshape(h, w, 3)
+    recon = np.empty((h, w, 3), np.int32)
+    zero_row = np.zeros((w, 3), np.int32)
+    for r in range(h):
+        row = rows[r]
+        prev = recon[r - 1] if r > 0 else zero_row
+        ft = int(fts[r])
+        if ft == 0:
+            recon[r] = row
+        elif ft == 1:
+            recon[r] = np.cumsum(row, axis=0) % 256
+        elif ft == 2:
+            recon[r] = (row + prev) % 256
+        elif ft in (3, 4):
+            rec = recon[r]
+            left = np.zeros(3, np.int32)
+            upleft = np.zeros(3, np.int32)
+            for x in range(w):
+                up = prev[x]
+                if ft == 3:
+                    rec[x] = (row[x] + (left + up) // 2) % 256
+                else:
+                    rec[x] = (row[x] + _paeth_vec(left, up, upleft)) % 256
+                left = rec[x]
+                upleft = up
+        else:
+            raise ValueError(f"unknown filter type {ft}")
+    return recon.astype(np.uint8)
+
+
+def png_media_dataset(sf_dir: str):
+    """Deterministic RGB8 PNGs synthesized from doc_id with the SAME
+    analytic pixel content as the PPM path (R = doc_id % 256 constant,
+    G = column gradient 0..31, B = (doc_id*7) % 256 constant) — so the
+    channel means are closed-form in doc_id and a plain-SQL oracle
+    verifies the whole inflate + unfilter + channel-order path. Row
+    filters cycle ((row + doc_id) % 5), so every decoder branch runs on
+    every image."""
+    import numpy as np
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    g = np.tile(np.arange(_PNG_W, dtype=np.uint8), (_PNG_H, 1))
+
+    def encode(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        payloads = []
+        for i in ids:
+            img = np.empty((_PNG_H, _PNG_W, 3), dtype=np.uint8)
+            img[:, :, 0] = i % 256
+            img[:, :, 1] = g
+            img[:, :, 2] = (i * 7) % 256
+            payloads.append(_png_encode(
+                img, filter_types=[(r + i) % 5 for r in range(_PNG_H)]
+            ))
+        return pa.table({
+            "media_id": pa.array(ids, pa.int64()),
+            "payload": pa.array(payloads, pa.binary()),
+            "media_type": pa.array(["image/png"] * len(ids), pa.string()),
+        })
+
+    return ds.map_batches(encode, batch_format="pyarrow")
+
+
+class PngDecoder:
+    """Actor-pool stage over the REAL PNG kernel: per-image exact integer
+    channel means in micro units, malformed files quarantined into
+    decode_error rows (same contract as PpmDecoder/WavDecoder)."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        ids, ws, hs, mr, mg, mb = [], [], [], [], [], []
+        bad_ids, bad_errs = [], []
+        for media_id, payload in zip(
+            batch["media_id"].to_pylist(), batch["payload"].to_pylist()
+        ):
+            try:
+                img = _png_decode(payload)
+            except ValueError as err:
+                bad_ids.append(media_id)
+                bad_errs.append(str(err))
+                continue
+            h, w = img.shape[0], img.shape[1]
+            npix = w * h
+            sums = img.astype(np.int64).sum(axis=(0, 1))
+            ids.append(media_id)
+            ws.append(w)
+            hs.append(h)
+            mr.append(int(sums[0]) * 1_000_000 // npix)
+            mg.append(int(sums[1]) * 1_000_000 // npix)
+            mb.append(int(sums[2]) * 1_000_000 // npix)
+        ok = pa.table({
+            "media_id": pa.array(ids, pa.int64()),
+            "width": pa.array(ws, pa.int64()),
+            "height": pa.array(hs, pa.int64()),
+            "mean_r_micro": pa.array(mr, pa.int64()),
+            "mean_g_micro": pa.array(mg, pa.int64()),
+            "mean_b_micro": pa.array(mb, pa.int64()),
+            "decode_error": pa.array([""] * len(ids), pa.string()),
+        })
+        bad = pa.table({
+            "media_id": pa.array(bad_ids, pa.int64()),
+            "width": pa.array([0] * len(bad_ids), pa.int64()),
+            "height": pa.array([0] * len(bad_ids), pa.int64()),
+            "mean_r_micro": pa.array([0] * len(bad_ids), pa.int64()),
+            "mean_g_micro": pa.array([0] * len(bad_ids), pa.int64()),
+            "mean_b_micro": pa.array([0] * len(bad_ids), pa.int64()),
+            "decode_error": pa.array(bad_errs, pa.string()),
+        })
+        return pa.concat_tables([ok, bad])
+
+
+def media_png_features(sf_dir: str, concurrency=None):
+    """Per-image channel statistics through the REAL PNG decode actor pool
+    (embarrassingly parallel, no shuffle; small batches per the multimodal
+    sizing rule)."""
+    import ray
+
+    if concurrency is None:
+        ncpu = int(ray.cluster_resources().get("CPU", 8))
+        concurrency = (2, max(2, ncpu))
+
+    def keep_ok(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return batch.filter(
+            pc.equal(batch["decode_error"], "")
+        ).drop_columns(["decode_error"])
+
+    return png_media_dataset(sf_dir).map_batches(
+        PngDecoder, concurrency=concurrency, batch_size=64,
         batch_format="pyarrow",
     ).map_batches(keep_ok, batch_format="pyarrow")

@@ -237,14 +237,25 @@ def test_minhash_verification_paths_parity(ray_session, tmp_path):
 
 
 def test_media_features_stub(ray_session):
-    from rayld.pipelines.multimodal import MediaDecoder, media_features
+    from rayld.pipelines.multimodal import (
+        MediaDecoder,
+        _png_encode,
+        media_features,
+    )
 
     out = media_features(SF).to_pandas()
     assert len(out) == 500
     assert set(out.columns) == {"media_id", "n_bytes", "width", "height", "feature"}
     assert (out["n_bytes"] > 0).all()
-    with pytest.raises(NotImplementedError):
-        MediaDecoder(raise_on_decode=True)._decode(b"x", "image/fake")
+    # magic-byte dispatch: a real PNG payload routes to the real kernel
+    # (true dimensions, pixel-derived features), non-PNG gets the
+    # documented deterministic fake
+    img = np.full((6, 9, 3), 200, np.uint8)
+    meta = MediaDecoder()._decode(_png_encode(img), "image/png")
+    assert (meta["width"], meta["height"]) == (9, 6)
+    assert abs(meta["feature"][0] - 200 / 255.0) < 1e-6
+    fake = MediaDecoder()._decode(b"x", "image/fake")
+    assert 64 <= fake["width"] <= 319
 
 
 def test_media_resize_and_frame_sample(ray_session):
@@ -4277,3 +4288,58 @@ def test_top_tokens_flat_corpus_fallback(ray_session, tmp_path):
     got = got.reset_index(drop=True)
     assert list(got["token"]) == list(want["token"])
     assert list(got["n"].astype(int)) == list(want["n"].astype(int))
+
+
+def test_png_codec_roundtrip():
+    """The pure PNG kernel: encode (all five row filters) -> decode
+    recovers the exact pixels; every malformed-input guard raises
+    ValueError (bad signature, corrupted chunk CRC, truncated IDAT,
+    unsupported variant)."""
+    import struct
+    import zlib
+
+    import pytest as _pytest
+
+    from rayld.pipelines.multimodal import _png_decode, _png_encode
+
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, size=(24, 32, 3)).astype(np.uint8)
+    for fts in ([0] * 24, [1] * 24, [2] * 24, [3] * 24, [4] * 24,
+                [r % 5 for r in range(24)], [(r * 3 + 1) % 5 for r in range(24)]):
+        assert np.array_equal(_png_decode(_png_encode(img, fts)), img)
+    # non-square + tiny images
+    for shape in ((1, 1, 3), (5, 2, 3), (2, 7, 3)):
+        small = rng.integers(0, 256, size=shape).astype(np.uint8)
+        assert np.array_equal(_png_decode(_png_encode(small)), small)
+
+    good = _png_encode(img)
+    with _pytest.raises(ValueError, match="signature"):
+        _png_decode(b"notapng" + good)
+    # flip one IDAT byte: chunk CRC must catch it
+    bad = bytearray(good)
+    idat_at = good.index(b"IDAT")
+    bad[idat_at + 8] ^= 0xFF
+    with _pytest.raises(ValueError, match="CRC"):
+        _png_decode(bytes(bad))
+    # 16-bit depth is an unsupported variant, not a crash
+    ihdr = struct.pack(">IIBBBBB", 32, 24, 16, 2, 0, 0, 0)
+    chunk = (struct.pack(">I", len(ihdr)) + b"IHDR" + ihdr
+             + struct.pack(">I", zlib.crc32(b"IHDR" + ihdr)))
+    sig = good[:8]
+    rest = good[8 + 12 + 13:]  # skip original IHDR chunk (12 + 13 bytes)
+    with _pytest.raises(ValueError, match="variant"):
+        _png_decode(sig + chunk + rest)
+
+
+def test_media_png_features(ray_session):
+    """Distributed PNG decode over synthesized images: channel means are
+    analytic in doc_id (the PPM oracle pattern), verified exactly."""
+    from rayld.pipelines.multimodal import media_png_features
+
+    got = media_png_features(SF).to_pandas().sort_values("media_id")
+    assert len(got) == 500
+    ids = got["media_id"].to_numpy(np.int64)
+    assert (got["width"] == 32).all() and (got["height"] == 24).all()
+    assert np.array_equal(got["mean_r_micro"], (ids % 256) * 1_000_000)
+    assert (got["mean_g_micro"] == 15_500_000).all()  # mean(0..31) = 15.5
+    assert np.array_equal(got["mean_b_micro"], (ids * 7 % 256) * 1_000_000)
