@@ -107,6 +107,24 @@ def run_bench() -> dict:
     extras["kg_triples"] = n_triples
     extras["kg_triples_per_sec"] = round(n_triples / timings["kg_triples"], 1)
 
+    # tracked graph-family tripwire (verdict-r4 item 5): the CN plan's
+    # breaker/encoding wins were invisible to BENCH (the 431s executor
+    # thrash showed up only in the sf0.1 full gate). Timed as its OWN
+    # metric, NOT folded into value/queries: the headline total must stay
+    # comparable round-over-round, and this small-sample exchange sits in
+    # the documented hypervisor noise band. Scaling legs skip it
+    # (GRAFT_BENCH_CN=0) so ladder legs match earlier rounds' workload.
+    if os.environ.get("GRAFT_BENCH_CN", "1") != "0":
+        from rayld.pipelines.graph import user_common_neighbors_bench
+
+        t0 = time.perf_counter()
+        extras["user_common_neighbors_pairs"] = (
+            user_common_neighbors_bench(SF_DIR, user_mod=3).count()
+        )
+        extras["user_common_neighbors_sec"] = round(
+            time.perf_counter() - t0, 3
+        )
+
     timed("token_count", lambda: text.token_count(SF_DIR).count())
     timed("dedup_exact", lambda: dedup.dedup_exact(SF_DIR).count())
     timed(
@@ -139,6 +157,8 @@ def run_scaling() -> dict:
         # kg_conversations_for_bench): the ratio criterion models hours-long
         # 10^12-turn jobs, where per-job fixed startup is invisible
         env.setdefault("GRAFT_KG_MULT", "16")
+        # ladder legs match the r1-r4 workload (no CN tripwire query)
+        env.setdefault("GRAFT_BENCH_CN", "0")
         out = subprocess.run(
             [sys.executable, __file__], env=env, capture_output=True,
             text=True, check=True,

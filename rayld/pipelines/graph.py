@@ -786,7 +786,8 @@ def _pair_bucket(num_partitions: int):
 
 def _projection_edges(sf_dir: str, event_type: str,
                       num_partitions: int,
-                      max_users_per_key: int | None = None):
+                      max_users_per_key: int | None = None,
+                      user_mod: int | None = None):
     """Materialized (p, q) p<q edge set of the user projection graph (users
     adjacent when they share a distinct props ``k`` in ``event_type``
     events): one hash(k) exchange generates per-key pairs, one pair-key
@@ -798,7 +799,12 @@ def _projection_edges(sf_dir: str, event_type: str,
     from the capless oracle exactly when a hub key crosses it. A caller
     running at hub-heavy scale opts in explicitly (capped keys are
     logged). Events whose props lack a numeric ``k`` carry no key and
-    join nothing (the SQL NULL semantics)."""
+    join nothing (the SQL NULL semantics).
+
+    ``user_mod`` keeps only users with ``user_id % user_mod == 0`` — a
+    deterministic node-induced subgraph used by the BENCH variant of the
+    CN family (same plan and exchanges at ~1/mod^2 wedge volume); the
+    oracled queries leave it None."""
     import json
 
     import ray.data as rd
@@ -810,6 +816,8 @@ def _projection_edges(sf_dir: str, event_type: str,
 
     def uk_partial(df: pd.DataFrame) -> pa.Table:
         sel = df[df["event_type"] == event_type]
+        if user_mod is not None:
+            sel = sel[sel["user_id"] % user_mod == 0]
         # no/invalid props -> no key -> joins nothing (SQL NULL semantics;
         # defaulting to 0 would weld those users into a spurious clique)
         ks = sel["props"].map(
@@ -1290,6 +1298,26 @@ def user_common_neighbors(sf_dir: str, event_type: str = "purchase",
     return _common_neighbor_counts(
         edges, num_partitions, max_neighbors_per_node
     )
+
+
+def user_common_neighbors_bench(sf_dir: str, user_mod: int = 3,
+                                event_type: str = "purchase",
+                                num_partitions: int | None = None):
+    """BENCH-tracked small-sample CN (verdict-r4 item 5): the exact
+    user_common_neighbors plan — explode, rank-encoded wedge-pair
+    reduction, the materialize breaker between the two all-to-alls, the
+    pair-key exchange — over the deterministic ``user_id % user_mod == 0``
+    node-induced subgraph (~1/mod^2 of the full wedge volume), so
+    regressions in the breaker/encoding wins show up in BENCH directly
+    instead of only in the sf0.1 full gate."""
+    from .common import cluster_partitions
+
+    if num_partitions is None:
+        num_partitions = cluster_partitions()
+    edges = _projection_edges(
+        sf_dir, event_type, num_partitions, user_mod=user_mod
+    )
+    return _common_neighbor_counts(edges, num_partitions)
 
 
 def _common_neighbor_counts(edges, num_partitions: int,
