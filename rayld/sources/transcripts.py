@@ -132,10 +132,18 @@ def _make_tool_payload(rng: np.random.Generator, entities: list[str],
 
 def generate_conversation(seed: int, conv_index: int,
                           gazetteer_surfaces: list[str],
-                          zipf_a: float = 1.6, max_turns: int = 200) -> dict:
-    """All rows of one conversation, as a dict of column lists."""
+                          zipf_a: float = 1.6, max_turns: int = 200,
+                          force_turns: int | None = None) -> dict:
+    """All rows of one conversation, as a dict of column lists.
+
+    ``force_turns`` overrides the zipf draw (still deterministic in
+    (seed, conv_index)) — the skew-rehearsal hook that plants 10k-turn
+    hub conversations to engage the flagship's turn-cap quarantine."""
     rng = _conv_rng(seed, conv_index)
-    n_turns = int(min(2 + rng.zipf(zipf_a), max_turns))
+    if force_turns is not None:
+        n_turns = int(force_turns)
+    else:
+        n_turns = int(min(2 + rng.zipf(zipf_a), max_turns))
     conv_id = f"conv-{conv_index:08d}"
     cols = {k: [] for k in ("conv_id", "turn_idx", "role", "text", "tool", "ts")}
     t0 = _BASE_EPOCH_US + conv_index * 60_000_000
@@ -159,10 +167,15 @@ def generate_conversation(seed: int, conv_index: int,
     return cols
 
 
-def _conversations_to_table(indices, seed: int, surfaces: list[str]) -> pa.Table:
+def _conversations_to_table(indices, seed: int, surfaces: list[str],
+                            hub_every: int | None = None,
+                            hub_turns: int = 10_000) -> pa.Table:
     all_cols = {k: [] for k in ("conv_id", "turn_idx", "role", "text", "tool", "ts")}
     for i in indices:
-        cols = generate_conversation(seed, int(i), surfaces)
+        force = (hub_turns if hub_every and int(i) % hub_every == 0
+                 else None)
+        cols = generate_conversation(seed, int(i), surfaces,
+                                     force_turns=force)
         for k, v in cols.items():
             all_cols[k].extend(v)
     return pa.table(
@@ -178,7 +191,9 @@ def _conversations_to_table(indices, seed: int, surfaces: list[str]) -> pa.Table
 
 
 def transcripts_dataset(num_conversations: int, seed: int = 42,
-                        conversations_per_block: int = 128):
+                        conversations_per_block: int = 128,
+                        hub_every: int | None = None,
+                        hub_turns: int = 10_000):
     """Streaming Dataset of synthetic transcripts — generation happens inside
     map_batches tasks (nothing materializes on the driver), so this scales to
     arbitrarily many conversations.
@@ -187,7 +202,12 @@ def transcripts_dataset(num_conversations: int, seed: int = 42,
     batch_size. ~128 conversations (~2k turns) per block balances per-task
     scheduling overhead against parallelism (measured: 16-conv blocks leave
     cores idle on dispatch overhead, 256-conv blocks starve the pipeline;
-    a single collapsed block serializes everything)."""
+    a single collapsed block serializes everything).
+
+    ``hub_every``/``hub_turns`` plant a deterministic ``hub_turns``-turn
+    conversation at every ``hub_every``-th index — the zipfian-variant
+    corpus of the skew rehearsal (verdict-r4 item 4); default None leaves
+    the corpus byte-identical to rounds 1-4 (CORPUS_REV unchanged)."""
     import ray.data as rd
 
     surfaces = [s for s, _, _ in build_gazetteer(seed)]
@@ -195,7 +215,10 @@ def transcripts_dataset(num_conversations: int, seed: int = 42,
     ds = rd.range(num_conversations, override_num_blocks=nblocks)
 
     def gen(batch: pa.Table) -> pa.Table:
-        return _conversations_to_table(batch["id"].to_pylist(), seed, surfaces)
+        return _conversations_to_table(
+            batch["id"].to_pylist(), seed, surfaces,
+            hub_every=hub_every, hub_turns=hub_turns,
+        )
 
     return ds.map_batches(gen, batch_format="pyarrow", batch_size=None)
 

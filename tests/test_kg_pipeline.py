@@ -444,3 +444,42 @@ def test_parity_ts_conversion_tz_independent():
         [sys.executable, "-c", code], env=env, capture_output=True, text=True
     )
     assert out.returncode == 0 and "ok" in out.stdout, out.stderr
+
+
+def test_skewed_corpus_hub_quarantine(ray_session, tmp_path):
+    """The skew-rehearsal corpus (verdict-r4 item 4, small scale): planted
+    hub conversations engage the turn-cap quarantine end-to-end — the hub
+    tail lands in the @error graph, the per-bucket lineage manifests count
+    exactly those turns, and non-hub conversations are byte-identical to
+    the uniform corpus."""
+    import json as _json
+
+    from rayld.pipelines.kg import run_kg_pipeline
+    from rayld.sources.transcripts import transcripts_dataset
+
+    uniform = transcripts_dataset(40).to_pandas()
+    skewed = transcripts_dataset(40, hub_every=20, hub_turns=300).to_pandas()
+    # hubs at conv 0 and 20: 300 turns each; everything else identical
+    hub_ids = {"conv-00000000", "conv-00000020"}
+    assert (
+        skewed[skewed.conv_id.isin(hub_ids)].groupby("conv_id").size() == 300
+    ).all()
+    rest_u = uniform[~uniform.conv_id.isin(hub_ids)].reset_index(drop=True)
+    rest_s = skewed[~skewed.conv_id.isin(hub_ids)].reset_index(drop=True)
+    assert rest_u.equals(rest_s)
+
+    import ray.data as rd
+
+    odir = str(tmp_path / "skew")
+    cap = 100
+    run_kg_pipeline(rd.from_pandas(skewed), odir, num_buckets=2,
+                    link_concurrency=2, max_turns=cap)
+    n_err = 0
+    for b in range(2):
+        with open(f"{odir}/bucket={b}/_manifest.json") as f:
+            n_err += _json.load(f)["n_errors"]
+    # expected from the corpus itself: every conversation's tail past the
+    # cap (the two hubs, plus any natural zipf draw that exceeds it)
+    sizes = skewed.groupby("conv_id").size()
+    assert n_err == int((sizes - cap).clip(lower=0).sum())
+    assert n_err >= 2 * (300 - cap)  # both hubs engaged
