@@ -356,6 +356,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q6_forecast_revenue": relational.q6_forecast_revenue,
         "q15_top_supplier": relational.q15_top_supplier,
         "q17_small_quantity_revenue": relational.q17_small_quantity_revenue,
+        "q4_order_priority": relational.q4_order_priority,
+        "q12_shipping_lateness": relational.q12_shipping_lateness,
+        "q19_discounted_revenue": relational.q19_discounted_revenue,
+        "q21_waiting_suppliers": relational.q21_waiting_suppliers,
+        "q22_sales_opportunity": relational.q22_sales_opportunity,
         "q7_volume_shipping": relational.q7_volume_shipping,
         "q8_market_share": relational.q8_market_share,
         "q10_returned_items": relational.q10_returned_items,
@@ -2072,6 +2077,11 @@ def oracle_sql() -> dict[str, str]:
         "q6_forecast_revenue": relational.q6_oracle_sql(),
         "q15_top_supplier": relational.q15_oracle_sql(),
         "q17_small_quantity_revenue": relational.q17_oracle_sql(),
+        "q4_order_priority": relational.q4_oracle_sql(),
+        "q12_shipping_lateness": relational.q12_oracle_sql(),
+        "q19_discounted_revenue": relational.q19_oracle_sql(),
+        "q21_waiting_suppliers": relational.q21_oracle_sql(),
+        "q22_sales_opportunity": relational.q22_oracle_sql(),
         # Q7 volume shipping: both directions of the two-nation pair
         "q7_volume_shipping": (
             "SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,"

@@ -6466,3 +6466,669 @@ def q17_oracle_sql(frac: float = 0.5) -> str:
         " FROM lu JOIN ag USING (l_partkey)"
         f" WHERE qty_u * n * {fr_den} < s * {fr_num}"
     )
+
+
+def q4_order_priority(sf_dir: str, date_from: str = "1996-01-01",
+                      date_to: str = "1996-04-01", late_days: int = 60,
+                      m_bits: int = 1 << 20,
+                      num_partitions: int | None = None):
+    """TPC-H Q4 shape (order-priority checking): count orders per priority,
+    in a 3-month window, that have AT LEAST ONE late lineitem — the
+    canonical EXISTS semi-join. Adapted to the testdata schema (no
+    l_commitdate/l_receiptdate): "late" means l_shipdate > o_orderdate +
+    ``late_days``, the same decorrelation structure.
+
+    100-TB plan: the date-window orders are a small fraction of the table,
+    so their keys build a fixed-size Bloom bitmap (bounded per-block
+    partials OR-merged on the driver, ``bloom_semi_join`` pattern) that
+    prunes the lineitem scan BEFORE any exchange; surviving lineitems
+    pre-reduce per batch to one (orderkey, max shipdate) row, and ONE
+    bucketed hash(orderkey) exchange joins them with the window orders —
+    Bloom false positives die there, never in correctness. The EXISTS
+    collapses to max(shipdate) > orderdate + lag, and the result rides a
+    5-group bounded combine."""
+    import ray
+    import ray.data as rd
+    import pyarrow as pa
+
+    from ..functions.vectorized import bloom_test
+    from .common import (bloom_bitmap, bucketed_sum_combine,
+                         cluster_partitions, source_blocks)
+
+    if num_partitions is None:
+        num_partitions = cluster_partitions()
+    t_from, t_to = pd.Timestamp(date_from), pd.Timestamp(date_to)
+    lag_us = int(late_days) * 86_400_000_000
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_orderdate", "o_orderpriority"],
+    )
+
+    def window_keys(df: pd.DataFrame) -> pa.Table:
+        m = df[(df["o_orderdate"] >= t_from) & (df["o_orderdate"] < t_to)]
+        return pa.table({
+            "k": pa.array(
+                m["o_orderkey"].to_numpy(np.int64).astype(np.uint64),
+                pa.uint64()),
+            "odate_us": pa.array(
+                m["o_orderdate"].astype("datetime64[us]").astype("int64")
+                .to_numpy()),
+            "o_orderpriority": pa.array(
+                m["o_orderpriority"].tolist(), pa.string()),
+        })
+
+    # ONE orders scan: the materialized window rows feed both the bitmap
+    # build and the exchange's order side
+    win = orders.map_batches(
+        window_keys, batch_format="pandas"
+    ).materialize()
+    bloom_ref = ray.put(bloom_bitmap(win, "k", m_bits))
+
+    uni_sch = pa.schema([
+        ("orderkey", pa.int64()), ("t_us", pa.int64()),
+        ("o_orderpriority", pa.string()), ("is_order", pa.int8()),
+    ])
+
+    def order_rows(batch: pa.Table) -> pa.Table:
+        k = np.asarray(batch["k"].to_pylist(), dtype=np.uint64)
+        n = len(k)
+        return pa.table({
+            "orderkey": pa.array(k.astype(np.int64)),
+            "t_us": batch["odate_us"],
+            "o_orderpriority": batch["o_orderpriority"],
+            "is_order": pa.array(np.ones(n, np.int8), pa.int8()),
+        }, schema=uni_sch)
+
+    li_path = f"{sf_dir}/lineitem.parquet"
+    lineitem = rd.read_parquet(
+        li_path, columns=["l_orderkey", "l_shipdate"],
+        override_num_blocks=source_blocks(li_path, per_block_bytes=1 << 20),
+    )
+
+    def li_partial(df: pd.DataFrame) -> pa.Table:
+        bm = ray.get(bloom_ref)
+        keys = df["l_orderkey"].to_numpy(np.int64)
+        m = df[bloom_test(bm, keys.astype(np.uint64), m_bits)]
+        if len(m) == 0:
+            return uni_sch.empty_table()
+        g = m.assign(
+            ship_us=m["l_shipdate"].astype("datetime64[us]").astype("int64")
+        ).groupby("l_orderkey", as_index=False).agg(t_us=("ship_us", "max"))
+        n = len(g)
+        return pa.table({
+            "orderkey": pa.array(g["l_orderkey"].to_numpy(np.int64)),
+            "t_us": pa.array(g["t_us"].to_numpy(np.int64)),
+            "o_orderpriority": pa.array([""] * n, pa.string()),
+            "is_order": pa.array(np.zeros(n, np.int8), pa.int8()),
+        }, schema=uni_sch)
+
+    def bucket(batch: pa.Table) -> pa.Table:
+        k = np.asarray(batch["orderkey"].to_pylist(), dtype=np.int64)
+        return batch.append_column(
+            "part", pa.array((k % num_partitions).astype(np.int32),
+                             pa.int32()))
+
+    pr_sch = pa.schema([
+        ("o_orderpriority", pa.string()), ("order_count", pa.int64()),
+    ])
+
+    def collapse(df: pd.DataFrame) -> pa.Table:
+        if len(df) == 0 or "is_order" not in df.columns:
+            return pr_sch.empty_table()
+        li = df[df["is_order"] == 0]
+        od = df[df["is_order"] == 1]
+        if len(li) == 0 or len(od) == 0:
+            return pr_sch.empty_table()
+        mx = li.groupby("orderkey", as_index=False).agg(
+            max_ship_us=("t_us", "max"))
+        j = od.merge(mx, on="orderkey")  # inner = EXISTS any lineitem
+        late = j[j["max_ship_us"] > j["t_us"] + lag_us]
+        g = late.groupby("o_orderpriority", as_index=False).size()
+        return pa.table({
+            "o_orderpriority": pa.array(
+                g["o_orderpriority"].tolist(), pa.string()),
+            "order_count": pa.array(g["size"].to_numpy(np.int64)),
+        }, schema=pr_sch)
+
+    partials = (
+        win.map_batches(order_rows, batch_format="pyarrow")
+        .union(lineitem.map_batches(li_partial, batch_format="pandas"))
+        .map_batches(bucket, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(collapse, batch_format="pandas")
+    )
+    return bucketed_sum_combine(
+        partials, keys=["o_orderpriority"], sum_cols=["order_count"],
+        schema=pr_sch,
+    )
+
+
+def q4_oracle_sql(date_from: str = "1996-01-01",
+                  date_to: str = "1996-04-01", late_days: int = 60) -> str:
+    """Oracle for q4_order_priority, generated from the same defaults."""
+    return (
+        "SELECT o_orderpriority, count(*)::BIGINT AS order_count"
+        " FROM orders"
+        f" WHERE o_orderdate >= TIMESTAMP '{date_from}'"
+        f"  AND o_orderdate < TIMESTAMP '{date_to}'"
+        "  AND EXISTS (SELECT 1 FROM lineitem"
+        "   WHERE l_orderkey = o_orderkey"
+        f"   AND l_shipdate > o_orderdate + INTERVAL {late_days} DAY)"
+        " GROUP BY 1"
+    )
+
+
+def q12_shipping_lateness(sf_dir: str, date_from: str = "1996-01-01",
+                          date_to: str = "1997-01-01", late_days: int = 60,
+                          num_partitions: int | None = None):
+    """TPC-H Q12 shape (shipping-mode priority audit): per lineitem
+    category, how many LATE-shipped lines belong to high-priority orders
+    ('1-URGENT'/'2-HIGH') vs the rest. Adapted to the testdata schema (no
+    l_shipmode/l_commitdate/l_receiptdate): the category is l_returnflag
+    and "late" is l_shipdate > o_orderdate + ``late_days`` — the same
+    large-large join + conditional two-way count.
+
+    100-TB plan: the lineitem scan keeps only the ship-date window and
+    projects three small columns; orders carry one pre-computed is_high
+    bit. ONE bucketed hash(orderkey) exchange joins them in-task, and the
+    per-bucket result is a ≤|flags| x 2 partial into a bounded combine —
+    the fact table never moves twice and nothing order-sized reaches the
+    driver."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from .common import (bucketed_sum_combine, cluster_partitions,
+                         source_blocks)
+
+    if num_partitions is None:
+        num_partitions = cluster_partitions()
+    t_from, t_to = pd.Timestamp(date_from), pd.Timestamp(date_to)
+    lag_us = int(late_days) * 86_400_000_000
+
+    uni_sch = pa.schema([
+        ("orderkey", pa.int64()), ("t_us", pa.int64()),
+        ("l_returnflag", pa.string()), ("is_order", pa.int8()),
+        ("is_high", pa.int8()),
+    ])
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_orderdate", "o_orderpriority"],
+    )
+
+    def order_rows(df: pd.DataFrame) -> pa.Table:
+        n = len(df)
+        high = df["o_orderpriority"].isin(
+            ["1-URGENT", "2-HIGH"]).to_numpy(np.int8)
+        return pa.table({
+            "orderkey": pa.array(df["o_orderkey"].to_numpy(np.int64)),
+            "t_us": pa.array(df["o_orderdate"].astype("datetime64[us]")
+                             .astype("int64").to_numpy()),
+            "l_returnflag": pa.array([""] * n, pa.string()),
+            "is_order": pa.array(np.ones(n, np.int8), pa.int8()),
+            "is_high": pa.array(high, pa.int8()),
+        }, schema=uni_sch)
+
+    li_path = f"{sf_dir}/lineitem.parquet"
+    lineitem = rd.read_parquet(
+        li_path, columns=["l_orderkey", "l_shipdate", "l_returnflag"],
+        override_num_blocks=source_blocks(li_path, per_block_bytes=1 << 20),
+    )
+
+    def li_rows(df: pd.DataFrame) -> pa.Table:
+        m = df[(df["l_shipdate"] >= t_from) & (df["l_shipdate"] < t_to)]
+        n = len(m)
+        return pa.table({
+            "orderkey": pa.array(m["l_orderkey"].to_numpy(np.int64)),
+            "t_us": pa.array(m["l_shipdate"].astype("datetime64[us]")
+                             .astype("int64").to_numpy()),
+            "l_returnflag": pa.array(m["l_returnflag"].tolist(),
+                                     pa.string()),
+            "is_order": pa.array(np.zeros(n, np.int8), pa.int8()),
+            "is_high": pa.array(np.zeros(n, np.int8), pa.int8()),
+        }, schema=uni_sch)
+
+    def bucket(batch: pa.Table) -> pa.Table:
+        k = np.asarray(batch["orderkey"].to_pylist(), dtype=np.int64)
+        return batch.append_column(
+            "part", pa.array((k % num_partitions).astype(np.int32),
+                             pa.int32()))
+
+    out_sch = pa.schema([
+        ("l_returnflag", pa.string()), ("high_line_count", pa.int64()),
+        ("low_line_count", pa.int64()),
+    ])
+
+    def collapse(df: pd.DataFrame) -> pa.Table:
+        if len(df) == 0 or "is_order" not in df.columns:
+            return out_sch.empty_table()
+        li = df[df["is_order"] == 0]
+        od = df[df["is_order"] == 1][["orderkey", "t_us", "is_high"]]
+        if len(li) == 0 or len(od) == 0:
+            return out_sch.empty_table()
+        j = li.merge(od.rename(columns={"t_us": "odate_us"}), on="orderkey",
+                     suffixes=("", "_o"))
+        late = j[j["t_us"] > j["odate_us"] + lag_us]
+        g = late.groupby("l_returnflag", as_index=False).agg(
+            high_line_count=("is_high_o", "sum"),
+            low_line_count=("is_high_o", lambda s: int((1 - s).sum())),
+        )
+        return pa.table({
+            "l_returnflag": pa.array(g["l_returnflag"].tolist(),
+                                     pa.string()),
+            "high_line_count": pa.array(
+                g["high_line_count"].to_numpy(np.int64)),
+            "low_line_count": pa.array(
+                g["low_line_count"].to_numpy(np.int64)),
+        }, schema=out_sch)
+
+    partials = (
+        orders.map_batches(order_rows, batch_format="pandas")
+        .union(lineitem.map_batches(li_rows, batch_format="pandas"))
+        .map_batches(bucket, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(collapse, batch_format="pandas")
+    )
+    return bucketed_sum_combine(
+        partials, keys=["l_returnflag"],
+        sum_cols=["high_line_count", "low_line_count"], schema=out_sch,
+    )
+
+
+def q12_oracle_sql(date_from: str = "1996-01-01",
+                   date_to: str = "1997-01-01", late_days: int = 60) -> str:
+    """Oracle for q12_shipping_lateness, generated from the same
+    defaults."""
+    return (
+        "SELECT l_returnflag,"
+        " sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')"
+        "  THEN 1 ELSE 0 END)::BIGINT AS high_line_count,"
+        " sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')"
+        "  THEN 0 ELSE 1 END)::BIGINT AS low_line_count"
+        " FROM lineitem JOIN orders ON l_orderkey = o_orderkey"
+        f" WHERE l_shipdate >= TIMESTAMP '{date_from}'"
+        f"  AND l_shipdate < TIMESTAMP '{date_to}'"
+        f"  AND l_shipdate > o_orderdate + INTERVAL {late_days} DAY"
+        " GROUP BY 1"
+    )
+
+
+# (brand, qty_lo, qty_hi, size_lo, size_hi) — Q19's three disjunctive
+# branches, using brands present in the testdata generator's Brand#N space
+Q19_BRANCHES = (
+    ("Brand#11", 1.0, 11.0, 1, 5),
+    ("Brand#14", 10.0, 20.0, 1, 10),
+    ("Brand#17", 20.0, 30.0, 1, 15),
+)
+
+
+def q19_discounted_revenue(sf_dir: str, branches=Q19_BRANCHES):
+    """TPC-H Q19 shape (discounted revenue, disjunctive predicates):
+    revenue from lineitems whose part matches ANY of three
+    brand/quantity/size branches. Adapted to the testdata schema (no
+    p_container/l_shipmode/l_shipinstruct — the brand + quantity + size
+    disjunction is what survives the pared-down columns).
+
+    100-TB plan: part is a dimension table — its (partkey -> brand, size)
+    projection broadcasts ONCE via ray.put and every lineitem batch
+    resolves it with a vectorized searchsorted lookup inside map_batches;
+    the OR of the branches evaluates as numpy masks and each batch reduces
+    to one integer-cents partial. No shuffle at all — the classic
+    broadcast-join + predicate-pushdown scan."""
+    import ray
+    import ray.data as rd
+    import pyarrow as pa
+
+    from .common import source_blocks
+
+    part = pd.read_parquet(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_brand", "p_size"]
+    ).sort_values("p_partkey")
+    pk = part["p_partkey"].to_numpy(np.int64)
+    # brand as a small int code so the broadcast payload is 3 numpy arrays
+    brand_names = sorted({b for b, *_ in branches})
+    bcode = {b: i for i, b in enumerate(brand_names)}
+    pbrand = part["p_brand"].map(bcode).fillna(-1).to_numpy(np.int64)
+    psize = part["p_size"].to_numpy(np.int64)
+    dim_ref = ray.put((pk, pbrand, psize))
+    coded_branches = [
+        (bcode[b], qlo, qhi, slo, shi) for b, qlo, qhi, slo, shi in branches
+    ]
+
+    li_path = f"{sf_dir}/lineitem.parquet"
+    ds = rd.read_parquet(
+        li_path,
+        columns=["l_partkey", "l_quantity", "l_extendedprice",
+                 "l_discount"],
+        override_num_blocks=source_blocks(li_path, per_block_bytes=1 << 20),
+    )
+
+    def partial(df: pd.DataFrame) -> pa.Table:
+        keys, codes, sizes = ray.get(dim_ref)
+        lp = df["l_partkey"].to_numpy(np.int64)
+        pos = np.searchsorted(keys, lp)
+        pos = np.clip(pos, 0, len(keys) - 1)
+        found = keys[pos] == lp
+        code, size = codes[pos], sizes[pos]
+        qty = df["l_quantity"].to_numpy(np.float64)
+        keep = np.zeros(len(df), dtype=bool)
+        for bc, qlo, qhi, slo, shi in coded_branches:
+            keep |= ((code == bc) & (qty >= qlo) & (qty <= qhi)
+                     & (size >= slo) & (size <= shi))
+        keep &= found
+        m = df[keep]
+        cents = money_cents(m["l_extendedprice"] * (1 - m["l_discount"]))
+        return pa.table({
+            "revenue_c": pa.array([int(cents.sum())], pa.int64()),
+        })
+
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    return pd.DataFrame({"revenue_c": [int(parts["revenue_c"].sum())]})
+
+
+def q19_oracle_sql(branches=Q19_BRANCHES) -> str:
+    """Oracle for q19_discounted_revenue, generated from the same branch
+    constants."""
+    ors = " OR ".join(
+        f"(p_brand = '{b}' AND l_quantity >= {qlo} AND l_quantity <= {qhi}"
+        f" AND p_size >= {slo} AND p_size <= {shi})"
+        for b, qlo, qhi, slo, shi in branches
+    )
+    return (
+        "SELECT coalesce(sum(floor(l_extendedprice * (1 - l_discount)"
+        " * 100 + 0.5)::BIGINT), 0)::BIGINT AS revenue_c"
+        " FROM lineitem JOIN part ON p_partkey = l_partkey"
+        f" WHERE {ors}"
+    )
+
+
+def q21_waiting_suppliers(sf_dir: str, status: str = "F",
+                          num_partitions: int | None = None):
+    """TPC-H Q21 shape (suppliers who kept orders waiting): in finished
+    ('F') multi-supplier orders, the supplier who ALONE shipped last held
+    the order up; count such orders per supplier. Adapted to the testdata
+    schema (no l_commitdate/l_receiptdate): lateness ranks by l_shipdate —
+    the same EXISTS (another supplier) + NOT EXISTS (another LATE
+    supplier) intra-order peer comparison, decorrelated.
+
+    100-TB plan: lineitem pre-reduces per batch to (orderkey, suppkey,
+    max shipdate) rows; 'F' orderkeys ride the same ONE bucketed
+    hash(orderkey) exchange as marker rows. Each bucket settles every
+    order it owns locally (distinct-supplier count, unique-argmax test)
+    and emits (suppkey, numwait) partials into a supplier-bounded combine;
+    names resolve from the broadcast-scale supplier table at the end."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from .common import (bucketed_sum_combine, cluster_partitions,
+                         source_blocks)
+
+    if num_partitions is None:
+        num_partitions = cluster_partitions()
+
+    uni_sch = pa.schema([
+        ("orderkey", pa.int64()), ("suppkey", pa.int64()),
+        ("t_us", pa.int64()), ("is_order", pa.int8()),
+    ])
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_orderstatus"],
+    )
+
+    def order_rows(df: pd.DataFrame) -> pa.Table:
+        m = df[df["o_orderstatus"] == status]
+        n = len(m)
+        return pa.table({
+            "orderkey": pa.array(m["o_orderkey"].to_numpy(np.int64)),
+            "suppkey": pa.array(np.full(n, -1, np.int64)),
+            "t_us": pa.array(np.zeros(n, np.int64)),
+            "is_order": pa.array(np.ones(n, np.int8), pa.int8()),
+        }, schema=uni_sch)
+
+    li_path = f"{sf_dir}/lineitem.parquet"
+    lineitem = rd.read_parquet(
+        li_path, columns=["l_orderkey", "l_suppkey", "l_shipdate"],
+        override_num_blocks=source_blocks(li_path, per_block_bytes=1 << 20),
+    )
+
+    def li_partial(df: pd.DataFrame) -> pa.Table:
+        g = df.assign(
+            ship_us=df["l_shipdate"].astype("datetime64[us]").astype("int64")
+        ).groupby(["l_orderkey", "l_suppkey"], as_index=False).agg(
+            t_us=("ship_us", "max"))
+        n = len(g)
+        return pa.table({
+            "orderkey": pa.array(g["l_orderkey"].to_numpy(np.int64)),
+            "suppkey": pa.array(g["l_suppkey"].to_numpy(np.int64)),
+            "t_us": pa.array(g["t_us"].to_numpy(np.int64)),
+            "is_order": pa.array(np.zeros(n, np.int8), pa.int8()),
+        }, schema=uni_sch)
+
+    def bucket(batch: pa.Table) -> pa.Table:
+        k = np.asarray(batch["orderkey"].to_pylist(), dtype=np.int64)
+        return batch.append_column(
+            "part", pa.array((k % num_partitions).astype(np.int32),
+                             pa.int32()))
+
+    nw_sch = pa.schema([("s_suppkey", pa.int64()), ("numwait", pa.int64())])
+
+    def collapse(df: pd.DataFrame) -> pa.Table:
+        if len(df) == 0 or "is_order" not in df.columns:
+            return nw_sch.empty_table()
+        fkeys = df.loc[df["is_order"] == 1, ["orderkey"]].drop_duplicates()
+        li = df[df["is_order"] == 0]
+        if len(fkeys) == 0 or len(li) == 0:
+            return nw_sch.empty_table()
+        # combine cross-batch partials, keep only 'F' orders
+        sm = li.merge(fkeys, on="orderkey").groupby(
+            ["orderkey", "suppkey"], as_index=False).agg(
+                t_us=("t_us", "max"))
+        st = sm.groupby("orderkey")
+        nsupp = st["suppkey"].transform("size").to_numpy(np.int64)
+        omax = st["t_us"].transform("max").to_numpy(np.int64)
+        at_max = sm["t_us"].to_numpy(np.int64) == omax
+        nwin = sm.assign(w=at_max.astype(np.int64)).groupby(
+            "orderkey")["w"].transform("sum").to_numpy(np.int64)
+        winners = sm[(nsupp >= 2) & at_max & (nwin == 1)]
+        g = winners.groupby("suppkey", as_index=False).size()
+        return pa.table({
+            "s_suppkey": pa.array(g["suppkey"].to_numpy(np.int64)),
+            "numwait": pa.array(g["size"].to_numpy(np.int64)),
+        }, schema=nw_sch)
+
+    per_supp = bucketed_sum_combine(
+        orders.map_batches(order_rows, batch_format="pandas")
+        .union(lineitem.map_batches(li_partial, batch_format="pandas"))
+        .map_batches(bucket, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(collapse, batch_format="pandas"),
+        keys=["s_suppkey"], sum_cols=["numwait"], schema=nw_sch,
+    ).to_pandas()
+
+    supp = pd.read_parquet(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_name"]
+    )
+    out = per_supp.merge(supp, on="s_suppkey").sort_values(
+        ["numwait", "s_suppkey"], ascending=[False, True])
+    return pd.DataFrame({
+        "s_suppkey": out["s_suppkey"].astype("int64").to_numpy(),
+        "s_name": out["s_name"].astype(str),
+        "numwait": out["numwait"].astype("int64").to_numpy(),
+    }).reset_index(drop=True)
+
+
+def q21_oracle_sql(status: str = "F") -> str:
+    """Oracle for q21_waiting_suppliers: the identical unique-latest-
+    supplier decorrelation in SQL."""
+    return (
+        "WITH sm AS (SELECT l_orderkey, l_suppkey,"
+        "  max(l_shipdate) AS mx"
+        " FROM lineitem JOIN orders ON l_orderkey = o_orderkey"
+        f" WHERE o_orderstatus = '{status}'"
+        " GROUP BY 1, 2),"
+        " st AS (SELECT l_orderkey, count(*)::BIGINT AS nsupp,"
+        "  max(mx) AS omx FROM sm GROUP BY 1),"
+        " tw AS (SELECT sm.l_orderkey, min(sm.l_suppkey) AS l_suppkey,"
+        "  count(*)::BIGINT AS nwin"
+        " FROM sm JOIN st USING (l_orderkey)"
+        " WHERE sm.mx = st.omx AND st.nsupp >= 2"
+        " GROUP BY 1)"
+        " SELECT s_suppkey, s_name, count(*)::BIGINT AS numwait"
+        " FROM tw JOIN supplier ON s_suppkey = l_suppkey"
+        " WHERE nwin = 1"
+        " GROUP BY 1, 2"
+    )
+
+
+# Q22's "phone prefix" stand-in: the testdata customer table has no
+# c_phone, so the country filter is a fixed nationkey list
+Q22_NATIONS = (1, 3, 5, 7, 9, 11, 13)
+
+
+def q22_sales_opportunity(sf_dir: str, nations=Q22_NATIONS,
+                          since: str = "2000-01-01",
+                          num_partitions: int | None = None):
+    """TPC-H Q22 shape (global sales opportunity): per country, count and
+    total balance of ABOVE-AVERAGE-balance customers who are DORMANT.
+    Adapted to the testdata schema and corpus (no c_phone, and every
+    customer has at least one order): the country filter is a nationkey
+    list instead of phone prefixes, and "never ordered" becomes "no order
+    since ``since``" — the same scalar-subquery broadcast + anti-join,
+    with the anti side pruned at the scan by the date predicate.
+
+    100-TB plan: pass 1 reduces the filtered customer scan to TWO integers
+    (positive-balance cents sum + count) and the average threshold becomes
+    an exact integer cross-multiplication (bal_c * n > sum_c) broadcast in
+    the task closure; pass 2 unions qualifying customers with per-batch
+    DISTINCT order custkeys on ONE bucketed hash(custkey) exchange, where
+    the NOT EXISTS settles locally and emits nation-bounded partials."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from .common import (bucketed_sum_combine, cluster_partitions,
+                         source_blocks)
+
+    if num_partitions is None:
+        num_partitions = cluster_partitions()
+    nation_set = sorted(int(n) for n in nations)
+
+    cust_cols = ["c_custkey", "c_nationkey", "c_acctbal"]
+    cust = rd.read_parquet(f"{sf_dir}/customer.parquet", columns=cust_cols)
+
+    # pass 1: the scalar subquery — avg positive balance over the
+    # in-scope countries, as exact integer partials
+    def avg_partial(df: pd.DataFrame) -> pa.Table:
+        m = df[df["c_nationkey"].isin(nation_set)]
+        bal_c = money_cents(m["c_acctbal"])
+        pos = bal_c[bal_c > 0]
+        return pa.table({
+            "sum_c": pa.array([int(pos.sum())], pa.int64()),
+            "n": pa.array([len(pos)], pa.int64()),
+        })
+
+    parts = cust.map_batches(avg_partial, batch_format="pandas").to_pandas()
+    sum_c, n_pos = int(parts["sum_c"].sum()), int(parts["n"].sum())
+
+    out_sch = pa.schema([
+        ("c_nationkey", pa.int64()), ("numcust", pa.int64()),
+        ("totacctbal_c", pa.int64()),
+    ])
+    if n_pos == 0:
+        return out_sch.empty_table()
+
+    uni_sch = pa.schema([
+        ("custkey", pa.int64()), ("nationkey", pa.int64()),
+        ("bal_c", pa.int64()), ("is_cust", pa.int8()),
+    ])
+
+    def cust_rows(df: pd.DataFrame) -> pa.Table:
+        m = df[df["c_nationkey"].isin(nation_set)]
+        bal_c = money_cents(m["c_acctbal"])
+        # exact integer form of bal > avg(positive bals)
+        above = bal_c * n_pos > sum_c
+        m, bal_c = m[above], bal_c[above]
+        n = len(m)
+        return pa.table({
+            "custkey": pa.array(m["c_custkey"].to_numpy(np.int64)),
+            "nationkey": pa.array(m["c_nationkey"].to_numpy(np.int64)),
+            "bal_c": pa.array(bal_c),
+            "is_cust": pa.array(np.ones(n, np.int8), pa.int8()),
+        }, schema=uni_sch)
+
+    o_path = f"{sf_dir}/orders.parquet"
+    orders = rd.read_parquet(
+        o_path, columns=["o_custkey", "o_orderdate"],
+        override_num_blocks=source_blocks(o_path, per_block_bytes=1 << 20),
+    )
+    t_since = pd.Timestamp(since)
+
+    def order_keys(df: pd.DataFrame) -> pa.Table:
+        m = df[df["o_orderdate"] >= t_since]
+        k = np.unique(m["o_custkey"].to_numpy(np.int64))
+        n = len(k)
+        return pa.table({
+            "custkey": pa.array(k),
+            "nationkey": pa.array(np.zeros(n, np.int64)),
+            "bal_c": pa.array(np.zeros(n, np.int64)),
+            "is_cust": pa.array(np.zeros(n, np.int8), pa.int8()),
+        }, schema=uni_sch)
+
+    def bucket(batch: pa.Table) -> pa.Table:
+        k = np.asarray(batch["custkey"].to_pylist(), dtype=np.int64)
+        return batch.append_column(
+            "part", pa.array((k % num_partitions).astype(np.int32),
+                             pa.int32()))
+
+    def collapse(df: pd.DataFrame) -> pa.Table:
+        if len(df) == 0 or "is_cust" not in df.columns:
+            return out_sch.empty_table()
+        cu = df[df["is_cust"] == 1]
+        if len(cu) == 0:
+            return out_sch.empty_table()
+        have = set(df.loc[df["is_cust"] == 0, "custkey"].tolist())
+        keep = cu[~cu["custkey"].isin(have)]
+        g = keep.groupby("nationkey", as_index=False).agg(
+            numcust=("custkey", "size"), totacctbal_c=("bal_c", "sum"))
+        return pa.table({
+            "c_nationkey": pa.array(g["nationkey"].to_numpy(np.int64)),
+            "numcust": pa.array(g["numcust"].to_numpy(np.int64)),
+            "totacctbal_c": pa.array(g["totacctbal_c"].to_numpy(np.int64)),
+        }, schema=out_sch)
+
+    partials = (
+        cust.map_batches(cust_rows, batch_format="pandas")
+        .union(orders.map_batches(order_keys, batch_format="pandas"))
+        .map_batches(bucket, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(collapse, batch_format="pandas")
+    )
+    return bucketed_sum_combine(
+        partials, keys=["c_nationkey"],
+        sum_cols=["numcust", "totacctbal_c"], schema=out_sch,
+    )
+
+
+def q22_oracle_sql(nations=Q22_NATIONS,
+                   since: str = "2000-01-01") -> str:
+    """Oracle for q22_sales_opportunity: the identical integer
+    cross-multiplied average threshold and NOT EXISTS anti-join."""
+    nlist = ", ".join(str(int(n)) for n in sorted(nations))
+    bal = "floor(c_acctbal * 100 + 0.5)::BIGINT"
+    return (
+        "WITH pos AS (SELECT coalesce(sum(b), 0)::BIGINT AS s,"
+        " count(*)::BIGINT AS n FROM ("
+        f"  SELECT {bal} AS b FROM customer"
+        f"  WHERE c_nationkey IN ({nlist})) WHERE b > 0)"
+        " SELECT c_nationkey::BIGINT AS c_nationkey,"
+        " count(*)::BIGINT AS numcust,"
+        f" sum({bal})::BIGINT AS totacctbal_c"
+        " FROM customer"
+        f" WHERE c_nationkey IN ({nlist})"
+        f"  AND {bal} * (SELECT n FROM pos) > (SELECT s FROM pos)"
+        "  AND NOT EXISTS (SELECT 1 FROM orders"
+        "   WHERE o_custkey = c_custkey"
+        f"   AND o_orderdate >= TIMESTAMP '{since}')"
+        " GROUP BY 1"
+    )

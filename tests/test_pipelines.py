@@ -4343,3 +4343,145 @@ def test_media_png_features(ray_session):
     assert np.array_equal(got["mean_r_micro"], (ids % 256) * 1_000_000)
     assert (got["mean_g_micro"] == 15_500_000).all()  # mean(0..31) = 15.5
     assert np.array_equal(got["mean_b_micro"], (ids * 7 % 256) * 1_000_000)
+
+
+def test_q4_order_priority(ray_session):
+    """Q4's Bloom-pruned EXISTS semi-join equals the pandas recount."""
+    from rayld.pipelines.relational import q4_order_priority
+
+    got = q4_order_priority(SF, num_partitions=4).to_pandas()
+    od = pd.read_parquet(f"{SF}/orders.parquet")
+    li = pd.read_parquet(f"{SF}/lineitem.parquet")
+    od = od[(od["o_orderdate"] >= pd.Timestamp("1996-01-01"))
+            & (od["o_orderdate"] < pd.Timestamp("1996-04-01"))]
+    mx = li.groupby("l_orderkey")["l_shipdate"].max()
+    j = od.assign(mx=od["o_orderkey"].map(mx))
+    late = j[j["mx"] > j["o_orderdate"] + pd.Timedelta(days=60)]
+    want = late.groupby("o_orderpriority").size().to_dict()
+    gm = {r.o_orderpriority: int(r.order_count) for r in got.itertuples()}
+    assert gm == {k: int(v) for k, v in want.items()}
+    assert sum(gm.values()) > 0
+
+
+def test_q12_shipping_lateness(ray_session):
+    """Q12's late-line priority split equals the pandas recount."""
+    from rayld.pipelines.relational import q12_shipping_lateness
+
+    got = q12_shipping_lateness(SF, num_partitions=4).to_pandas()
+    od = pd.read_parquet(f"{SF}/orders.parquet")
+    li = pd.read_parquet(f"{SF}/lineitem.parquet")
+    j = li.merge(od, left_on="l_orderkey", right_on="o_orderkey")
+    m = j[(j["l_shipdate"] >= pd.Timestamp("1996-01-01"))
+          & (j["l_shipdate"] < pd.Timestamp("1997-01-01"))
+          & (j["l_shipdate"] > j["o_orderdate"] + pd.Timedelta(days=60))]
+    hi = m["o_orderpriority"].isin(["1-URGENT", "2-HIGH"])
+    want_hi = m[hi].groupby("l_returnflag").size().to_dict()
+    want_lo = m[~hi].groupby("l_returnflag").size().to_dict()
+    for r in got.itertuples():
+        assert int(r.high_line_count) == int(want_hi.get(r.l_returnflag, 0))
+        assert int(r.low_line_count) == int(want_lo.get(r.l_returnflag, 0))
+    assert set(got["l_returnflag"]) == set(want_hi) | set(want_lo)
+    assert int(got["high_line_count"].sum()) > 0
+
+
+def test_q19_discounted_revenue(ray_session):
+    """Q19's broadcast-dim disjunctive filter equals the pandas recount."""
+    from rayld.pipelines.relational import (Q19_BRANCHES,
+                                            q19_discounted_revenue)
+
+    got = q19_discounted_revenue(SF)
+    li = pd.read_parquet(f"{SF}/lineitem.parquet")
+    pt = pd.read_parquet(f"{SF}/part.parquet")
+    j = li.merge(pt, left_on="l_partkey", right_on="p_partkey")
+    keep = np.zeros(len(j), dtype=bool)
+    for b, qlo, qhi, slo, shi in Q19_BRANCHES:
+        keep |= ((j["p_brand"] == b) & (j["l_quantity"] >= qlo)
+                 & (j["l_quantity"] <= qhi) & (j["p_size"] >= slo)
+                 & (j["p_size"] <= shi)).to_numpy()
+    m = j[keep]
+    want = int(np.floor(
+        m["l_extendedprice"] * (1 - m["l_discount"]) * 100 + 0.5
+    ).astype("int64").sum())
+    assert int(got["revenue_c"].iloc[0]) == want
+    assert want > 0
+
+
+def test_q21_waiting_suppliers(ray_session):
+    """Q21's unique-latest-supplier count equals the pandas recount."""
+    from rayld.pipelines.relational import q21_waiting_suppliers
+
+    got = q21_waiting_suppliers(SF, num_partitions=4)
+    od = pd.read_parquet(f"{SF}/orders.parquet")
+    li = pd.read_parquet(f"{SF}/lineitem.parquet")
+    fk = set(od.loc[od["o_orderstatus"] == "F", "o_orderkey"])
+    sm = li[li["l_orderkey"].isin(fk)].groupby(
+        ["l_orderkey", "l_suppkey"], as_index=False
+    ).agg(mx=("l_shipdate", "max"))
+    want: dict[int, int] = {}
+    for ok, grp in sm.groupby("l_orderkey"):
+        if len(grp) < 2:
+            continue
+        at_max = grp[grp["mx"] == grp["mx"].max()]
+        if len(at_max) == 1:
+            s = int(at_max["l_suppkey"].iloc[0])
+            want[s] = want.get(s, 0) + 1
+    gm = {int(r.s_suppkey): int(r.numwait) for r in got.itertuples()}
+    assert gm == want
+    assert len(gm) > 0
+    # ordered by numwait desc then suppkey
+    nw = got["numwait"].to_numpy()
+    assert (nw[:-1] >= nw[1:]).all()
+
+
+def test_q21_semantics(ray_session, tmp_path):
+    """Synthetic edge cases: a tie at the max is NOT waiting; a
+    single-supplier order is excluded; 'O' orders are excluded."""
+    from rayld.pipelines.relational import q21_waiting_suppliers
+
+    d = pd.Timestamp("1996-01-01")
+    pd.DataFrame({
+        "o_orderkey": [1, 2, 3, 4],
+        "o_orderstatus": ["F", "F", "F", "O"],
+    }).to_parquet(tmp_path / "orders.parquet")
+    pd.DataFrame({
+        # order 1: supp 7 ships last alone -> counts
+        # order 2: supps 7 and 8 tie at the max -> nobody counts
+        # order 3: single supplier -> excluded
+        # order 4: would count but status 'O'
+        "l_orderkey": [1, 1, 2, 2, 3, 4, 4],
+        "l_suppkey": [7, 8, 7, 8, 7, 9, 8],
+        "l_shipdate": [d + pd.Timedelta(days=x)
+                       for x in (9, 1, 5, 5, 3, 9, 1)],
+    }).to_parquet(tmp_path / "lineitem.parquet")
+    pd.DataFrame({
+        "s_suppkey": [7, 8, 9],
+        "s_name": ["s7", "s8", "s9"],
+    }).to_parquet(tmp_path / "supplier.parquet")
+    got = q21_waiting_suppliers(str(tmp_path), num_partitions=2)
+    assert {int(r.s_suppkey): int(r.numwait)
+            for r in got.itertuples()} == {7: 1}
+
+
+def test_q22_sales_opportunity(ray_session):
+    """Q22's dormant above-average-balance anti-join equals the pandas
+    recount (exact integer-cents average threshold)."""
+    from rayld.pipelines.relational import (Q22_NATIONS,
+                                            q22_sales_opportunity)
+
+    got = q22_sales_opportunity(SF, num_partitions=4).to_pandas()
+    cu = pd.read_parquet(f"{SF}/customer.parquet")
+    od = pd.read_parquet(f"{SF}/orders.parquet")
+    cu = cu[cu["c_nationkey"].isin(Q22_NATIONS)]
+    bal_c = np.floor(cu["c_acctbal"] * 100 + 0.5).astype("int64")
+    pos = bal_c[bal_c > 0]
+    s, n = int(pos.sum()), int(len(pos))
+    recent = set(od.loc[
+        od["o_orderdate"] >= pd.Timestamp("2000-01-01"), "o_custkey"])
+    keep = cu[(bal_c * n > s) & ~cu["c_custkey"].isin(recent)]
+    kb = np.floor(keep["c_acctbal"] * 100 + 0.5).astype("int64")
+    want = keep.assign(b=kb).groupby("c_nationkey").agg(
+        numcust=("c_custkey", "size"), tot=("b", "sum"))
+    gm = {int(r.c_nationkey): (int(r.numcust), int(r.totacctbal_c))
+          for r in got.itertuples()}
+    assert gm == {int(k): (int(v["numcust"]), int(v["tot"]))
+                  for k, v in want.iterrows()}
