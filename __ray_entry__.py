@@ -409,11 +409,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # canaries (families verified in r01-r04) + the new fromRDF gate
         "kg_parity_check", "kg_fromrdf_check", "user_jaccard_similarity",
         "jsonld_normalize_check", "token_frequencies",
-        # TPC-H (never driver-sampled)
-        "q1_pricing", "q3_shipping_priority", "q5_local_supplier_volume",
-        "q6_forecast_revenue", "q7_volume_shipping", "q8_market_share",
-        "q10_returned_items", "q13_customer_distribution",
-        "q14_promo_revenue", "q15_top_supplier",
+        # TPC-H (never driver-sampled; the five newest shapes — Q4/Q12/
+        # Q19/Q21/Q22, written after the round-5 window reorder — replace
+        # five older same-family shapes so the youngest code gets the
+        # driver hash-check; Q5/Q7/Q8/Q13/Q14 remain builder-gated at
+        # three scales and follow right after the window)
+        "q1_pricing", "q3_shipping_priority", "q4_order_priority",
+        "q6_forecast_revenue", "q12_shipping_lateness",
+        "q19_discounted_revenue", "q21_waiting_suppliers",
+        "q22_sales_opportunity",
+        "q10_returned_items", "q15_top_supplier",
         "q17_small_quantity_revenue", "q18_large_orders",
         # relational / windowed / warehouse
         "events_hourly", "user_sessions", "asof_join_attribution",
