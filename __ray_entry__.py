@@ -187,6 +187,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_common_neighbors": graph.user_common_neighbors,
         "user_resource_allocation": graph.user_resource_allocation,
         "user_jaccard_similarity": graph.user_jaccard_similarity,
+        "user_clustering_coefficient": graph.user_clustering_coefficient,
+        "user_degree_assortativity": graph.user_degree_assortativity,
         "user_kcore": lambda sf: graph.user_kcore(sf, k=91),
         "user_kcore_check": lambda sf: graph.user_kcore_check(sf, k=91),
         # JSON-LD API surface A1-A7 + S1/S2 (non-SQL)
@@ -296,6 +298,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hourly": relational.events_hourly,
         "events_sliding": relational.events_sliding,
         "user_sessions": relational.user_sessions,
+        "event_type_transitions": relational.event_type_transitions,
         "session_concurrency": relational.session_concurrency,
         "gap_percentiles_by_type": relational.gap_percentiles_by_type,
         "late_event_stats": relational.late_event_stats,
@@ -2061,6 +2064,72 @@ def oracle_sql() -> dict[str, str]:
             "   // (2 * (du.d + dv.d - n)))::BIGINT AS jac_micro"
             " FROM na JOIN deg du ON du.w = na.u"
             " JOIN deg dv ON dv.w = na.v"
+        ),
+        # per-node local clustering coefficient in exact integer
+        # micro-units: lcc = 2*T(u) / (d*(d-1)); twice_t(u) sums the
+        # per-EDGE common-neighbor counts over u's incident edges (each
+        # triangle at u counted once per incident edge). Non-negative
+        # operands, so // agrees between DuckDB and the engine.
+        "user_clustering_coefficient": (
+            "WITH uk AS (SELECT DISTINCT user_id AS u,"
+            "   json_extract_string(props, '$.k')::BIGINT AS k"
+            "  FROM events WHERE event_type = 'purchase'),"
+            " e AS (SELECT DISTINCT a.u AS p, b.u AS q"
+            "  FROM uk a JOIN uk b USING (k) WHERE a.u < b.u),"
+            " adj AS (SELECT p AS w, q AS x FROM e"
+            "  UNION ALL SELECT q, p FROM e),"
+            " deg AS (SELECT w AS node, count(DISTINCT x)::BIGINT AS d"
+            "  FROM adj GROUP BY 1),"
+            " cn AS (SELECT a.x AS u, b.x AS v, count(*)::BIGINT AS n"
+            "  FROM adj a JOIN adj b ON a.w = b.w AND a.x < b.x"
+            "  GROUP BY 1, 2),"
+            " te AS (SELECT cn.u, cn.v, n FROM cn"
+            "  JOIN e ON e.p = cn.u AND e.q = cn.v),"
+            " t2 AS (SELECT node, sum(n)::BIGINT AS twice_t FROM"
+            "  (SELECT u AS node, n FROM te UNION ALL SELECT v, n FROM te)"
+            "  GROUP BY 1)"
+            " SELECT deg.node, deg.d,"
+            "  (coalesce(twice_t, 0) // 2)::BIGINT AS tri,"
+            "  ((1000000 * coalesce(twice_t, 0))"
+            "   // (deg.d * (deg.d - 1)))::BIGINT AS lcc_micro"
+            " FROM deg LEFT JOIN t2 USING (node) WHERE deg.d >= 2"
+        ),
+        # degree assortativity as exact integer moments over the
+        # directed-both edge list (x/y marginals coincide, so Pearson is
+        # rational); micro-units via HUGEINT // which truncates toward
+        # zero exactly like the engine's sign*(abs//den) fold
+        "user_degree_assortativity": (
+            "WITH uk AS (SELECT DISTINCT user_id AS u,"
+            "   json_extract_string(props, '$.k')::BIGINT AS k"
+            "  FROM events WHERE event_type = 'purchase'),"
+            " e AS (SELECT DISTINCT a.u AS p, b.u AS q"
+            "  FROM uk a JOIN uk b USING (k) WHERE a.u < b.u),"
+            " adj AS (SELECT p AS w, q AS x FROM e"
+            "  UNION ALL SELECT q, p FROM e),"
+            " deg AS (SELECT w, count(DISTINCT x)::BIGINT AS d"
+            "  FROM adj GROUP BY 1),"
+            " dd AS (SELECT du.d AS x, dv.d AS y FROM adj"
+            "  JOIN deg du ON du.w = adj.w JOIN deg dv ON dv.w = adj.x),"
+            " s AS (SELECT count(*)::HUGEINT AS n, sum(x)::HUGEINT AS sx,"
+            "   sum(x * x)::HUGEINT AS sxx, sum(x * y)::HUGEINT AS sxy"
+            "  FROM dd)"
+            " SELECT n::BIGINT AS n_pairs, sx::BIGINT AS s_x,"
+            "  sxx::BIGINT AS s_xx, sxy::BIGINT AS s_xy,"
+            "  (CASE WHEN n * sxx - sx * sx = 0 THEN 0"
+            "   ELSE (1000000 * (n * sxy - sx * sx))"
+            "    // (n * sxx - sx * sx) END)::BIGINT AS assort_micro"
+            " FROM s"
+        ),
+        # first-order Markov transition counts per user stream; the
+        # (ts, event_id) ORDER BY is a total order (event_id unique), so
+        # the window and the engine's mergesort agree row-for-row
+        "event_type_transitions": (
+            "WITH t AS (SELECT user_id, event_type,"
+            "  lag(event_type) OVER (PARTITION BY user_id"
+            "   ORDER BY ts, event_id) AS prev_type FROM events)"
+            " SELECT prev_type, event_type AS next_type,"
+            "  count(*)::BIGINT AS n FROM t"
+            " WHERE prev_type IS NOT NULL GROUP BY 1, 2"
         ),
         # TPC-H Q5: same-nation customer+supplier revenue per nation in a
         # region; per-item integer cents, half-up, summed exactly

@@ -1321,11 +1321,14 @@ def user_common_neighbors_bench(sf_dir: str, user_mod: int = 3,
 
 
 def _common_neighbor_counts(edges, num_partitions: int,
-                            max_neighbors_per_node: int | None = None):
-    """Shared core of the link-prediction family: non-adjacent (u, v)
-    pairs of a materialized (p, q) edge set with their exact common-
-    neighbor count (the ``user_common_neighbors`` plan; also feeds the
-    Jaccard score)."""
+                            max_neighbors_per_node: int | None = None,
+                            keep: str = "nonedges"):
+    """Shared core of the link-prediction family: (u, v) pairs of a
+    materialized (p, q) edge set with their exact common-neighbor count.
+    ``keep="nonedges"`` (default) returns the NON-adjacent pairs — the
+    ``user_common_neighbors`` plan, also feeding the Jaccard score;
+    ``keep="edges"`` returns the ADJACENT pairs instead, i.e. per-edge
+    triangle counts (the clustering-coefficient numerator)."""
     pair_bucket = _pair_bucket(num_partitions)
 
     def explode(batch: pa.Table) -> pa.Table:
@@ -1388,7 +1391,8 @@ def _common_neighbor_counts(edges, num_partitions: int,
         g = df.groupby(["p", "q"], as_index=False).agg(
             n_common=("n_common", "sum"), is_edge=("is_edge", "max")
         )
-        g = g[(g["is_edge"] == 0) & (g["n_common"] > 0)]
+        want_edge = 1 if keep == "edges" else 0
+        g = g[(g["is_edge"] == want_edge) & (g["n_common"] > 0)]
         return pa.table({
             "u": pa.array(g["p"].to_numpy(np.int64)),
             "v": pa.array(g["q"].to_numpy(np.int64)),
@@ -1744,3 +1748,199 @@ def user_bfs_depth(sf_dir: str, event_type: str = "purchase",
         )
 
     return visited
+
+
+def user_clustering_coefficient(sf_dir: str, event_type: str = "purchase",
+                                num_partitions: int | None = None):
+    """Per-node local clustering coefficient of the user projection graph
+    in exact integer MICRO-units: for every node with degree >= 2,
+    ``lcc_micro = (1e6 * 2*T(u)) // (d * (d - 1))`` where T(u) is the
+    node's triangle count (truncating division — both operands are
+    non-negative, so engine and DuckDB ``//`` agree exactly).
+
+    Plan: the shared ``_common_neighbor_counts`` core with
+    ``keep="edges"`` yields per-EDGE triangle counts t(u,v) = |N(u) ∩
+    N(v)| (one wedge exchange + one pair-key exchange, both bucketed);
+    endpoint-explode sums them into ``2*T(u)`` per node (every triangle
+    at u is counted once via each of its two incident edges); a final
+    bucketed union-merge LEFT-joins the (tiny, materialized) degree
+    table so zero-triangle nodes still appear. Nothing node- or
+    edge-sized ever reaches the driver."""
+    from .common import bucketed_sum_combine, cluster_partitions
+
+    if num_partitions is None:
+        num_partitions = cluster_partitions()
+
+    edges = _projection_edges(sf_dir, event_type, num_partitions)
+    degs = _edge_degrees(edges, num_partitions)
+    ecn = _common_neighbor_counts(edges, num_partitions, keep="edges")
+
+    def explode_t2(batch: pa.Table) -> pa.Table:
+        u = np.asarray(batch["u"].to_pylist(), dtype=np.int64)
+        v = np.asarray(batch["v"].to_pylist(), dtype=np.int64)
+        t = np.asarray(batch["n_common"].to_pylist(), dtype=np.int64)
+        return pa.table({
+            "node": pa.array(np.concatenate([u, v])),
+            "t2": pa.array(np.concatenate([t, t])),
+        })
+
+    t2 = bucketed_sum_combine(
+        ecn.map_batches(explode_t2, batch_format="pyarrow"),
+        keys=["node"], sum_cols=["t2"],
+        schema=pa.schema([("node", pa.int64()), ("t2", pa.int64())]),
+        num_partitions=num_partitions,
+    )
+
+    out_sch = pa.schema([
+        ("node", pa.int64()), ("d", pa.int64()),
+        ("tri", pa.int64()), ("lcc_micro", pa.int64()),
+    ])
+
+    def deg_rows(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return pa.table({
+            "node": batch["node"], "d": batch["d"],
+            "t2": pa.array(np.zeros(n, np.int64)),
+            "is_deg": pa.array(np.ones(n, np.int8)),
+        })
+
+    def t2_rows(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return pa.table({
+            "node": batch["node"],
+            "d": pa.array(np.zeros(n, np.int64)),
+            "t2": batch["t2"],
+            "is_deg": pa.array(np.zeros(n, np.int8)),
+        })
+
+    def merge_lcc(df: pd.DataFrame) -> pa.Table:
+        dd = df[df["is_deg"] == 1]
+        dd = dd[dd["d"] >= 2]
+        if len(dd) == 0:
+            return out_sch.empty_table()
+        tmap = df[df["is_deg"] == 0].set_index("node")["t2"]
+        node = dd["node"].to_numpy(np.int64)
+        d = dd["d"].to_numpy(np.int64)
+        t2v = dd["node"].map(tmap).fillna(0).to_numpy(np.int64)
+        return pa.table({
+            "node": pa.array(node),
+            "d": pa.array(d),
+            "tri": pa.array(t2v // 2),
+            "lcc_micro": pa.array((1_000_000 * t2v) // (d * (d - 1))),
+        }, schema=out_sch)
+
+    from .dedup import _bucketed_hash_join
+
+    return _bucketed_hash_join(
+        degs.map_batches(deg_rows, batch_format="pyarrow"),
+        t2.map_batches(t2_rows, batch_format="pyarrow"),
+        key="node", num_partitions=num_partitions, merge_fn=merge_lcc,
+    )
+
+
+def user_degree_assortativity(sf_dir: str, event_type: str = "purchase",
+                              num_partitions: int | None = None):
+    """Degree assortativity of the user projection graph as ONE row of
+    exact integers: over the DIRECTED-both edge list (each undirected
+    edge contributes (deg u, deg v) and (deg v, deg u), so the x/y
+    marginals coincide and Pearson needs no square root):
+
+        r = (n*s_xy - s_x^2) / (n*s_xx - s_x^2)
+
+    reported as ``assort_micro`` = 1e6 * r with division TRUNCATED
+    toward zero (DuckDB ``//`` semantics — the numerator is negative on
+    disassortative hub graphs, where Python ``//`` would floor instead;
+    the fold runs in unbounded Python ints so the 100-TB moments cannot
+    overflow, and the raw moments are emitted alongside).
+
+    Plan: degrees attach to both edge endpoints via two bucketed hash
+    joins over the edge table (the ``user_triangles`` degree-attach
+    shape), then one integer moment partial per block folds on the
+    driver — block-count rows, never anything edge-sized."""
+    from .common import cluster_partitions
+    from .dedup import _bucketed_hash_join
+
+    if num_partitions is None:
+        num_partitions = cluster_partitions()
+
+    edges = _projection_edges(sf_dir, event_type, num_partitions)
+    degs = _edge_degrees(edges, num_partitions)
+
+    def edge_as(key: str, carry: str | None):
+        def fn(batch: pa.Table) -> pa.Table:
+            n = batch.num_rows
+            cols = {
+                "node": batch[key],
+                "p": batch["p"], "q": batch["q"],
+                "d": pa.array(np.zeros(n, np.int64)),
+                "is_deg": pa.array(np.zeros(n, np.int8)),
+                "dp": (batch[carry] if carry else
+                       pa.array(np.zeros(n, np.int64))),
+            }
+            return pa.table(cols)
+        return fn
+
+    def deg_side(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return pa.table({
+            "node": batch["node"],
+            "p": pa.array(np.full(n, -1, np.int64)),
+            "q": pa.array(np.full(n, -1, np.int64)),
+            "d": batch["d"],
+            "is_deg": pa.array(np.ones(n, np.int8)),
+            "dp": pa.array(np.zeros(n, np.int64)),
+        })
+
+    def merge_deg(out_col: str):
+        def fn(df: pd.DataFrame) -> pa.Table:
+            dmap = df[df["is_deg"] == 1].set_index("node")["d"]
+            e = df[df["is_deg"] == 0]
+            return pa.table({
+                "p": pa.array(e["p"].to_numpy(np.int64)),
+                "q": pa.array(e["q"].to_numpy(np.int64)),
+                "dp": pa.array(e["dp"].to_numpy(np.int64)),
+                out_col: pa.array(e["node"].map(dmap).to_numpy(np.int64)),
+            })
+        return fn
+
+    j1 = _bucketed_hash_join(
+        edges.map_batches(edge_as("p", None), batch_format="pyarrow"),
+        degs.map_batches(deg_side, batch_format="pyarrow"),
+        key="node", num_partitions=num_partitions,
+        merge_fn=merge_deg("dp2"),
+    ).map_batches(
+        lambda b: pa.table({"p": b["p"], "q": b["q"], "dp": b["dp2"]}),
+        batch_format="pyarrow",
+    )
+    j2 = _bucketed_hash_join(
+        j1.map_batches(edge_as("q", "dp"), batch_format="pyarrow"),
+        degs.map_batches(deg_side, batch_format="pyarrow"),
+        key="node", num_partitions=num_partitions,
+        merge_fn=merge_deg("dq"),
+    )
+
+    def moments(batch: pa.Table) -> pa.Table:
+        dp = np.asarray(batch["dp"].to_pylist(), dtype=np.int64)
+        dq = np.asarray(batch["dq"].to_pylist(), dtype=np.int64)
+        return pa.table({
+            "n": pa.array([2 * len(dp)], pa.int64()),
+            "sx": pa.array([int(dp.sum() + dq.sum())], pa.int64()),
+            "sxx": pa.array([int((dp * dp).sum() + (dq * dq).sum())],
+                            pa.int64()),
+            "sxy": pa.array([2 * int((dp * dq).sum())], pa.int64()),
+        })
+
+    parts = j2.map_batches(moments, batch_format="pyarrow").to_pandas()
+    n = int(parts["n"].sum()) if len(parts) else 0
+    sx = int(parts["sx"].sum()) if len(parts) else 0
+    sxx = int(parts["sxx"].sum()) if len(parts) else 0
+    sxy = int(parts["sxy"].sum()) if len(parts) else 0
+    num = n * sxy - sx * sx
+    den = n * sxx - sx * sx
+    micro = 0 if den == 0 else (
+        (abs(1_000_000 * num) // den) * (1 if num >= 0 else -1)
+    )
+    return pd.DataFrame({
+        "n_pairs": [n], "s_x": [sx], "s_xx": [sxx], "s_xy": [sxy],
+        "assort_micro": [micro],
+    }).astype("int64")

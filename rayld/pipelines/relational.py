@@ -285,6 +285,63 @@ def user_sessions(sf_dir: str, gap_minutes: int = 30,
     ).map_groups(sessionize_partition, batch_format="pandas")
 
 
+def event_type_transitions(sf_dir: str, num_partitions: int | None = None):
+    """First-order Markov transition counts over each user's event stream:
+    for every consecutive pair under the total order (ts, event_id) within
+    a user, count (prev_type -> next_type). ONE bucketed hash(user_id)
+    exchange (the ``user_sessions`` pattern — one Ray group per bucket,
+    hot users de-skewed across fixed-size buckets), consecutive pairs
+    vectorized by a whole-partition sort + shift, per-bucket partial
+    counts, then the bounded-cardinality house combine (the matrix is at
+    most |types|^2 rows). Output: (prev_type, next_type, n)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from .common import bucketed_sum_combine, cluster_partitions
+
+    if num_partitions is None:
+        num_partitions = cluster_partitions()
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "event_type", "ts", "event_id"],
+    )
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        parts = crc32_buckets(batch["user_id"].to_pylist(), num_partitions)
+        return batch.append_column("part", pa.array(parts, pa.int32()))
+
+    part_sch = pa.schema([
+        ("prev_type", pa.string()), ("next_type", pa.string()),
+        ("n", pa.int64()),
+    ])
+
+    def transitions(part: pd.DataFrame) -> pa.Table:
+        part = part.sort_values(
+            ["user_id", "ts", "event_id"], kind="mergesort"
+        )
+        prev = part["event_type"].shift(1)
+        same_user = part["user_id"].eq(part["user_id"].shift(1))
+        sel = part.assign(prev_type=prev)[same_user]
+        if len(sel) == 0:
+            return part_sch.empty_table()
+        g = sel.groupby(
+            ["prev_type", "event_type"], as_index=False, sort=False
+        ).size()
+        return pa.table({
+            "prev_type": pa.array(g["prev_type"], pa.string()),
+            "next_type": pa.array(g["event_type"], pa.string()),
+            "n": pa.array(g["size"].to_numpy(np.int64)),
+        }, schema=part_sch)
+
+    partials = ds.map_batches(add_part, batch_format="pyarrow").groupby(
+        "part"
+    ).map_groups(transitions, batch_format="pandas")
+    return bucketed_sum_combine(
+        partials, keys=["prev_type", "next_type"], sum_cols=["n"],
+        schema=part_sch, num_partitions=max(8, num_partitions // 8),
+    )
+
+
 def order_revenue_by_status(sf_dir: str, num_partitions: int | None = None):
     """Large-large hash join: lineitem x orders on orderkey via Dataset.join
     (hash-partitioned on the key), then a tiny grouped sum. Revenue in

@@ -4485,3 +4485,97 @@ def test_q22_sales_opportunity(ray_session):
           for r in got.itertuples()}
     assert gm == {int(k): (int(v["numcust"]), int(v["tot"]))
                   for k, v in want.iterrows()}
+
+
+def _projection_brute(sf: str):
+    """Brute-force shared-k projection graph: (edges set, neighbor map)."""
+    import json as _json
+    from collections import defaultdict
+
+    ev = pd.read_parquet(f"{sf}/events.parquet",
+                         columns=["user_id", "event_type", "props"])
+    sel = ev[ev["event_type"] == "purchase"]
+    by_k = defaultdict(set)
+    for _, r in sel.iterrows():
+        k = _json.loads(r["props"]).get("k") if r["props"] else None
+        if k is not None:
+            by_k[int(k)].add(int(r["user_id"]))
+    edges = set()
+    for users in by_k.values():
+        us = sorted(users)
+        for i in range(len(us)):
+            for j in range(i + 1, len(us)):
+                edges.add((us[i], us[j]))
+    nbr = defaultdict(set)
+    for p, q in edges:
+        nbr[p].add(q)
+        nbr[q].add(p)
+    return edges, nbr
+
+
+def test_user_clustering_coefficient(ray_session):
+    """Per-node lcc_micro equals a brute-force triangle recount: twice_t(u)
+    sums |N(u) ∩ N(v)| over u's incident edges; zero-triangle nodes with
+    d >= 2 still appear with lcc_micro = 0."""
+    from rayld.pipelines.graph import user_clustering_coefficient
+
+    got = user_clustering_coefficient(SF, num_partitions=4).to_pandas()
+    edges, nbr = _projection_brute(SF)
+    want = {}
+    for u, ns in nbr.items():
+        d = len(ns)
+        if d < 2:
+            continue
+        t2 = sum(len(ns & nbr[v]) for v in ns)
+        want[u] = (d, t2 // 2, (1_000_000 * t2) // (d * (d - 1)))
+    m = {int(r.node): (int(r.d), int(r.tri), int(r.lcc_micro))
+         for r in got.itertuples()}
+    assert m == want
+    assert any(v[2] == 0 for v in m.values()) or all(
+        v[1] > 0 for v in m.values()
+    )
+
+
+def test_user_degree_assortativity(ray_session):
+    """Integer moments over the directed-both edge list match a brute
+    recount, and assort_micro uses truncation toward zero (the DuckDB //
+    semantics) on the exact rational."""
+    from rayld.pipelines.graph import user_degree_assortativity
+
+    got = user_degree_assortativity(SF, num_partitions=4)
+    edges, nbr = _projection_brute(SF)
+    deg = {u: len(ns) for u, ns in nbr.items()}
+    xs, ys = [], []
+    for p, q in edges:
+        xs += [deg[p], deg[q]]
+        ys += [deg[q], deg[p]]
+    n = len(xs)
+    sx = sum(xs)
+    sxx = sum(x * x for x in xs)
+    sxy = sum(x * y for x, y in zip(xs, ys))
+    num, den = n * sxy - sx * sx, n * sxx - sx * sx
+    micro = 0 if den == 0 else (
+        (abs(1_000_000 * num) // den) * (1 if num >= 0 else -1)
+    )
+    r = got.iloc[0]
+    assert (int(r.n_pairs), int(r.s_x), int(r.s_xx), int(r.s_xy),
+            int(r.assort_micro)) == (n, sx, sxx, sxy, micro)
+
+
+def test_event_type_transitions(ray_session):
+    """Transition counts equal a single-frame pandas recount under the
+    same (ts, event_id) total order; rows never cross users."""
+    from rayld.pipelines.relational import event_type_transitions
+
+    got = event_type_transitions(SF, num_partitions=4).to_pandas()
+    ev = pd.read_parquet(
+        f"{SF}/events.parquet",
+        columns=["user_id", "event_type", "ts", "event_id"],
+    ).sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+    prev = ev["event_type"].shift(1)
+    same = ev["user_id"].eq(ev["user_id"].shift(1))
+    sel = ev.assign(prev_type=prev)[same]
+    want = sel.groupby(["prev_type", "event_type"]).size().to_dict()
+    m = {(r.prev_type, r.next_type): int(r.n) for r in got.itertuples()}
+    assert m == want
+    assert sum(m.values()) == int(same.sum())
