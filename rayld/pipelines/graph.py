@@ -1773,7 +1773,14 @@ def user_clustering_coefficient(sf_dir: str, event_type: str = "purchase",
 
     edges = _projection_edges(sf_dir, event_type, num_partitions)
     degs = _edge_degrees(edges, num_partitions)
-    ecn = _common_neighbor_counts(edges, num_partitions, keep="edges")
+    # materialize = breaker between the CN core's pair-key exchange and
+    # the two downstream exchanges (sum + join): the unbroken chain
+    # measured 173-256s at sf0.1/8cpu vs ~75s for the same core under
+    # jaccard, which breaks here too (CLAUDE.md chained-all-to-all rule);
+    # the edge-CN table is at most edge-sized, cheap to pin
+    ecn = _common_neighbor_counts(
+        edges, num_partitions, keep="edges"
+    ).materialize()
 
     def explode_t2(batch: pa.Table) -> pa.Table:
         u = np.asarray(batch["u"].to_pylist(), dtype=np.int64)
