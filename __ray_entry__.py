@@ -299,6 +299,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sliding": relational.events_sliding,
         "user_sessions": relational.user_sessions,
         "event_type_transitions": relational.event_type_transitions,
+        "events_pivot_by_type": relational.events_pivot_by_type,
+        "event_value_autocorr": relational.event_value_autocorr,
         "session_concurrency": relational.session_concurrency,
         "gap_percentiles_by_type": relational.gap_percentiles_by_type,
         "late_event_stats": relational.late_event_stats,
@@ -2119,6 +2121,38 @@ def oracle_sql() -> dict[str, str]:
             "   ELSE (1000000 * (n * sxy - sx * sx))"
             "    // (n * sxx - sx * sx) END)::BIGINT AS assort_micro"
             " FROM s"
+        ),
+        # PIVOT onto the generator's closed event-type universe (fixed
+        # columns on both sides; the engine raises loudly on an unseen
+        # type rather than silently dropping it)
+        "events_pivot_by_type": (
+            "SELECT epoch(date_trunc('day', ts))::BIGINT AS day_start,"
+            " (count(*) FILTER (WHERE event_type = 'click'))::BIGINT"
+            "   AS n_click,"
+            " (count(*) FILTER (WHERE event_type = 'error'))::BIGINT"
+            "   AS n_error,"
+            " (count(*) FILTER (WHERE event_type = 'purchase'))::BIGINT"
+            "   AS n_purchase,"
+            " (count(*) FILTER (WHERE event_type = 'signup'))::BIGINT"
+            "   AS n_signup,"
+            " (count(*) FILTER (WHERE event_type = 'view'))::BIGINT"
+            "   AS n_view,"
+            " count(*)::BIGINT AS n_total"
+            " FROM events GROUP BY 1"
+        ),
+        # lag-1 value autocorrelation as exact integer-cent moments over
+        # consecutive pairs per user stream (the Pearson epilogue needs a
+        # sqrt, so the hash-compared surface is the moments themselves)
+        "event_value_autocorr": (
+            "WITH t AS (SELECT user_id,"
+            "  floor(value * 100 + 0.5)::BIGINT AS v, ts, event_id"
+            "  FROM events),"
+            " p AS (SELECT v AS x, lead(v) OVER (PARTITION BY user_id"
+            "   ORDER BY ts, event_id) AS y FROM t)"
+            " SELECT count(*)::BIGINT AS n_pairs, sum(x)::BIGINT AS s_x,"
+            "  sum(y)::BIGINT AS s_y, sum(x * x)::BIGINT AS s_xx,"
+            "  sum(y * y)::BIGINT AS s_yy, sum(x * y)::BIGINT AS s_xy"
+            " FROM p WHERE y IS NOT NULL"
         ),
         # first-order Markov transition counts per user stream; the
         # (ts, event_id) ORDER BY is a total order (event_id unique), so

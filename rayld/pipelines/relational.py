@@ -342,6 +342,137 @@ def event_type_transitions(sf_dir: str, num_partitions: int | None = None):
     )
 
 
+# The corpus generator's closed event-type universe. events_pivot_by_type
+# pivots onto these as FIXED columns (the PIVOT shape needs a static
+# schema); an unseen type fails LOUDLY instead of silently dropping rows
+# (the token_frequencies pigeonhole lesson).
+EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def events_pivot_by_type(sf_dir: str, num_partitions: int | None = None):
+    """PIVOT: one row per UTC day with one count column per event type
+    plus the row total. Per-batch (day, type) partial counts collapse
+    through the bounded house combine (|days| x |types| groups); only the
+    result-sized combined table is pivoted on the driver — at any corpus
+    scale the day axis is calendar-bounded, so nothing data-sized ever
+    leaves the cluster. Output: (day_start, n_click, n_error, n_purchase,
+    n_signup, n_view, n_total)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from .common import bucketed_sum_combine, cluster_partitions
+
+    if num_partitions is None:
+        num_partitions = cluster_partitions(minimum=8)
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "ts"]
+    )
+
+    part_sch = pa.schema([
+        ("day_start", pa.int64()), ("event_type", pa.string()),
+        ("n", pa.int64()),
+    ])
+
+    def day_type_counts(df: pd.DataFrame) -> pa.Table:
+        day = (
+            df["ts"].dt.floor("D").astype("datetime64[us]").astype("int64")
+            // 1_000_000
+        )
+        g = df.assign(day_start=day).groupby(
+            ["day_start", "event_type"], as_index=False, sort=False
+        ).size()
+        unknown = set(g["event_type"]) - set(EVENT_TYPES)
+        if unknown:
+            raise ValueError(
+                f"events_pivot_by_type: unknown event types {unknown}; "
+                "extend EVENT_TYPES (and the oracle) explicitly"
+            )
+        return pa.table({
+            "day_start": pa.array(g["day_start"].to_numpy(np.int64)),
+            "event_type": pa.array(g["event_type"], pa.string()),
+            "n": pa.array(g["size"].to_numpy(np.int64)),
+        }, schema=part_sch)
+
+    combined = bucketed_sum_combine(
+        ds.map_batches(day_type_counts, batch_format="pandas"),
+        keys=["day_start", "event_type"], sum_cols=["n"],
+        schema=part_sch, num_partitions=max(8, num_partitions // 8),
+    ).to_pandas()
+    wide = combined.pivot_table(
+        index="day_start", columns="event_type", values="n",
+        aggfunc="sum", fill_value=0,
+    )
+    out = pd.DataFrame({"day_start": wide.index.to_numpy(np.int64)})
+    for t in EVENT_TYPES:
+        out[f"n_{t}"] = (
+            wide[t].to_numpy(np.int64) if t in wide.columns
+            else np.zeros(len(wide), np.int64)
+        )
+    out["n_total"] = out[[f"n_{t}" for t in EVENT_TYPES]].sum(axis=1)
+    return out.reset_index(drop=True)
+
+
+def event_value_autocorr(sf_dir: str, num_partitions: int | None = None):
+    """Lag-1 autocorrelation of event value per user stream, reported as
+    the six EXACT integer moments over consecutive (x, y) = (v_t, v_t+1)
+    cent pairs under the (ts, event_id) total order — the Pearson
+    coefficient needs a square root, which has no exact integer form, so
+    the engine emits the moments (the coefficient is an O(1) epilogue)
+    and stays hash-comparable to the oracle. ONE bucketed user exchange
+    (the ``event_type_transitions`` shape); each bucket reduces to a
+    single moment row; the driver folds block-count rows in unbounded
+    Python ints."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from .common import cluster_partitions
+
+    if num_partitions is None:
+        num_partitions = cluster_partitions()
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "value", "ts", "event_id"],
+    )
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        parts = crc32_buckets(batch["user_id"].to_pylist(), num_partitions)
+        return batch.append_column("part", pa.array(parts, pa.int32()))
+
+    mom_sch = pa.schema([
+        ("n", pa.int64()), ("sx", pa.int64()), ("sy", pa.int64()),
+        ("sxx", pa.int64()), ("syy", pa.int64()), ("sxy", pa.int64()),
+    ])
+
+    def moments(part: pd.DataFrame) -> pa.Table:
+        part = part.sort_values(
+            ["user_id", "ts", "event_id"], kind="mergesort"
+        )
+        v = money_cents(part["value"])
+        same = part["user_id"].eq(part["user_id"].shift(-1)).to_numpy()
+        x, y = v[:-1][same[:-1]], v[1:][same[:-1]]
+        return pa.table({
+            "n": pa.array([len(x)], pa.int64()),
+            "sx": pa.array([int(x.sum())], pa.int64()),
+            "sy": pa.array([int(y.sum())], pa.int64()),
+            "sxx": pa.array([int((x * x).sum())], pa.int64()),
+            "syy": pa.array([int((y * y).sum())], pa.int64()),
+            "sxy": pa.array([int((x * y).sum())], pa.int64()),
+        }, schema=mom_sch)
+
+    parts = (
+        ds.map_batches(add_part, batch_format="pyarrow")
+        .groupby("part").map_groups(moments, batch_format="pandas")
+        .to_pandas()
+    )
+    cols = ["n", "sx", "sy", "sxx", "syy", "sxy"]
+    vals = {c: int(parts[c].sum()) if len(parts) else 0 for c in cols}
+    return pd.DataFrame({
+        "n_pairs": [vals["n"]], "s_x": [vals["sx"]], "s_y": [vals["sy"]],
+        "s_xx": [vals["sxx"]], "s_yy": [vals["syy"]],
+        "s_xy": [vals["sxy"]],
+    }).astype("int64")
+
+
 def order_revenue_by_status(sf_dir: str, num_partitions: int | None = None):
     """Large-large hash join: lineitem x orders on orderkey via Dataset.join
     (hash-partitioned on the key), then a tiny grouped sum. Revenue in

@@ -4579,3 +4579,64 @@ def test_event_type_transitions(ray_session):
     m = {(r.prev_type, r.next_type): int(r.n) for r in got.itertuples()}
     assert m == want
     assert sum(m.values()) == int(same.sum())
+
+
+def test_events_pivot_by_type(ray_session):
+    """Pivoted per-day type counts equal a single-frame crosstab; the
+    column set is the closed EVENT_TYPES universe plus the row total."""
+    from rayld.pipelines.relational import EVENT_TYPES, events_pivot_by_type
+
+    got = events_pivot_by_type(SF, num_partitions=4)
+    ev = pd.read_parquet(f"{SF}/events.parquet",
+                         columns=["event_type", "ts"])
+    day = (ev["ts"].dt.floor("D").astype("datetime64[us]")
+           .astype("int64") // 1_000_000)
+    ct = pd.crosstab(day, ev["event_type"])
+    assert list(got.columns) == (
+        ["day_start"] + [f"n_{t}" for t in EVENT_TYPES] + ["n_total"]
+    )
+    g = got.set_index("day_start").sort_index()
+    assert (g.index == ct.sort_index().index).all()
+    for t in EVENT_TYPES:
+        want = ct[t] if t in ct.columns else pd.Series(0, index=ct.index)
+        assert (g[f"n_{t}"].to_numpy() ==
+                want.sort_index().to_numpy()).all()
+    assert int(g["n_total"].sum()) == len(ev)
+
+
+def test_events_pivot_unknown_type_is_loud(ray_session, tmp_path):
+    """An event type outside the closed universe must fail the PIVOT
+    pipeline loudly (through Ray's task-error wrapping), not silently
+    drop rows — driven end-to-end on a planted corpus."""
+    import pytest as _pytest
+
+    from rayld.pipelines.relational import EVENT_TYPES, events_pivot_by_type
+
+    assert "refund" not in EVENT_TYPES
+    pd.DataFrame({
+        "event_type": ["click", "refund"],
+        "ts": pd.to_datetime(["2024-01-01", "2024-01-02"]),
+    }).to_parquet(tmp_path / "events.parquet")
+    with _pytest.raises(Exception, match="unknown event types"):
+        events_pivot_by_type(str(tmp_path), num_partitions=4)
+
+
+def test_event_value_autocorr(ray_session):
+    """Exact integer-cent lag-1 moments equal a single-frame recount
+    under the same (ts, event_id) total order."""
+    from rayld.pipelines.relational import event_value_autocorr
+
+    got = event_value_autocorr(SF, num_partitions=4)
+    ev = pd.read_parquet(
+        f"{SF}/events.parquet",
+        columns=["user_id", "value", "ts", "event_id"],
+    ).sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+    v = np.floor(ev["value"].to_numpy(np.float64) * 100 + 0.5).astype(
+        np.int64)
+    same = ev["user_id"].eq(ev["user_id"].shift(-1)).to_numpy()[:-1]
+    x, y = v[:-1][same], v[1:][same]
+    r = got.iloc[0]
+    assert (int(r.n_pairs), int(r.s_x), int(r.s_y), int(r.s_xx),
+            int(r.s_yy), int(r.s_xy)) == (
+        len(x), int(x.sum()), int(y.sum()), int((x * x).sum()),
+        int((y * y).sum()), int((x * y).sum()))
