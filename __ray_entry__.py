@@ -126,6 +126,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return kg_user_turn_mentions(_kg_parquet_ds(sf_dir, "small"))
 
+    def kg_bgp_adjacent_entities(sf_dir: str):
+        """SPARQL-lite PATH BGP over the KG (object→subject joins through
+        the rdf list cons chain): entity pairs mentioned in ADJACENT turns
+        ({?c rdf:first ?t1 . ?c rdf:rest ?c2 . ?c2 rdf:first ?t2 .
+        ?t1 schema:about ?e1 . ?t2 schema:about ?e2}), counted."""
+        from rayld.pipelines.graph import kg_adjacent_turn_entities
+
+        return kg_adjacent_turn_entities(_kg_parquet_ds(sf_dir, "small"))
+
     def kg_jsonld_roundtrip(sf_dir: str):
         """Sink/source gate: NDJSON JSON-LD export -> line-sharded read-back
         reproduces the triples."""
@@ -182,6 +191,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_pagerank_check": kg_pagerank_gate,
         "kg_jsonld_roundtrip_check": kg_jsonld_roundtrip,
         "kg_bgp_user_mentions": kg_bgp_user_mentions,
+        "kg_bgp_adjacent_entities": kg_bgp_adjacent_entities,
         "kg_entity_cooccurrence": kg_entity_cooccurrence,
         "user_triangles": graph.user_triangles,
         "user_common_neighbors": graph.user_common_neighbors,
@@ -584,6 +594,28 @@ def oracle_sql() -> dict[str, str]:
             "  WHERE t.conv_id = a.conv_id AND t.subj = a.subj"
             "  AND t.pred = 'https://rayld.dev/vocab#role'"
             "  AND t.obj_value = 'user')"
+        ),
+        # PATH BGP: adjacent-turn entity pair counts via the rdf list
+        # cons chain; all join variables are conversation-scoped, so
+        # every join carries conv_id (blank-node labels collide across
+        # conversations by design)
+        "kg_bgp_adjacent_entities": (
+            "WITH f AS (SELECT conv_id, subj AS c, obj_value AS t"
+            "  FROM " + _kgs + " WHERE pred ="
+            "  'http://www.w3.org/1999/02/22-rdf-syntax-ns#first'),"
+            " r AS (SELECT conv_id, subj AS c, obj_value AS c2"
+            "  FROM " + _kgs + " WHERE pred ="
+            "  'http://www.w3.org/1999/02/22-rdf-syntax-ns#rest'),"
+            " a AS (SELECT conv_id, subj AS t, obj_value AS e"
+            "  FROM " + _kgs + " WHERE pred = 'http://schema.org/about'),"
+            " adj AS (SELECT r.conv_id, f1.t AS t1, f2.t AS t2"
+            "  FROM r JOIN f f1 ON f1.conv_id = r.conv_id AND f1.c = r.c"
+            "  JOIN f f2 ON f2.conv_id = r.conv_id AND f2.c = r.c2)"
+            " SELECT a1.e AS e1, a2.e AS e2, count(*)::BIGINT AS n"
+            " FROM adj"
+            " JOIN a a1 ON a1.conv_id = adj.conv_id AND a1.t = adj.t1"
+            " JOIN a a2 ON a2.conv_id = adj.conv_id AND a2.t = adj.t2"
+            " GROUP BY 1, 2"
         ),
         # distributed moment-PCA == single-process numpy PCA (covariance,
         # mean, projection, orthonormality, EVR ordering)

@@ -1951,3 +1951,102 @@ def user_degree_assortativity(sf_dir: str, event_type: str = "purchase",
         "n_pairs": [n], "s_x": [sx], "s_xx": [sxx], "s_xy": [sxy],
         "assort_micro": [micro],
     }).astype("int64")
+
+
+_RDF_FIRST = "http://www.w3.org/1999/02/22-rdf-syntax-ns#first"
+_RDF_REST = "http://www.w3.org/1999/02/22-rdf-syntax-ns#rest"
+_SCHEMA_ABOUT = "http://schema.org/about"
+
+
+def kg_adjacent_turn_entities(triples_ds, num_partitions: int | None = None):
+    """PATH basic-graph-pattern over the KG — extends the star-shaped
+    ``bgp_match`` (subject-shared legs only) to object→subject joins:
+
+        ?c  rdf:first ?t1 . ?c rdf:rest ?c2 . ?c2 rdf:first ?t2 .
+        ?t1 schema:about ?e1 . ?t2 schema:about ?e2
+
+    i.e. entity pairs mentioned in ADJACENT turns (the conversation's
+    rdf list cons chain supplies turn adjacency), counted globally.
+
+    Scale shape: every join variable (?c, ?c2 are conversation-scoped
+    blank nodes; ?t1/?t2 are per-conversation turn IRIs) lives inside one
+    conversation, so ONE hash(conv_id)-bucketed exchange co-locates all
+    five legs and the whole path assembles as in-task pandas merges (the
+    flagship's conv-shuffle partitioning reused); per-bucket (e1, e2)
+    partial counts then collapse through the bounded house combine (the
+    entity vocabulary is gazetteer-bounded). Nothing turn- or edge-sized
+    reaches the driver."""
+    import zlib
+
+    from .common import bucketed_sum_combine, cluster_partitions
+
+    if num_partitions is None:
+        num_partitions = cluster_partitions()
+
+    leg_sch = pa.schema([
+        ("conv_id", pa.string()), ("s", pa.string()), ("o", pa.string()),
+        ("leg", pa.int8()), ("part", pa.int32()),
+    ])
+    _legs = ((_RDF_FIRST, 0), (_RDF_REST, 1), (_SCHEMA_ABOUT, 2))
+
+    def legs(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        outs = []
+        for pred, tag in _legs:
+            t = batch.filter(pc.equal(batch["pred"], pred))
+            conv = t["conv_id"].to_pylist()
+            parts = np.fromiter(
+                (zlib.crc32(c.encode()) % num_partitions for c in conv),
+                dtype=np.int32, count=len(conv),
+            )
+            outs.append(pa.table({
+                "conv_id": pa.array(conv, pa.string()),
+                "s": t["subj"].cast(pa.string()),
+                "o": t["obj_value"].cast(pa.string()),
+                "leg": pa.array(np.full(len(conv), tag, np.int8)),
+                "part": pa.array(parts, pa.int32()),
+            }, schema=leg_sch))
+        return pa.concat_tables(outs)
+
+    pair_sch = pa.schema([
+        ("e1", pa.string()), ("e2", pa.string()), ("n", pa.int64()),
+    ])
+
+    def assemble(df: pd.DataFrame) -> pa.Table:
+        if len(df) == 0 or "leg" not in df.columns:
+            return pair_sch.empty_table()
+        f = df[df["leg"] == 0][["conv_id", "s", "o"]]
+        r = df[df["leg"] == 1][["conv_id", "s", "o"]]
+        a = df[df["leg"] == 2][["conv_id", "s", "o"]]
+        adj = r.merge(
+            f.rename(columns={"s": "c", "o": "t1"}),
+            left_on=["conv_id", "s"], right_on=["conv_id", "c"],
+        ).merge(
+            f.rename(columns={"s": "c2", "o": "t2"}),
+            left_on=["conv_id", "o"], right_on=["conv_id", "c2"],
+        )[["conv_id", "t1", "t2"]]
+        pairs = adj.merge(
+            a.rename(columns={"s": "t1", "o": "e1"}),
+            on=["conv_id", "t1"],
+        ).merge(
+            a.rename(columns={"s": "t2", "o": "e2"}),
+            on=["conv_id", "t2"],
+        )
+        if len(pairs) == 0:
+            return pair_sch.empty_table()
+        g = pairs.groupby(["e1", "e2"], as_index=False, sort=False).size()
+        return pa.table({
+            "e1": pa.array(g["e1"], pa.string()),
+            "e2": pa.array(g["e2"], pa.string()),
+            "n": pa.array(g["size"].to_numpy(np.int64)),
+        }, schema=pair_sch)
+
+    partials = (
+        triples_ds.map_batches(legs, batch_format="pyarrow")
+        .groupby("part").map_groups(assemble, batch_format="pandas")
+    )
+    return bucketed_sum_combine(
+        partials, keys=["e1", "e2"], sum_cols=["n"], schema=pair_sch,
+        num_partitions=max(8, num_partitions // 4),
+    )

@@ -4640,3 +4640,39 @@ def test_event_value_autocorr(ray_session):
             int(r.s_yy), int(r.s_xy)) == (
         len(x), int(x.sum()), int(y.sum()), int((x * x).sum()),
         int((y * y).sum()), int((x * y).sum()))
+
+
+def test_kg_adjacent_turn_entities(ray_session):
+    """The path BGP's pair counts equal a pandas five-way merge over the
+    same triples (conv-scoped joins through the rdf list cons chain)."""
+    from rayld.pipelines.graph import kg_adjacent_turn_entities
+    from rayld.pipelines.kg import build_triples
+    from rayld.sources.transcripts import transcripts_dataset
+
+    triples = build_triples(transcripts_dataset(30)).materialize()
+    got = kg_adjacent_turn_entities(triples, num_partitions=4).to_pandas()
+
+    df = triples.to_pandas()
+    F = "http://www.w3.org/1999/02/22-rdf-syntax-ns#first"
+    R = "http://www.w3.org/1999/02/22-rdf-syntax-ns#rest"
+    A = "http://schema.org/about"
+    f = df[df["pred"] == F][["conv_id", "subj", "obj_value"]]
+    r = df[df["pred"] == R][["conv_id", "subj", "obj_value"]]
+    a = df[df["pred"] == A][["conv_id", "subj", "obj_value"]]
+    adj = r.merge(
+        f.rename(columns={"subj": "c", "obj_value": "t1"}),
+        left_on=["conv_id", "subj"], right_on=["conv_id", "c"],
+    ).merge(
+        f.rename(columns={"subj": "c2", "obj_value": "t2"}),
+        left_on=["conv_id", "obj_value"], right_on=["conv_id", "c2"],
+    )[["conv_id", "t1", "t2"]]
+    pairs = adj.merge(
+        a.rename(columns={"subj": "t1", "obj_value": "e1"}),
+        on=["conv_id", "t1"],
+    ).merge(
+        a.rename(columns={"subj": "t2", "obj_value": "e2"}),
+        on=["conv_id", "t2"],
+    )
+    want = pairs.groupby(["e1", "e2"]).size().to_dict()
+    m = {(x.e1, x.e2): int(x.n) for x in got.itertuples()}
+    assert m == want and len(m) > 0
