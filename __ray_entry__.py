@@ -135,6 +135,33 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return kg_adjacent_turn_entities(_kg_parquet_ds(sf_dir, "small"))
 
+    def kg_bgp_turn_depth(sf_dir: str):
+        """SPARQL-lite PROPERTY-PATH BGP (rdf:rest* transitive closure):
+        entities mentioned at each turn depth from the conversation list
+        head ({?head rdf:rest* ?c . ?c rdf:first ?t . ?t schema:about ?e}
+        with depth(?c) = path length), oracled by a DuckDB WITH RECURSIVE
+        chain walk."""
+        from rayld.pipelines.graph import kg_turn_depth_entities
+
+        return kg_turn_depth_entities(_kg_parquet_ds(sf_dir, "small"))
+
+    def kg_bgp_optional_labels(sf_dir: str):
+        """SPARQL-lite OPTIONAL BGP (left-join semantics): tool results by
+        node kind with two optional legs ({?t rayld:toolResult ?r .
+        OPTIONAL {?r rdfs:label ?l} OPTIONAL {?r schema:ratingValue ?v}})."""
+        from rayld.pipelines.graph import kg_bgp_optional_tool_labels
+
+        return kg_bgp_optional_tool_labels(_kg_parquet_ds(sf_dir, "small"))
+
+    def kg_construct_comention(sf_dir: str):
+        """SPARQL-lite CONSTRUCT: derive the co-mention graph ({?e1
+        rayld:comentionedWith ?e2} for entities sharing a turn) and
+        serialize each constructed triple through the kernel N-Quads
+        writer."""
+        from rayld.pipelines.graph import kg_construct_comention as _ctor
+
+        return _ctor(_kg_parquet_ds(sf_dir, "small"))
+
     def kg_jsonld_roundtrip(sf_dir: str):
         """Sink/source gate: NDJSON JSON-LD export -> line-sharded read-back
         reproduces the triples."""
@@ -192,6 +219,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_jsonld_roundtrip_check": kg_jsonld_roundtrip,
         "kg_bgp_user_mentions": kg_bgp_user_mentions,
         "kg_bgp_adjacent_entities": kg_bgp_adjacent_entities,
+        "kg_bgp_turn_depth": kg_bgp_turn_depth,
+        "kg_bgp_optional_labels": kg_bgp_optional_labels,
+        "kg_construct_comention": kg_construct_comention,
         "kg_entity_cooccurrence": kg_entity_cooccurrence,
         "user_triangles": graph.user_triangles,
         "user_common_neighbors": graph.user_common_neighbors,
@@ -287,6 +317,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rrf_fusion": indexing.rrf_fusion,
         # similarity search
         "ann_topk": ann.brute_force_topk,
+        "ann_hamming_range": ann.ann_hamming_range,
         "embedding_norm_stats": ann.embedding_norm_stats,
         "ann_ivf_topk": ann.ivf_topk,
         "ann_ivf_recall": ann.ivf_recall,
@@ -616,6 +647,69 @@ def oracle_sql() -> dict[str, str]:
             " JOIN a a1 ON a1.conv_id = adj.conv_id AND a1.t = adj.t1"
             " JOIN a a2 ON a2.conv_id = adj.conv_id AND a2.t = adj.t2"
             " GROUP BY 1, 2"
+        ),
+        # PROPERTY-PATH BGP (rdf:rest* closure): the oracle walks each
+        # conversation's cons chain with WITH RECURSIVE — heads are cells
+        # never appearing as an rdf:rest object — and joins depth -> turn
+        # -> entity; the Ray side computes the same depths by numpy
+        # pointer doubling after ONE conv-bucketed exchange
+        "kg_bgp_turn_depth": (
+            "WITH RECURSIVE"
+            " r AS (SELECT conv_id, subj AS c, obj_value AS c2"
+            "  FROM " + _kgs + " WHERE pred ="
+            "  'http://www.w3.org/1999/02/22-rdf-syntax-ns#rest'),"
+            " f AS (SELECT conv_id, subj AS c, obj_value AS t"
+            "  FROM " + _kgs + " WHERE pred ="
+            "  'http://www.w3.org/1999/02/22-rdf-syntax-ns#first'),"
+            " heads AS (SELECT f.conv_id, f.c FROM f"
+            "  LEFT JOIN r ON r.conv_id = f.conv_id AND r.c2 = f.c"
+            "  WHERE r.c IS NULL),"
+            " chain AS (SELECT conv_id, c, 0 AS depth FROM heads"
+            "  UNION ALL SELECT r.conv_id, r.c2, chain.depth + 1"
+            "  FROM chain JOIN r ON r.conv_id = chain.conv_id"
+            "   AND r.c = chain.c),"
+            " a AS (SELECT conv_id, subj AS t, obj_value AS e"
+            "  FROM " + _kgs + " WHERE pred = 'http://schema.org/about')"
+            " SELECT chain.depth::BIGINT AS depth, a.e AS e,"
+            "  count(*)::BIGINT AS n"
+            " FROM chain"
+            " JOIN f ON f.conv_id = chain.conv_id AND f.c = chain.c"
+            " JOIN a ON a.conv_id = f.conv_id AND a.t = f.t"
+            " GROUP BY 1, 2"
+        ),
+        # OPTIONAL BGP (left-join semantics): unmatched optionals keep the
+        # row, count(col) counts only bound rows — the SQL and the Ray
+        # left-merge agree on multiplicity by construction
+        "kg_bgp_optional_labels": (
+            "WITH tr AS (SELECT conv_id, obj_value AS r, obj_kind AS kind"
+            "  FROM " + _kgs + " WHERE pred ="
+            "  'https://rayld.dev/vocab#toolResult'),"
+            " lbl AS (SELECT conv_id, subj AS r, obj_value AS l"
+            "  FROM " + _kgs + " WHERE pred ="
+            "  'http://www.w3.org/2000/01/rdf-schema#label'),"
+            " rat AS (SELECT conv_id, subj AS r, obj_value AS v"
+            "  FROM " + _kgs + " WHERE pred ="
+            "  'http://schema.org/ratingValue')"
+            " SELECT tr.kind AS r_kind, count(*)::BIGINT AS n_results,"
+            "  count(lbl.l)::BIGINT AS n_labeled,"
+            "  count(rat.v)::BIGINT AS n_rated"
+            " FROM tr"
+            " LEFT JOIN lbl ON lbl.conv_id = tr.conv_id AND lbl.r = tr.r"
+            " LEFT JOIN rat ON rat.conv_id = tr.conv_id AND rat.r = tr.r"
+            " GROUP BY 1"
+        ),
+        # CONSTRUCT: distinct derived co-mention triples; entity IRIs are
+        # gazetteer vocabulary (no N-Quads-escapable characters), so plain
+        # concatenation reproduces the kernel to_nquad line exactly
+        "kg_construct_comention": (
+            "WITH a AS (SELECT conv_id, subj AS t, obj_value AS e"
+            "  FROM " + _kgs + " WHERE pred = 'http://schema.org/about')"
+            " SELECT DISTINCT a1.e AS e1, a2.e AS e2,"
+            "  '<' || a1.e || '>"
+            " <https://rayld.dev/vocab#comentionedWith> <' || a2.e || '> .'"
+            "  AS nquad"
+            " FROM a a1 JOIN a a2 ON a1.conv_id = a2.conv_id"
+            "  AND a1.t = a2.t AND a1.e < a2.e"
         ),
         # distributed moment-PCA == single-process numpy PCA (covariance,
         # mean, projection, orthonormality, EVR ordering)
@@ -2569,6 +2663,23 @@ def oracle_sql() -> dict[str, str]:
             "   PARTITION BY q.vec_id"
             "   ORDER BY list_cosine_similarity(q.embedding, e.embedding) DESC,"
             "   e.vec_id) <= 10"
+        ),
+        # RANGE similarity search over sign-hyperplane signatures: the
+        # sign predicate and bit-count arithmetic are integer-exact on
+        # both sides (hamming = |a| + |b| - 2<a,b> over 0/1 lists), so no
+        # float threshold can flip at the boundary
+        "ann_hamming_range": (
+            "WITH s AS (SELECT vec_id, list_transform(embedding,"
+            "   v -> CASE WHEN v > 0 THEN 1.0 ELSE 0.0 END) AS sig"
+            "  FROM embeddings),"
+            " q AS (SELECT vec_id AS query_id, sig AS qsig FROM s"
+            "  WHERE vec_id IN (0, 1, 2, 3))"
+            " SELECT * FROM ("
+            "  SELECT query_id, s.vec_id AS vec_id,"
+            "   (list_sum(qsig) + list_sum(sig)"
+            "    - 2 * list_inner_product(qsig, sig))::BIGINT AS hamming"
+            "  FROM q, s)"
+            " WHERE hamming <= 24"
         ),
         # contrastive hard negatives: nearest DIFFERENT-label embeddings
         "hard_negatives": (

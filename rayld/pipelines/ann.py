@@ -1335,3 +1335,45 @@ def embedding_norm_stats(sf_dir: str):
     return _embeddings(sf_dir).map_batches(
         stats, batch_format="pyarrow", batch_size=4096
     )
+
+
+def ann_hamming_range(sf_dir: str, radius: int = 24, query_ids=(0, 1, 2, 3)):
+    """RANGE similarity search (the radius complement of brute_force_topk):
+    return every vector whose sign-hyperplane signature lies within
+    ``radius`` Hamming bits of the query's — the standard LSH angular-
+    distance range primitive (sign bit b_i = embedding[i] > 0; Hamming
+    distance estimates the angle, Charikar 2002).
+
+    Exactness: the sign predicate and the bit-count arithmetic are integer,
+    so the DuckDB oracle (list_transform sign bits + list_inner_product)
+    matches bit-for-bit — no float-threshold boundary to flip.
+
+    Scale shape: embarrassingly parallel — the query signature block (|Q| x
+    d bits, bytes) rides the task closure; each batch computes an N x |Q|
+    XOR-popcount via one vectorized boolean compare and emits only rows
+    inside the radius. No shuffle, no materialization; output is
+    result-sized."""
+    q_ids, q_mat = query_vectors(sf_dir, query_ids)
+    q_sig = q_mat > 0.0  # |Q| x d bools
+
+    out_sch = pa.schema([
+        ("query_id", pa.int64()), ("vec_id", pa.int64()),
+        ("hamming", pa.int64()),
+    ])
+
+    def fn(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch["vec_id"].to_pylist(), dtype=np.int64)
+        mat = np.asarray(batch["embedding"].to_pylist(), dtype=np.float64)
+        if mat.size == 0:
+            return out_sch.empty_table()
+        sig = mat > 0.0  # N x d
+        # N x |Q| Hamming counts: one broadcasted XOR + popcount
+        ham = (sig[:, None, :] != q_sig[None, :, :]).sum(axis=2)
+        vi, qi = np.nonzero(ham <= radius)
+        return pa.table({
+            "query_id": pa.array(q_ids[qi], pa.int64()),
+            "vec_id": pa.array(ids[vi], pa.int64()),
+            "hamming": pa.array(ham[vi, qi].astype(np.int64)),
+        }, schema=out_sch)
+
+    return _embeddings(sf_dir).map_batches(fn, batch_format="pyarrow")

@@ -2050,3 +2050,264 @@ def kg_adjacent_turn_entities(triples_ds, num_partitions: int | None = None):
         partials, keys=["e1", "e2"], sum_cols=["n"], schema=pair_sch,
         num_partitions=max(8, num_partitions // 4),
     )
+
+
+_RDFS_LABEL = "http://www.w3.org/2000/01/rdf-schema#label"
+_SCHEMA_RATING = "http://schema.org/ratingValue"
+_VOCAB_TOOL_RESULT = "https://rayld.dev/vocab#toolResult"
+_COMENTION_PRED = "https://rayld.dev/vocab#comentionedWith"
+
+
+def _conv_bucketed_legs(triples_ds, preds, num_partitions,
+                        with_kind: bool = False):
+    """Shared leg extractor for conversation-scoped BGPs: filter the triples
+    stream to the pattern predicates, tag each row with its leg index, and
+    add a crc32(conv_id) % P bucket column so ONE exchange co-locates every
+    leg of a conversation (all join variables in these patterns are
+    conversation-scoped — the flagship's conv-shuffle partitioning reused)."""
+    import zlib
+
+    fields = [
+        ("conv_id", pa.string()), ("s", pa.string()), ("o", pa.string()),
+        ("leg", pa.int8()), ("part", pa.int32()),
+    ]
+    if with_kind:
+        fields.insert(3, ("kind", pa.string()))
+    leg_sch = pa.schema(fields)
+
+    def legs(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        outs = []
+        for tag, pred in enumerate(preds):
+            t = batch.filter(pc.equal(batch["pred"], pred))
+            conv = t["conv_id"].to_pylist()
+            parts = np.fromiter(
+                (zlib.crc32(c.encode()) % num_partitions for c in conv),
+                dtype=np.int32, count=len(conv),
+            )
+            cols = {
+                "conv_id": pa.array(conv, pa.string()),
+                "s": t["subj"].cast(pa.string()),
+                "o": t["obj_value"].cast(pa.string()),
+            }
+            if with_kind:
+                cols["kind"] = t["obj_kind"].cast(pa.string())
+            cols["leg"] = pa.array(np.full(len(conv), tag, np.int8))
+            cols["part"] = pa.array(parts, pa.int32())
+            outs.append(pa.table(cols, schema=leg_sch))
+        return pa.concat_tables(outs)
+
+    return triples_ds.map_batches(legs, batch_format="pyarrow")
+
+
+def kg_turn_depth_entities(triples_ds, num_partitions: int | None = None):
+    """Property-path BGP over the KG — the SPARQL ``rdf:rest*`` transitive
+    closure, answering "which entities are mentioned at turn DEPTH d":
+
+        ?head rdf:rest* ?c . ?c rdf:first ?t . ?t schema:about ?e
+
+    with depth(?c) = the path length from the conversation list's head.
+    Oracled by a DuckDB ``WITH RECURSIVE`` chain walk over the same triples
+    parquet.
+
+    Scale shape: rdf lists never span conversations, so ONE
+    hash(conv_id)-bucketed exchange co-locates each chain; inside the task
+    depth is computed by numpy POINTER DOUBLING over the child→parent array
+    (O(log max_depth) vectorized gathers — no per-cons-cell Python walk),
+    then (depth, entity) partials collapse through the bounded house
+    combine (depth ≤ the flagship's per-conversation turn cap, entities are
+    gazetteer-bounded)."""
+    from .common import bucketed_sum_combine, cluster_partitions
+
+    if num_partitions is None:
+        num_partitions = cluster_partitions()
+
+    out_sch = pa.schema([
+        ("depth", pa.int64()), ("e", pa.string()), ("n", pa.int64()),
+    ])
+
+    def assemble(df: pd.DataFrame) -> pa.Table:
+        if len(df) == 0 or "leg" not in df.columns:
+            return out_sch.empty_table()
+        f = df[df["leg"] == 0][["conv_id", "s", "o"]]
+        r = df[df["leg"] == 1][["conv_id", "s", "o"]]
+        a = df[df["leg"] == 2][["conv_id", "s", "o"]]
+        if len(f) == 0:
+            return out_sch.empty_table()
+        # conversation-scoped cell ids (bnode labels collide across convs)
+        cells = pd.concat([
+            f["conv_id"] + "\x00" + f["s"],
+            r["conv_id"] + "\x00" + r["s"],
+            r["conv_id"] + "\x00" + r["o"],
+        ])
+        codes, uniq = pd.factorize(cells)
+        n_cells = len(uniq)
+        nf, nr = len(f), len(r)
+        f_idx = codes[:nf]
+        r_src = codes[nf:nf + nr]
+        r_dst = codes[nf + nr:]
+        # child -> parent pointers; heads (and rdf:nil-free roots) self-point
+        parent = np.arange(n_cells, dtype=np.int64)
+        parent[r_dst] = r_src
+        dist = (parent != np.arange(n_cells)).astype(np.int64)
+        # pointer doubling: O(log max_depth) rounds, each one numpy gather
+        # (64 rounds bound depth 2^64 — a malformed CYCLE, impossible for
+        # well-formed rdf lists, stops instead of spinning)
+        for _ in range(64):
+            gp = parent[parent]
+            if np.array_equal(gp, parent):
+                break
+            dist = dist + dist[parent]
+            parent = gp
+        depth = pd.DataFrame({"cell": f_idx, "depth": dist[f_idx]})
+        ft = f.reset_index(drop=True).assign(depth=depth["depth"])
+        pairs = ft.merge(
+            a.rename(columns={"s": "o", "o": "e"}), on=["conv_id", "o"],
+        )
+        if len(pairs) == 0:
+            return out_sch.empty_table()
+        g = pairs.groupby(["depth", "e"], as_index=False, sort=False).size()
+        return pa.table({
+            "depth": pa.array(g["depth"].to_numpy(np.int64)),
+            "e": pa.array(g["e"], pa.string()),
+            "n": pa.array(g["size"].to_numpy(np.int64)),
+        }, schema=out_sch)
+
+    partials = _conv_bucketed_legs(
+        triples_ds, (_RDF_FIRST, _RDF_REST, _SCHEMA_ABOUT), num_partitions,
+    ).groupby("part").map_groups(assemble, batch_format="pandas")
+    return bucketed_sum_combine(
+        partials, keys=["depth", "e"], sum_cols=["n"], schema=out_sch,
+        num_partitions=max(8, num_partitions // 4),
+    )
+
+
+def kg_bgp_optional_tool_labels(triples_ds,
+                                num_partitions: int | None = None):
+    """OPTIONAL basic-graph-pattern (SPARQL left-join semantics) over the
+    KG — tool results grouped by node kind, with two optional legs:
+
+        ?t vocab:toolResult ?r .
+        OPTIONAL { ?r rdfs:label ?l } OPTIONAL { ?r schema:ratingValue ?v }
+
+    returning per result-node kind (IRI vs blank node) the total result
+    count and how many bind each optional variable. Unmatched optionals
+    keep the row (left join), matched duplicates multiply it — exactly the
+    SQL ``LEFT JOIN`` + ``count(col)`` the oracle runs.
+
+    Scale shape: ?r is conversation-scoped, so ONE conv-bucketed exchange
+    co-locates all three legs; per-bucket (kind, counts) partials collapse
+    through the bounded house combine (two kinds)."""
+    from .common import bucketed_sum_combine, cluster_partitions
+
+    if num_partitions is None:
+        num_partitions = cluster_partitions()
+
+    out_sch = pa.schema([
+        ("r_kind", pa.string()), ("n_results", pa.int64()),
+        ("n_labeled", pa.int64()), ("n_rated", pa.int64()),
+    ])
+
+    def assemble(df: pd.DataFrame) -> pa.Table:
+        if len(df) == 0 or "leg" not in df.columns:
+            return out_sch.empty_table()
+        tr = df[df["leg"] == 0][["conv_id", "o", "kind"]]
+        lbl = df[df["leg"] == 1][["conv_id", "s"]].assign(l=1)
+        rat = df[df["leg"] == 2][["conv_id", "s"]].assign(v=1)
+        if len(tr) == 0:
+            return out_sch.empty_table()
+        j = tr.merge(
+            lbl.rename(columns={"s": "o"}), on=["conv_id", "o"], how="left",
+        ).merge(
+            rat.rename(columns={"s": "o"}), on=["conv_id", "o"], how="left",
+        )
+        g = j.groupby("kind", as_index=False).agg(
+            n_results=("o", "size"), n_labeled=("l", "count"),
+            n_rated=("v", "count"),
+        )
+        return pa.table({
+            "r_kind": pa.array(g["kind"], pa.string()),
+            "n_results": pa.array(g["n_results"].to_numpy(np.int64)),
+            "n_labeled": pa.array(g["n_labeled"].to_numpy(np.int64)),
+            "n_rated": pa.array(g["n_rated"].to_numpy(np.int64)),
+        }, schema=out_sch)
+
+    partials = _conv_bucketed_legs(
+        triples_ds, (_VOCAB_TOOL_RESULT, _RDFS_LABEL, _SCHEMA_RATING),
+        num_partitions, with_kind=True,
+    ).groupby("part").map_groups(assemble, batch_format="pandas")
+    return bucketed_sum_combine(
+        partials, keys=["r_kind"],
+        sum_cols=["n_results", "n_labeled", "n_rated"], schema=out_sch,
+        num_partitions=8,
+    )
+
+
+def kg_construct_comention(triples_ds, num_partitions: int | None = None):
+    """SPARQL CONSTRUCT over the KG — derive a NEW graph of co-mention
+    edges and serialize it through the kernel's N-Quads writer
+    (`rayld/kernel/nquads.py` to_nquad, the same serializer the flagship
+    export uses; reference parity: JSONLDProcessor.ToRDF output formatting,
+    /root/reference/src/json-ld.net/Core/RDFDatasetUtils.cs ToNQuad):
+
+        CONSTRUCT { ?e1 vocab:comentionedWith ?e2 }
+        WHERE { ?t schema:about ?e1 . ?t schema:about ?e2 .
+                FILTER (STR(?e1) < STR(?e2)) }
+
+    Output: one row per DISTINCT constructed triple with its canonical
+    N-Quad line. Entity IRIs are gazetteer-vocabulary (no escapable
+    characters), so the oracle reproduces the line by string concatenation.
+
+    Scale shape: pair generation is conversation-local (one conv-bucketed
+    exchange, in-task self-merge per turn); global dedup is the bounded
+    house combine keyed by the pair itself (gazetteer-bounded vocabulary);
+    serialization runs over the RESULT-sized distinct table."""
+    from .common import bucketed_sum_combine, cluster_partitions
+
+    if num_partitions is None:
+        num_partitions = cluster_partitions()
+
+    pair_sch = pa.schema([
+        ("e1", pa.string()), ("e2", pa.string()), ("n", pa.int64()),
+    ])
+
+    def pairs_in_turn(df: pd.DataFrame) -> pa.Table:
+        if len(df) == 0 or "leg" not in df.columns:
+            return pair_sch.empty_table()
+        a = df[df["leg"] == 0][["conv_id", "s", "o"]]
+        p = a.merge(a, on=["conv_id", "s"])
+        p = p[p["o_x"] < p["o_y"]][["o_x", "o_y"]].drop_duplicates()
+        return pa.table({
+            "e1": pa.array(p["o_x"], pa.string()),
+            "e2": pa.array(p["o_y"], pa.string()),
+            "n": pa.array(np.ones(len(p), np.int64)),
+        }, schema=pair_sch)
+
+    def construct(batch: pa.Table) -> pa.Table:
+        from ..kernel.nquads import to_nquad
+
+        e1 = batch["e1"].to_pylist()
+        e2 = batch["e2"].to_pylist()
+        lines = [
+            to_nquad({
+                "subject": {"type": "IRI", "value": a},
+                "predicate": {"type": "IRI", "value": _COMENTION_PRED},
+                "object": {"type": "IRI", "value": b},
+            }, None).rstrip("\n")
+            for a, b in zip(e1, e2)
+        ]
+        return pa.table({
+            "e1": pa.array(e1, pa.string()),
+            "e2": pa.array(e2, pa.string()),
+            "nquad": pa.array(lines, pa.string()),
+        })
+
+    partials = _conv_bucketed_legs(
+        triples_ds, (_SCHEMA_ABOUT,), num_partitions,
+    ).groupby("part").map_groups(pairs_in_turn, batch_format="pandas")
+    distinct = bucketed_sum_combine(
+        partials, keys=["e1", "e2"], sum_cols=["n"], schema=pair_sch,
+        num_partitions=max(8, num_partitions // 4),
+    )
+    return distinct.map_batches(construct, batch_format="pyarrow")

@@ -4676,3 +4676,144 @@ def test_kg_adjacent_turn_entities(ray_session):
     want = pairs.groupby(["e1", "e2"]).size().to_dict()
     m = {(x.e1, x.e2): int(x.n) for x in got.itertuples()}
     assert m == want and len(m) > 0
+
+
+def test_kg_turn_depth_entities(ray_session):
+    """The property-path BGP's (depth, entity) counts equal a per-
+    conversation Python chain walk over the same triples — the pointer-
+    doubling depths match a sequential rdf:rest* traversal exactly."""
+    from rayld.pipelines.graph import kg_turn_depth_entities
+    from rayld.pipelines.kg import build_triples
+    from rayld.sources.transcripts import transcripts_dataset
+
+    triples = build_triples(transcripts_dataset(30)).materialize()
+    got = kg_turn_depth_entities(triples, num_partitions=4).to_pandas()
+
+    df = triples.to_pandas()
+    F = "http://www.w3.org/1999/02/22-rdf-syntax-ns#first"
+    R = "http://www.w3.org/1999/02/22-rdf-syntax-ns#rest"
+    A = "http://schema.org/about"
+    f = df[df["pred"] == F]
+    r = df[df["pred"] == R]
+    a = df[df["pred"] == A]
+    about = {}
+    for row in a.itertuples():
+        about.setdefault((row.conv_id, row.subj), []).append(row.obj_value)
+    nxt = {(x.conv_id, x.subj): (x.conv_id, x.obj_value)
+           for x in r.itertuples()}
+    first = {(x.conv_id, x.subj): x.obj_value for x in f.itertuples()}
+    tails = {v for v in nxt.values()}
+    want: dict = {}
+    for head in first:
+        if head in tails:
+            continue
+        cell, depth = head, 0
+        while cell in first:
+            for e in about.get((cell[0], first[cell]), []):
+                k = (depth, e)
+                want[k] = want.get(k, 0) + 1
+            cell = nxt.get(cell)
+            depth += 1
+            if cell is None:
+                break
+    m = {(int(x.depth), x.e): int(x.n) for x in got.itertuples()}
+    assert m == want and len(m) > 0 and max(d for d, _ in m) > 1
+
+
+def test_kg_bgp_optional_tool_labels(ray_session):
+    """The OPTIONAL BGP's per-kind counts equal pandas left merges
+    (unmatched optionals keep the row; count() counts bound rows only)."""
+    from rayld.pipelines.graph import kg_bgp_optional_tool_labels
+    from rayld.pipelines.kg import build_triples
+    from rayld.sources.transcripts import transcripts_dataset
+
+    triples = build_triples(transcripts_dataset(40)).materialize()
+    got = kg_bgp_optional_tool_labels(triples, num_partitions=4).to_pandas()
+
+    df = triples.to_pandas()
+    tr = df[df["pred"] == "https://rayld.dev/vocab#toolResult"]
+    lbl = df[df["pred"] == "http://www.w3.org/2000/01/rdf-schema#label"]
+    rat = df[df["pred"] == "http://schema.org/ratingValue"]
+    j = tr[["conv_id", "obj_value", "obj_kind"]].merge(
+        lbl[["conv_id", "subj", "obj_value"]].rename(
+            columns={"subj": "obj_value", "obj_value": "l"}),
+        on=["conv_id", "obj_value"], how="left",
+    ).merge(
+        rat[["conv_id", "subj", "obj_value"]].rename(
+            columns={"subj": "obj_value", "obj_value": "v"}),
+        on=["conv_id", "obj_value"], how="left",
+    )
+    g = j.groupby("obj_kind")
+    want = {
+        k: (len(v), int(v["l"].notna().sum()), int(v["v"].notna().sum()))
+        for k, v in g
+    }
+    m = {x.r_kind: (int(x.n_results), int(x.n_labeled), int(x.n_rated))
+         for x in got.itertuples()}
+    assert m == want and len(m) > 0
+    # the pattern is genuinely OPTIONAL on this corpus: some results
+    # match, some don't
+    assert any(nl < nr for nr, nl, _ in m.values())
+    assert any(nl > 0 for _, nl, _ in m.values())
+
+
+def test_kg_construct_comention(ray_session):
+    """CONSTRUCT emits exactly the distinct same-turn entity pairs, each
+    serialized as the canonical N-Quad line the kernel writer produces."""
+    from rayld.kernel.nquads import parse_nquads
+    from rayld.pipelines.graph import kg_construct_comention
+    from rayld.pipelines.kg import build_triples
+    from rayld.sources.transcripts import transcripts_dataset
+
+    triples = build_triples(transcripts_dataset(30)).materialize()
+    got = kg_construct_comention(triples, num_partitions=4).to_pandas()
+
+    df = triples.to_pandas()
+    a = df[df["pred"] == "http://schema.org/about"]
+    p = a.merge(a, on=["conv_id", "subj"])
+    want = {
+        (x, y)
+        for x, y in zip(p["obj_value_x"], p["obj_value_y"]) if x < y
+    }
+    assert set(zip(got["e1"], got["e2"])) == want and len(want) > 0
+    # every emitted line round-trips through the kernel N-Quads parser
+    # back to the constructed triple
+    doc = "\n".join(got["nquad"]) + "\n"
+    ds = parse_nquads(doc)
+    quads = ds["@default"]
+    assert len(quads) == len(got)
+    assert {
+        (q["subject"]["value"], q["object"]["value"]) for q in quads
+    } == want
+    assert all(
+        q["predicate"]["value"] == "https://rayld.dev/vocab#comentionedWith"
+        for q in quads
+    )
+
+
+def test_ann_hamming_range(ray_session):
+    """Range search returns exactly the vectors within the Hamming radius
+    of each query's sign signature (numpy brute-force recount)."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from rayld.pipelines.ann import ann_hamming_range
+
+    got = ann_hamming_range(SF, radius=24).to_pandas()
+
+    tbl = pq.read_table(f"{SF}/embeddings.parquet",
+                        columns=["vec_id", "embedding"])
+    ids = np.asarray(tbl["vec_id"].to_pylist(), dtype=np.int64)
+    mat = np.asarray(tbl["embedding"].to_pylist(), dtype=np.float64)
+    sig = mat > 0.0
+    want = {}
+    for q in (0, 1, 2, 3):
+        qs = sig[ids == q][0]
+        ham = (sig != qs).sum(axis=1)
+        for vid, h in zip(ids[ham <= 24], ham[ham <= 24]):
+            want[(q, int(vid))] = int(h)
+    m = {(int(x.query_id), int(x.vec_id)): int(x.hamming)
+         for x in got.itertuples()}
+    assert m == want and len(m) > 4
+    # every query is within radius 0 of itself
+    assert all(m[(q, q)] == 0 for q in (0, 1, 2, 3))
