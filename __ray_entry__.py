@@ -162,6 +162,57 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return _ctor(_kg_parquet_ds(sf_dir, "small"))
 
+    def kg_bgp_union(sf_dir: str):
+        """SPARQL-lite UNION BGP (bag semantics, shuffle-free branch
+        concat): {?x rdfs:label ?l} UNION {?x schema:name ?l}, each
+        solution tagged with its branch."""
+        from rayld.pipelines.graph import kg_bgp_union_labels
+
+        return kg_bgp_union_labels(_kg_parquet_ds(sf_dir, "small"))
+
+    def kg_bgp_minus(sf_dir: str):
+        """SPARQL-lite MINUS (negation / anti-join): per entity, mentions
+        in turns with NO tool result ({?t schema:about ?e MINUS
+        {?t rayld:toolResult ?r}}), oracled by NOT EXISTS."""
+        from rayld.pipelines.graph import kg_bgp_minus_mentions
+
+        return kg_bgp_minus_mentions(_kg_parquet_ds(sf_dir, "small"))
+
+    def kg_bgp_filter(sf_dir: str):
+        """SPARQL-lite FILTER regex over a two-leg BGP: questions per role
+        ({?t schema:text ?x . ?t rayld:role ?r . FILTER regex(?x,'\\?')}),
+        the regex a vectorized pyarrow kernel on the joined solutions."""
+        from rayld.pipelines.graph import kg_bgp_filter_questions
+
+        return kg_bgp_filter_questions(_kg_parquet_ds(sf_dir, "small"))
+
+    def kg_ask_q(sf_dir: str):
+        """SPARQL-lite ASK: four boolean existence queries in one (ask,
+        flag) table — three row-local asks folded by a max combine plus
+        one join-y ask (an entity mentioned in >= 2 conversations) on a
+        single bucketed exchange."""
+        from rayld.pipelines.graph import kg_ask
+
+        return kg_ask(_kg_parquet_ds(sf_dir, "small"))
+
+    def kg_describe(sf_dir: str):
+        """SPARQL-lite DESCRIBE of the most-mentioned entity (ties ->
+        lexicographic min): every triple with the entity as subject or
+        IRI object — count pass through the bounded combine, then a
+        broadcast-filter scan."""
+        from rayld.pipelines.graph import kg_describe_top_entity
+
+        return kg_describe_top_entity(_kg_parquet_ds(sf_dir, "small"))
+
+    def kg_hits_gate(sf_dir: str):
+        """Gate: distributed HITS (hubs & authorities, 2 SpMV exchanges
+        per iteration) == single-process numpy HITS on the same bounded
+        sample."""
+        from rayld.pipelines.graph import hits_check
+
+        n = min(150, max(30, jsonld_ops.n_conversations_for(sf_dir) // 10))
+        return hits_check(n)
+
     def kg_jsonld_roundtrip(sf_dir: str):
         """Sink/source gate: NDJSON JSON-LD export -> line-sharded read-back
         reproduces the triples."""
@@ -221,7 +272,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_bgp_adjacent_entities": kg_bgp_adjacent_entities,
         "kg_bgp_turn_depth": kg_bgp_turn_depth,
         "kg_bgp_optional_labels": kg_bgp_optional_labels,
+        "kg_bgp_union": kg_bgp_union,
+        "kg_bgp_minus": kg_bgp_minus,
+        "kg_bgp_filter": kg_bgp_filter,
+        "kg_ask": kg_ask_q,
+        "kg_describe": kg_describe,
         "kg_construct_comention": kg_construct_comention,
+        "kg_hits_check": kg_hits_gate,
         "kg_entity_cooccurrence": kg_entity_cooccurrence,
         "user_triangles": graph.user_triangles,
         "user_common_neighbors": graph.user_common_neighbors,
@@ -464,12 +521,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q6_forecast_revenue", "q12_shipping_lateness",
         "q19_discounted_revenue", "q21_waiting_suppliers",
         "q22_sales_opportunity",
-        "q10_returned_items", "q15_top_supplier",
-        "q17_small_quantity_revenue", "q18_large_orders",
+        # the round-5 SPARQL-verb completions + the HITS gate (newest
+        # code gets the driver hash-check; the four TPC-H shapes and two
+        # warehouse shapes they displace — Q10/Q15/Q17/Q18, events_cube,
+        # merge_upsert — stay builder-gated at three scales with in-window
+        # family siblings)
+        "kg_bgp_union", "kg_bgp_minus", "kg_bgp_filter", "kg_ask",
+        "kg_describe", "kg_hits_check",
         # relational / windowed / warehouse
         "events_hourly", "user_sessions", "asof_join_attribution",
-        "range_join_signup_clicks", "events_rollup", "events_cube",
-        "grouped_skew", "cohort_retention", "merge_upsert",
+        "range_join_signup_clicks", "events_rollup",
+        "grouped_skew", "cohort_retention",
         # curation
         "decontaminate", "pii_redact", "hash_split", "pack_sequences",
         "leakage_safe_split_check",
@@ -710,6 +772,81 @@ def oracle_sql() -> dict[str, str]:
             "  AS nquad"
             " FROM a a1 JOIN a a2 ON a1.conv_id = a2.conv_id"
             "  AND a1.t = a2.t AND a1.e < a2.e"
+        ),
+        # UNION BGP (bag semantics): each branch is a pruned scan, the
+        # union is block concatenation — UNION ALL on the oracle side
+        "kg_bgp_union": (
+            "SELECT subj AS x, obj_value AS l, 'rdfs:label' AS src"
+            " FROM " + _kgs + " WHERE pred ="
+            " 'http://www.w3.org/2000/01/rdf-schema#label'"
+            " UNION ALL"
+            " SELECT subj AS x, obj_value AS l, 'schema:name' AS src"
+            " FROM " + _kgs + " WHERE pred = 'http://schema.org/name'"
+        ),
+        # MINUS BGP (negation): mentions in turns with no tool result —
+        # the Ray side anti-joins per conv bucket, the oracle NOT EXISTS
+        "kg_bgp_minus": (
+            "WITH a AS (SELECT conv_id, subj AS t, obj_value AS e"
+            "  FROM " + _kgs + " WHERE pred = 'http://schema.org/about'),"
+            " tr AS (SELECT conv_id, subj AS t FROM " + _kgs
+            + "  WHERE pred = 'https://rayld.dev/vocab#toolResult')"
+            " SELECT a.e AS e, count(*)::BIGINT AS n FROM a"
+            " WHERE NOT EXISTS (SELECT 1 FROM tr"
+            "  WHERE tr.conv_id = a.conv_id AND tr.t = a.t)"
+            " GROUP BY 1"
+        ),
+        # FILTER regex BGP: questions per role; the Ray regex kernel
+        # (RE2 syntax) and DuckDB's regexp_matches agree on '\?'
+        "kg_bgp_filter": (
+            "WITH x AS (SELECT conv_id, subj AS t, obj_value AS txt"
+            "  FROM " + _kgs + " WHERE pred = 'http://schema.org/text'),"
+            " r AS (SELECT conv_id, subj AS t, obj_value AS role"
+            "  FROM " + _kgs
+            + "  WHERE pred = 'https://rayld.dev/vocab#role')"
+            " SELECT r.role AS role, count(*)::BIGINT AS n"
+            " FROM x JOIN r ON r.conv_id = x.conv_id AND r.t = x.t"
+            " WHERE regexp_matches(x.txt, '\\?')"
+            " GROUP BY 1"
+        ),
+        # ASK: four boolean existence queries; EXISTS on the oracle side,
+        # max-folded 0/1 partials on the Ray side
+        "kg_ask": (
+            "SELECT 'ask_cross_conv_entity' AS ask,"
+            " (EXISTS (SELECT 1 FROM (SELECT obj_value,"
+            "   count(DISTINCT conv_id) AS c FROM " + _kgs
+            + "   WHERE pred = 'http://schema.org/about' GROUP BY 1)"
+            "  WHERE c >= 2))::BIGINT AS flag"
+            " UNION ALL SELECT 'ask_high_rating',"
+            " (EXISTS (SELECT 1 FROM " + _kgs
+            + "  WHERE pred = 'http://schema.org/ratingValue'"
+            "  AND TRY_CAST(obj_value AS DOUBLE) > 4.5))::BIGINT"
+            " UNION ALL SELECT 'ask_tool_turns',"
+            " (EXISTS (SELECT 1 FROM " + _kgs
+            + "  WHERE pred = 'https://rayld.dev/vocab#role'"
+            "  AND obj_value = 'tool'))::BIGINT"
+            " UNION ALL SELECT 'ask_unknown_pred',"
+            " (EXISTS (SELECT 1 FROM " + _kgs
+            + "  WHERE pred = 'https://rayld.dev/vocab#frobnicate'"
+            " ))::BIGINT"
+        ),
+        # DESCRIBE of the argmax-mention entity (tie -> lexicographic
+        # min): symmetric concise bounded description, NULLs coalesced
+        # identically on both sides
+        "kg_describe": (
+            "WITH top AS (SELECT obj_value AS e FROM " + _kgs
+            + "  WHERE pred = 'http://schema.org/about' GROUP BY 1"
+            "  ORDER BY count(*) DESC, obj_value LIMIT 1)"
+            " SELECT subj, pred, obj_kind, obj_value,"
+            "  coalesce(obj_datatype, '') AS obj_datatype,"
+            "  coalesce(obj_lang, '') AS obj_lang"
+            " FROM " + _kgs + ", top"
+            " WHERE subj = e OR (obj_kind = 'IRI' AND obj_value = e)"
+        ),
+        # distributed HITS == single-process numpy HITS (iterative /
+        # non-SQL, so the gate's flags are the oracle)
+        "kg_hits_check": (
+            "SELECT 1::BIGINT AS parity_ok, 1::BIGINT AS hub_norm_ok,"
+            " 1::BIGINT AS auth_norm_ok"
         ),
         # distributed moment-PCA == single-process numpy PCA (covariance,
         # mean, projection, orthonormality, EVR ordering)

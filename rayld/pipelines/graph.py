@@ -2311,3 +2311,470 @@ def kg_construct_comention(triples_ds, num_partitions: int | None = None):
         num_partitions=max(8, num_partitions // 4),
     )
     return distinct.map_batches(construct, batch_format="pyarrow")
+
+
+_SCHEMA_NAME = "http://schema.org/name"
+_SCHEMA_TEXT = "http://schema.org/text"
+_VOCAB_ROLE = "https://rayld.dev/vocab#role"
+
+
+def kg_bgp_union_labels(triples_ds):
+    """SPARQL UNION over the KG (bag semantics):
+
+        { ?x rdfs:label ?l } UNION { ?x schema:name ?l }
+
+    -> one row per solution, tagged with the branch that produced it.
+    UNION is the one SPARQL algebra node that needs NO exchange at all:
+    each branch is a predicate-pruned scan and the bag union is block
+    concatenation — the plan is embarrassingly parallel and streams.
+    Reference parity: the same solutions a SPARQL engine over the
+    kernel's ToRDF output (processor.py:324 lineage) would produce."""
+
+    _sch = pa.schema([
+        ("x", pa.string()), ("l", pa.string()), ("src", pa.string()),
+    ])
+
+    def branches(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        outs = []
+        for pred, tag in ((_RDFS_LABEL, "rdfs:label"),
+                          (_SCHEMA_NAME, "schema:name")):
+            t = batch.filter(pc.equal(batch["pred"], pred))
+            outs.append(pa.table({
+                "x": t["subj"].cast(pa.string()),
+                "l": t["obj_value"].cast(pa.string()),
+                "src": pa.array([tag] * len(t), pa.string()),
+            }, schema=_sch))
+        return pa.concat_tables(outs)
+
+    return triples_ds.map_batches(branches, batch_format="pyarrow")
+
+
+def kg_bgp_minus_mentions(triples_ds, num_partitions: int | None = None):
+    """SPARQL MINUS (negation) over the KG:
+
+        { ?t schema:about ?e  MINUS { ?t vocab:toolResult ?r } }
+
+    -> per entity, how many of its mentioning turns have NO tool result
+    (the anti-join form; the oracle runs the equivalent NOT EXISTS).
+
+    Scale shape: both legs are conversation-scoped, so the shared
+    _conv_bucketed_legs extractor co-locates them in ONE exchange; the
+    per-bucket anti-join is a vectorized isin on (conv, turn) keys, and
+    the per-entity counts collapse through the bounded house combine
+    (entities are gazetteer-bounded)."""
+    from .common import bucketed_sum_combine, cluster_partitions
+
+    if num_partitions is None:
+        num_partitions = cluster_partitions()
+
+    out_sch = pa.schema([("e", pa.string()), ("n", pa.int64())])
+
+    def anti(df: pd.DataFrame) -> pa.Table:
+        if len(df) == 0 or "leg" not in df.columns:
+            return out_sch.empty_table()
+        a = df[df["leg"] == 0]
+        tr = df[df["leg"] == 1]
+        keep = ~(a["conv_id"] + "\x00" + a["s"]).isin(
+            tr["conv_id"] + "\x00" + tr["s"]
+        )
+        g = a[keep].groupby("o", as_index=False, sort=False).size()
+        return pa.table({
+            "e": pa.array(g["o"], pa.string()),
+            "n": pa.array(g["size"].to_numpy(np.int64)),
+        }, schema=out_sch)
+
+    partials = _conv_bucketed_legs(
+        triples_ds, (_SCHEMA_ABOUT, _VOCAB_TOOL_RESULT), num_partitions,
+    ).groupby("part").map_groups(anti, batch_format="pandas")
+    return bucketed_sum_combine(
+        partials, keys=["e"], sum_cols=["n"], schema=out_sch,
+        num_partitions=max(8, num_partitions // 4),
+    )
+
+
+def kg_bgp_filter_questions(triples_ds, pattern: str = r"\?",
+                            num_partitions: int | None = None):
+    """SPARQL FILTER regex over a two-leg BGP:
+
+        { ?t schema:text ?x . ?t vocab:role ?r . FILTER regex(?x, "\\?") }
+
+    -> how many turns per role ask a question. The BGP core (bgp_match)
+    does the subject-shared join on its one crc32(subj) exchange; the
+    FILTER is a vectorized pyarrow regex kernel applied to the joined
+    solutions (never a Python row loop), and the per-role counts fold
+    through the bounded house combine (three roles)."""
+    import pyarrow.compute as pc
+
+    from .common import bucketed_sum_combine, cluster_partitions
+
+    if num_partitions is None:
+        num_partitions = cluster_partitions()
+
+    out_sch = pa.schema([("role", pa.string()), ("n", pa.int64())])
+
+    joined = bgp_match(triples_ds, [
+        {"pred": _SCHEMA_TEXT, "capture": "txt"},
+        {"pred": _VOCAB_ROLE, "capture": "role"},
+    ], num_partitions=num_partitions)
+
+    def filt(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pc.match_substring_regex(batch["txt"], pattern))
+        df = t.select(["role"]).to_pandas()
+        g = df.groupby("role", as_index=False, sort=False).size()
+        return pa.table({
+            "role": pa.array(g["role"].astype(str), pa.string()),
+            "n": pa.array(g["size"].to_numpy(np.int64)),
+        }, schema=out_sch)
+
+    partials = joined.map_batches(filt, batch_format="pyarrow")
+    return bucketed_sum_combine(
+        partials, keys=["role"], sum_cols=["n"], schema=out_sch,
+        num_partitions=8,
+    )
+
+
+_ASK_UNKNOWN_PRED = "https://rayld.dev/vocab#frobnicate"
+
+
+def kg_ask(triples_ds, rating_gt: float = 4.5,
+           num_partitions: int | None = None):
+    """SPARQL ASK over the KG — four boolean existence queries in one
+    result table (ask, flag):
+
+        ask_high_rating       ASK { ?r schema:ratingValue ?v .
+                                    FILTER (xsd:double(?v) > 4.5) }
+        ask_tool_turns        ASK { ?t vocab:role "tool" }
+        ask_unknown_pred      ASK { ?s vocab:frobnicate ?o }   (false)
+        ask_cross_conv_entity ASK { a mention of some ?e in >= 2
+                                    distinct conversations }
+
+    Scale shape: the three row-local asks reduce to per-batch 0/1
+    partials folded by a max combine (no data ever moves — only flag
+    rows); the one JOIN-y ask dedups (entity, conv) per batch and takes
+    a per-entity distinct-conversation count on a single bucketed
+    exchange over the gazetteer-bounded entity vocabulary."""
+    import zlib
+
+    import pyarrow.compute as pc
+
+    from .common import bucketed_sum_combine, cluster_partitions
+
+    if num_partitions is None:
+        num_partitions = cluster_partitions()
+
+    out_sch = pa.schema([("ask", pa.string()), ("flag", pa.int64())])
+    _ASKS = ["ask_cross_conv_entity", "ask_high_rating",
+             "ask_tool_turns", "ask_unknown_pred"]
+
+    def local_flags(batch: pa.Table) -> pa.Table:
+        rat = batch.filter(
+            pc.equal(batch["pred"], _SCHEMA_RATING))["obj_value"]
+        vals = pd.to_numeric(pd.Series(rat.to_pylist()), errors="coerce")
+        high = int(bool((vals > rating_gt).any()))
+        tool = int(pc.any(pc.and_(
+            pc.equal(batch["pred"], _VOCAB_ROLE),
+            pc.equal(batch["obj_value"], "tool"),
+        )).as_py() or False)
+        unk = int(pc.any(
+            pc.equal(batch["pred"], _ASK_UNKNOWN_PRED)
+        ).as_py() or False)
+        return pa.table({
+            "ask": pa.array(_ASKS, pa.string()),
+            "flag": pa.array([0, high, tool, unk], pa.int64()),
+        }, schema=out_sch)
+
+    pair_sch = pa.schema([
+        ("e", pa.string()), ("conv_id", pa.string()), ("part", pa.int32()),
+    ])
+
+    def ent_conv(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pc.equal(batch["pred"], _SCHEMA_ABOUT))
+        df = pd.DataFrame({
+            "e": t["obj_value"].to_pylist(),
+            "conv_id": t["conv_id"].to_pylist(),
+        }).drop_duplicates()
+        parts = np.fromiter(
+            (zlib.crc32(e.encode()) % num_partitions for e in df["e"]),
+            dtype=np.int32, count=len(df),
+        )
+        return pa.table({
+            "e": pa.array(df["e"].astype(str), pa.string()),
+            "conv_id": pa.array(df["conv_id"].astype(str), pa.string()),
+            "part": pa.array(parts, pa.int32()),
+        }, schema=pair_sch)
+
+    def cross_conv(df: pd.DataFrame) -> pa.Table:
+        if len(df) == 0 or "e" not in df.columns:
+            return out_sch.empty_table()
+        flag = int((df.groupby("e")["conv_id"].nunique() >= 2).any())
+        return pa.table({
+            "ask": pa.array(["ask_cross_conv_entity"], pa.string()),
+            "flag": pa.array([flag], pa.int64()),
+        }, schema=out_sch)
+
+    local = triples_ds.map_batches(local_flags, batch_format="pyarrow")
+    crossc = (
+        triples_ds.map_batches(ent_conv, batch_format="pyarrow")
+        .groupby("part").map_groups(cross_conv, batch_format="pandas")
+    )
+    return bucketed_sum_combine(
+        local.union(crossc), keys=["ask"], sum_cols=["flag"],
+        schema=out_sch, num_partitions=8, how="max",
+    )
+
+
+def kg_describe_top_entity(triples_ds, num_partitions: int | None = None):
+    """SPARQL DESCRIBE of the most-mentioned entity (ties broken by
+    lexicographic min, the same rule the oracle's ORDER BY runs):
+
+        DESCRIBE ?e  where ?e = argmax_e |{ ?t schema:about ?e }|
+
+    -> every triple where the entity is the subject or the (IRI) object,
+    i.e. the symmetric concise bounded description without bnode closure
+    (this KG attaches no bnode satellites to entity nodes).
+
+    Scale shape: pass 1 folds per-batch mention counts through the
+    bounded house combine (entities are gazetteer-bounded) and the driver
+    holds ONE winner string; pass 2 is a broadcast-filter scan — no
+    exchange moves triple rows at any point."""
+    import pyarrow.compute as pc
+
+    from .common import bucketed_sum_combine, cluster_partitions
+
+    if num_partitions is None:
+        num_partitions = cluster_partitions()
+
+    cnt_sch = pa.schema([("e", pa.string()), ("n", pa.int64())])
+
+    def mention_counts(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pc.equal(batch["pred"], _SCHEMA_ABOUT))
+        g = pd.Series(t["obj_value"].to_pylist()).value_counts()
+        return pa.table({
+            "e": pa.array(g.index.astype(str), pa.string()),
+            "n": pa.array(g.to_numpy(np.int64)),
+        }, schema=cnt_sch)
+
+    counts = bucketed_sum_combine(
+        triples_ds.map_batches(mention_counts, batch_format="pyarrow"),
+        keys=["e"], sum_cols=["n"], schema=cnt_sch,
+        num_partitions=max(8, num_partitions // 4),
+    ).to_pandas()  # gazetteer-bounded vocabulary: one small driver table
+    out_sch = pa.schema([
+        ("subj", pa.string()), ("pred", pa.string()),
+        ("obj_kind", pa.string()), ("obj_value", pa.string()),
+        ("obj_datatype", pa.string()), ("obj_lang", pa.string()),
+    ])
+    if len(counts) == 0:
+        import ray.data as rd
+
+        return rd.from_arrow(out_sch.empty_table())
+    counts = counts.sort_values(
+        ["n", "e"], ascending=[False, True], kind="mergesort"
+    )
+    target = str(counts["e"].iloc[0])
+
+    def describe(batch: pa.Table) -> pa.Table:
+        keep = pc.or_(
+            pc.equal(batch["subj"], target),
+            pc.and_(pc.equal(batch["obj_kind"], "IRI"),
+                    pc.equal(batch["obj_value"], target)),
+        )
+        t = batch.filter(keep)
+        return pa.table({
+            "subj": t["subj"].cast(pa.string()),
+            "pred": t["pred"].cast(pa.string()),
+            "obj_kind": t["obj_kind"].cast(pa.string()),
+            "obj_value": t["obj_value"].cast(pa.string()),
+            "obj_datatype": pc.fill_null(
+                t["obj_datatype"].cast(pa.string()), ""),
+            "obj_lang": pc.fill_null(t["obj_lang"].cast(pa.string()), ""),
+        }, schema=out_sch)
+
+    return triples_ds.map_batches(describe, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# HITS (hubs & authorities) — the second iterative link-analysis member
+# ---------------------------------------------------------------------------
+
+def _spmv_contrib(edges, weights: pd.Series, key_in: str, key_out: str,
+                  P: int, bucket_str) -> pd.DataFrame:
+    """One SpMV half-step over a (src, dst) edge Dataset: for every node,
+    sum ``weights[key_in]`` over its incident edges, grouped by
+    ``key_out``. The weight vector broadcasts once via ray.put; per-edge-
+    block partials pre-aggregate before the single bucketed combine, so
+    the exchange moves one row per (node, block)."""
+    import ray
+
+    ref = ray.put(weights)
+    sch = pa.schema([
+        ("node", pa.string()), ("contrib", pa.float64()),
+        ("part", pa.int32()),
+    ])
+    out_sch = pa.schema([("node", pa.string()), ("contrib", pa.float64())])
+
+    def partial(df: pd.DataFrame) -> pa.Table:
+        wts = ray.get(ref)
+        df = df.assign(val=df[key_in].map(wts).to_numpy(np.float64))
+        df = df.sort_values([key_out, key_in], kind="mergesort")
+        g = df.groupby(key_out, as_index=False)["val"].sum()
+        return pa.table({
+            "node": pa.array(g[key_out].astype(str), pa.string()),
+            "contrib": pa.array(g["val"].to_numpy(np.float64)),
+            "part": pa.array(bucket_str(g[key_out].tolist()), pa.int32()),
+        }, schema=sch)
+
+    def combine(df: pd.DataFrame) -> pa.Table:
+        if len(df) == 0:
+            return out_sch.empty_table()
+        df = df.sort_values(["node", "contrib"], kind="mergesort")
+        g = df.groupby("node", as_index=False)["contrib"].sum()
+        return pa.table({
+            "node": pa.array(g["node"].astype(str), pa.string()),
+            "contrib": pa.array(g["contrib"].to_numpy(np.float64)),
+        }, schema=out_sch)
+
+    return (
+        edges.map_batches(partial, batch_format="pandas")
+        .groupby("part").map_groups(combine, batch_format="pandas")
+        .to_pandas()
+    )
+
+
+def hits(edges_ds, n_iter: int = 10, num_partitions: int | None = None):
+    """HITS hubs & authorities (Kleinberg, JACM 1999) over a (src, dst)
+    string edge Dataset. Returns (node, hub, authority), each vector
+    L2-normalized after its half-step (the textbook update order:
+    a <- A^T h, normalize; h <- A a, normalize).
+
+    Broadcast-vector path — valid exactly while the node vector fits the
+    driver (the pagerank-broadcast regime; past that threshold the
+    _pagerank_join rank-join shape generalizes verbatim, since both
+    half-steps are the same SpMV contribution pattern). Per iteration
+    TWO bucketed exchanges, each moving one row per (node, edge-block)."""
+    from .common import cluster_partitions
+
+    if num_partitions is None:
+        num_partitions = cluster_partitions(minimum=8)
+    P = num_partitions
+    bucket_str = _crc32_bucketer(P)
+    edges = edges_ds.materialize()
+
+    # node table = union of endpoints (one bucketed dedup exchange)
+    def endpoints(t: pa.Table) -> pa.Table:
+        nodes = pd.unique(pd.concat([
+            t["src"].to_pandas(), t["dst"].to_pandas()
+        ], ignore_index=True))
+        return pa.table({
+            "node": pa.array(nodes.astype(str), pa.string()),
+            "part": pa.array(bucket_str(nodes.tolist()), pa.int32()),
+        })
+
+    def node_dedup(df: pd.DataFrame) -> pa.Table:
+        sch = pa.schema([("node", pa.string())])
+        if len(df) == 0:
+            return sch.empty_table()
+        return pa.table({
+            "node": pa.array(
+                df["node"].drop_duplicates().astype(str), pa.string()),
+        }, schema=sch)
+
+    node_df = (
+        edges.map_batches(endpoints, batch_format="pyarrow")
+        .groupby("part").map_groups(node_dedup, batch_format="pandas")
+        .to_pandas()
+    )
+    import ray.data as rd
+
+    if len(node_df) == 0:
+        return rd.from_arrow(pa.table({
+            "node": pa.array([], pa.string()),
+            "hub": pa.array([], pa.float64()),
+            "authority": pa.array([], pa.float64()),
+        }))
+    nodes = node_df["node"].sort_values().reset_index(drop=True)
+    n = len(nodes)
+    pos = pd.Series(np.arange(n), index=nodes)
+    hub = np.full(n, 1.0 / np.sqrt(n))
+    auth = np.full(n, 1.0 / np.sqrt(n))
+
+    def gather(got: pd.DataFrame) -> np.ndarray:
+        v = np.zeros(n)
+        if "node" in got.columns and len(got):
+            v[pos[got["node"]].to_numpy()] = got["contrib"].to_numpy()
+        return v
+
+    for _ in range(n_iter):
+        auth = gather(_spmv_contrib(
+            edges, pd.Series(hub, index=nodes), "src", "dst", P, bucket_str,
+        ))
+        norm = np.linalg.norm(auth)
+        auth = auth / norm if norm > 0 else auth
+        hub = gather(_spmv_contrib(
+            edges, pd.Series(auth, index=nodes), "dst", "src", P, bucket_str,
+        ))
+        norm = np.linalg.norm(hub)
+        hub = hub / norm if norm > 0 else hub
+
+    return rd.from_pandas(pd.DataFrame({
+        "node": nodes, "hub": hub, "authority": auth,
+    }))
+
+
+def hits_reference(edges: pd.DataFrame, n_iter: int = 10) -> pd.DataFrame:
+    """Single-process numpy HITS (the parity oracle for the gate)."""
+    nodes = pd.Index(
+        pd.unique(pd.concat([edges["src"], edges["dst"]], ignore_index=True))
+    ).sort_values()
+    idx = {v: i for i, v in enumerate(nodes)}
+    n = len(nodes)
+    src = edges["src"].map(idx).to_numpy(np.int64)
+    dst = edges["dst"].map(idx).to_numpy(np.int64)
+    hub = np.full(n, 1.0 / np.sqrt(n))
+    auth = np.full(n, 1.0 / np.sqrt(n))
+    for _ in range(n_iter):
+        auth = np.zeros(n)
+        np.add.at(auth, dst, hub[src])
+        norm = np.linalg.norm(auth)
+        auth = auth / norm if norm > 0 else auth
+        hub = np.zeros(n)
+        np.add.at(hub, src, auth[dst])
+        norm = np.linalg.norm(hub)
+        hub = hub / norm if norm > 0 else hub
+    return pd.DataFrame({"node": nodes, "hub": hub, "authority": auth})
+
+
+def hits_check(n_conversations: int = 100, n_iter: int = 5) -> pd.DataFrame:
+    """Gate: distributed HITS == single-process numpy HITS on the same
+    bounded conversation sample (the pagerank_check harness shape — a
+    spot-check, not a data path). Emits typed flags a constant SQL oracle
+    pins."""
+    from .kg import build_triples
+    from ..sources.transcripts import transcripts_dataset
+
+    triples = build_triples(transcripts_dataset(n_conversations))
+    edges_ds = triples_to_edges(triples).materialize()
+    got = hits(
+        edges_ds, n_iter=n_iter
+    ).to_pandas().sort_values("node").reset_index(drop=True)
+    want = hits_reference(
+        edges_ds.to_pandas(), n_iter=n_iter
+    ).sort_values("node").reset_index(drop=True)
+    ok = len(got) == len(want)
+    max_diff = max(
+        float(np.abs(got["hub"].to_numpy()
+                     - want["hub"].to_numpy()).max()),
+        float(np.abs(got["authority"].to_numpy()
+                     - want["authority"].to_numpy()).max()),
+    ) if ok and len(got) else float("inf")
+    return pd.DataFrame({
+        "parity_ok": [int(ok and max_diff < 1e-9)],
+        "hub_norm_ok": [
+            int(abs(float(np.linalg.norm(got["hub"])) - 1.0) < 1e-9)
+        ],
+        "auth_norm_ok": [
+            int(abs(float(np.linalg.norm(got["authority"])) - 1.0) < 1e-9)
+        ],
+    })

@@ -4817,3 +4817,151 @@ def test_ann_hamming_range(ray_session):
     assert m == want and len(m) > 4
     # every query is within radius 0 of itself
     assert all(m[(q, q)] == 0 for q in (0, 1, 2, 3))
+
+
+def test_kg_bgp_union_labels(ray_session):
+    """UNION is a bag: the result equals the concatenation of the two
+    branch scans, branch-tagged, with multiplicity preserved."""
+    from rayld.pipelines.graph import kg_bgp_union_labels
+    from rayld.pipelines.kg import build_triples
+    from rayld.sources.transcripts import transcripts_dataset
+
+    triples = build_triples(transcripts_dataset(30)).materialize()
+    got = kg_bgp_union_labels(triples).to_pandas()
+
+    df = triples.to_pandas()
+    want = []
+    for pred, tag in (
+        ("http://www.w3.org/2000/01/rdf-schema#label", "rdfs:label"),
+        ("http://schema.org/name", "schema:name"),
+    ):
+        leg = df[df["pred"] == pred]
+        want += list(zip(leg["subj"], leg["obj_value"], [tag] * len(leg)))
+    assert sorted(zip(got["x"], got["l"], got["src"])) == sorted(want)
+    assert len({s for _, _, s in want}) == 2  # both branches non-empty
+
+
+def test_kg_bgp_minus_mentions(ray_session):
+    """MINUS keeps exactly the mention solutions whose turn has no
+    toolResult binding (pandas NOT-IN recount)."""
+    from rayld.pipelines.graph import kg_bgp_minus_mentions
+    from rayld.pipelines.kg import build_triples
+    from rayld.sources.transcripts import transcripts_dataset
+
+    triples = build_triples(transcripts_dataset(40)).materialize()
+    got = kg_bgp_minus_mentions(triples, num_partitions=4).to_pandas()
+
+    df = triples.to_pandas()
+    a = df[df["pred"] == "http://schema.org/about"]
+    tr = df[df["pred"] == "https://rayld.dev/vocab#toolResult"]
+    tr_keys = set(zip(tr["conv_id"], tr["subj"]))
+    kept = a[[k not in tr_keys for k in zip(a["conv_id"], a["subj"])]]
+    want = kept.groupby("obj_value").size().to_dict()
+    assert dict(zip(got["e"], got["n"])) == want and len(want) > 0
+    # the negation is non-trivial on this corpus: some mention turns DO
+    # carry tool results and are removed
+    assert len(kept) < len(a)
+
+
+def test_kg_bgp_filter_questions(ray_session):
+    """FILTER regex keeps exactly the joined solutions whose text matches
+    (pandas str.contains recount), counted per role."""
+    from rayld.pipelines.graph import kg_bgp_filter_questions
+    from rayld.pipelines.kg import build_triples
+    from rayld.sources.transcripts import transcripts_dataset
+
+    triples = build_triples(transcripts_dataset(40)).materialize()
+    got = kg_bgp_filter_questions(triples, num_partitions=4).to_pandas()
+
+    df = triples.to_pandas()
+    x = df[df["pred"] == "http://schema.org/text"]
+    r = df[df["pred"] == "https://rayld.dev/vocab#role"]
+    j = x[["conv_id", "subj", "obj_value"]].merge(
+        r[["conv_id", "subj", "obj_value"]].rename(
+            columns={"obj_value": "role"}),
+        on=["conv_id", "subj"],
+    )
+    j = j[j["obj_value"].str.contains(r"\?", regex=True)]
+    want = j.groupby("role").size().to_dict()
+    assert dict(zip(got["role"], got["n"])) == want and len(want) > 0
+    # the filter is selective: strictly fewer matches than solutions
+    assert sum(want.values()) < len(x)
+
+
+def test_kg_ask(ray_session):
+    """ASK flags equal the pandas existence recounts, and the fixture
+    exercises BOTH truth values (unknown_pred false, the rest true)."""
+    from rayld.pipelines.graph import kg_ask
+    from rayld.pipelines.kg import build_triples
+    from rayld.sources.transcripts import transcripts_dataset
+
+    triples = build_triples(transcripts_dataset(40)).materialize()
+    got = dict(zip(*(lambda d: (d["ask"], d["flag"]))(
+        kg_ask(triples, num_partitions=4).to_pandas())))
+
+    df = triples.to_pandas()
+    rat = df[df["pred"] == "http://schema.org/ratingValue"]
+    import pandas as pd
+    want = {
+        "ask_high_rating": int(
+            (pd.to_numeric(rat["obj_value"], errors="coerce") > 4.5).any()),
+        "ask_tool_turns": int((
+            (df["pred"] == "https://rayld.dev/vocab#role")
+            & (df["obj_value"] == "tool")).any()),
+        "ask_unknown_pred": 0,
+        "ask_cross_conv_entity": int((
+            df[df["pred"] == "http://schema.org/about"]
+            .groupby("obj_value")["conv_id"].nunique() >= 2).any()),
+    }
+    assert got == want
+    assert got["ask_unknown_pred"] == 0 and got["ask_tool_turns"] == 1
+
+
+def test_kg_describe_top_entity(ray_session):
+    """DESCRIBE returns every triple touching the argmax-mention entity
+    (subject or IRI object), with the oracle's tie-break rule."""
+    from rayld.pipelines.graph import kg_describe_top_entity
+    from rayld.pipelines.kg import build_triples
+    from rayld.sources.transcripts import transcripts_dataset
+
+    triples = build_triples(transcripts_dataset(40)).materialize()
+    got = kg_describe_top_entity(triples, num_partitions=4).to_pandas()
+
+    df = triples.to_pandas()
+    a = df[df["pred"] == "http://schema.org/about"]
+    counts = a.groupby("obj_value").size().reset_index(name="n")
+    counts = counts.sort_values(["n", "obj_value"],
+                                ascending=[False, True], kind="mergesort")
+    e = counts["obj_value"].iloc[0]
+    want = df[(df["subj"] == e)
+              | ((df["obj_kind"] == "IRI") & (df["obj_value"] == e))]
+    assert len(got) == len(want) > 0
+    assert set(zip(got["subj"], got["pred"], got["obj_value"])) == set(
+        zip(want["subj"], want["pred"], want["obj_value"]))
+    # nulls coalesce to '' (the oracle's comparison contract)
+    assert got["obj_datatype"].notna().all()
+    assert got["obj_lang"].notna().all()
+
+
+def test_hits_matches_reference(ray_session):
+    """Distributed HITS equals single-process numpy HITS bit-near
+    (<1e-9), vectors L2-normalized, on the real KG edge list."""
+    import numpy as np
+
+    from rayld.pipelines.graph import hits, hits_reference, triples_to_edges
+    from rayld.pipelines.kg import build_triples
+    from rayld.sources.transcripts import transcripts_dataset
+
+    triples = build_triples(transcripts_dataset(30))
+    edges = triples_to_edges(triples).materialize()
+    got = hits(edges, n_iter=4, num_partitions=4).to_pandas() \
+        .sort_values("node").reset_index(drop=True)
+    want = hits_reference(edges.to_pandas(), n_iter=4) \
+        .sort_values("node").reset_index(drop=True)
+    assert list(got["node"]) == list(want["node"]) and len(got) > 0
+    assert np.abs(got["hub"] - want["hub"]).max() < 1e-9
+    assert np.abs(got["authority"] - want["authority"]).max() < 1e-9
+    assert abs(np.linalg.norm(got["hub"]) - 1.0) < 1e-9
+    assert abs(np.linalg.norm(got["authority"]) - 1.0) < 1e-9
+    # the graph is genuinely bipartite-ish: hubs and authorities differ
+    assert np.abs(got["hub"] - got["authority"]).max() > 1e-6
