@@ -213,6 +213,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         n = min(150, max(30, jsonld_ops.n_conversations_for(sf_dir) // 10))
         return hits_check(n)
 
+    def kg_ppr_gate(sf_dir: str):
+        """Gate: distributed personalized PageRank (seeded teleport, one
+        exchange per iteration) == single-process numpy on the same
+        deterministic seed set."""
+        from rayld.pipelines.graph import ppr_check
+
+        n = min(150, max(30, jsonld_ops.n_conversations_for(sf_dir) // 10))
+        return ppr_check(n)
+
     def kg_jsonld_roundtrip(sf_dir: str):
         """Sink/source gate: NDJSON JSON-LD export -> line-sharded read-back
         reproduces the triples."""
@@ -279,6 +288,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_describe": kg_describe,
         "kg_construct_comention": kg_construct_comention,
         "kg_hits_check": kg_hits_gate,
+        "kg_ppr_check": kg_ppr_gate,
         "kg_entity_cooccurrence": kg_entity_cooccurrence,
         "user_triangles": graph.user_triangles,
         "user_common_neighbors": graph.user_common_neighbors,
@@ -527,7 +537,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # merge_upsert — stay builder-gated at three scales with in-window
         # family siblings)
         "kg_bgp_union", "kg_bgp_minus", "kg_bgp_filter", "kg_ask",
-        "kg_describe", "kg_hits_check",
+        "kg_describe", "kg_hits_check", "kg_ppr_check",
         # relational / windowed / warehouse
         "events_hourly", "user_sessions", "asof_join_attribution",
         "range_join_signup_clicks", "events_rollup",
@@ -535,8 +545,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # curation
         "decontaminate", "pii_redact", "hash_split", "pack_sequences",
         "leakage_safe_split_check",
-        # indexing / retrieval
-        "token_postings", "bm25_scores", "rrf_fusion",
+        # indexing / retrieval (rrf_fusion displaced by kg_ppr_check;
+        # two family siblings stay in-window)
+        "token_postings", "bm25_scores",
         # similarity / models
         "ann_topk", "ann_ivf_recall", "kmeans_check", "logreg_check",
         "pca_check", "pq_recall_check",
@@ -847,6 +858,13 @@ def oracle_sql() -> dict[str, str]:
         "kg_hits_check": (
             "SELECT 1::BIGINT AS parity_ok, 1::BIGINT AS hub_norm_ok,"
             " 1::BIGINT AS auth_norm_ok"
+        ),
+        # distributed personalized PageRank == single-process numpy on
+        # the same deterministic seed set (iterative / non-SQL)
+        "kg_ppr_check": (
+            "SELECT 1::BIGINT AS parity_ok,"
+            " 1::BIGINT AS rank_sums_to_one,"
+            " 1::BIGINT AS seed_mass_personalized"
         ),
         # distributed moment-PCA == single-process numpy PCA (covariance,
         # mean, projection, orthonormality, EVR ordering)

@@ -2778,3 +2778,187 @@ def hits_check(n_conversations: int = 100, n_iter: int = 5) -> pd.DataFrame:
             int(abs(float(np.linalg.norm(got["authority"])) - 1.0) < 1e-9)
         ],
     })
+
+
+def personalized_pagerank(edges_ds, seeds, damping: float = 0.85,
+                          n_iter: int = 10,
+                          num_partitions: int | None = None):
+    """Personalized PageRank: the teleport vector concentrates on a SEED
+    set instead of the uniform distribution (entity-relevance ranking
+    from a query's entities — the standard KG-retrieval primitive), and
+    dangling mass returns to the seeds. Returns (node, rank) with
+    sum(rank) == 1.
+
+    Broadcast-vector path, one bucketed exchange per iteration — the
+    exact _pagerank_broadcast regime (node vector fits the driver; past
+    the threshold the _pagerank_join rank-join shape generalizes
+    verbatim, the only change being the seed-indicator base term)."""
+    import ray
+    import ray.data as rd
+
+    from .common import cluster_partitions
+
+    if num_partitions is None:
+        num_partitions = cluster_partitions(minimum=8)
+    P = num_partitions
+    bucket_str = _crc32_bucketer(P)
+    edges = edges_ds.materialize()
+
+    def node_partials(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        out = df["src"].value_counts().rename("out_p")
+        inn = df["dst"].value_counts().rename("in_p")
+        g = pd.concat([out, inn], axis=1).fillna(0).reset_index(names="node")
+        return pa.table({
+            "node": pa.array(g["node"].astype(str), pa.string()),
+            "out_p": pa.array(g["out_p"].astype("int64"), pa.int64()),
+            "part": pa.array(bucket_str(g["node"].tolist()), pa.int32()),
+        })
+
+    def node_merge(df: pd.DataFrame) -> pa.Table:
+        sch = pa.schema([("node", pa.string()), ("out_deg", pa.int64())])
+        if len(df) == 0:
+            return sch.empty_table()
+        g = df.groupby("node", as_index=False)["out_p"].sum()
+        return pa.table({
+            "node": pa.array(g["node"].astype(str), pa.string()),
+            "out_deg": pa.array(g["out_p"].astype("int64"), pa.int64()),
+        }, schema=sch)
+
+    node_df = (
+        edges.map_batches(node_partials, batch_format="pyarrow")
+        .groupby("part").map_groups(node_merge, batch_format="pandas")
+        .to_pandas()
+    )
+    if len(node_df) == 0:
+        return rd.from_arrow(pa.table({
+            "node": pa.array([], pa.string()),
+            "rank": pa.array([], pa.float64()),
+        }))
+    node_df = node_df.sort_values("node").reset_index(drop=True)
+    n = len(node_df)
+    pos = pd.Series(np.arange(n), index=node_df["node"])
+    out_deg = node_df["out_deg"].to_numpy(np.int64)
+    seed_set = [s for s in seeds if s in pos.index]
+    if not seed_set:
+        raise ValueError("personalized_pagerank: no seed is a graph node")
+    s_vec = np.zeros(n)
+    s_vec[pos[seed_set].to_numpy()] = 1.0 / len(seed_set)
+    rank = s_vec.copy()
+
+    def combine(df: pd.DataFrame) -> pa.Table:
+        sch = pa.schema([("node", pa.string()), ("contrib", pa.float64())])
+        if len(df) == 0:
+            return sch.empty_table()
+        df = df.sort_values(["node", "contrib"], kind="mergesort")
+        g = df.groupby("node", as_index=False)["contrib"].sum()
+        return pa.table({
+            "node": pa.array(g["node"].astype(str), pa.string()),
+            "contrib": pa.array(g["contrib"].to_numpy(np.float64)),
+        }, schema=sch)
+
+    for _ in range(n_iter):
+        w = pd.Series(
+            np.where(out_deg > 0, rank / np.maximum(out_deg, 1), 0.0),
+            index=node_df["node"],
+        )
+        ref = ray.put(w)
+
+        def contrib_partial(df: pd.DataFrame) -> pa.Table:
+            wts = ray.get(ref)
+            df = df.assign(val=df["src"].map(wts).to_numpy(np.float64))
+            df = df.sort_values(["dst", "src"], kind="mergesort")
+            g = df.groupby("dst", as_index=False)["val"].sum()
+            return pa.table({
+                "node": pa.array(g["dst"].astype(str), pa.string()),
+                "contrib": pa.array(g["val"].to_numpy(np.float64)),
+                "part": pa.array(bucket_str(g["dst"].tolist()), pa.int32()),
+            }, schema=_CONTRIB_SCHEMA)
+
+        got = (
+            edges.map_batches(contrib_partial, batch_format="pandas")
+            .groupby("part")
+            .map_groups(combine, batch_format="pandas")
+            .to_pandas()
+        )
+        contrib = np.zeros(n)
+        if "node" in got.columns and len(got):
+            contrib[pos[got["node"]].to_numpy()] = got["contrib"].to_numpy()
+        dangling = float(rank[out_deg == 0].sum())
+        rank = (1.0 - damping) * s_vec + damping * (
+            contrib + dangling * s_vec
+        )
+
+    return rd.from_pandas(
+        pd.DataFrame({"node": node_df["node"], "rank": rank})
+    )
+
+
+def ppr_reference(edges: pd.DataFrame, seeds, damping: float = 0.85,
+                  n_iter: int = 10) -> pd.DataFrame:
+    """Single-process numpy personalized PageRank (the parity oracle)."""
+    nodes = pd.Index(
+        pd.unique(pd.concat([edges["src"], edges["dst"]], ignore_index=True))
+    ).sort_values()
+    idx = {v: i for i, v in enumerate(nodes)}
+    n = len(nodes)
+    src = edges["src"].map(idx).to_numpy(np.int64)
+    dst = edges["dst"].map(idx).to_numpy(np.int64)
+    out_deg = np.bincount(src, minlength=n).astype(np.float64)
+    seed_set = [s for s in seeds if s in idx]
+    s_vec = np.zeros(n)
+    s_vec[[idx[s] for s in seed_set]] = 1.0 / len(seed_set)
+    rank = s_vec.copy()
+    for _ in range(n_iter):
+        dangling = rank[out_deg == 0].sum()
+        contrib = np.zeros(n)
+        np.add.at(contrib, dst, rank[src] / out_deg[src])
+        rank = (1 - damping) * s_vec + damping * (contrib + dangling * s_vec)
+    return pd.DataFrame({"node": nodes, "rank": rank})
+
+
+def default_ppr_seeds(edges_df: pd.DataFrame, k: int = 5) -> list:
+    """Deterministic seed rule shared by the gate's two sides: the k
+    lexicographically-smallest ENTITY nodes in the graph (entities are
+    mention targets, i.e. mostly dangling — their teleport-returned mass
+    makes the personalization visibly non-uniform)."""
+    nodes = pd.Index(pd.unique(pd.concat(
+        [edges_df["src"], edges_df["dst"]], ignore_index=True
+    ))).sort_values()
+    ents = [s for s in nodes if "/entity/" in s]
+    return (ents or list(nodes))[:k]
+
+
+def ppr_check(n_conversations: int = 100, damping: float = 0.85,
+              n_iter: int = 5) -> pd.DataFrame:
+    """Gate: distributed personalized PageRank == single-process numpy on
+    the same bounded sample and the same deterministic seed set. Emits
+    typed flags a constant SQL oracle pins: parity, mass conservation,
+    and genuine personalization (seed mass exceeds the uniform share)."""
+    from .kg import build_triples
+    from ..sources.transcripts import transcripts_dataset
+
+    triples = build_triples(transcripts_dataset(n_conversations))
+    edges_ds = triples_to_edges(triples).materialize()
+    edges_df = edges_ds.to_pandas()
+    seeds = default_ppr_seeds(edges_df)
+    got = personalized_pagerank(
+        edges_ds, seeds, damping=damping, n_iter=n_iter
+    ).to_pandas().sort_values("node").reset_index(drop=True)
+    want = ppr_reference(
+        edges_df, seeds, damping=damping, n_iter=n_iter
+    ).sort_values("node").reset_index(drop=True)
+    ok = len(got) == len(want)
+    max_diff = float(np.abs(got["rank"].to_numpy()
+                            - want["rank"].to_numpy()).max()) \
+        if ok and len(got) else float("inf")
+    seed_mass = float(got[got["node"].isin(seeds)]["rank"].sum()) \
+        if len(got) else 0.0
+    uniform_share = len(seeds) / max(len(got), 1)
+    return pd.DataFrame({
+        "parity_ok": [int(ok and max_diff < 1e-9)],
+        "rank_sums_to_one": [
+            int(abs(float(got["rank"].sum()) - 1.0) < 1e-9)
+        ],
+        "seed_mass_personalized": [int(seed_mass > uniform_share)],
+    })

@@ -4965,3 +4965,39 @@ def test_hits_matches_reference(ray_session):
     assert abs(np.linalg.norm(got["authority"]) - 1.0) < 1e-9
     # the graph is genuinely bipartite-ish: hubs and authorities differ
     assert np.abs(got["hub"] - got["authority"]).max() > 1e-6
+
+
+def test_personalized_pagerank_matches_reference(ray_session):
+    """Distributed PPR equals single-process numpy PPR bit-near (<1e-9)
+    on the real KG edge list with the shared deterministic seed rule;
+    mass conserves and genuinely concentrates on the seeds."""
+    import numpy as np
+
+    from rayld.pipelines.graph import (
+        default_ppr_seeds, personalized_pagerank, ppr_reference,
+        triples_to_edges,
+    )
+    from rayld.pipelines.kg import build_triples
+    from rayld.sources.transcripts import transcripts_dataset
+
+    triples = build_triples(transcripts_dataset(30))
+    edges = triples_to_edges(triples).materialize()
+    edges_df = edges.to_pandas()
+    seeds = default_ppr_seeds(edges_df)
+    assert len(seeds) == 5 and all("/entity/" in s for s in seeds)
+    got = personalized_pagerank(
+        edges, seeds, n_iter=4, num_partitions=4
+    ).to_pandas().sort_values("node").reset_index(drop=True)
+    want = ppr_reference(edges_df, seeds, n_iter=4) \
+        .sort_values("node").reset_index(drop=True)
+    assert list(got["node"]) == list(want["node"]) and len(got) > 0
+    assert np.abs(got["rank"] - want["rank"]).max() < 1e-9
+    assert abs(got["rank"].sum() - 1.0) < 1e-9
+    seed_mass = float(got[got["node"].isin(seeds)]["rank"].sum())
+    assert seed_mass > len(seeds) / len(got)
+    # personalization differs from the uniform-teleport ranking
+    from rayld.pipelines.graph import pagerank_reference
+
+    uni = pagerank_reference(edges_df, n_iter=4) \
+        .sort_values("node").reset_index(drop=True)
+    assert np.abs(got["rank"] - uni["rank"]).max() > 1e-6
