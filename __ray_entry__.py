@@ -213,6 +213,23 @@ def queries() -> dict[str, Callable[[str], Any]]:
         n = min(150, max(30, jsonld_ops.n_conversations_for(sf_dir) // 10))
         return hits_check(n)
 
+    def kg_bgp_values_q(sf_dir: str):
+        """SPARQL-lite VALUES (inline data) joined to the mention
+        pattern: per fixed-list entity, its mention count; the list
+        includes one entity that binds nothing (standard join semantics
+        drop it) — a broadcast is_in filter, never an exchange."""
+        from rayld.pipelines.graph import kg_bgp_values
+
+        return kg_bgp_values(_kg_parquet_ds(sf_dir, "small"))
+
+    def kg_graph_clause_q(sf_dir: str):
+        """SPARQL-lite GRAPH clause: quads bucketed by holding graph
+        ('default' / 'error' / 'named') with distinct-graph counts —
+        the query-side view of the kernel's named-graph dataset model."""
+        from rayld.pipelines.graph import kg_graph_clause
+
+        return kg_graph_clause(_kg_parquet_ds(sf_dir, "small"))
+
     def kg_ppr_gate(sf_dir: str):
         """Gate: distributed personalized PageRank (seeded teleport, one
         exchange per iteration) == single-process numpy on the same
@@ -287,6 +304,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_ask": kg_ask_q,
         "kg_describe": kg_describe,
         "kg_construct_comention": kg_construct_comention,
+        "kg_bgp_values": kg_bgp_values_q,
+        "kg_graph_clause": kg_graph_clause_q,
         "kg_hits_check": kg_hits_gate,
         "kg_ppr_check": kg_ppr_gate,
         "kg_entity_cooccurrence": kg_entity_cooccurrence,
@@ -852,6 +871,26 @@ def oracle_sql() -> dict[str, str]:
             "  coalesce(obj_lang, '') AS obj_lang"
             " FROM " + _kgs + ", top"
             " WHERE subj = e OR (obj_kind = 'IRI' AND obj_value = e)"
+        ),
+        # VALUES inline-data join: the fixed list carries one entity
+        # that binds nothing — absent from both sides (join semantics)
+        "kg_bgp_values": (
+            "SELECT obj_value AS e, count(*)::BIGINT AS n FROM " + _kgs
+            + " WHERE pred = 'http://schema.org/about' AND obj_value IN ("
+            "  'https://rayld.dev/entity/org/initech_robotics',"
+            "  'https://rayld.dev/entity/org/oscorp_energy',"
+            "  'https://rayld.dev/entity/org/umbrella_logistics',"
+            "  'https://rayld.dev/entity/person/grace_cerf',"
+            "  'https://rayld.dev/entity/org/nonexistent_org')"
+            " GROUP BY 1"
+        ),
+        # GRAPH clause: quads per holding-graph kind + distinct names
+        "kg_graph_clause": (
+            "SELECT CASE WHEN graph = '@default' THEN 'default'"
+            "  WHEN graph = '@error' THEN 'error' ELSE 'named' END"
+            "  AS g_kind, count(*)::BIGINT AS n_quads,"
+            "  count(DISTINCT graph)::BIGINT AS n_graphs"
+            " FROM " + _kgs + " GROUP BY 1"
         ),
         # distributed HITS == single-process numpy HITS (iterative /
         # non-SQL, so the gate's flags are the oracle)

@@ -2962,3 +2962,140 @@ def ppr_check(n_conversations: int = 100, damping: float = 0.85,
         ],
         "seed_mass_personalized": [int(seed_mass > uniform_share)],
     })
+
+
+_DEFAULT_VALUES_ENTITIES = (
+    "https://rayld.dev/entity/org/initech_robotics",
+    "https://rayld.dev/entity/org/oscorp_energy",
+    "https://rayld.dev/entity/org/umbrella_logistics",
+    "https://rayld.dev/entity/person/grace_cerf",
+    "https://rayld.dev/entity/org/nonexistent_org",  # binds nothing
+)
+
+
+def kg_bgp_values(triples_ds, values=None):
+    """SPARQL VALUES (inline data) joined to a mention pattern:
+
+        VALUES ?e { <e1> <e2> ... }  ?t schema:about ?e
+
+    -> per VALUES entity, its mention count. VALUES rows that bind no
+    solution produce none (standard join semantics) — the fixed list
+    includes one such entity so both behaviors are driver-checked.
+
+    Scale shape: the VALUES list is inline data (bounded by the query
+    text), so the join is a broadcast value_set filter inside the scan —
+    pyarrow is_in, never an exchange; the per-entity counts fold through
+    the bounded house combine."""
+    import pyarrow.compute as pc
+
+    from .common import bucketed_sum_combine
+
+    if values is None:
+        values = _DEFAULT_VALUES_ENTITIES
+    vset = pa.array(list(values), pa.string())
+    out_sch = pa.schema([("e", pa.string()), ("n", pa.int64())])
+
+    def matches(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pc.and_(
+            pc.equal(batch["pred"], _SCHEMA_ABOUT),
+            pc.is_in(batch["obj_value"], value_set=vset),
+        ))
+        g = pd.Series(t["obj_value"].to_pylist()).value_counts()
+        return pa.table({
+            "e": pa.array(g.index.astype(str), pa.string()),
+            "n": pa.array(g.to_numpy(np.int64)),
+        }, schema=out_sch)
+
+    return bucketed_sum_combine(
+        triples_ds.map_batches(matches, batch_format="pyarrow"),
+        keys=["e"], sum_cols=["n"], schema=out_sch, num_partitions=8,
+    )
+
+
+def kg_graph_clause(triples_ds):
+    """SPARQL GRAPH clause — quads bucketed by which graph holds them:
+
+        { ?s ?p ?o }                       (the default graph)
+        GRAPH ?g { ?s ?p ?o }              (named graphs, incl. @error)
+
+    -> (g_kind, n_quads, n_graphs): triple count and distinct graph-name
+    count per kind ('default' / 'error' / 'named'). The kernel's dataset
+    model (processor.py:324 ToRDF lineage) keeps named graphs first-
+    class; this is the query-side view of that structure.
+
+    Scale shape: graph names are conversation-scoped, so per-batch
+    partials carry (kind, count, distinct-names-in-batch) and the one
+    bounded exchange merges three rows per block; distinct names dedup
+    exactly because a graph never spans conversations and conversations
+    never span the source blocks' conv boundaries — NOT guaranteed for
+    arbitrary re-partitioned inputs, so the dedup re-runs in the combine
+    over the (kind, name) partial rows instead."""
+    import zlib
+
+    from .common import cluster_partitions
+
+    P = cluster_partitions(minimum=8)
+    part_sch = pa.schema([
+        ("g_kind", pa.string()), ("name", pa.string()), ("n", pa.int64()),
+        ("part", pa.int32()),
+    ])
+    out_sch = pa.schema([
+        ("g_kind", pa.string()), ("n_quads", pa.int64()),
+        ("n_graphs", pa.int64()),
+    ])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = pd.Series(batch["graph"].to_pylist())
+        kind = np.where(
+            g == "@default", "default",
+            np.where(g == "@error", "error", "named"),
+        )
+        df = pd.DataFrame({"g_kind": kind, "name": g})
+        agg = df.groupby(["g_kind", "name"], as_index=False).size()
+        parts = np.fromiter(
+            (zlib.crc32(f"{k}:{s}".encode()) % P
+             for k, s in zip(agg["g_kind"], agg["name"])),
+            dtype=np.int32, count=len(agg),
+        )
+        return pa.table({
+            "g_kind": pa.array(agg["g_kind"].astype(str), pa.string()),
+            "name": pa.array(agg["name"].astype(str), pa.string()),
+            "n": pa.array(agg["size"].to_numpy(np.int64)),
+            "part": pa.array(parts, pa.int32()),
+        }, schema=part_sch)
+
+    def merge_names(df: pd.DataFrame) -> pa.Table:
+        sch = pa.schema([
+            ("g_kind", pa.string()), ("n", pa.int64()),
+            ("g_one", pa.int64()),
+        ])
+        if len(df) == 0:
+            return sch.empty_table()
+        g = df.groupby(["g_kind", "name"], as_index=False)["n"].sum()
+        k = g.groupby("g_kind", as_index=False).agg(
+            n=("n", "sum"), g_one=("name", "nunique"))
+        return pa.table({
+            "g_kind": pa.array(k["g_kind"].astype(str), pa.string()),
+            "n": pa.array(k["n"].to_numpy(np.int64)),
+            "g_one": pa.array(k["g_one"].to_numpy(np.int64)),
+        }, schema=sch)
+
+    from .common import bucketed_sum_combine
+
+    per_bucket = (
+        triples_ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("part").map_groups(merge_names, batch_format="pandas")
+    )
+    out = bucketed_sum_combine(
+        per_bucket, keys=["g_kind"], sum_cols=["n", "g_one"],
+        schema=pa.schema([
+            ("g_kind", pa.string()), ("n", pa.int64()),
+            ("g_one", pa.int64()),
+        ]),
+        num_partitions=8,
+    )
+    return out.map_batches(
+        lambda t: t.rename_columns(["g_kind", "n_quads", "n_graphs"])
+        .cast(out_sch),
+        batch_format="pyarrow",
+    )

@@ -5001,3 +5001,50 @@ def test_personalized_pagerank_matches_reference(ray_session):
     uni = pagerank_reference(edges_df, n_iter=4) \
         .sort_values("node").reset_index(drop=True)
     assert np.abs(got["rank"] - uni["rank"]).max() > 1e-6
+
+
+def test_kg_bgp_values(ray_session):
+    """VALUES joins inline data to the mention pattern: counts equal the
+    pandas recount, and the no-solution VALUES row produces nothing."""
+    from rayld.pipelines.graph import _DEFAULT_VALUES_ENTITIES, kg_bgp_values
+    from rayld.pipelines.kg import build_triples
+    from rayld.sources.transcripts import transcripts_dataset
+
+    triples = build_triples(transcripts_dataset(40)).materialize()
+    got = kg_bgp_values(triples).to_pandas()
+
+    df = triples.to_pandas()
+    a = df[(df["pred"] == "http://schema.org/about")
+           & df["obj_value"].isin(_DEFAULT_VALUES_ENTITIES)]
+    want = a.groupby("obj_value").size().to_dict()
+    assert dict(zip(got["e"], got["n"])) == want and len(want) > 0
+    assert "https://rayld.dev/entity/org/nonexistent_org" not in set(
+        got["e"])
+
+
+def test_kg_graph_clause(ray_session):
+    """GRAPH-clause kinds carry exact quad counts and exact distinct
+    graph-name counts (pandas recount), incl. the @error quarantine."""
+    from rayld.pipelines.graph import kg_graph_clause
+    from rayld.pipelines.kg import build_triples
+    from rayld.sources.transcripts import transcripts_dataset
+
+    triples = build_triples(
+        transcripts_dataset(40), max_turns=3,
+    ).materialize()
+    got = kg_graph_clause(triples).to_pandas()
+
+    df = triples.to_pandas()
+    kind = df["graph"].map(
+        lambda g: "default" if g == "@default"
+        else ("error" if g == "@error" else "named"))
+    want = df.assign(k=kind).groupby("k").agg(
+        n_quads=("graph", "size"), n_graphs=("graph", "nunique"))
+    m = {r.g_kind: (int(r.n_quads), int(r.n_graphs))
+         for r in got.itertuples()}
+    assert m == {k: (int(v.n_quads), int(v.n_graphs))
+                 for k, v in want.iterrows()}
+    assert "default" in m and m["default"][1] == 1
+    # the turn cap quarantines long conversations into @error here, so
+    # the error kind is exercised too
+    assert "error" in m
