@@ -230,6 +230,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return kg_graph_clause(_kg_parquet_ds(sf_dir, "small"))
 
+    def kg_entity_components_q(sf_dir: str):
+        """Connected components of the entity co-mention graph (min-label
+        + pointer-jump loop on rank-encoded int64 ids), value-checked by
+        a DuckDB WITH RECURSIVE transitive closure."""
+        from rayld.pipelines.graph import kg_entity_components
+
+        return kg_entity_components(_kg_parquet_ds(sf_dir, "small"))
+
     def kg_ppr_gate(sf_dir: str):
         """Gate: distributed personalized PageRank (seeded teleport, one
         exchange per iteration) == single-process numpy on the same
@@ -306,6 +314,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_construct_comention": kg_construct_comention,
         "kg_bgp_values": kg_bgp_values_q,
         "kg_graph_clause": kg_graph_clause_q,
+        "kg_entity_components": kg_entity_components_q,
         "kg_hits_check": kg_hits_gate,
         "kg_ppr_check": kg_ppr_gate,
         "kg_entity_cooccurrence": kg_entity_cooccurrence,
@@ -891,6 +900,23 @@ def oracle_sql() -> dict[str, str]:
             "  AS g_kind, count(*)::BIGINT AS n_quads,"
             "  count(DISTINCT graph)::BIGINT AS n_graphs"
             " FROM " + _kgs + " GROUP BY 1"
+        ),
+        # connected components of the co-mention graph: the oracle walks
+        # the transitive closure with WITH RECURSIVE (symmetric edges,
+        # self-seeded) and labels each entity with its reachable min —
+        # exactly the distributed min-label loop's fixpoint
+        "kg_entity_components": (
+            "WITH RECURSIVE"
+            " a AS (SELECT conv_id, subj AS t, obj_value AS e"
+            "  FROM " + _kgs + " WHERE pred = 'http://schema.org/about'),"
+            " ed AS (SELECT DISTINCT a1.e AS x, a2.e AS y"
+            "  FROM a a1 JOIN a a2 ON a1.conv_id = a2.conv_id"
+            "   AND a1.t = a2.t AND a1.e <> a2.e),"
+            " reach(x, y) AS ("
+            "  SELECT x, x FROM (SELECT DISTINCT x FROM ed)"
+            "  UNION"
+            "  SELECT r.x, e.y FROM reach r JOIN ed e ON e.x = r.y)"
+            " SELECT x AS e, min(y) AS comp FROM reach GROUP BY 1"
         ),
         # distributed HITS == single-process numpy HITS (iterative /
         # non-SQL, so the gate's flags are the oracle)

@@ -3099,3 +3099,88 @@ def kg_graph_clause(triples_ds):
         .cast(out_sch),
         batch_format="pyarrow",
     )
+
+
+def kg_entity_components(triples_ds, num_partitions: int | None = None):
+    """Connected components of the entity CO-MENTION graph: entities
+    sharing a turn are connected; each co-mentioned entity is labeled
+    with its component's lexicographically-smallest member. The first
+    VALUE-checked CC in the engine — the co-mention vocabulary is
+    gazetteer-bounded, so a DuckDB ``WITH RECURSIVE`` transitive closure
+    recomputes the exact (entity, component) labeling.
+
+    Scale shape: pair generation is conversation-local (one conv-bucketed
+    exchange over the FULL triple stream) and the distinct pair table is
+    gazetteer-bounded at ANY corpus scale (≤ C(|gazetteer|, 2) rows — a
+    true invariant, unlike doc-graph pair tables), so the labeling runs
+    as vectorized numpy min-label + pointer doubling on the driver over
+    the bounded table — the same bounded-result contract as
+    kg_describe_top_entity's count pass. Graphs whose node set GROWS
+    with the corpus (documents, users) use the distributed
+    min-label/pointer-jump loop instead (dedup.connected_components,
+    value-gated by dedup_clusters_check); its per-round Ray exchanges
+    are exactly this recurrence, distributed."""
+    from .common import bucketed_sum_combine, cluster_partitions
+
+    if num_partitions is None:
+        num_partitions = cluster_partitions()
+
+    pair_sch = pa.schema([
+        ("e1", pa.string()), ("e2", pa.string()), ("n", pa.int64()),
+    ])
+
+    def pairs_in_turn(df: pd.DataFrame) -> pa.Table:
+        if len(df) == 0 or "leg" not in df.columns:
+            return pair_sch.empty_table()
+        a = df[df["leg"] == 0][["conv_id", "s", "o"]]
+        p = a.merge(a, on=["conv_id", "s"])
+        p = p[p["o_x"] < p["o_y"]][["o_x", "o_y"]].drop_duplicates()
+        return pa.table({
+            "e1": pa.array(p["o_x"], pa.string()),
+            "e2": pa.array(p["o_y"], pa.string()),
+            "n": pa.array(np.ones(len(p), np.int64)),
+        }, schema=pair_sch)
+
+    partials = _conv_bucketed_legs(
+        triples_ds, (_SCHEMA_ABOUT,), num_partitions,
+    ).groupby("part").map_groups(pairs_in_turn, batch_format="pandas")
+    distinct = bucketed_sum_combine(
+        partials, keys=["e1", "e2"], sum_cols=["n"], schema=pair_sch,
+        num_partitions=max(8, num_partitions // 4),
+    ).materialize()
+
+    out_sch = pa.schema([("e", pa.string()), ("comp", pa.string())])
+    import ray.data as rd
+
+    pairs_tbl = pa.concat_tables(
+        b.select(["e1", "e2"]) for b in distinct.iter_batches(
+            batch_format="pyarrow", batch_size=None)
+    )
+    if pairs_tbl.num_rows == 0:
+        return rd.from_arrow(out_sch.empty_table())
+    e1 = np.asarray(pairs_tbl["e1"].to_pylist(), dtype=object)
+    e2 = np.asarray(pairs_tbl["e2"].to_pylist(), dtype=object)
+    # sorted-rank encoding: min-int labels == lexicographic-min entities
+    # (the oracle's rule)
+    vocab, codes = np.unique(np.concatenate([e1, e2]), return_inverse=True)
+    n = len(vocab)
+    a, b = codes[:len(e1)], codes[len(e1):]
+    # min-label propagation + pointer doubling, each round one vectorized
+    # scatter-min / gather — the same recurrence the distributed loop
+    # (dedup.connected_components) runs as bucketed Ray exchanges
+    label = np.arange(n, dtype=np.int64)
+    src = np.concatenate([a, b])
+    dst = np.concatenate([b, a])
+    # hooking + doubling converges in O(log n) rounds; the cap is a
+    # defensive bound far above it, and the break fires at the provable
+    # fixpoint (labels constant per component = the component min)
+    for _ in range(64 + 2 * int(np.ceil(np.log2(max(n, 2))))):
+        new = label.copy()
+        np.minimum.at(new, src, label[dst])   # propagate over edges
+        new = new[new]                        # pointer doubling
+        if np.array_equal(new, label):
+            break
+        label = new
+    return rd.from_pandas(pd.DataFrame({
+        "e": vocab, "comp": vocab[label],
+    }).astype(str))

@@ -5048,3 +5048,40 @@ def test_kg_graph_clause(ray_session):
     # the turn cap quarantines long conversations into @error here, so
     # the error kind is exercised too
     assert "error" in m
+
+
+def test_kg_entity_components(ray_session):
+    """Entity co-mention components equal a union-find recount: every
+    co-mentioned entity labeled with its component's lexicographic min."""
+    from rayld.pipelines.graph import kg_entity_components
+    from rayld.pipelines.kg import build_triples
+    from rayld.sources.transcripts import transcripts_dataset
+
+    triples = build_triples(transcripts_dataset(40)).materialize()
+    got = kg_entity_components(triples, num_partitions=4).to_pandas()
+
+    df = triples.to_pandas()
+    a = df[df["pred"] == "http://schema.org/about"]
+    p = a.merge(a, on=["conv_id", "subj"])
+    edges = {(x, y) for x, y in zip(p["obj_value_x"], p["obj_value_y"])
+             if x < y}
+    parent = {}
+
+    def find(u):
+        parent.setdefault(u, u)
+        while parent[u] != u:
+            parent[u] = parent[parent[u]]
+            u = parent[u]
+        return u
+
+    for x, y in edges:
+        rx, ry = find(x), find(y)
+        if rx != ry:
+            parent[max(rx, ry)] = min(rx, ry)
+    want = {u: find(u) for u in parent}
+    assert dict(zip(got["e"], got["comp"])) == want and len(want) > 0
+    # non-trivial structure: more than one component, at least one
+    # component with >= 3 members
+    import pandas as pd
+    sizes = pd.Series(list(want.values())).value_counts()
+    assert len(sizes) >= 2 and sizes.iloc[0] >= 3
