@@ -536,6 +536,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_ppm_features": multimodal.media_ppm_features,
         "media_png_features": multimodal.media_png_features,
         "media_wav_features": multimodal.media_wav_features,
+        "media_spectral_peak": multimodal.media_spectral_peak,
     }
 
     # The driver's CORRECTNESS window hash-checks the FIRST 50 entries in
@@ -1199,6 +1200,19 @@ def oracle_sql() -> dict[str, str]:
             " ((256 * ((doc_id % 1000) * 16) * ((doc_id % 1000) * 16)"
             "   + 2 * ((doc_id % 1000) * 16) * 32640 + 5559680)"
             "  * 1000 // 256)::BIGINT AS energy_milli"
+            " FROM documents"
+        ),
+        # FFT spectral peak: the tone period divides the clip length, so
+        # peak_bin = N/period and peak_freq = rate*bin/N exactly (both
+        # closed-form in doc_id; freq in milli-Hz is integer for all four
+        # periods)
+        "media_spectral_peak": (
+            "SELECT doc_id AS media_id, 1024::BIGINT AS n_samples,"
+            " (CASE doc_id % 4 WHEN 0 THEN 4 WHEN 1 THEN 8"
+            "  WHEN 2 THEN 16 ELSE 32 END)::BIGINT AS peak_bin,"
+            " (8000 * 1000 * CASE doc_id % 4 WHEN 0 THEN 4 WHEN 1 THEN 8"
+            "  WHEN 2 THEN 16 ELSE 32 END // 1024)::BIGINT"
+            "  AS peak_freq_milli_hz"
             " FROM documents"
         ),
         # unigram-LM surprisal in micro-nats (integer contract: the per-token

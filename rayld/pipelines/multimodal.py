@@ -714,3 +714,151 @@ def media_png_features(sf_dir: str, concurrency=None):
         PngDecoder, concurrency=concurrency, batch_size=64,
         batch_format="pyarrow",
     ).map_batches(keep_ok, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Audio FEATURE EXTRACTION: batched FFT spectral peak over decoded PCM
+# (the feature-extract stage of a 100-TB audio curation pipeline; the
+# synthesized tones' fundamental is analytic in doc_id, so a plain-SQL
+# oracle verifies the whole decode->FFT->argmax path exactly)
+# ---------------------------------------------------------------------------
+
+_SINE_PERIODS = (256, 128, 64, 32)  # doc_id % 4 -> period (divides _WAV_N)
+_SINE_AMP = 8000
+_SINE_DC = 2000
+
+
+def sine_media_dataset(sf_dir: str):
+    """Deterministic pure-tone 16-bit mono PCM WAVs: doc_id selects the
+    period p = _SINE_PERIODS[doc_id % 4] (every p divides the clip length,
+    so the tone sits EXACTLY on rfft bin N/p — no leakage beyond int16
+    quantization noise), sample[n] = dc + round(A * sin(2*pi*n/p))."""
+    import struct
+
+    import numpy as np
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    n_idx = np.arange(_WAV_N, dtype=np.float64)
+    waves = {
+        p: (_SINE_DC + np.round(
+            _SINE_AMP * np.sin(2.0 * np.pi * n_idx / p)
+        ).astype(np.int64)).astype("<i2").tobytes()
+        for p in _SINE_PERIODS
+    }
+
+    def encode(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        payloads = []
+        for i in ids:
+            pcm = waves[_SINE_PERIODS[i % 4]]
+            hdr = (
+                b"RIFF" + struct.pack("<I", 36 + len(pcm)) + b"WAVE"
+                + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, _WAV_RATE,
+                                        _WAV_RATE * 2, 2, 16)
+                + b"data" + struct.pack("<I", len(pcm))
+            )
+            payloads.append(hdr + pcm)
+        return pa.table({
+            "media_id": pa.array(ids, pa.int64()),
+            "payload": pa.array(payloads, pa.binary()),
+            "media_type": pa.array(["audio/wav"] * len(ids), pa.string()),
+        })
+
+    return ds.map_batches(encode, batch_format="pyarrow")
+
+
+class SpectralPeakExtractor:
+    """RIFF walk -> int16 PCM -> BATCHED 2-D rfft -> dominant non-DC bin.
+    Same-length clips stack into one numpy matrix so the FFT runs as one
+    vectorized call per (batch, length) group — never a per-clip Python
+    FFT loop. Emits (media_id, n_samples, peak_bin, peak_freq_milli_hz);
+    malformed payloads are quarantined with the decode error."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import struct
+
+        import numpy as np
+
+        rows = []   # (media_id, rate, pcm)
+        bad_ids, bad_errs = [], []
+        for media_id, payload in zip(
+            batch["media_id"].to_pylist(), batch["payload"].to_pylist()
+        ):
+            try:
+                if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+                    raise ValueError("not a RIFF/WAVE file")
+                pos, rate, bits, data = 12, None, None, None
+                while pos + 8 <= len(payload):
+                    cid = payload[pos:pos + 4]
+                    sz = struct.unpack("<I", payload[pos + 4:pos + 8])[0]
+                    body = payload[pos + 8:pos + 8 + sz]
+                    if cid == b"fmt ":
+                        fmt, _ch, rate, _br, _ba, bits = struct.unpack(
+                            "<HHIIHH", body[:16]
+                        )[0:6]
+                        if fmt != 1:
+                            raise ValueError("not PCM")
+                    elif cid == b"data":
+                        data = body
+                    pos += 8 + sz + (sz & 1)
+                if rate is None or data is None or bits != 16:
+                    raise ValueError("missing fmt/data or non-16-bit")
+                rows.append((media_id,
+                             int(rate),
+                             np.frombuffer(data, dtype="<i2")))
+            except (ValueError, struct.error) as err:
+                bad_ids.append(media_id)
+                bad_errs.append(str(err))
+        ids, ns, bins, freqs = [], [], [], []
+        by_len: dict = {}
+        for mid, rate, pcm in rows:
+            by_len.setdefault(len(pcm), []).append((mid, rate, pcm))
+        for n, grp in by_len.items():
+            mat = np.stack([p for _, _, p in grp]).astype(np.float64)
+            mag = np.abs(np.fft.rfft(mat, axis=1))
+            peak = 1 + np.argmax(mag[:, 1:], axis=1)  # exclude DC
+            for (mid, rate, _), k in zip(grp, peak):
+                ids.append(mid)
+                ns.append(n)
+                bins.append(int(k))
+                freqs.append(rate * 1000 * int(k) // n)
+        ok = pa.table({
+            "media_id": pa.array(ids, pa.int64()),
+            "n_samples": pa.array(ns, pa.int64()),
+            "peak_bin": pa.array(bins, pa.int64()),
+            "peak_freq_milli_hz": pa.array(freqs, pa.int64()),
+            "decode_error": pa.array([""] * len(ids), pa.string()),
+        })
+        bad = pa.table({
+            "media_id": pa.array(bad_ids, pa.int64()),
+            "n_samples": pa.array([0] * len(bad_ids), pa.int64()),
+            "peak_bin": pa.array([0] * len(bad_ids), pa.int64()),
+            "peak_freq_milli_hz": pa.array([0] * len(bad_ids), pa.int64()),
+            "decode_error": pa.array(bad_errs, pa.string()),
+        })
+        return pa.concat_tables([ok, bad])
+
+
+def media_spectral_peak(sf_dir: str, concurrency=None):
+    """Dominant-frequency extraction through the batched-FFT actor pool:
+    the synthesized tone's period divides the clip length, so peak_bin ==
+    N / period and peak_freq == rate * peak_bin / N exactly — the SQL
+    oracle recomputes both closed-form from doc_id."""
+    import ray
+
+    if concurrency is None:
+        ncpu = int(ray.cluster_resources().get("CPU", 8))
+        concurrency = (2, max(2, ncpu))
+
+    def keep_ok(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return batch.filter(
+            pc.equal(batch["decode_error"], "")
+        ).drop_columns(["decode_error"])
+
+    return sine_media_dataset(sf_dir).map_batches(
+        SpectralPeakExtractor, concurrency=concurrency, batch_size=64,
+        batch_format="pyarrow",
+    ).map_batches(keep_ok, batch_format="pyarrow")

@@ -5085,3 +5085,40 @@ def test_kg_entity_components(ray_session):
     import pandas as pd
     sizes = pd.Series(list(want.values())).value_counts()
     assert len(sizes) >= 2 and sizes.iloc[0] >= 3
+
+
+def test_media_spectral_peak(ray_session):
+    """The batched-FFT dominant bin equals the synthesized tone's exact
+    bin N/period for every clip (numpy per-clip recount), in Hz too."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from rayld.pipelines.multimodal import (
+        _SINE_PERIODS, _WAV_N, _WAV_RATE, media_spectral_peak,
+    )
+
+    got = media_spectral_peak(SF, concurrency=2).to_pandas()
+    ids = pq.read_table(f"{SF}/documents.parquet",
+                        columns=["doc_id"])["doc_id"].to_pylist()
+    assert len(got) == len(ids) > 0
+    for mid, n, k, f in zip(got["media_id"], got["n_samples"],
+                            got["peak_bin"], got["peak_freq_milli_hz"]):
+        p = _SINE_PERIODS[mid % 4]
+        assert n == _WAV_N and k == _WAV_N // p
+        assert f == _WAV_RATE * 1000 * k // _WAV_N
+    # all four periods appear
+    assert set(got["peak_bin"]) == {_WAV_N // p for p in _SINE_PERIODS}
+
+
+def test_spectral_peak_quarantines_malformed(ray_session):
+    """A non-RIFF payload routes to the decode_error side, not a crash."""
+    import pyarrow as pa
+
+    from rayld.pipelines.multimodal import SpectralPeakExtractor
+
+    out = SpectralPeakExtractor()(pa.table({
+        "media_id": pa.array([7], pa.int64()),
+        "payload": pa.array([b"not a wav"], pa.binary()),
+        "media_type": pa.array(["audio/wav"], pa.string()),
+    })).to_pandas()
+    assert len(out) == 1 and out["decode_error"][0] != ""
