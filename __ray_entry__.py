@@ -371,6 +371,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_confusion": text.lang_confusion,
         # dedup family
         "dedup_exact": dedup.dedup_exact,
+        "dedup_exact_keep_best": dedup.dedup_exact_keep_best,
         "dedup_exact_normalized": dedup.dedup_exact_normalized,
         "dedup_incremental": dedup.bloom_incremental_dedup,
         "edit_distance_pairs": dedup.edit_distance_pairs,
@@ -1061,6 +1062,21 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact_normalized": (
             "SELECT min(doc_id) AS doc_id FROM documents"
             " GROUP BY md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))"
+        ),
+        # quality-aware survivor policy: per distinct NORMALIZED text
+        # keep the highest-raw-quality copy (tie -> min doc_id); q6 =
+        # integer micro units of the shared quality contract so the
+        # argmax is exact
+        "dedup_exact_keep_best": (
+            "WITH q AS (" + indexing._QUALITY_SQL + "),"
+            " j AS (SELECT d.doc_id,"
+            "   md5(trim(regexp_replace(lower(d.text), '\\s+', ' ', 'g')))"
+            "    AS h,"
+            "   floor(q.quality * 1e6 + 0.5)::BIGINT AS q6"
+            "  FROM documents d JOIN q USING (doc_id)),"
+            " r AS (SELECT doc_id, h, q6, row_number() OVER ("
+            "   PARTITION BY h ORDER BY q6 DESC, doc_id) AS rn FROM j)"
+            " SELECT doc_id, q6 AS quality_micro FROM r WHERE rn = 1"
         ),
         # exact fuzzy self-join: prefix pairs within Levenshtein distance 2
         "edit_distance_pairs": (

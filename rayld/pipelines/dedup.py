@@ -2137,3 +2137,64 @@ def dup_rate_by_source(sf_dir: str, num_partitions: int | None = None):
         return df[["source", "n_docs", "n_dups", "dup_rate"]]
 
     return agg.map_batches(finish, batch_format="pandas")
+
+
+def dedup_exact_keep_best(sf_dir: str, num_partitions: int | None = None):
+    """NORMALIZED exact dedup with a QUALITY-AWARE survivor policy: per
+    distinct normalized text (lowercase, whitespace collapsed — the
+    dedup_exact_normalized key), keep the highest-RAW-quality copy
+    (tie -> min doc_id) — the curation rule real training pipelines use
+    instead of keep-first: reflowed/cased variants of one document score
+    differently, and an arbitrary survivor may be the worst copy.
+
+    Same bucketed shuffle as dedup_exact_normalized; quality computes
+    in-map on the RAW text through the shared text.quality_cols contract
+    and converts to integer MICRO units before the argmax, so survivor
+    selection is bit-identical to the SQL window oracle
+    (ROW_NUMBER ... ORDER BY q6 DESC, doc_id). Returns
+    (doc_id, quality_micro) survivors."""
+    import os
+
+    from .common import sized_partitions
+    from .text import documents, quality_cols
+
+    if num_partitions is None:
+        num_partitions = sized_partitions(
+            os.path.getsize(f"{sf_dir}/documents.parquet")
+        )
+
+    out_sch = pa.schema([
+        ("doc_id", pa.int64()), ("quality_micro", pa.int64()),
+    ])
+
+    def add_hash_quality(df: pd.DataFrame) -> pa.Table:
+        hs = [
+            hashlib.md5(
+                _WS_RE.sub(" ", t.lower()).strip(" ").encode("utf-8")
+            ).hexdigest()
+            for t in df["text"]
+        ]
+        _, score = quality_cols(df["text"])
+        q6 = np.rint(np.asarray(score) * 1e6).astype(np.int64)
+        return pa.table({
+            "doc_id": pa.array(df["doc_id"].to_numpy(np.int64)),
+            "h": pa.array(hs, pa.string()),
+            "q6": pa.array(q6),
+            "part": pa.array(_hash_parts(hs, num_partitions), pa.int32()),
+        })
+
+    def best(df: pd.DataFrame) -> pa.Table:
+        if len(df) == 0 or "h" not in df.columns:
+            return out_sch.empty_table()
+        df = df.sort_values(["h", "q6", "doc_id"],
+                            ascending=[True, False, True],
+                            kind="mergesort")
+        g = df.groupby("h", as_index=False).first()
+        return pa.table({
+            "doc_id": pa.array(g["doc_id"].to_numpy(np.int64)),
+            "quality_micro": pa.array(g["q6"].to_numpy(np.int64)),
+        }, schema=out_sch)
+
+    hashed = documents(sf_dir).map_batches(
+        add_hash_quality, batch_format="pandas")
+    return hashed.groupby("part").map_groups(best, batch_format="pandas")

@@ -5122,3 +5122,55 @@ def test_spectral_peak_quarantines_malformed(ray_session):
         "media_type": pa.array(["audio/wav"], pa.string()),
     })).to_pandas()
     assert len(out) == 1 and out["decode_error"][0] != ""
+
+
+def test_dedup_exact_keep_best(ray_session):
+    """Quality-aware survivor selection: over a planted corpus of raw
+    variants sharing one normalized key, the survivor is the copy with
+    the highest raw quality (tie -> min doc_id) — recounted via the same
+    quality_cols contract."""
+    import os
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from rayld.pipelines.dedup import _WS_RE, dedup_exact_keep_best
+    from rayld.pipelines.text import quality_cols
+
+    # three normalized-equal variants with DIFFERENT raw quality (extra
+    # whitespace raises n_chars -> same punct count -> higher punct_ratio
+    # denominator... quality differs), plus an unrelated singleton and an
+    # exact-duplicate pair (quality tie -> min doc_id)
+    docs = pd.DataFrame({
+        "doc_id": [1, 2, 3, 10, 20, 21],
+        "text": [
+            "the cat sat on the mat, it is a fine day!",
+            "The   cat  sat   on the mat,   it is a fine day!",
+            "THE CAT SAT ON THE MAT, IT IS A FINE DAY!",
+            "a completely different document with words",
+            "twin text with the same bytes in it",
+            "twin text with the same bytes in it",
+        ],
+    })
+    tmp = f"/tmp/rayld_keepbest_{os.getpid()}"
+    os.makedirs(tmp, exist_ok=True)
+    pq.write_table(pa.Table.from_pandas(docs), f"{tmp}/documents.parquet")
+
+    got = dedup_exact_keep_best(tmp, num_partitions=4).to_pandas()
+
+    _, score = quality_cols(docs["text"])
+    q6 = (score * 1e6).round().astype("int64")
+    key = docs["text"].map(lambda t: _WS_RE.sub(" ", t.lower()).strip(" "))
+    ref = pd.DataFrame({"doc_id": docs["doc_id"], "h": key, "q6": q6})
+    ref = ref.sort_values(["h", "q6", "doc_id"],
+                          ascending=[True, False, True])
+    want = ref.groupby("h").first()
+    assert sorted(got["doc_id"]) == sorted(want["doc_id"])
+    assert dict(zip(got["doc_id"], got["quality_micro"])) == dict(
+        zip(want["doc_id"], want["q6"]))
+    # the quality path genuinely decided the variant group (the three
+    # variants have at least two distinct scores), and the tie path
+    # picked the lower twin id
+    assert ref[ref["doc_id"].isin([1, 2, 3])]["q6"].nunique() >= 2
+    assert 20 in set(got["doc_id"]) and 21 not in set(got["doc_id"])
