@@ -568,21 +568,24 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # family siblings)
         "kg_bgp_union", "kg_bgp_minus", "kg_bgp_filter", "kg_ask",
         "kg_describe", "kg_hits_check", "kg_ppr_check",
+        "kg_entity_components", "media_spectral_peak",
+        "dedup_exact_keep_best",
         # relational / windowed / warehouse
         "events_hourly", "user_sessions", "asof_join_attribution",
         "range_join_signup_clicks", "events_rollup",
         "grouped_skew", "cohort_retention",
-        # curation
-        "decontaminate", "pii_redact", "hash_split", "pack_sequences",
+        # curation (hash_split displaced by the round-5 newcomers; four
+        # family siblings stay in-window)
+        "decontaminate", "pii_redact", "pack_sequences",
         "leakage_safe_split_check",
         # indexing / retrieval (rrf_fusion displaced by kg_ppr_check;
         # two family siblings stay in-window)
         "token_postings", "bm25_scores",
-        # similarity / models
-        "ann_topk", "ann_ivf_recall", "kmeans_check", "logreg_check",
+        # similarity / models (ann_topk displaced; five siblings stay)
+        "ann_ivf_recall", "kmeans_check", "logreg_check",
         "pca_check", "pq_recall_check",
-        # dedup
-        "dedup_exact", "dedup_minhash_recall", "simhash_check",
+        # dedup (minhash_recall displaced; five siblings stay)
+        "dedup_exact", "simhash_check",
         "dedup_clusters_check", "semdedup_check", "edit_distance_pairs",
         # tokenizer + multimodal (incl. the new real PNG decode gate)
         "bpe_check", "media_ppm_features", "media_png_features",
