@@ -238,6 +238,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return kg_entity_components(_kg_parquet_ds(sf_dir, "small"))
 
+    def kg_sample_neighborhood_q(sf_dir: str):
+        """GraphSAGE-style seeded neighborhood sampling over the entity
+        co-mention graph: fanout-4 two-hop sample from the three most-
+        mentioned entities, neighbors deterministically ranked by
+        md5(src|dst) so the SQL window oracle reproduces the exact
+        sample."""
+        from rayld.pipelines.graph import kg_sample_neighborhood
+
+        return kg_sample_neighborhood(_kg_parquet_ds(sf_dir, "small"))
+
     def kg_ppr_gate(sf_dir: str):
         """Gate: distributed personalized PageRank (seeded teleport, one
         exchange per iteration) == single-process numpy on the same
@@ -315,6 +325,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_bgp_values": kg_bgp_values_q,
         "kg_graph_clause": kg_graph_clause_q,
         "kg_entity_components": kg_entity_components_q,
+        "kg_sample_neighborhood": kg_sample_neighborhood_q,
         "kg_hits_check": kg_hits_gate,
         "kg_ppr_check": kg_ppr_gate,
         "kg_entity_cooccurrence": kg_entity_cooccurrence,
@@ -905,6 +916,35 @@ def oracle_sql() -> dict[str, str]:
             "  AS g_kind, count(*)::BIGINT AS n_quads,"
             "  count(DISTINCT graph)::BIGINT AS n_graphs"
             " FROM " + _kgs + " GROUP BY 1"
+        ),
+        # GraphSAGE-style sampling: seeds = top-3 mentioned entities;
+        # hop-1 samples 4 md5-ranked neighbors per seed, hop-2 per new
+        # hop-1 node — DuckDB's md5 equals hashlib's, so the windowed
+        # rank reproduces the engine's exact sample
+        "kg_sample_neighborhood": (
+            "WITH a AS (SELECT conv_id, subj AS t, obj_value AS e"
+            "  FROM " + _kgs + " WHERE pred = 'http://schema.org/about'),"
+            " ed AS (SELECT DISTINCT a1.e AS x, a2.e AS y"
+            "  FROM a a1 JOIN a a2 ON a1.conv_id = a2.conv_id"
+            "   AND a1.t = a2.t AND a1.e <> a2.e),"
+            " seeds AS (SELECT e FROM (SELECT obj_value AS e,"
+            "   count(*) AS n FROM " + _kgs
+            + "   WHERE pred = 'http://schema.org/about' GROUP BY 1)"
+            "  ORDER BY n DESC, e LIMIT 3),"
+            " h1 AS (SELECT ed.x, ed.y, row_number() OVER ("
+            "   PARTITION BY ed.x ORDER BY md5(ed.x || '|' || ed.y)) AS rn"
+            "  FROM ed JOIN seeds ON seeds.e = ed.x),"
+            " s1 AS (SELECT 1 AS hop, x AS src, y AS dst FROM h1"
+            "  WHERE rn <= 4),"
+            " f2 AS (SELECT DISTINCT dst AS x FROM s1"
+            "  WHERE dst NOT IN (SELECT e FROM seeds)),"
+            " h2 AS (SELECT ed.x, ed.y, row_number() OVER ("
+            "   PARTITION BY ed.x ORDER BY md5(ed.x || '|' || ed.y)) AS rn"
+            "  FROM ed JOIN f2 ON f2.x = ed.x),"
+            " s2 AS (SELECT 2 AS hop, x AS src, y AS dst FROM h2"
+            "  WHERE rn <= 4)"
+            " SELECT hop::BIGINT AS hop, src, dst FROM"
+            " (SELECT * FROM s1 UNION ALL SELECT * FROM s2)"
         ),
         # connected components of the co-mention graph: the oracle walks
         # the transitive closure with WITH RECURSIVE (symmetric edges,

@@ -3184,3 +3184,143 @@ def kg_entity_components(triples_ds, num_partitions: int | None = None):
     return rd.from_pandas(pd.DataFrame({
         "e": vocab, "comp": vocab[label],
     }).astype(str))
+
+
+def kg_sample_neighborhood(triples_ds, n_seeds: int = 3, fanout: int = 4,
+                           hops: int = 2,
+                           num_partitions: int | None = None):
+    """GraphSAGE-style seeded neighborhood sampling over the entity
+    co-mention graph — the subgraph-extraction stage of a GNN training
+    pipeline: from the ``n_seeds`` most-mentioned entities, sample
+    ``fanout`` neighbors per frontier node per hop, DETERMINISTICALLY
+    (neighbors ranked by md5(src || '|' || dst) — DuckDB's md5 and
+    hashlib agree byte-for-byte, so the SQL oracle reproduces the exact
+    sample). Returns (hop, src, dst) sampled edges.
+
+    Scale shape: seeds come from the bounded mention-count combine; each
+    hop is ONE shuffle-free filter+rank pass over the materialized
+    distinct edge set with the frontier broadcast in the closure
+    (frontier size is bounded by n_seeds * fanout^hop — bytes, not
+    data); per-batch top-fanout cuts are PARTIALS finalized on the
+    driver over the bounded candidate set, so the sample is exact under
+    any block layout and the driver only ever moves O(sample), never
+    O(graph)."""
+    import hashlib as _hl
+
+    import pyarrow.compute as pc
+
+    from .common import bucketed_sum_combine, cluster_partitions
+
+    if num_partitions is None:
+        num_partitions = cluster_partitions()
+    P = max(8, num_partitions // 4)
+
+    # ---- seeds: argmax-n mention counts (ties -> lexicographic) ----
+    cnt_sch = pa.schema([("e", pa.string()), ("n", pa.int64())])
+
+    def mention_counts(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pc.equal(batch["pred"], _SCHEMA_ABOUT))
+        g = pd.Series(t["obj_value"].to_pylist()).value_counts()
+        return pa.table({
+            "e": pa.array(g.index.astype(str), pa.string()),
+            "n": pa.array(g.to_numpy(np.int64)),
+        }, schema=cnt_sch)
+
+    counts = bucketed_sum_combine(
+        triples_ds.map_batches(mention_counts, batch_format="pyarrow"),
+        keys=["e"], sum_cols=["n"], schema=cnt_sch, num_partitions=P,
+    ).to_pandas()
+    out_sch = pa.schema([
+        ("hop", pa.int64()), ("src", pa.string()), ("dst", pa.string()),
+    ])
+    import ray.data as rd
+
+    if len(counts) == 0:
+        return rd.from_arrow(out_sch.empty_table())
+    counts = counts.sort_values(["n", "e"], ascending=[False, True],
+                                kind="mergesort")
+    seeds = [str(e) for e in counts["e"].iloc[:n_seeds]]
+
+    # ---- symmetric distinct co-mention edges, bucketed by crc32(src) ----
+    pair_sch = pa.schema([
+        ("src", pa.string()), ("dst", pa.string()), ("n", pa.int64()),
+    ])
+
+    def sym_pairs(df: pd.DataFrame) -> pa.Table:
+        if len(df) == 0 or "leg" not in df.columns:
+            return pair_sch.empty_table()
+        a = df[df["leg"] == 0][["conv_id", "s", "o"]]
+        p = a.merge(a, on=["conv_id", "s"])
+        p = p[p["o_x"] != p["o_y"]][["o_x", "o_y"]].drop_duplicates()
+        return pa.table({
+            "src": pa.array(p["o_x"], pa.string()),
+            "dst": pa.array(p["o_y"], pa.string()),
+            "n": pa.array(np.ones(len(p), np.int64)),
+        }, schema=pair_sch)
+
+    edges = bucketed_sum_combine(
+        _conv_bucketed_legs(triples_ds, (_SCHEMA_ABOUT,), num_partitions)
+        .groupby("part").map_groups(sym_pairs, batch_format="pandas"),
+        keys=["src", "dst"], sum_cols=["n"], schema=pair_sch,
+        num_partitions=P,
+    )
+
+    # no adjacency co-location exchange needed: each hop's per-batch cut
+    # is a PARTIAL and the driver finalizes over the bounded candidate
+    # set, so the sample is exact under ANY block layout
+    adj = edges.map_batches(
+        lambda t: t.select(["src", "dst"]), batch_format="pyarrow",
+    ).materialize()
+
+    frontier = list(seeds)
+    visited = set(seeds)
+    rows = []
+    for hop in range(1, hops + 1):
+        fset = set(frontier)
+        if not fset:
+            break
+
+        cand_sch = pa.schema([
+            ("src", pa.string()), ("dst", pa.string()), ("r", pa.string()),
+        ])
+
+        # PARTIAL per-batch top-fanout (a src may straddle batch
+        # boundaries, so the per-batch head is a candidate cut, not the
+        # answer); the driver takes the global top-fanout per src over
+        # the bounded candidate set (<= frontier * fanout * blocks rows)
+        def sample(batch: pa.Table, _fs=frozenset(fset)) -> pa.Table:
+            df = batch.to_pandas()
+            df = df[df["src"].isin(_fs)]
+            if len(df) == 0:
+                return cand_sch.empty_table()
+            df = df.assign(r=[
+                _hl.md5(f"{s}|{d}".encode()).hexdigest()
+                for s, d in zip(df["src"], df["dst"])
+            ]).sort_values(["src", "r"], kind="mergesort")
+            df = df.groupby("src", as_index=False).head(fanout)
+            return pa.table({
+                "src": pa.array(df["src"].astype(str), pa.string()),
+                "dst": pa.array(df["dst"].astype(str), pa.string()),
+                "r": pa.array(df["r"].astype(str), pa.string()),
+            }, schema=cand_sch)
+
+        cand = adj.map_batches(sample, batch_format="pyarrow").to_pandas()
+        if len(cand) == 0:
+            break
+        cand = cand.sort_values(["src", "r"], kind="mergesort")
+        got = cand.groupby("src", as_index=False).head(fanout)
+        got = pd.DataFrame({
+            "hop": np.full(len(got), hop, np.int64),
+            "src": got["src"].astype(str),
+            "dst": got["dst"].astype(str),
+        })
+        rows.append(got)
+        nxt = sorted(set(got["dst"]) - visited)
+        visited |= set(nxt)
+        frontier = nxt
+
+    allrows = pd.concat(rows, ignore_index=True) if rows else \
+        pd.DataFrame({"hop": [], "src": [], "dst": []})
+    return rd.from_arrow(pa.Table.from_pandas(
+        allrows, preserve_index=False
+    ).cast(out_sch) if len(allrows) else out_sch.empty_table())

@@ -5174,3 +5174,47 @@ def test_dedup_exact_keep_best(ray_session):
     # picked the lower twin id
     assert ref[ref["doc_id"].isin([1, 2, 3])]["q6"].nunique() >= 2
     assert 20 in set(got["doc_id"]) and 21 not in set(got["doc_id"])
+
+
+def test_kg_sample_neighborhood(ray_session):
+    """The two-hop md5-ranked sample equals a pandas recount: per
+    frontier node exactly min(fanout, degree) neighbors, ranked by
+    md5(src|dst); hop-2 frontier = hop-1 dsts minus seeds."""
+    import hashlib
+
+    from rayld.pipelines.graph import kg_sample_neighborhood
+    from rayld.pipelines.kg import build_triples
+    from rayld.sources.transcripts import transcripts_dataset
+
+    triples = build_triples(transcripts_dataset(40)).materialize()
+    got = kg_sample_neighborhood(triples, num_partitions=4).to_pandas()
+
+    df = triples.to_pandas()
+    a = df[df["pred"] == "http://schema.org/about"]
+    p = a.merge(a, on=["conv_id", "subj"])
+    ed = {(x, y) for x, y in zip(p["obj_value_x"], p["obj_value_y"])
+          if x != y}
+    cnts = a.groupby("obj_value").size().reset_index(name="n")
+    cnts = cnts.sort_values(["n", "obj_value"], ascending=[False, True],
+                            kind="mergesort")
+    seeds = list(cnts["obj_value"].iloc[:3])
+
+    def pick(frontier, hop):
+        out = []
+        for u in frontier:
+            nb = sorted(
+                (hashlib.md5(f"{u}|{v}".encode()).hexdigest(), v)
+                for x, v in ed if x == u
+            )[:4]
+            out += [(hop, u, v) for _, v in nb]
+        return out
+
+    w1 = pick(seeds, 1)
+    f2 = sorted({d for _, _, d in w1} - set(seeds))
+    want = w1 + pick(f2, 2)
+    assert sorted(zip(got["hop"], got["src"], got["dst"])) == sorted(want)
+    assert len(want) > 12  # hop 2 genuinely expands
+    # every sampled src at hop 1 is a seed; hop-2 srcs are not
+    h = got[got["hop"] == 1]
+    assert set(h["src"]) == set(seeds)
+    assert set(got[got["hop"] == 2]["src"]).isdisjoint(seeds)
