@@ -580,7 +580,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_bgp_union", "kg_bgp_minus", "kg_bgp_filter", "kg_ask",
         "kg_describe", "kg_hits_check", "kg_ppr_check",
         "kg_entity_components", "media_spectral_peak",
-        "dedup_exact_keep_best",
+        "dedup_exact_keep_best", "kg_sample_neighborhood",
         # relational / windowed / warehouse
         "events_hourly", "user_sessions", "asof_join_attribution",
         "range_join_signup_clicks", "events_rollup",
@@ -589,9 +589,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # family siblings stay in-window)
         "decontaminate", "pii_redact", "pack_sequences",
         "leakage_safe_split_check",
-        # indexing / retrieval (rrf_fusion displaced by kg_ppr_check;
-        # two family siblings stay in-window)
-        "token_postings", "bm25_scores",
+        # indexing / retrieval (rrf_fusion and token_postings displaced
+        # by round-5 newcomers; bm25_scores remains the family canary)
+        "bm25_scores",
         # similarity / models (ann_topk displaced; five siblings stay)
         "ann_ivf_recall", "kmeans_check", "logreg_check",
         "pca_check", "pq_recall_check",
