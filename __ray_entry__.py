@@ -488,6 +488,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_event_pivot": relational.user_event_pivot,
         "grouped_median": relational.grouped_median,
         "user_spend_rank": relational.user_spend_rank,
+        "user_spend_percent_rank": relational.user_spend_percent_rank,
         "user_spend_ntile": relational.user_spend_ntile,
         "bloom_semi_join": relational.bloom_semi_join,
         "value_quantile_sketch": relational.value_quantile_sketch,
@@ -2313,6 +2314,17 @@ def oracle_sql() -> dict[str, str]:
             " SELECT user_id, spend_c / 100.0 AS spend,"
             "  rank() OVER (ORDER BY spend_c)::BIGINT AS spend_rank,"
             "  cume_dist() OVER (ORDER BY spend_c) AS spend_cume"
+            " FROM u"
+        ),
+        # PERCENT_RANK in integer micro units (same double division on
+        # both sides -> identical floor)
+        "user_spend_percent_rank": (
+            "WITH u AS (SELECT user_id,"
+            "   sum(floor(value * 100 + 0.5)::BIGINT) AS spend_c"
+            "  FROM events GROUP BY 1)"
+            " SELECT user_id, spend_c / 100.0 AS spend,"
+            "  floor(percent_rank() OVER (ORDER BY spend_c) * 1e6"
+            "   + 0.5)::BIGINT AS pct_rank_micro"
             " FROM u"
         ),
         # NTILE(10) over per-user spend, deterministic tie order

@@ -7320,3 +7320,45 @@ def q22_oracle_sql(nations=Q22_NATIONS,
         f"   AND o_orderdate >= TIMESTAMP '{since}')"
         " GROUP BY 1"
     )
+
+
+def user_spend_percent_rank(sf_dir: str, range_shift: int | None = None):
+    """Exact global PERCENT_RANK of per-user total spend — the last
+    member of the rank family, same range-bucket + offset-broadcast plan
+    as user_spend_rank (no global sort): percent_rank = (rank-1)/(N-1),
+    emitted in integer MICRO units via floor(x*1e6+0.5) so the IEEE
+    double division matches DuckDB's percent_rank() bit-for-bit (same
+    int inputs -> same double -> same floor); N=1 defines 0."""
+    import pyarrow as pa
+
+    users = _user_spend_totals(sf_dir)
+    range_shift, offsets, total = _spend_range_offsets(users, range_shift)
+
+    sch = pa.schema([
+        ("user_id", pa.int64()), ("spend", pa.float64()),
+        ("pct_rank_micro", pa.int64()),
+    ])
+
+    def rank(df: pd.DataFrame) -> pa.Table:
+        if len(df) == 0:
+            return sch.empty_table()
+        spend = df["spend_c"].to_numpy(np.int64)
+        off = offsets[int(df["rb"].iloc[0])]
+        order = np.sort(spend)
+        left = np.searchsorted(order, spend, side="left")
+        if total > 1:
+            pct = (off + left) / (total - 1)
+        else:
+            pct = np.zeros(len(spend))
+        return pa.table({
+            "user_id": pa.array(df["user_id"].to_numpy(np.int64)),
+            "spend": pa.array(spend / 100.0, pa.float64()),
+            "pct_rank_micro": pa.array(
+                np.floor(pct * 1e6 + 0.5).astype(np.int64)),
+        }, schema=sch)
+
+    return (
+        users.map_batches(_append_rb(range_shift), batch_format="pyarrow")
+        .groupby("rb")
+        .map_groups(rank, batch_format="pandas")
+    )

@@ -5218,3 +5218,21 @@ def test_kg_sample_neighborhood(ray_session):
     h = got[got["hop"] == 1]
     assert set(h["src"]) == set(seeds)
     assert set(got[got["hop"] == 2]["src"]).isdisjoint(seeds)
+
+
+def test_user_spend_percent_rank(ray_session):
+    """PERCENT_RANK equals the numpy recount ((rank-1)/(N-1), micro
+    units): min value -> 0, max (untied) -> 1e6, ties share a value."""
+    import numpy as np
+
+    from rayld.pipelines.relational import user_spend_percent_rank
+
+    got = user_spend_percent_rank(SF).to_pandas()
+    spend_c = (got["spend"] * 100).round().astype("int64").to_numpy()
+    order = np.sort(spend_c)
+    n = len(spend_c)
+    left = np.searchsorted(order, spend_c, side="left")
+    want = np.floor(left / (n - 1) * 1e6 + 0.5).astype("int64")
+    assert (got["pct_rank_micro"].to_numpy() == want).all() and n > 1
+    assert got["pct_rank_micro"].min() == 0
+    assert got["pct_rank_micro"].max() == 1_000_000
