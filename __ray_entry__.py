@@ -500,6 +500,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "power_users": relational.power_users,
         "events_cube": relational.events_cube,
         "user_rows_window": relational.user_rows_window,
+        "user_value_ewma": relational.user_value_ewma,
         "cohort_retention": relational.cohort_retention,
         "daily_orders_purchases_balance":
             relational.daily_orders_purchases_balance,
@@ -2397,6 +2398,33 @@ def oracle_sql() -> dict[str, str]:
             " FROM events WINDOW w AS ("
             "   PARTITION BY user_id ORDER BY ts, event_id"
             "   ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)"
+        ),
+        # exact bounded-horizon EWMA: binary weights over the last 8
+        # lags, renormalized over present terms; integer milli-cents
+        "user_value_ewma": (
+            "WITH t AS (SELECT event_id, user_id,"
+            "   floor(value * 100 + 0.5)::BIGINT AS vc, ts FROM events),"
+            " l AS (SELECT event_id, user_id, vc,"
+            + ",".join(
+                f" lag(vc, {k}) OVER (PARTITION BY user_id"
+                f" ORDER BY ts, event_id) AS v{k}"
+                for k in range(1, 8)
+            )
+            + "  FROM t)"
+            " SELECT event_id, user_id,"
+            " ((128 * vc"
+            + "".join(
+                f" + coalesce({1 << (7 - k)} * v{k}, 0)"
+                for k in range(1, 8)
+            )
+            + ") * 1000 // (128"
+            + "".join(
+                f" + CASE WHEN v{k} IS NULL THEN 0"
+                f" ELSE {1 << (7 - k)} END"
+                for k in range(1, 8)
+            )
+            + "))::BIGINT AS ewma_milli_cents"
+            " FROM l"
         ),
         # weekly cohort retention matrix (Monday-anchored weeks)
         "cohort_retention": (

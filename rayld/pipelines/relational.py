@@ -7362,3 +7362,65 @@ def user_spend_percent_rank(sf_dir: str, range_shift: int | None = None):
         .groupby("rb")
         .map_groups(rank, batch_format="pandas")
     )
+
+
+def user_value_ewma(sf_dir: str, horizon: int = 8,
+                    num_partitions: int | None = None):
+    """EXACT bounded-horizon EWMA per user event stream — the streaming
+    feature-engineering shape (decay-weighted recent activity), made
+    hash-exact by truncating the exponential tail at ``horizon`` lags
+    with binary weights 2^(horizon-1-k) (most-recent term heaviest) and
+    renormalizing over the terms actually present:
+
+        ewma_t = sum_k w_k * v_{t-k} / sum_k w_k,  w_k = 2^(h-1-k)
+
+    in integer milli-cents ((num * 1000) // den — non-negative values,
+    so truncating division matches DuckDB's // exactly). Same single
+    bucketed hash(user_id) exchange as user_rows_window; the lag terms
+    are vectorized groupby-shift columns, never a per-row loop."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from .common import cluster_partitions
+
+    if num_partitions is None:
+        num_partitions = cluster_partitions()
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "user_id", "value"],
+    )
+
+    sch = pa.schema([
+        ("event_id", pa.int64()), ("user_id", pa.int64()),
+        ("ewma_milli_cents", pa.int64()),
+    ])
+
+    def ewma(df: pd.DataFrame) -> pa.Table:
+        if len(df) == 0:
+            return sch.empty_table()
+        df = df.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        vc = pd.Series(money_cents(df["value"]), index=df.index)
+        g = vc.groupby(df["user_id"].to_numpy())
+        num = np.zeros(len(df), np.int64)
+        den = np.zeros(len(df), np.int64)
+        for k in range(horizon):
+            w = 1 << (horizon - 1 - k)
+            lagged = g.shift(k)
+            have = lagged.notna().to_numpy()
+            num[have] += w * lagged.to_numpy(np.float64,
+                                            na_value=0)[have].astype(np.int64)
+            den[have] += w
+        return pa.table({
+            "event_id": pa.array(df["event_id"].to_numpy(np.int64)),
+            "user_id": pa.array(df["user_id"].to_numpy(np.int64)),
+            "ewma_milli_cents": pa.array(num * 1000 // den),
+        }, schema=sch)
+
+    return (
+        ds.map_batches(
+            append_mod_part, batch_format="pyarrow",
+            fn_args=("user_id", num_partitions),
+        )
+        .groupby("part")
+        .map_groups(ewma, batch_format="pandas")
+    )

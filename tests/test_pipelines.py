@@ -5236,3 +5236,31 @@ def test_user_spend_percent_rank(ray_session):
     assert (got["pct_rank_micro"].to_numpy() == want).all() and n > 1
     assert got["pct_rank_micro"].min() == 0
     assert got["pct_rank_micro"].max() == 1_000_000
+
+
+def test_user_value_ewma(ray_session):
+    """Bounded-horizon EWMA equals a per-user pandas recount with binary
+    weights over the last 8 lags (renormalized for short prefixes)."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from rayld.pipelines.relational import user_value_ewma
+
+    got = user_value_ewma(SF, num_partitions=4).to_pandas()
+    ev = pq.read_table(
+        f"{SF}/events.parquet",
+        columns=["event_id", "ts", "user_id", "value"],
+    ).to_pandas().sort_values(["user_id", "ts", "event_id"],
+                              kind="mergesort")
+    vc = np.floor(ev["value"].to_numpy() * 100 + 0.5).astype("int64")
+    want = {}
+    hist: dict = {}
+    for eid, uid, v in zip(ev["event_id"], ev["user_id"], vc):
+        h = hist.setdefault(uid, [])
+        h.append(int(v))
+        lags = h[-8:][::-1]  # most recent first
+        num = sum((1 << (7 - k)) * x for k, x in enumerate(lags))
+        den = sum((1 << (7 - k)) for k in range(len(lags)))
+        want[eid] = num * 1000 // den
+    assert dict(zip(got["event_id"], got["ewma_milli_cents"])) == want
+    assert len(want) > 0
