@@ -388,6 +388,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "edit_distance_pairs": dedup.edit_distance_pairs,
         "dedup_survivor_map": dedup.dedup_survivor_map,
         "dup_rate_by_source": dedup.dup_rate_by_source,
+        "source_overlap_matrix": dedup.source_overlap_matrix,
         "dedup_minhash": dedup.minhash_dedup,
         "dedup_minhash_recall": dedup.minhash_dedup_recall,
         "dedup_clusters": dedup.dedup_clusters,
@@ -1122,6 +1123,25 @@ def oracle_sql() -> dict[str, str]:
             " r AS (SELECT doc_id, h, q6, row_number() OVER ("
             "   PARTITION BY h ORDER BY q6 DESC, doc_id) AS rn FROM j)"
             " SELECT doc_id, q6 AS quality_micro FROM r WHERE rn = 1"
+        ),
+        # cross-source overlap matrix: shared 40-char opening
+        # fingerprints (template overlap) and shared exact texts per
+        # unordered source pair (texts subset prefixes by construction)
+        "source_overlap_matrix": (
+            "WITH d AS (SELECT md5(text) AS ht,"
+            "   md5(substr(text, 1, 40)) AS hp, source FROM documents),"
+            " gp AS (SELECT DISTINCT hp, source FROM d),"
+            " gt AS (SELECT DISTINCT ht, source FROM d),"
+            " pp AS (SELECT a.source AS sa, b.source AS sb,"
+            "   count(*)::BIGINT AS n FROM gp a JOIN gp b"
+            "   ON a.hp = b.hp AND a.source < b.source GROUP BY 1, 2),"
+            " pt AS (SELECT a.source AS sa, b.source AS sb,"
+            "   count(*)::BIGINT AS n FROM gt a JOIN gt b"
+            "   ON a.ht = b.ht AND a.source < b.source GROUP BY 1, 2)"
+            " SELECT pp.sa AS source_a, pp.sb AS source_b,"
+            "  pp.n AS n_shared_prefixes,"
+            "  coalesce(pt.n, 0)::BIGINT AS n_shared_texts"
+            " FROM pp LEFT JOIN pt ON pt.sa = pp.sa AND pt.sb = pp.sb"
         ),
         # exact fuzzy self-join: prefix pairs within Levenshtein distance 2
         "edit_distance_pairs": (

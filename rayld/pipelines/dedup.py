@@ -2198,3 +2198,94 @@ def dedup_exact_keep_best(sf_dir: str, num_partitions: int | None = None):
     hashed = documents(sf_dir).map_batches(
         add_hash_quality, batch_format="pandas")
     return hashed.groupby("part").map_groups(best, batch_format="pandas")
+
+
+def source_overlap_matrix(sf_dir: str, prefix_len: int = 40,
+                          num_partitions: int | None = None):
+    """Cross-source content-overlap matrix — the curation diagnostic
+    that says WHICH sources share material before any dedup decision:
+    for every unordered source pair, the number of 40-char opening
+    fingerprints both sources contain (template/boilerplate overlap)
+    and the number of exact full texts both contain (true duplication;
+    always a subset, since identical text implies identical prefix).
+
+    Plan: one map emits per-batch-distinct (kind, fingerprint, source)
+    rows; ONE crc32(fingerprint) bucketed exchange co-locates each
+    fingerprint's source set; per-bucket unordered source pairs
+    pre-aggregate and fold through the bounded house combine (the
+    source vocabulary is bounded, so the pair matrix is result-sized).
+    No text ever moves — only digests."""
+    from .common import bucketed_sum_combine, cluster_partitions
+    from .text import documents
+
+    if num_partitions is None:
+        num_partitions = cluster_partitions()
+
+    leg_sch = pa.schema([
+        ("kind", pa.string()), ("h", pa.string()),
+        ("source", pa.string()), ("part", pa.int32()),
+    ])
+    out_sch = pa.schema([
+        ("source_a", pa.string()), ("source_b", pa.string()),
+        ("n_shared_prefixes", pa.int64()), ("n_shared_texts", pa.int64()),
+    ])
+
+    def legs(df: pd.DataFrame) -> pa.Table:
+        ht = [hashlib.md5(t.encode("utf-8")).hexdigest()
+              for t in df["text"]]
+        hp = [hashlib.md5(t[:prefix_len].encode("utf-8")).hexdigest()
+              for t in df["text"]]
+        rows = pd.concat([
+            pd.DataFrame({"kind": "t", "h": ht, "source": df["source"]}),
+            pd.DataFrame({"kind": "p", "h": hp, "source": df["source"]}),
+        ], ignore_index=True).drop_duplicates()
+        return pa.table({
+            "kind": pa.array(rows["kind"].astype(str), pa.string()),
+            "h": pa.array(rows["h"].astype(str), pa.string()),
+            "source": pa.array(rows["source"].astype(str), pa.string()),
+            "part": pa.array(
+                _hash_parts(rows["h"].tolist(), num_partitions), pa.int32()),
+        }, schema=leg_sch)
+
+    pair_sch = pa.schema([
+        ("source_a", pa.string()), ("source_b", pa.string()),
+        ("n_shared_prefixes", pa.int64()), ("n_shared_texts", pa.int64()),
+    ])
+
+    def pairs(df: pd.DataFrame) -> pa.Table:
+        if len(df) == 0 or "kind" not in df.columns:
+            return pair_sch.empty_table()
+        df = df.drop_duplicates(["kind", "h", "source"])
+        out: dict = {}
+        for (kind, _h), grp in df.groupby(["kind", "h"], sort=False):
+            srcs = sorted(set(grp["source"]))
+            for i in range(len(srcs)):
+                for j in range(i + 1, len(srcs)):
+                    key = (srcs[i], srcs[j])
+                    np_, nt_ = out.get(key, (0, 0))
+                    if kind == "p":
+                        out[key] = (np_ + 1, nt_)
+                    else:
+                        out[key] = (np_, nt_ + 1)
+        if not out:
+            return pair_sch.empty_table()
+        ks = sorted(out)
+        return pa.table({
+            "source_a": pa.array([a for a, _ in ks], pa.string()),
+            "source_b": pa.array([b for _, b in ks], pa.string()),
+            "n_shared_prefixes": pa.array(
+                [out[k][0] for k in ks], pa.int64()),
+            "n_shared_texts": pa.array(
+                [out[k][1] for k in ks], pa.int64()),
+        }, schema=pair_sch)
+
+    partials = (
+        documents(sf_dir, columns=("doc_id", "text", "source"))
+        .map_batches(legs, batch_format="pandas")
+        .groupby("part").map_groups(pairs, batch_format="pandas")
+    )
+    return bucketed_sum_combine(
+        partials, keys=["source_a", "source_b"],
+        sum_cols=["n_shared_prefixes", "n_shared_texts"], schema=out_sch,
+        num_partitions=8,
+    )

@@ -5264,3 +5264,40 @@ def test_user_value_ewma(ray_session):
         want[eid] = num * 1000 // den
     assert dict(zip(got["event_id"], got["ewma_milli_cents"])) == want
     assert len(want) > 0
+
+
+def test_source_overlap_matrix(ray_session):
+    """Cross-source overlap counts equal a pandas recount; exact-text
+    sharing is a subset of prefix sharing by construction."""
+    import hashlib
+    from itertools import combinations
+
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from rayld.pipelines.dedup import source_overlap_matrix
+
+    got = source_overlap_matrix(SF, num_partitions=4).to_pandas()
+    docs = pq.read_table(
+        f"{SF}/documents.parquet", columns=["text", "source"]
+    ).to_pandas()
+
+    def pair_counts(keys):
+        g = pd.DataFrame({"h": keys, "source": docs["source"]}) \
+            .drop_duplicates()
+        out: dict = {}
+        for _h, grp in g.groupby("h"):
+            for a, b in combinations(sorted(set(grp["source"])), 2):
+                out[(a, b)] = out.get((a, b), 0) + 1
+        return out
+
+    wp = pair_counts([hashlib.md5(t[:40].encode()).hexdigest()
+                      for t in docs["text"]])
+    wt = pair_counts([hashlib.md5(t.encode()).hexdigest()
+                      for t in docs["text"]])
+    m = {(a, b): (int(np_), int(nt_)) for a, b, np_, nt_ in zip(
+        got["source_a"], got["source_b"],
+        got["n_shared_prefixes"], got["n_shared_texts"])}
+    assert m == {k: (v, wt.get(k, 0)) for k, v in wp.items()}
+    assert len(m) > 0
+    assert all(nt <= np_ for np_, nt in m.values())
